@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configs are the
+ones we would ship to a 1000-executor cluster (AQE on, skew-join handling,
+partition coalescing). Nothing here is local-mode-specific except the master.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cassandra-sstable-tools-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Local mode: one shuffle partition per core. On a real cluster this
+        # would be ~2-3x total cores; AQE coalesces small partitions anyway.
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime re-planning, small-partition coalescing, skew-join split.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic timestamps in reports.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas-UDF path (LLM extensions, multimodal stubs).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Quieter local runs.
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,233 @@
+"""Derive SSTable-shaped tables from the driver's TPC-H parquet.
+
+The driver materialized only the TPC-H-ish tables (TESTDATA.md); the
+SSTable-shaped fixtures of FIXTURES.md were not generated. This module derives
+them *deterministically* from ``lineitem`` with pure arithmetic/string
+expressions, so the exact same derivation can be (and is) expressed in the
+DuckDB oracle (see ``oracles.py`` -- the two MUST stay in lockstep; any change
+here requires the mirrored change there).
+
+Derived tables (schemas per FIXTURES.md / SURVEY.md §1.2):
+
+- ``cells``          -- Data.db analog, one row per cell-level event.
+- ``sstables``       -- per-SSTable metadata component analog.
+- ``index_entries``  -- Index.db analog: (sstable, partition_key, position).
+
+Shared-dialect discipline (Spark vs DuckDB):
+- never ``cast(double as bigint)`` directly (DuckDB rounds, Spark truncates)
+  -> always ``floor()`` first;
+- no decimal literals in arithmetic (DuckDB treats ``0.6`` as DECIMAL) ->
+  integer-multiply-then-divide (``x * 3 / 5``: int*int is exact, int/int is
+  double division in BOTH dialects);
+- ``int % int``, ``lpad``, ``concat``, ``year/month/day`` agree in both.
+
+Mapping spec (mirrored in oracles.ADAPTER_CTE):
+
+  bucket      = l_orderkey % 5
+  table_name  = bucket=0 -> 'tab_twcs' | bucket in (1,2) -> 'tab_lcs'
+                | else 'tab_stcs'      (a partition key lives in ONE table)
+  sstable_seq = (l_linenumber % 4) + 1          -> 4 sstables per table
+  sstable_id  = lpad(seq, 5, '0')               (sortable, generation order)
+  partition_key = lpad(l_orderkey, 12, '0')     (keys span multiple sstables)
+  clustering  = lpad(l_partkey % 50, 4, '0')
+  kind        = q<2 ROW_DELETE | q<3 RANGE_TOMBSTONE_MARKER
+                | q<4 PARTITION_DELETE | q<5 ROW_MARKER
+                | q>=49 STATIC_CELL | else CELL      (q = l_quantity)
+  cell_name   = 'c' || (l_suppkey % 5)   for CELL/STATIC_CELL else null
+  cell_size   = floor(l_extendedprice) % 32768 + 64
+  writetime   = (yyyymmdd(l_shipdate) * 1000000) + l_linenumber   [us, unique
+                per (partition_key, clustering, cell_name) -> deterministic LWW]
+  is_tombstone = kind in (CELL, STATIC_CELL) and l_returnflag = 'R'
+  ttl         = for live CELL/STATIC_CELL with l_linestatus='O':
+                suppkey%3 -> 3600 | 86400 | 604800 ; else null
+  is_counter  = live no-ttl CELL with l_partkey % 97 = 0
+  local_deletion_time = 1698986000 + (l_orderkey*7919 + l_linenumber*104729) % 300000
+                for tombstones / expiring / delete markers (straddles GC_BEFORE
+                = 1699136000 -> both droppable and non-droppable exist); else null
+  range_start/range_end = clustering .. lpad(l_partkey%50 + 5, 4, '0') for RTMs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.constants import GC_GRACE_SECONDS
+
+TPCH_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data.db analog at cell grain (SURVEY.md §1.2 `cells` table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.col("l_orderkey") % 5
+    q = F.col("l_quantity")
+    seq = (F.col("l_linenumber").cast("bigint") % 4) + 1
+    kind = (
+        F.when(q < 2, "ROW_DELETE")
+        .when(q < 3, "RANGE_TOMBSTONE_MARKER")
+        .when(q < 4, "PARTITION_DELETE")
+        .when(q < 5, "ROW_MARKER")
+        .when(q >= 49, "STATIC_CELL")
+        .otherwise("CELL")
+    )
+    clustering = F.lpad((F.col("l_partkey") % 50).cast("string"), 4, "0")
+    is_cellkind = kind.isin("CELL", "STATIC_CELL")
+    is_tombstone = is_cellkind & (F.col("l_returnflag") == "R")
+    ttl = F.when(
+        is_cellkind & (F.col("l_returnflag") != "R") & (F.col("l_linestatus") == "O"),
+        F.when(F.col("l_suppkey") % 3 == 0, 3600)
+        .when(F.col("l_suppkey") % 3 == 1, 86400)
+        .otherwise(604800),
+    ).cast("int")
+    date_num = (
+        F.year("l_shipdate") * 10000 + F.month("l_shipdate") * 100 + F.dayofmonth("l_shipdate")
+    ).cast("bigint")
+    has_ldt = (
+        is_tombstone
+        | ttl.isNotNull()
+        | kind.isin("ROW_DELETE", "RANGE_TOMBSTONE_MARKER", "PARTITION_DELETE")
+    )
+    ldt = F.when(
+        has_ldt,
+        F.lit(1698986000).cast("bigint")
+        + (F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 104729) % 300000,
+    )
+    return li.select(
+        F.lit("ks1").alias("keyspace"),
+        F.when(bucket == 0, "tab_twcs")
+        .when(bucket.isin(1, 2), "tab_lcs")
+        .otherwise("tab_stcs")
+        .alias("table_name"),
+        seq.alias("sstable_seq"),
+        F.lpad(seq.cast("string"), 5, "0").alias("sstable_id"),
+        F.lpad(F.col("l_orderkey").cast("string"), 12, "0").alias("partition_key"),
+        clustering.alias("clustering"),
+        kind.alias("kind"),
+        F.when(is_cellkind, F.concat(F.lit("c"), (F.col("l_suppkey") % 5).cast("string")))
+        .alias("cell_name"),
+        (F.floor(F.col("l_extendedprice")).cast("bigint") % 32768 + 64).alias("cell_size"),
+        (date_num * 1000000 + F.col("l_linenumber")).alias("writetime"),
+        ttl.alias("ttl"),
+        is_tombstone.alias("is_tombstone"),
+        ttl.isNotNull().alias("is_expiring"),
+        (
+            (kind == "CELL")
+            & (F.col("l_returnflag") != "R")
+            & ttl.isNull()
+            & (F.col("l_partkey") % 97 == 0)
+        ).alias("is_counter"),
+        ldt.cast("bigint").alias("local_deletion_time"),
+        F.when(kind == "RANGE_TOMBSTONE_MARKER", clustering).alias("range_start"),
+        F.when(
+            kind == "RANGE_TOMBSTONE_MARKER",
+            F.lpad((F.col("l_partkey") % 50 + 5).cast("string"), 4, "0"),
+        ).alias("range_end"),
+        F.lit(GC_GRACE_SECONDS).alias("gc_grace_seconds"),
+    )
+
+
+def partition_sizes(cells_df: DataFrame) -> DataFrame:
+    """Per (table, sstable, partition) size/cell rollup -- shared by
+    `sstables` metadata derivation and `index_entries` positions."""
+    return cells_df.groupBy(
+        "keyspace", "table_name", "sstable_seq", "sstable_id", "partition_key"
+    ).agg(
+        F.sum("cell_size").alias("psize"),
+        F.count(F.lit(1)).alias("pcells"),
+        F.min("writetime").alias("mn_wt"),
+        F.max("writetime").alias("mx_wt"),
+        F.min("local_deletion_time").alias("mn_ldt"),
+        F.max("local_deletion_time").alias("mx_ldt"),
+    )
+
+
+def sstables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SSTable metadata analog (reference SSTableMetadata.java:47-84)."""
+    from cassandra_sstable_tools_spark.constants import GC_BEFORE, LDT_SENTINEL
+
+    c = cells(spark, sf_dir)
+    per_part = partition_sizes(c)
+    meta = per_part.groupBy("keyspace", "table_name", "sstable_seq", "sstable_id").agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.sum("psize").alias("uncompressed_length"),
+        F.max("psize").alias("max_row_size"),
+        F.floor(F.sum("psize") / F.count(F.lit(1))).alias("avg_row_size"),
+        F.max("pcells").alias("max_column_count"),
+        F.floor(F.sum("pcells") / F.count(F.lit(1))).alias("avg_column_count"),
+        F.min("mn_wt").alias("min_timestamp"),
+        F.max("mx_wt").alias("max_timestamp"),
+        F.coalesce(F.min("mn_ldt"), F.lit(LDT_SENTINEL)).alias("min_local_deletion_time"),
+        F.coalesce(F.max("mx_ldt"), F.lit(LDT_SENTINEL)).alias("max_local_deletion_time"),
+    )
+    drop_stats = c.groupBy("keyspace", "table_name", "sstable_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(
+            F.when(F.col("is_tombstone") & (F.col("local_deletion_time") < GC_BEFORE), 1)
+            .otherwise(0)
+        ).alias("n_droppable"),
+    )
+    strategy = (
+        F.when(F.col("table_name") == "tab_twcs", "TWCS")
+        .when(F.col("table_name") == "tab_lcs", "LCS")
+        .otherwise("STCS")
+    )
+    return (
+        meta.join(drop_stats, ["keyspace", "table_name", "sstable_id"])
+        .withColumn("filename", F.concat(F.lit("nb-"), "sstable_id", F.lit("-big-Data.db")))
+        .withColumn("compaction_strategy", strategy)
+        .withColumn("gc_grace_seconds", F.lit(GC_GRACE_SECONDS))
+        .withColumn("disk_length", F.floor(F.col("uncompressed_length") * 3 / 5))
+        .withColumn("is_repaired", F.col("sstable_seq") % 2 == 0)
+        .withColumn(
+            "repaired_at",
+            F.when(
+                F.col("is_repaired"),
+                F.lit(1700000000000).cast("bigint") + F.col("sstable_seq") * 1000,
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "level",
+            F.when(strategy == "LCS", (F.col("sstable_seq") % 5).cast("int"))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "file_timestamp",
+            F.lit(1690000000000).cast("bigint") + F.col("sstable_seq") * 86400000,
+        )
+        .withColumn(
+            "droppable_ppm",
+            F.floor(F.col("n_droppable") * 1000000 / F.col("n_records")),
+        )
+        .drop("n_records", "n_droppable")
+    )
+
+
+def index_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index.db analog: (sstable, partition_key, position); position is the
+    running sum of preceding partition sizes in key order
+    (reference IndexReader.java:77-113 derives size from position deltas --
+    our pstats query must invert this with a window, operator W1)."""
+    from pyspark.sql import Window
+
+    per_part = partition_sizes(cells(spark, sf_dir))
+    w = (
+        Window.partitionBy("keyspace", "table_name", "sstable_id")
+        .orderBy("partition_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_part.select(
+        "keyspace",
+        "table_name",
+        "sstable_id",
+        "partition_key",
+        F.coalesce(F.sum("psize").over(w), F.lit(0)).cast("bigint").alias("position"),
+    )
