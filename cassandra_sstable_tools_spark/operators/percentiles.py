@@ -1,0 +1,47 @@
+"""Operator A5 -- histogram snapshot statistics.
+
+The reference keeps a 1028-sample reservoir (Vitter Algorithm R,
+Histogram.java:8-93) and interpolates percentiles over the sample
+(Snapshot.java:85-108). That output is *randomized*; our engine computes
+exact percentiles instead (documented accuracy improvement, SURVEY.md §5.3):
+
+- exact mode (correctness gate): built-in ``percentile`` -- linear
+  interpolation at rank p*(n-1), identical to DuckDB's ``quantile_cont``;
+- scale mode (100 TB): ``percentile_approx`` (bounded-memory, deterministic
+  t-digest-like sketch) -- better than the reference's randomized reservoir.
+
+Results are floored to whole bytes: the reports consume them through
+``humanReadableByteCount(long)`` anyway (Util.java:42-52).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.constants import REPORT_PERCENTILES
+
+
+def percentile_cols(
+    col: str, percentiles: list[float] | None = None, approx: bool = False
+) -> list[Column]:
+    """Floored percentile aggregate expressions named p50, p75, ... p999."""
+    ps = percentiles if percentiles is not None else REPORT_PERCENTILES
+    out = []
+    for p in ps:
+        name = f"p{str(p).replace('0.', '')}"
+        agg = (
+            F.percentile_approx(col, p, 10000) if approx else F.percentile(col, F.lit(p))
+        )
+        out.append(F.floor(agg).alias(name))
+    return out
+
+
+def percentile_sql(col: str, percentiles: list[float] | None = None) -> str:
+    """DuckDB mirror of ``percentile_cols`` (exact mode)."""
+    ps = percentiles if percentiles is not None else REPORT_PERCENTILES
+    parts = [
+        f"CAST(floor(quantile_cont({col}, {p})) AS BIGINT) AS p{str(p).replace('0.', '')}"
+        for p in ps
+    ]
+    return ",\n       ".join(parts)

@@ -57,10 +57,10 @@ cells AS (
             AND NOT (l_returnflag <> 'R' AND l_linestatus = 'O')
             AND l_partkey % 97 = 0 AS is_counter,
         CASE
-            WHEN ((l_quantity >= 5) AND l_returnflag = 'R')
-              OR ((l_quantity >= 5) AND l_returnflag <> 'R' AND l_linestatus = 'O')
-              OR l_quantity < 4 THEN
+            WHEN ((l_quantity >= 5) AND l_returnflag = 'R') OR l_quantity < 4 THEN
                 CAST(1698986000 + (l_orderkey * 7919 + l_linenumber * 104729) % 300000 AS BIGINT)
+            WHEN (l_quantity >= 5) AND l_returnflag <> 'R' AND l_linestatus = 'O' THEN
+                CAST(1699850000 + (l_orderkey * 7919 + l_linenumber * 104729) % 300000 AS BIGINT)
         END AS local_deletion_time,
         CASE WHEN l_quantity >= 2 AND l_quantity < 3
              THEN lpad(CAST(l_partkey % 50 AS VARCHAR), 4, '0') END AS range_start,

@@ -1,0 +1,143 @@
+"""`pstats` -- partition-size statistics from the index only (reference cmd 3).
+
+Reference: cli/PartitionSizeStatisticsCollector.java:33-188. Reads ONLY the
+Index.db files ("relatively quick", README.md:98) -- the covering-index trick:
+sizes come from position deltas (IndexReader.java:88-98), never touching
+Data.db. Per partition key, sizes/sstable-counts are collated across sstables
+(PartitionReader.java:55-71), then: size histogram + percentiles, top-N
+largest partitions, top-N by sstable count, global avg (integer division,
+:181).
+
+Spark shape:
+- narrow scan of `index_entries` (column pruning analog of the index trick);
+- W1 window for sizes (operators/window_sizes.py) + broadcast join for file
+  lengths;
+- one groupBy(partition_key) collate -> cached; reused by the summary row and
+  both top-N reports (mirrors the reference's single pass feeding 2 heaps +
+  2 histograms);
+- exact percentiles for the correctness gate, `approx=True` path for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.constants import DEFAULT_TOP_N
+from cassandra_sstable_tools_spark.operators.percentiles import (
+    percentile_cols,
+    percentile_sql,
+)
+from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
+from cassandra_sstable_tools_spark.operators.window_sizes import index_partition_sizes
+from cassandra_sstable_tools_spark.oracles import with_adapter
+from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+
+def _collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition (across sstables): total size + sstable count (J1)."""
+    sizes = index_partition_sizes(
+        tpch_adapter.index_entries(spark, sf_dir),
+        tpch_adapter.sstables(spark, sf_dir),
+    )
+    return sizes.groupBy("keyspace", "table_name", "partition_key").agg(
+        F.sum("size").alias("size"),
+        F.count(F.lit(1)).alias("tables"),
+    )
+
+
+def pstats_summary(spark: SparkSession, sf_dir: str, approx: bool = False) -> DataFrame:
+    """One row per table: count / total / min / max / avg + size percentiles."""
+    return _collated(spark, sf_dir).groupBy("keyspace", "table_name").agg(
+        F.count(F.lit(1)).alias("partitions"),
+        F.sum("size").alias("total_size"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        # integer division per reference (X5, PartitionSizeStatisticsCollector.java:181)
+        F.floor(F.sum("size") / F.count(F.lit(1))).alias("avg_size"),
+        *percentile_cols("size", approx=approx),
+    )
+
+
+def pstats_top_size(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) -> DataFrame:
+    """Top-N largest partitions per table (SIZE_COMPARATOR + key tiebreak)."""
+    c = _collated(spark, sf_dir)
+    return top_n_per_group(
+        c,
+        ["keyspace", "table_name"],
+        [F.desc("size"), F.asc("partition_key")],
+        n,
+    ).select("keyspace", "table_name", "partition_key", "size", "tables", "rank")
+
+
+def pstats_top_tables(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) -> DataFrame:
+    """Top-N partitions by #sstables containing them (collate tableCount)."""
+    c = _collated(spark, sf_dir)
+    return top_n_per_group(
+        c,
+        ["keyspace", "table_name"],
+        [F.desc("tables"), F.desc("size"), F.asc("partition_key")],
+        n,
+    ).select("keyspace", "table_name", "partition_key", "tables", "size", "rank")
+
+
+_COLLATED_CTE = """
+sizes AS (
+    SELECT i.keyspace, i.table_name, i.sstable_id, i.partition_key,
+           coalesce(lead(i.position) OVER (
+               PARTITION BY i.keyspace, i.table_name, i.sstable_id
+               ORDER BY i.position), s.uncompressed_length) - i.position AS size
+    FROM index_entries i
+    JOIN sstables_meta s USING (keyspace, table_name, sstable_id)
+),
+collated AS (
+    SELECT keyspace, table_name, partition_key,
+           CAST(sum(size) AS BIGINT) AS size,
+           count(*) AS tables
+    FROM sizes
+    GROUP BY 1, 2, 3
+)"""
+
+ORACLE_PSTATS_SUMMARY = with_adapter(f""",
+{_COLLATED_CTE.lstrip()}
+SELECT keyspace, table_name,
+       count(*) AS partitions,
+       CAST(sum(size) AS BIGINT) AS total_size,
+       min(size) AS min_size,
+       max(size) AS max_size,
+       CAST(floor(sum(size) / count(*)) AS BIGINT) AS avg_size,
+       {percentile_sql('size')}
+FROM collated
+GROUP BY 1, 2
+""".replace("WITH ,", "WITH "))
+
+ORACLE_PSTATS_TOP_SIZE = with_adapter(f""",
+{_COLLATED_CTE.lstrip()}
+SELECT keyspace, table_name, partition_key, size, tables, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY keyspace, table_name
+        ORDER BY size DESC, partition_key ASC) AS rank
+    FROM collated
+) WHERE rank <= {DEFAULT_TOP_N}
+""".replace("WITH ,", "WITH "))
+
+ORACLE_PSTATS_TOP_TABLES = with_adapter(f""",
+{_COLLATED_CTE.lstrip()}
+SELECT keyspace, table_name, partition_key, tables, size, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY keyspace, table_name
+        ORDER BY tables DESC, size DESC, partition_key ASC) AS rank
+    FROM collated
+) WHERE rank <= {DEFAULT_TOP_N}
+""".replace("WITH ,", "WITH "))
+
+QUERIES = {
+    "pstats_summary": pstats_summary,
+    "pstats_top_size": pstats_top_size,
+    "pstats_top_tables": pstats_top_tables,
+}
+ORACLES = {
+    "pstats_summary": ORACLE_PSTATS_SUMMARY,
+    "pstats_top_size": ORACLE_PSTATS_TOP_SIZE,
+    "pstats_top_tables": ORACLE_PSTATS_TOP_TABLES,
+}

@@ -15,9 +15,13 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from cassandra_sstable_tools_spark.queries import summary
+    from cassandra_sstable_tools_spark.queries import (
+        pstats,
+        sstables_listing,
+        summary,
+    )
 
-    return [summary]
+    return [summary, sstables_listing, pstats]
 
 
 def queries() -> dict[str, QuerieFn]:

@@ -41,9 +41,13 @@ Mapping spec (mirrored in oracles.ADAPTER_CTE):
   ttl         = for live CELL/STATIC_CELL with l_linestatus='O':
                 suppkey%3 -> 3600 | 86400 | 604800 ; else null
   is_counter  = live no-ttl CELL with l_partkey % 97 = 0
-  local_deletion_time = 1698986000 + (l_orderkey*7919 + l_linenumber*104729) % 300000
-                for tombstones / expiring / delete markers (straddles GC_BEFORE
-                = 1699136000 -> both droppable and non-droppable exist); else null
+  ldt_mod     = (l_orderkey*7919 + l_linenumber*104729) % 300000
+  local_deletion_time =
+      tombstones & delete markers: 1698986000 + ldt_mod   (straddles GC_BEFORE
+          = 1699136000 -> both droppable and non-droppable exist)
+      expiring cells:              1699850000 + ldt_mod   (straddles NOW
+          = 1700000000 -> both live and expired expiring cells exist)
+      else null
   range_start/range_end = clustering .. lpad(l_partkey%50 + 5, 4, '0') for RTMs
 """
 
@@ -91,16 +95,11 @@ def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_num = (
         F.year("l_shipdate") * 10000 + F.month("l_shipdate") * 100 + F.dayofmonth("l_shipdate")
     ).cast("bigint")
-    has_ldt = (
-        is_tombstone
-        | ttl.isNotNull()
-        | kind.isin("ROW_DELETE", "RANGE_TOMBSTONE_MARKER", "PARTITION_DELETE")
-    )
+    ldt_mod = (F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 104729) % 300000
     ldt = F.when(
-        has_ldt,
-        F.lit(1698986000).cast("bigint")
-        + (F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 104729) % 300000,
-    )
+        is_tombstone | kind.isin("ROW_DELETE", "RANGE_TOMBSTONE_MARKER", "PARTITION_DELETE"),
+        F.lit(1698986000).cast("bigint") + ldt_mod,
+    ).when(ttl.isNotNull(), F.lit(1699850000).cast("bigint") + ldt_mod)
     return li.select(
         F.lit("ks1").alias("keyspace"),
         F.when(bucket == 0, "tab_twcs")
