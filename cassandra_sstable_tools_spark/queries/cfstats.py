@@ -1,0 +1,318 @@
+"""`cfstats` -- full cell-level scan statistics (reference command 4).
+
+Reference: cli/ColumnFamilyStatisticsCollector.java:36-353 -- one streaming
+pass over Data.db updates, per partition: row/cell/tombstone/TTL counters
+(DataReader.java:46-123), feeding 5 bounded top-N heaps, 4 histograms, global
+counters, a TTL histogram, and per-SSTable statistics with liveness %.
+
+Semantics mapping onto the `cells` event table (SURVEY.md §1.2):
+- a *physical row* is a distinct (sstable_id, partition_key, clustering) among
+  row-bearing kinds (CELL / ROW_MARKER / ROW_DELETE) -- each sstable's copy
+  counts separately, as in the reference where every SSTable's Row object is
+  folded (DataReader.java:63-110) then collated (PartitionStatistics.java:118-130);
+- cell counts cover kinds CELL / STATIC_CELL;
+- live cell = non-tombstone cell that is not an expired expiring cell
+  (Cell.isLive semantics, DataReader.java:86): expiring counts as live iff
+  ``local_deletion_time > NOW``;
+- droppable = tombstone with ``local_deletion_time < NOW - gc_grace`` (strict,
+  DataReader.java:100 / PurgeStatisticBackend.java:208);
+- liveness % uses int truncation (SSTableStatistics.java:152-154).
+
+Spark shape: ONE groupBy per grain over a shared cached scan -- Catalyst fuses
+all counters of a grain into a single HashAggregateExec (the analog of the
+reference's fused single-pass loop, SURVEY.md §4). Rankings reuse the
+per-partition frame (1 row per key -- orders of magnitude smaller than cells).
+All shuffles key on partition_key or sstable_id; no driver-side state beyond
+report rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.constants import (
+    DEFAULT_TOP_N,
+    GC_BEFORE,
+    NO_TTL,
+    NOW_SECONDS,
+)
+from cassandra_sstable_tools_spark.operators.percentiles import (
+    percentile_cols,
+    percentile_sql,
+)
+from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
+from cassandra_sstable_tools_spark.oracles import with_adapter
+from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+_ROW_KINDS = ("CELL", "ROW_MARKER", "ROW_DELETE")
+_CELL_KINDS = ("CELL", "STATIC_CELL")
+
+
+def _flags(c: DataFrame) -> DataFrame:
+    """Classification predicates (F4) as boolean columns -- stays in codegen."""
+    is_cell = F.col("kind").isin(*_CELL_KINDS)
+    is_row = F.col("kind").isin(*_ROW_KINDS)
+    expired = F.col("is_expiring") & (F.col("local_deletion_time") <= NOW_SECONDS)
+    return c.select(
+        "*",
+        is_cell.cast("int").alias("f_cell"),
+        is_row.alias("f_rowkind"),
+        F.when(is_row, F.concat_ws("#", "sstable_id", "clustering")).alias("row_key"),
+        (F.col("kind") == "ROW_DELETE").cast("int").alias("f_rowdel"),
+        (F.col("kind") == "RANGE_TOMBSTONE_MARKER").cast("int").alias("f_rtm"),
+        (F.col("kind") == "PARTITION_DELETE").cast("int").alias("f_partdel"),
+        F.col("is_tombstone").cast("int").alias("f_tomb"),
+        (F.col("is_tombstone") & (F.col("local_deletion_time") < GC_BEFORE))
+        .cast("int")
+        .alias("f_droppable"),
+        (is_cell & ~F.col("is_tombstone") & ~expired).cast("int").alias("f_live"),
+        F.col("is_expiring").cast("int").alias("f_expiring"),
+        F.col("is_counter").cast("int").alias("f_counter"),
+    )
+
+
+_FLAGS_SQL = f"""
+flags AS (
+    SELECT *,
+           CASE WHEN kind IN ('CELL', 'STATIC_CELL') THEN 1 ELSE 0 END AS f_cell,
+           kind IN ('CELL', 'ROW_MARKER', 'ROW_DELETE') AS f_rowkind,
+           CASE WHEN kind IN ('CELL', 'ROW_MARKER', 'ROW_DELETE')
+                THEN concat(sstable_id, '#', clustering) END AS row_key,
+           CASE WHEN kind = 'ROW_DELETE' THEN 1 ELSE 0 END AS f_rowdel,
+           CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END AS f_rtm,
+           CASE WHEN kind = 'PARTITION_DELETE' THEN 1 ELSE 0 END AS f_partdel,
+           CASE WHEN is_tombstone THEN 1 ELSE 0 END AS f_tomb,
+           CASE WHEN is_tombstone AND local_deletion_time < {GC_BEFORE}
+                THEN 1 ELSE 0 END AS f_droppable,
+           CASE WHEN kind IN ('CELL', 'STATIC_CELL') AND NOT is_tombstone
+                     AND NOT (is_expiring AND local_deletion_time <= {NOW_SECONDS})
+                THEN 1 ELSE 0 END AS f_live,
+           CASE WHEN is_expiring THEN 1 ELSE 0 END AS f_expiring,
+           CASE WHEN is_counter THEN 1 ELSE 0 END AS f_counter
+    FROM cells
+)"""
+
+
+def per_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-partition collated statistics (the reference's
+    PartitionStatistics after cross-sstable collate)."""
+    c = _flags(tpch_adapter.cells(spark, sf_dir))
+    return c.groupBy("keyspace", "table_name", "partition_key").agg(
+        F.sum("cell_size").alias("size"),
+        F.countDistinct("sstable_id").alias("tables"),
+        F.countDistinct("row_key").alias("rows"),
+        F.sum("f_rowdel").alias("row_deletes"),
+        F.sum("f_cell").alias("cells"),
+        F.sum("f_tomb").alias("tombstones"),
+        F.sum("f_droppable").alias("droppable_tombstones"),
+    )
+
+
+_PER_PARTITION_SQL = """
+per_partition_stats AS (
+    SELECT keyspace, table_name, partition_key,
+           CAST(sum(cell_size) AS BIGINT) AS size,
+           count(DISTINCT sstable_id) AS tables,
+           count(DISTINCT row_key) AS rows,
+           CAST(sum(f_rowdel) AS BIGINT) AS row_deletes,
+           CAST(sum(f_cell) AS BIGINT) AS cells,
+           CAST(sum(f_tomb) AS BIGINT) AS tombstones,
+           CAST(sum(f_droppable) AS BIGINT) AS droppable_tombstones
+    FROM flags
+    GROUP BY 1, 2, 3
+)"""
+
+
+def cfstats_global(spark: SparkSession, sf_dir: str, approx: bool = False) -> DataFrame:
+    """A4 global scalars + A5 size/cells-per-partition percentiles, per table."""
+    return per_partition(spark, sf_dir).groupBy("keyspace", "table_name").agg(
+        F.count(F.lit(1)).alias("partitions"),
+        F.sum("size").alias("total_size"),
+        F.sum("rows").alias("row_count"),
+        F.sum("row_deletes").alias("row_delete_count"),
+        F.sum("cells").alias("cell_count"),
+        F.sum("tombstones").alias("tombstone_count"),
+        F.sum("droppable_tombstones").alias("droppable_tombstone_count"),
+        F.floor(F.sum("size") / F.count(F.lit(1))).alias("avg_partition_size"),
+        *percentile_cols("size", approx=approx),
+    )
+
+
+def cfstats_sstables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-sstable statistics with int-truncated liveness %."""
+    c = _flags(tpch_adapter.cells(spark, sf_dir))
+    agg = c.groupBy("keyspace", "table_name", "sstable_id").agg(
+        F.countDistinct("partition_key").alias("partitions"),
+        F.countDistinct("row_key").alias("row_count"),
+        F.sum("f_rowdel").alias("row_delete_count"),
+        F.sum("f_cell").alias("cell_count"),
+        F.sum("f_live").alias("live_cell_count"),
+        F.sum("f_expiring").alias("expiring_cell_count"),
+        F.sum("f_counter").alias("counter_cell_count"),
+        F.sum("f_tomb").alias("tombstone_count"),
+        F.sum("f_droppable").alias("droppable_tombstone_count"),
+        F.sum("f_rtm").alias("range_tombstone_count"),
+        F.sum("f_partdel").alias("partition_delete_count"),
+        F.sum("cell_size").alias("size"),
+        F.max("cell_size").alias("max_cell_size"),
+        F.min("writetime").alias("min_timestamp"),
+        F.max("writetime").alias("max_timestamp"),
+    )
+    return agg.withColumn(
+        "liveness_pct",
+        F.when(
+            F.col("cell_count") > 0,
+            F.floor(F.col("live_cell_count") * 100 / F.col("cell_count")),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def cfstats_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: TTL histogram -- count per distinct TTL (NO_TTL sentinel -1).
+
+    groupBy on the TTL value beats a MapType union-aggregate at scale
+    (SURVEY.md A6): partial aggregation makes the shuffle O(#distinct ttl)."""
+    c = tpch_adapter.cells(spark, sf_dir)
+    return (
+        c.where(F.col("kind").isin(*_CELL_KINDS))
+        .groupBy(
+            "keyspace",
+            "table_name",
+            F.coalesce(F.col("ttl"), F.lit(NO_TTL)).alias("ttl"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def _ranking(metric_cols: list[str], order, filter_col: str | None = None):
+    def run(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) -> DataFrame:
+        p = per_partition(spark, sf_dir)
+        if filter_col:
+            p = p.where(F.col(filter_col) > 0)  # F2 conditional admission
+        return top_n_per_group(p, ["keyspace", "table_name"], order(), n).select(
+            "keyspace", "table_name", "partition_key", *metric_cols, "rank"
+        )
+
+    return run
+
+
+cfstats_top_size = _ranking(
+    ["size", "tables"], lambda: [F.desc("size"), F.asc("partition_key")]
+)
+cfstats_widest = _ranking(
+    ["cells", "size"], lambda: [F.desc("cells"), F.desc("size"), F.asc("partition_key")]
+)
+cfstats_top_tombstones = _ranking(
+    ["tombstones", "size"],
+    lambda: [F.desc("tombstones"), F.desc("size"), F.asc("partition_key")],
+    filter_col="tombstones",
+)
+cfstats_most_deleted = _ranking(
+    ["row_deletes", "size"],
+    lambda: [F.desc("row_deletes"), F.desc("size"), F.asc("partition_key")],
+    filter_col="row_deletes",
+)
+cfstats_top_tables = _ranking(
+    ["tables", "size"],
+    lambda: [F.desc("tables"), F.desc("size"), F.asc("partition_key")],
+)
+
+
+def _rank_sql(metric_cols: str, order: str, where: str = "") -> str:
+    return with_adapter(f""",
+{_FLAGS_SQL.lstrip()},
+{_PER_PARTITION_SQL.lstrip()}
+SELECT keyspace, table_name, partition_key, {metric_cols}, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY keyspace, table_name ORDER BY {order}) AS rank
+    FROM per_partition_stats {where}
+) WHERE rank <= {DEFAULT_TOP_N}
+""")
+
+
+ORACLE_CFSTATS_GLOBAL = with_adapter(f""",
+{_FLAGS_SQL.lstrip()},
+{_PER_PARTITION_SQL.lstrip()}
+SELECT keyspace, table_name,
+       count(*) AS partitions,
+       CAST(sum(size) AS BIGINT) AS total_size,
+       CAST(sum(rows) AS BIGINT) AS row_count,
+       CAST(sum(row_deletes) AS BIGINT) AS row_delete_count,
+       CAST(sum(cells) AS BIGINT) AS cell_count,
+       CAST(sum(tombstones) AS BIGINT) AS tombstone_count,
+       CAST(sum(droppable_tombstones) AS BIGINT) AS droppable_tombstone_count,
+       CAST(floor(sum(size) / count(*)) AS BIGINT) AS avg_partition_size,
+       {percentile_sql('size')}
+FROM per_partition_stats
+GROUP BY 1, 2
+""")
+
+ORACLE_CFSTATS_SSTABLES = with_adapter(f""",
+{_FLAGS_SQL.lstrip()}
+SELECT keyspace, table_name, sstable_id,
+       count(DISTINCT partition_key) AS partitions,
+       count(DISTINCT row_key) AS row_count,
+       CAST(sum(f_rowdel) AS BIGINT) AS row_delete_count,
+       CAST(sum(f_cell) AS BIGINT) AS cell_count,
+       CAST(sum(f_live) AS BIGINT) AS live_cell_count,
+       CAST(sum(f_expiring) AS BIGINT) AS expiring_cell_count,
+       CAST(sum(f_counter) AS BIGINT) AS counter_cell_count,
+       CAST(sum(f_tomb) AS BIGINT) AS tombstone_count,
+       CAST(sum(f_droppable) AS BIGINT) AS droppable_tombstone_count,
+       CAST(sum(f_rtm) AS BIGINT) AS range_tombstone_count,
+       CAST(sum(f_partdel) AS BIGINT) AS partition_delete_count,
+       CAST(sum(cell_size) AS BIGINT) AS size,
+       max(cell_size) AS max_cell_size,
+       min(writetime) AS min_timestamp,
+       max(writetime) AS max_timestamp,
+       CASE WHEN sum(f_cell) > 0
+            THEN CAST(floor(sum(f_live) * 100 / sum(f_cell)) AS BIGINT)
+            ELSE 0 END AS liveness_pct
+FROM flags
+GROUP BY 1, 2, 3
+""")
+
+ORACLE_CFSTATS_TTL = with_adapter(f"""
+SELECT keyspace, table_name,
+       coalesce(ttl, {NO_TTL}) AS ttl,
+       count(*) AS cell_count
+FROM cells
+WHERE kind IN ('CELL', 'STATIC_CELL')
+GROUP BY 1, 2, 3
+""")
+
+QUERIES = {
+    "cfstats_global": cfstats_global,
+    "cfstats_sstables": cfstats_sstables,
+    "cfstats_ttl": cfstats_ttl,
+    "cfstats_top_size": cfstats_top_size,
+    "cfstats_widest": cfstats_widest,
+    "cfstats_top_tombstones": cfstats_top_tombstones,
+    "cfstats_most_deleted": cfstats_most_deleted,
+    "cfstats_top_tables": cfstats_top_tables,
+}
+ORACLES = {
+    "cfstats_global": ORACLE_CFSTATS_GLOBAL,
+    "cfstats_sstables": ORACLE_CFSTATS_SSTABLES,
+    "cfstats_ttl": ORACLE_CFSTATS_TTL,
+    "cfstats_top_size": _rank_sql(
+        "size, tables", "size DESC, partition_key ASC"
+    ),
+    "cfstats_widest": _rank_sql(
+        "cells, size", "cells DESC, size DESC, partition_key ASC"
+    ),
+    "cfstats_top_tombstones": _rank_sql(
+        "tombstones, size",
+        "tombstones DESC, size DESC, partition_key ASC",
+        "WHERE tombstones > 0",
+    ),
+    "cfstats_most_deleted": _rank_sql(
+        "row_deletes, size",
+        "row_deletes DESC, size DESC, partition_key ASC",
+        "WHERE row_deletes > 0",
+    ),
+    "cfstats_top_tables": _rank_sql(
+        "tables, size", "tables DESC, size DESC, partition_key ASC"
+    ),
+}

@@ -16,12 +16,13 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from cassandra_sstable_tools_spark.queries import (
+        cfstats,
         pstats,
         sstables_listing,
         summary,
     )
 
-    return [summary, sstables_listing, pstats]
+    return [summary, sstables_listing, pstats, cfstats]
 
 
 def queries() -> dict[str, QuerieFn]:
