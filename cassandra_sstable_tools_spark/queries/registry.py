@@ -18,11 +18,12 @@ def _modules():
     from cassandra_sstable_tools_spark.queries import (
         cfstats,
         pstats,
+        purge,
         sstables_listing,
         summary,
     )
 
-    return [summary, sstables_listing, pstats, cfstats]
+    return [summary, sstables_listing, pstats, cfstats, purge]
 
 
 def queries() -> dict[str, QuerieFn]:
