@@ -1,0 +1,64 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Protocol (BASELINE.md): local[$SPARK_GRAFT_CPUS], AQE on, exact percentiles,
+results collected to driver. Per query: 1 warm-up run then median of 3 timed
+runs. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# One representative query per reference command family + heavyweight extras.
+HEADLINE = [
+    "summary",
+    "sstables",
+    "pstats_summary",
+    "pstats_top_size",
+    "cfstats_global",
+    "cfstats_sstables",
+    "cfstats_top_size",
+    "purge_top",
+]
+
+
+def main() -> None:
+    from cassandra_sstable_tools_spark.queries import registry
+    from cassandra_sstable_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, SF_DIR).collect()  # warm-up (JIT, file listing, code cache)
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).collect()
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
