@@ -21,9 +21,10 @@ def _modules():
         purge,
         sstables_listing,
         summary,
+        tpch,
     )
 
-    return [summary, sstables_listing, pstats, cfstats, purge]
+    return [summary, sstables_listing, pstats, cfstats, purge, tpch]
 
 
 def queries() -> dict[str, QuerieFn]:
