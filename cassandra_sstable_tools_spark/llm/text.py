@@ -1,0 +1,211 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path logic is built-in JVM expressions (regexp_count, split, length)
+-- no Python UDFs -- so each query is a single whole-stage-codegen'd scan +
+(at most) one small aggregation. At 100 TB: embarrassingly parallel per-doc
+maps; ratios are emitted as integer ppm (exact, hash-stable across engines).
+
+Operators:
+- text_stats:    char/word/distinct-word counts per document
+- token_count:   BPE-ish tokenization count (word-or-punct regex)
+- text_quality:  punctuation / digit / uppercase / stopword ratios (ppm)
+                 + composite quality flag
+- lang_id:       stopword-vote language guesser (en/de/fr/es) with
+                 deterministic tie-breaking
+- fingerprint:   whitespace-normalized md5 document fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+# BPE-ish: runs of alphanumerics OR single non-space punctuation.
+_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Stopword vote sets per language (tiny, deterministic heuristic).
+_LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|a)\b",
+    "de": r"\b(der|die|das|und|ist|ein)\b",
+    "fr": r"\b(le|la|les|et|est|un|une)\b",
+    "es": r"\b(el|la|los|las|y|es|un|una)\b",
+}
+
+
+def _word_count(col):
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("char_len"),
+        _word_count(F.col("text")).alias("word_count"),
+        F.size(F.array_distinct(words)).alias("distinct_words"),
+        F.floor(F.length("text") / _word_count(F.col("text"))).alias("avg_word_span"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_TOKEN_RE)).alias("token_count"),
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+")).alias("word_tokens"),
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("punct_tokens"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals as exact integer ppm of char_len; composite keep-flag."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
+    digit = F.regexp_count("text", F.lit(r"[0-9]"))
+    upper = F.regexp_count("text", F.lit(r"[A-Z]"))
+    stop = F.regexp_count(F.lower("text"), F.lit(_LANG_STOPWORDS["en"]))
+    wc = _word_count(F.col("text"))
+    out = d.select(
+        "doc_id",
+        n.alias("char_len"),
+        F.floor(punct * 1000000 / n).alias("punct_ppm"),
+        F.floor(digit * 1000000 / n).alias("digit_ppm"),
+        F.floor(upper * 1000000 / n).alias("upper_ppm"),
+        stop.alias("stopword_hits"),
+        wc.alias("word_count"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("char_len") >= 100)
+            & (F.col("word_count") >= 20)
+            & (F.col("punct_ppm") < 300000)
+        ).cast("int"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; deterministic argmax (score desc, code asc)."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = [
+        F.struct(
+            F.regexp_count(lowered, F.lit(pat)).alias("score"),
+            F.lit(code).alias("code"),
+        )
+        for code, pat in sorted(_LANG_STOPWORDS.items())
+    ]
+    # array_max on struct compares (score, code) lexicographically; to get
+    # "highest score, ties -> alphabetically first code" invert the code order
+    # via sort + element_at after sorting desc by (score, -code) is messy;
+    # instead pick via array_sort with custom comparator-free trick:
+    # max on (score, negcode) where negcode sorts reversed strings.
+    arr = F.array(*scores)
+    best = F.array_max(arr)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best["code"].alias("guessed_lang"),
+        best["score"].alias("vote_score"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 fingerprint (doc identity for exact dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.substring(F.md5(normalized), 1, 16).alias("fingerprint16"),
+    )
+
+
+_WC_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+ORACLES = {
+    "text_stats": f"""
+SELECT doc_id, lang, source,
+       length(text) AS char_len,
+       {_WC_SQL} AS word_count,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS distinct_words,
+       CAST(floor(length(text) / ({_WC_SQL})) AS BIGINT) AS avg_word_span
+FROM documents
+""",
+    "token_count": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS token_count,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_tokens
+FROM documents
+""",
+    "text_quality": rf"""
+SELECT doc_id,
+       length(text) AS char_len,
+       CAST(floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+                  / length(text)) AS BIGINT) AS punct_ppm,
+       CAST(floor(len(regexp_extract_all(text, '[0-9]')) * 1000000
+                  / length(text)) AS BIGINT) AS digit_ppm,
+       CAST(floor(len(regexp_extract_all(text, '[A-Z]')) * 1000000
+                  / length(text)) AS BIGINT) AS upper_ppm,
+       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))
+           AS stopword_hits,
+       {_WC_SQL} AS word_count,
+       CASE WHEN length(text) >= 100 AND ({_WC_SQL}) >= 20
+                 AND floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+                           / length(text)) < 300000
+            THEN 1 ELSE 0 END AS keep
+FROM documents
+""",
+    "fingerprint": r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint16
+FROM documents
+""",
+    # argmax(score, code): highest score wins, ties -> lexicographically
+    # largest code (mirrors Spark's struct array_max ordering).
+    "lang_id": r"""
+WITH scores AS (
+    SELECT doc_id, lang AS labeled_lang, 'de' AS code,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS score
+    FROM documents
+    UNION ALL
+    SELECT doc_id, lang, 'en',
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))
+    FROM documents
+    UNION ALL
+    SELECT doc_id, lang, 'es',
+           len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|un|una)\b'))
+    FROM documents
+    UNION ALL
+    SELECT doc_id, lang, 'fr',
+           len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une)\b'))
+    FROM documents
+)
+SELECT doc_id, labeled_lang, code AS guessed_lang, score AS vote_score
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, code DESC) AS rn
+      FROM scores)
+WHERE rn = 1
+""",
+}
+
+QUERIES = {
+    "text_stats": text_stats,
+    "token_count": token_count,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "fingerprint": fingerprint,
+}

@@ -15,6 +15,7 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
+    from cassandra_sstable_tools_spark.llm import dedup, text
     from cassandra_sstable_tools_spark.queries import (
         cfstats,
         pstats,
@@ -24,7 +25,7 @@ def _modules():
         tpch,
     )
 
-    return [summary, sstables_listing, pstats, cfstats, purge, tpch]
+    return [summary, sstables_listing, pstats, cfstats, purge, tpch, text, dedup]
 
 
 def queries() -> dict[str, QuerieFn]:
