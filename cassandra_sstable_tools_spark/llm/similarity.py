@@ -1,0 +1,229 @@
+"""Similarity search over embedding columns (`embeddings`: vec_id,
+embedding array<float>, label).
+
+Determinism strategy: embeddings are quantized per-element to integer
+milliunits (``floor(x * 1000)``). Dot products and squared norms are then
+EXACT bigint sums (order-independent), and ``sim = dot / sqrt(na * nb)`` is
+one IEEE double expression over identical integers -- bit-identical between
+Spark and DuckDB even though the two compute it through completely different
+physical plans (Spark: JVM higher-order functions over arrays, no explode;
+oracle: unnest + join + groupBy).
+
+Operators:
+- ann_bruteforce_topk: exact cosine top-k for each query vector. The O(Q*N)
+  baseline; in Spark it is a broadcast nested-loop join (queries broadcast)
+  + per-row array kernel in whole-stage codegen + TakeOrderedAndProject per
+  query. At 100 TB: broadcast the query set, scan the corpus once -- linear,
+  no shuffle of the corpus.
+- ann_lsh_topk: sign-LSH bucketed variant (the scale path): vectors are
+  bucketed by the sign pattern of the first 8 quantized dimensions (a fixed
+  orthogonal-ish projection); candidates only within the query's bucket.
+  Same output schema; approximate recall, O(N/2^8) candidates per query.
+- embedding_neardup_pairs: near-duplicate detection -- all pairs with cosine
+  >= 0.95 via bucketed self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
+from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+N_QUERIES = 20
+TOP_K = 10
+NEARDUP_SIM_PPM = 950_000
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.floor(x * 1000).cast("bigint"))
+    norm = F.aggregate(
+        qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    return e.select("vec_id", "label", qv.alias("qv"), norm.alias("norm"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sim(dot: Column, na: Column, nb: Column) -> Column:
+    return dot / F.sqrt((na * nb).cast("double"))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K: query set broadcast against the full corpus."""
+    emb = _quantized(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        emb.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
+        .withColumn("sim_ppm", F.floor(_sim(F.col("dot"), F.col("q_norm"), F.col("norm")) * 1000000))
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("sim_ppm"), F.asc("vec_id")],
+        TOP_K,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
+
+
+def _bucket(qv: Column) -> Column:
+    """Sign pattern of the first 8 quantized dims -> 256 LSH buckets."""
+    bits = [F.when(qv.getItem(i) >= 0, "1").otherwise("0") for i in range(8)]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-K: candidates restricted to the query's sign bucket."""
+    emb = _quantized(spark, sf_dir).withColumn("bucket", _bucket(F.col("qv")))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        emb.join(
+            broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
+        .withColumn("sim_ppm", F.floor(_sim(F.col("dot"), F.col("q_norm"), F.col("norm")) * 1000000))
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("sim_ppm"), F.asc("vec_id")],
+        TOP_K,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: cosine >= 0.95, bucketed self-join + verify."""
+    emb = _quantized(spark, sf_dir).withColumn("bucket", _bucket(F.col("qv")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("norm").alias("norm_a"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("norm").alias("norm_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", _dot(F.col("qv_a"), F.col("qv_b")))
+        .withColumn(
+            "sim_ppm",
+            F.floor(_sim(F.col("dot"), F.col("norm_a"), F.col("norm_b")) * 1000000),
+        )
+        .where(F.col("sim_ppm") >= NEARDUP_SIM_PPM)
+        .select("vec_a", "vec_b", "sim_ppm")
+    )
+
+
+# Oracle: relational unnest formulation -- same integers, same final double.
+_ELEMS_SQL = """
+elems AS (
+    SELECT vec_id, i AS pos,
+           CAST(floor(embedding[i] * 1000) AS BIGINT) AS q
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+),
+norms AS (
+    SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS norm FROM elems GROUP BY 1
+),
+buckets AS (
+    SELECT e.vec_id, concat(
+        CASE WHEN max(CASE WHEN pos = 1 THEN q END) >= 0 THEN '1' ELSE '0' END,
+        CASE WHEN max(CASE WHEN pos = 2 THEN q END) >= 0 THEN '1' ELSE '0' END,
+        CASE WHEN max(CASE WHEN pos = 3 THEN q END) >= 0 THEN '1' ELSE '0' END,
+        CASE WHEN max(CASE WHEN pos = 4 THEN q END) >= 0 THEN '1' ELSE '0' END,
+        CASE WHEN max(CASE WHEN pos = 5 THEN q END) >= 0 THEN '1' ELSE '0' END,
+        CASE WHEN max(CASE WHEN pos = 6 THEN q END) >= 0 THEN '1' ELSE '0' END,
+        CASE WHEN max(CASE WHEN pos = 7 THEN q END) >= 0 THEN '1' ELSE '0' END,
+        CASE WHEN max(CASE WHEN pos = 8 THEN q END) >= 0 THEN '1' ELSE '0' END
+    ) AS bucket
+    FROM elems e GROUP BY 1
+)"""
+
+
+def _topk_sql(bucketed: bool) -> str:
+    bucket_join = (
+        "JOIN buckets ba ON ba.vec_id = a.vec_id\n"
+        "    JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket\n    "
+        if bucketed
+        else ""
+    )
+    return f"""
+WITH {_ELEMS_SQL.lstrip()},
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(sum(a.q * b.q) AS BIGINT) AS dot
+    FROM elems a
+    JOIN elems b ON a.pos = b.pos AND a.vec_id < {N_QUERIES}
+                AND b.vec_id <> a.vec_id
+    {bucket_join}GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+                AS BIGINT) AS sim_ppm
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sim_ppm, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+ORACLES = {
+    "ann_bruteforce_topk": _topk_sql(bucketed=False),
+    "ann_lsh_topk": _topk_sql(bucketed=True),
+    "embedding_neardup_pairs": f"""
+WITH {_ELEMS_SQL.lstrip()},
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(sum(a.q * b.q) AS BIGINT) AS dot
+    FROM elems a
+    JOIN elems b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    JOIN buckets ba ON ba.vec_id = a.vec_id
+    JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+    GROUP BY 1, 2
+)
+SELECT d.vec_a, d.vec_b,
+       CAST(floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+            AS BIGINT) AS sim_ppm
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+      >= {NEARDUP_SIM_PPM}
+""",
+}
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}

@@ -15,7 +15,7 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from cassandra_sstable_tools_spark.llm import dedup, text
+    from cassandra_sstable_tools_spark.llm import dedup, similarity, text
     from cassandra_sstable_tools_spark.queries import (
         cfstats,
         pstats,
@@ -25,7 +25,10 @@ def _modules():
         tpch,
     )
 
-    return [summary, sstables_listing, pstats, cfstats, purge, tpch, text, dedup]
+    return [
+        summary, sstables_listing, pstats, cfstats, purge, tpch,
+        text, dedup, similarity,
+    ]
 
 
 def queries() -> dict[str, QuerieFn]:
