@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are not available in this container, so
+the *decode kernels are stubs* (clearly marked), but everything Spark-side is
+real and tested: binary columns, Arrow-batched `mapInPandas` with an explicit
+output schema, deterministic fake feature extraction, and frame-sampling
+row explosion. Swapping the stub for PIL/ffmpeg changes only the kernel body
+-- schema, partitioning and batch shape are production-shaped.
+
+At 100 TB: payloads stay columnar-binary end to end; `mapInPandas` streams
+Arrow batches (no per-row Python), and feature extraction is a pure map --
+no shuffle at all until a downstream aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, n_bytes long, media_kind string, width int, height int, "
+    "checksum_prefix string"
+)
+
+_HEX = "0123456789abcdef"
+
+
+def real_decode(payload: bytes) -> dict:
+    """The real decode kernel -- requires imaging libs not in this container.
+
+    STUB: intentionally unimplemented; ``fake_decode`` is the deterministic
+    stand-in used by the pipeline."""
+    raise NotImplementedError(
+        "image/audio decode libs unavailable in this environment; "
+        "use fake_decode (deterministic) or swap in PIL/ffmpeg here"
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic fake 'decode': dimensions derived from content hash."""
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    return {
+        "width": 64 + (_HEX.index(h[0]) + 1) * 16,
+        "height": 64 + (_HEX.index(h[1]) + 1) * 16,
+        "checksum_prefix": h[:8],
+    }
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload table synthesized from documents (utf-8 payloads stand
+    in for image bytes; schema matches a real media lake: id + binary + kind)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_kind"),
+    )
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads (mapInPandas)."""
+    media = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "media_kind": pdf["media_kind"],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "checksum_prefix": [d["checksum_prefix"] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=MEDIA_SCHEMA)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str, every_n_bytes: int = 100) -> DataFrame:
+    """Frame sampling: explode each payload into deterministic 'frames'
+    (one per `every_n_bytes` of content) -- the row-explosion shape a video
+    pipeline needs, without a real codec."""
+    media = media_table(spark, sf_dir).where(F.col("media_kind") == "video")
+    n_frames = F.greatest(
+        F.lit(1), F.floor(F.length("payload") / every_n_bytes)
+    ).cast("int")
+    return (
+        media.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.substring(
+                F.col("payload").cast("string"),
+                F.col("frame_idx") * every_n_bytes + 1,
+                every_n_bytes,
+            ).alias("frame_bytes"),
+        )
+    )
+
+
+# Oracle: the fake-decode math re-expressed in SQL (strpos over md5 hex) --
+# proves the pandas-UDF path produces engine-grade deterministic output.
+ORACLES = {
+    "media_metadata": """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_kind,
+       CAST(64 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) * 16 AS INT)
+           AS width,
+       CAST(64 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) * 16 AS INT)
+           AS height,
+       substr(md5(text), 1, 8) AS checksum_prefix
+FROM documents
+""",
+}
+
+QUERIES = {
+    "media_metadata": media_metadata,
+    "frame_sample": frame_sample,  # rows-only check (explosion shape)
+}

@@ -1,0 +1,160 @@
+"""Event-stream analytics over the `events` table (batch side).
+
+The reference is batch-only (SURVEY.md §2.8); these extend the engine with
+the time-series operators a telemetry/training-data pipeline needs. The
+streaming versions of the windowed aggregations live in
+``streaming/events_stream.py``; these batch formulations define their
+semantics (and oracles).
+
+Windowing is arithmetic over canonical epoch seconds (``ts_s``, see
+``tpch_adapter.events_table``): a tumbling bucket is
+``(ts_s div W) * W`` -- identical, exact integer math in Spark and DuckDB
+(and identical to `F.window`'s UTC-aligned starts, asserted in the streaming
+test which uses the real `F.window` path).
+
+- events_hourly:   tumbling 1-hour counts / distinct users / value cents
+- events_sliding:  1-hour window sliding every 30 min (each event in 2
+                   windows: buckets at :00 and :30 alignments)
+- sessionize:      gap-based sessionization (new session after > 30 min idle)
+                   via lag + running sum
+- user_activity:   per-user rollup with conditional aggregation
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.tpch_adapter import events_table
+
+SESSION_GAP_SECONDS = 1800
+
+_TS_S_SQL = "CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)"
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    return (
+        e.groupBy(
+            (F.expr("ts_s div 3600") * 3600).alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w1 = (F.expr("ts_s div 3600") * 3600).alias("window_start")
+    w2 = (F.expr("(ts_s - 1800) div 3600") * 3600 + 1800).alias("window_start")
+    both = e.select(w1).unionByName(e.select(w2))
+    return both.groupBy("window_start").agg(F.count(F.lit(1)).alias("events"))
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats: a session breaks after > 30 min of inactivity."""
+    e = events_table(spark, sf_dir).select(
+        "user_id", "event_id", "ts_s",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    with_breaks = e.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(w) > SESSION_GAP_SECONDS, 1
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_breaks.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.min("ts_s").alias("session_start"),
+        F.max("ts_s").alias("session_end"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        F.sum("value_cents").alias("value_cents"),
+    )
+
+
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.sum(F.when(F.col("value") > 0, 1).otherwise(0)).alias("positive_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        F.max("ts_s").alias("last_seen"),
+    )
+
+
+ORACLES = {
+    "events_hourly": f"""
+SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
+       event_type,
+       count(*) AS events,
+       count(DISTINCT user_id) AS users,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+    "events_sliding": f"""
+WITH both_offsets AS (
+    SELECT ({_TS_S_SQL} // 3600) * 3600 AS window_start FROM events
+    UNION ALL
+    SELECT (({_TS_S_SQL} - 1800) // 3600) * 3600 + 1800 FROM events
+)
+SELECT window_start, count(*) AS events
+FROM both_offsets
+GROUP BY 1
+""",
+    "sessionize": f"""
+WITH ordered AS (
+    SELECT user_id, event_id,
+           {_TS_S_SQL} AS ts_s,
+           CAST(floor(value * 100) AS BIGINT) AS value_cents
+    FROM events
+),
+breaks AS (
+    SELECT *,
+           CASE WHEN ts_s - lag(ts_s) OVER
+                     (PARTITION BY user_id ORDER BY ts_s, event_id)
+                     > {SESSION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sessions AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts_s, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM breaks
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS events,
+       min(ts_s) AS session_start,
+       max(ts_s) AS session_end,
+       max(ts_s) - min(ts_s) AS duration_s,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents
+FROM sessions
+GROUP BY 1, 2
+""",
+    "user_activity": f"""
+SELECT user_id,
+       count(*) AS events,
+       count(DISTINCT event_type) AS distinct_types,
+       CAST(sum(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS positive_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       max({_TS_S_SQL}) AS last_seen
+FROM events
+GROUP BY 1
+""",
+}
+
+QUERIES = {
+    "events_hourly": events_hourly,
+    "events_sliding": events_sliding,
+    "sessionize": sessionize,
+    "user_activity": user_activity,
+}

@@ -15,9 +15,10 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from cassandra_sstable_tools_spark.llm import dedup, similarity, text
+    from cassandra_sstable_tools_spark.llm import dedup, multimodal, similarity, text
     from cassandra_sstable_tools_spark.queries import (
         cfstats,
+        events,
         pstats,
         purge,
         sstables_listing,
@@ -27,7 +28,7 @@ def _modules():
 
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch,
-        text, dedup, similarity,
+        text, dedup, similarity, events, multimodal,
     ]
 
 

@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas-UDF path (LLM extensions, multimodal stubs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS),
+        # which Spark rejects by default; read as raw nanos (bigint) and
+        # convert explicitly (sources/tpch_adapter.events_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quieter local runs.
         .config("spark.ui.showConsoleProgress", "false")
     )

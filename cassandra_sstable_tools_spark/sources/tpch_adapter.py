@@ -69,6 +69,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` with a canonical epoch-seconds column.
+
+    The parquet stores ts as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as bigint nanos.
+    Seconds are derived with exact integer division (`div`) -- nanos exceed
+    2^53 so double division would lose precision. The DuckDB oracle mirror is
+    ``CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)`` (exact: ms < 2^53)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("ts_s", F.expr("ts div 1000000000"))
+
+
 def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data.db analog at cell grain (SURVEY.md §1.2 `cells` table)."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -1,0 +1,81 @@
+"""Structured Streaming ingest over the `events` table.
+
+The reference has no streaming surface (SURVEY.md §2.8); this is the engine's
+extension for continuous ingest. Semantics intentionally match the batch
+formulations in ``queries/events.py`` -- a tumbling-window streaming query
+with `availableNow` trigger over the same input produces exactly the batch
+answer (asserted in tests).
+
+Patterns demonstrated:
+- file-source `readStream` with explicit schema (required for streams);
+- event-time tumbling window aggregation with a 2-hour watermark for late
+  data (state is bounded: windows older than watermark are finalized and
+  evicted -- at scale this is what keeps state O(active windows), not O(data));
+- `foreachBatch`-free memory-sink collection for tests; in production the
+  sink would be a parquet/Delta `writeStream` with checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# `ts` arrives as raw nanos (bigint) -- see session.py nanosAsLong note.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 1-hour aggregation with watermark; returns the
+    (unstarted) streaming DataFrame. Uses the real event-time `F.window`
+    path -- the batch oracle's arithmetic bucketing must agree with it
+    (asserted in tests)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    )
+    return (
+        stream.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "events",
+            "value_cents",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, table_name: str = "stream_out") -> DataFrame:
+    """Drain a streaming DataFrame with the availableNow trigger into an
+    in-memory table; returns the materialized result (test/demo helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(table_name)
