@@ -46,9 +46,12 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unstarted) streaming DataFrame. Uses the real event-time `F.window`
     path -- the batch oracle's arithmetic bucketing must agree with it
     (asserted in tests)."""
+    # File stream sources require a directory; select the single events
+    # parquet via glob filter.
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
         .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
     )
     return (
