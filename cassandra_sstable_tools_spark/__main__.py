@@ -1,0 +1,120 @@
+"""CLI mirroring the reference's five subcommands (cli/CLI.java:9-20).
+
+    python -m cassandra_sstable_tools_spark summary  [--sf-dir DIR]
+    python -m cassandra_sstable_tools_spark sstables [--sf-dir DIR]
+    python -m cassandra_sstable_tools_spark pstats   [--sf-dir DIR] [-n N]
+    python -m cassandra_sstable_tools_spark cfstats  [--sf-dir DIR] [-n N]
+    python -m cassandra_sstable_tools_spark purge    [--sf-dir DIR] [-n N]
+
+Reports render as the reference's ASCII tables with humanized sizes and
+timestamps (X1-X3). Only report-sized results are collected to the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame
+
+
+def _render(df: DataFrame, humanize_cols: dict[str, str] | None = None) -> str:
+    from cassandra_sstable_tools_spark.functions import humanize as H
+    from cassandra_sstable_tools_spark.report.table import TableBuilder
+
+    fmts = {
+        "bytes": H.human_bytes,
+        "ts_ms": H.format_timestamp_ms,
+        "ts_us": H.format_timestamp_us,
+        "ldt": H.format_deletion_time,
+    }
+    rows = df.collect()
+    tb = TableBuilder()
+    tb.set_header(*df.columns)
+    for r in rows:
+        cells = []
+        for c in df.columns:
+            v = r[c]
+            kind = (humanize_cols or {}).get(c)
+            cells.append(fmts[kind](v) if kind and v is not None else v)
+        tb.add_row(*cells)
+    return str(tb)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cassandra_sstable_tools_spark")
+    p.add_argument("command", choices=["summary", "sstables", "pstats", "cfstats", "purge"])
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("-n", type=int, default=10, help="top-N size for rankings")
+    args = p.parse_args(argv)
+
+    from cassandra_sstable_tools_spark.session import get_spark
+
+    spark = get_spark(app_name=f"sstable-tools-{args.command}")
+    sf = args.sf_dir
+    out: list[tuple[str, str]] = []
+
+    if args.command == "summary":
+        from cassandra_sstable_tools_spark.queries.summary import summary
+
+        out.append(("Summary", _render(
+            summary(spark, sf),
+            {"disk_size": "bytes", "data_size": "bytes", "last_repaired": "ts_ms"},
+        )))
+    elif args.command == "sstables":
+        from cassandra_sstable_tools_spark.queries.sstables_listing import sstables_listing
+
+        out.append(("SSTables", _render(
+            sstables_listing(spark, sf),
+            {
+                "min_timestamp": "ts_us", "max_timestamp": "ts_us",
+                "min_local_deletion_time": "ldt", "max_local_deletion_time": "ldt",
+                "file_timestamp": "ts_ms", "repaired_at": "ts_ms",
+                "disk_length": "bytes", "uncompressed_length": "bytes",
+                "avg_row_size": "bytes", "max_row_size": "bytes",
+            },
+        )))
+    elif args.command == "pstats":
+        from cassandra_sstable_tools_spark.queries import pstats as m
+
+        size_fmt = {k: "bytes" for k in
+                    ["total_size", "min_size", "max_size", "avg_size",
+                     "p50", "p75", "p9", "p95", "p99", "p999"]}
+        out.append(("Partition size summary", _render(m.pstats_summary(spark, sf), size_fmt)))
+        out.append(("Largest partitions", _render(
+            m.pstats_top_size(spark, sf, args.n), {"size": "bytes"})))
+        out.append(("Partitions in most sstables", _render(
+            m.pstats_top_tables(spark, sf, args.n), {"size": "bytes"})))
+    elif args.command == "cfstats":
+        from cassandra_sstable_tools_spark.queries import cfstats as m
+
+        out.append(("Totals", _render(m.cfstats_global(spark, sf),
+                                      {"total_size": "bytes", "avg_partition_size": "bytes"})))
+        out.append(("Per-SSTable", _render(m.cfstats_sstables(spark, sf),
+                                           {"size": "bytes", "min_timestamp": "ts_us",
+                                            "max_timestamp": "ts_us"})))
+        out.append(("TTL histogram", _render(m.cfstats_ttl(spark, sf))))
+        out.append(("Largest partitions", _render(
+            m.cfstats_top_size(spark, sf, args.n), {"size": "bytes"})))
+        out.append(("Widest partitions", _render(m.cfstats_widest(spark, sf, args.n))))
+        out.append(("Most tombstones", _render(m.cfstats_top_tombstones(spark, sf, args.n))))
+        out.append(("Most deleted rows", _render(m.cfstats_most_deleted(spark, sf, args.n))))
+        out.append(("In most sstables", _render(m.cfstats_top_tables(spark, sf, args.n))))
+    elif args.command == "purge":
+        from cassandra_sstable_tools_spark.queries import purge as m
+
+        out.append(("Purge totals", _render(m.purge_global(spark, sf),
+                                            {"total_size": "bytes", "total_merged": "bytes",
+                                             "total_reclaimable": "bytes"})))
+        out.append(("Top reclaimable partitions", _render(
+            m.purge_top(spark, sf, args.n),
+            {"pre_size": "bytes", "merged_size": "bytes", "reclaimable": "bytes"})))
+
+    for title, table in out:
+        sys.stdout.write(f"{title}\n{table}\n")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
