@@ -79,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
 
         size_fmt = {k: "bytes" for k in
                     ["total_size", "min_size", "max_size", "avg_size",
-                     "p50", "p75", "p9", "p95", "p99", "p999"]}
+                     "p50", "p75", "p90", "p95", "p99", "p999"]}
         out.append(("Partition size summary", _render(m.pstats_summary(spark, sf), size_fmt)))
         out.append(("Largest partitions", _render(
             m.pstats_top_size(spark, sf, args.n), {"size": "bytes"})))

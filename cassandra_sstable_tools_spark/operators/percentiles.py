@@ -29,7 +29,7 @@ def percentile_cols(
     ps = percentiles if percentiles is not None else REPORT_PERCENTILES
     out = []
     for p in ps:
-        name = f"p{str(p).replace('0.', '')}"
+        name = "p" + f"{p * 100:g}".replace(".", "")
         agg = (
             F.percentile_approx(col, p, 10000) if approx else F.percentile(col, F.lit(p))
         )
@@ -41,7 +41,8 @@ def percentile_sql(col: str, percentiles: list[float] | None = None) -> str:
     """DuckDB mirror of ``percentile_cols`` (exact mode)."""
     ps = percentiles if percentiles is not None else REPORT_PERCENTILES
     parts = [
-        f"CAST(floor(quantile_cont({col}, {p})) AS BIGINT) AS p{str(p).replace('0.', '')}"
+        f"CAST(floor(quantile_cont({col}, {p})) AS BIGINT) AS "
+        + "p" + f"{p * 100:g}".replace(".", "")
         for p in ps
     ]
     return ",\n       ".join(parts)

@@ -9,9 +9,10 @@ measure the merged size; ``reclaimable = pre_size - merged_size`` (:139).
 
 Merge semantics on the `cells` event model:
 
-1. LWW: among duplicate (partition_key, clustering, cell_name) cells across
-   sstables, only the max-writetime copy survives (writetimes are unique per
-   duplicate group -> deterministic). ROW_MARKERs dedup per (pk, clustering).
+1. LWW: among duplicate (partition_key, clustering, cell_name) records across
+   sstables only the max-writetime copy survives; markers reconcile per scope
+   (partition deletes per pk; row deletes per (pk, clustering); range
+   tombstones per (pk, range)).
 2. Shadowing (deletes remove older data, regardless of their own
    purgeability -- purge only decides whether the *marker itself* is kept):
    - PARTITION_DELETE with writetime W shadows everything in the partition
@@ -19,26 +20,24 @@ Merge semantics on the `cells` event model:
    - ROW_DELETE shadows cells of its (pk, clustering) with writetime < W;
    - RANGE_TOMBSTONE_MARKER shadows cells with clustering in
      [range_start, range_end] and writetime < W.
-3. Marker reconciliation: per scope only the max-writetime marker survives;
-   a marker older than the partition-delete watermark is itself superseded.
-4. Purge: surviving tombstone cells and delete markers with
+3. Purge: surviving tombstone cells and delete markers with
    ``local_deletion_time < gcBefore`` are dropped. Expired expiring cells
-   (ldt <= now) act as tombstones: droppable once ldt < gcBefore.
+   act as tombstones: droppable once ldt < gcBefore.
 
-Deviation from the reference (documented, SURVEY.md A7): sizes are the
-declared ``cell_size`` bytes of surviving records, not Cassandra's
-serialization format; STATIC_CELLs merge like regular cells keyed by their
-clustering; range-tombstone boundary splitting (:233-256) is out of scope for
-the declared-size model.
+Deviation from the reference (documented, SURVEY.md A7): sizes are declared
+``cell_size`` bytes, not Cassandra serialization; STATIC_CELLs merge like
+regular cells; range-tombstone boundary splitting (:233-256) is out of scope
+for the declared-size model.
 
-Spark shape -- expression-only, NO Python in the hot path:
-- one `row_number` window for LWW (shuffle on pk, the natural key);
-- watermark frames (partition-delete / row-delete / RTM maxima) are small
-  aggregates joined back on the SAME pk-based keys -> co-partitioned joins,
-  no extra shuffle pattern beyond pk;
-- the RTM interval check is an equi-join on pk + range post-filter via
-  left_anti -- skew-safe because RTMs are rare and AQE handles hot keys.
-At 100 TB everything keys on partition_key: linearly scalable, no driver state.
+Spark shape -- single-partitioning design, NO Python in the hot path:
+the input is repartitioned ONCE on (keyspace, table_name, partition_key);
+every subsequent operator -- the LWW ``row_number`` window, the
+partition-delete / row-delete watermark windows (conditional ``max() over``),
+the RTM anti-join (pk-equi + range post-filter), the pre-size aggregation and
+the merged-size aggregation -- keys on a superset of that partitioning, so
+Spark's ClusteredDistribution check elides every further exchange: ONE
+shuffle total for the whole simulation. Windows add only intra-partition
+sorts. At 100 TB this is shuffle-minimal and skew is handled by AQE.
 """
 
 from __future__ import annotations
@@ -49,27 +48,71 @@ from pyspark.sql import functions as F
 from cassandra_sstable_tools_spark.constants import GC_BEFORE
 
 _PK = ["keyspace", "table_name", "partition_key"]
+_CELLISH = ("CELL", "STATIC_CELL", "ROW_MARKER")
 
 
 def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
     """Per-partition (pre_size, merged_size, reclaimable, tables)."""
-    pre = cells.groupBy(*_PK).agg(
-        F.sum("cell_size").alias("pre_size"),
-        F.countDistinct("sstable_id").alias("tables"),
+    # ONE shuffle: everything below reuses this partitioning.
+    c = cells.repartition(*[F.col(k) for k in _PK])
+
+    # Scope-aware dedup key: partition deletes reconcile per pk, row deletes
+    # per (pk, clustering), RTMs per (pk, range), cells per (pk, clustering,
+    # cell_name), row markers per (pk, clustering).
+    dedup_clustering = F.when(
+        F.col("kind").isin("PARTITION_DELETE", "RANGE_TOMBSTONE_MARKER"), F.lit("")
+    ).otherwise(F.col("clustering"))
+    dedup_name = (
+        F.when(F.col("kind") == "ROW_DELETE", F.lit("<rd>"))
+        .when(F.col("kind") == "PARTITION_DELETE", F.lit("<pd>"))
+        .when(
+            F.col("kind") == "RANGE_TOMBSTONE_MARKER",
+            F.concat(F.lit("<rtm>"), "range_start", F.lit("|"), "range_end"),
+        )
+        .otherwise(F.coalesce(F.col("cell_name"), F.lit("<marker>")))
     )
 
-    # --- deletion watermarks ------------------------------------------------
-    pd_wt = (
-        cells.where(F.col("kind") == "PARTITION_DELETE")
-        .groupBy(*_PK)
-        .agg(F.max("writetime").alias("pd_wt"))
+    w_lww = Window.partitionBy(
+        *_PK, dedup_clustering, dedup_name
+    ).orderBy(F.desc("writetime"))
+    w_pk = Window.partitionBy(*_PK)
+    w_row = Window.partitionBy(*_PK, "clustering")
+
+    enriched = (
+        c.withColumn("rn", F.row_number().over(w_lww))
+        .withColumn(
+            "pd_wt",
+            F.max(
+                F.when(F.col("kind") == "PARTITION_DELETE", F.col("writetime"))
+            ).over(w_pk),
+        )
+        .withColumn(
+            "rd_wt",
+            F.max(
+                F.when(F.col("kind") == "ROW_DELETE", F.col("writetime"))
+            ).over(w_row),
+        )
     )
-    rd_wt = (
-        cells.where(F.col("kind") == "ROW_DELETE")
-        .groupBy(*_PK, "clustering")
-        .agg(F.max("writetime").alias("rd_wt"))
+
+    is_cellish = F.col("kind").isin(*_CELLISH)
+    not_pd_shadowed = F.col("pd_wt").isNull() | (F.col("writetime") > F.col("pd_wt"))
+    not_rd_shadowed = F.col("rd_wt").isNull() | (F.col("writetime") > F.col("rd_wt"))
+    acts_as_tombstone = F.col("is_tombstone") | (
+        F.col("is_expiring") & (F.col("local_deletion_time") < gc_before)
     )
-    rtm = cells.where(F.col("kind") == "RANGE_TOMBSTONE_MARKER").select(
+    not_purged_cell = ~(acts_as_tombstone & (F.col("local_deletion_time") < gc_before))
+    marker_not_purged = F.col("local_deletion_time") >= gc_before
+
+    keep = (F.col("rn") == 1) & (
+        F.when(is_cellish, not_pd_shadowed & not_rd_shadowed & not_purged_cell)
+        .when(F.col("kind") == "PARTITION_DELETE", marker_not_purged)
+        .otherwise(not_pd_shadowed & marker_not_purged)  # ROW_DELETE / RTM
+    )
+    survivors = enriched.where(keep)
+
+    # RTM interval shadowing: pk-equi anti-join with range + kind predicates
+    # inside the condition so markers are never eliminated by it.
+    rtm = c.where(F.col("kind") == "RANGE_TOMBSTONE_MARKER").select(
         F.col("keyspace").alias("t_keyspace"),
         F.col("table_name").alias("t_table_name"),
         F.col("partition_key").alias("t_partition_key"),
@@ -77,82 +120,23 @@ def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
         F.col("range_end").alias("t_range_end"),
         F.col("writetime").alias("rtm_wt"),
     )
-
-    # --- cell-grain merge: LWW -> shadowing -> purge ------------------------
-    cell_like = cells.where(F.col("kind").isin("CELL", "STATIC_CELL", "ROW_MARKER"))
-    lww = Window.partitionBy(
-        *_PK, "clustering", F.coalesce(F.col("cell_name"), F.lit("<marker>"))
-    ).orderBy(F.desc("writetime"))
-    winners = (
-        cell_like.withColumn("rn", F.row_number().over(lww))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    winners = (
-        winners.join(pd_wt, _PK, "left")
-        .where(F.col("pd_wt").isNull() | (F.col("writetime") > F.col("pd_wt")))
-        .join(rd_wt, _PK + ["clustering"], "left")
-        .where(F.col("rd_wt").isNull() | (F.col("writetime") > F.col("rd_wt")))
-    )
-    winners = winners.join(
+    survivors = survivors.join(
         rtm,
         on=[
             F.col("keyspace") == F.col("t_keyspace"),
             F.col("table_name") == F.col("t_table_name"),
             F.col("partition_key") == F.col("t_partition_key"),
+            F.col("kind").isin(*_CELLISH),
             F.col("clustering") >= F.col("t_range_start"),
             F.col("clustering") <= F.col("t_range_end"),
             F.col("writetime") < F.col("rtm_wt"),
         ],
         how="left_anti",
     )
-    expired_tomb = F.col("is_tombstone") | (
-        F.col("is_expiring") & (F.col("local_deletion_time") < gc_before)
-    )
-    surviving_cells = winners.where(
-        ~(expired_tomb & (F.col("local_deletion_time") < gc_before))
-    ).select(*_PK, "cell_size")
 
-    # --- marker reconciliation + purge --------------------------------------
-    pd_surv = (
-        cells.where(F.col("kind") == "PARTITION_DELETE")
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy(*_PK).orderBy(F.desc("writetime")))
-        )
-        .where((F.col("rn") == 1) & (F.col("local_deletion_time") >= gc_before))
-        .select(*_PK, "cell_size")
-    )
-    rd_surv = (
-        cells.where(F.col("kind") == "ROW_DELETE")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(*_PK, "clustering").orderBy(F.desc("writetime"))
-            ),
-        )
-        .where((F.col("rn") == 1) & (F.col("local_deletion_time") >= gc_before))
-        .join(pd_wt, _PK, "left")
-        .where(F.col("pd_wt").isNull() | (F.col("writetime") > F.col("pd_wt")))
-        .select(*_PK, "cell_size")
-    )
-    rtm_surv = (
-        cells.where(F.col("kind") == "RANGE_TOMBSTONE_MARKER")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(*_PK, "range_start", "range_end").orderBy(
-                    F.desc("writetime")
-                )
-            ),
-        )
-        .where((F.col("rn") == 1) & (F.col("local_deletion_time") >= gc_before))
-        .join(pd_wt, _PK, "left")
-        .where(F.col("pd_wt").isNull() | (F.col("writetime") > F.col("pd_wt")))
-        .select(*_PK, "cell_size")
-    )
-
-    survivors = surviving_cells.unionByName(pd_surv).unionByName(rd_surv).unionByName(
-        rtm_surv
+    pre = c.groupBy(*_PK).agg(
+        F.sum("cell_size").alias("pre_size"),
+        F.countDistinct("sstable_id").alias("tables"),
     )
     merged = survivors.groupBy(*_PK).agg(F.sum("cell_size").alias("merged_size"))
 
@@ -166,7 +150,9 @@ def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
 def purge_stats_sql(gc_before: int = GC_BEFORE) -> str:
     """DuckDB mirror of ``purge_stats`` over the adapter's `cells` CTE.
 
-    Returns a CTE chain ending in ``purge_per_partition``; append a SELECT."""
+    Returns a CTE chain ending in ``purge_per_partition``; append a SELECT.
+    (Different physical formulation -- per-branch CTEs -- but identical
+    semantics; the hash comparison is the proof.)"""
     return f"""
 pre AS (
     SELECT keyspace, table_name, partition_key,

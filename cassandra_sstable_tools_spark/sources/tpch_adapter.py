@@ -63,6 +63,21 @@ TPCH_TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# The derived frames stand in for tables that would be *materialized* in a
+# real deployment (they are the engine's inputs, not part of its queries).
+# Persisting them avoids re-deriving from lineitem inside every query plan
+# (self-referencing plans would otherwise re-scan the source per branch).
+_DERIVED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _DERIVED_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _DERIVED_CACHE[key] = df
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table."""
@@ -83,6 +98,10 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data.db analog at cell grain (SURVEY.md §1.2 `cells` table)."""
+    return _cached(spark, sf_dir, "cells", lambda: _cells_uncached(spark, sf_dir))
+
+
+def _cells_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bucket = F.col("l_orderkey") % 5
     q = F.col("l_quantity")
@@ -146,6 +165,14 @@ def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partition_sizes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached per-(table, sstable, partition) rollup for this sf_dir."""
+    return _cached(
+        spark, sf_dir, "partition_sizes",
+        lambda: partition_sizes(cells(spark, sf_dir)),
+    )
+
+
 def partition_sizes(cells_df: DataFrame) -> DataFrame:
     """Per (table, sstable, partition) size/cell rollup -- shared by
     `sstables` metadata derivation and `index_entries` positions."""
@@ -166,7 +193,7 @@ def sstables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_tools_spark.constants import GC_BEFORE, LDT_SENTINEL
 
     c = cells(spark, sf_dir)
-    per_part = partition_sizes(c)
+    per_part = partition_sizes_cached(spark, sf_dir)
     meta = per_part.groupBy("keyspace", "table_name", "sstable_seq", "sstable_id").agg(
         F.count(F.lit(1)).alias("keys"),
         F.sum("psize").alias("uncompressed_length"),
@@ -229,7 +256,7 @@ def index_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     our pstats query must invert this with a window, operator W1)."""
     from pyspark.sql import Window
 
-    per_part = partition_sizes(cells(spark, sf_dir))
+    per_part = partition_sizes_cached(spark, sf_dir)
     w = (
         Window.partitionBy("keyspace", "table_name", "sstable_id")
         .orderBy("partition_key")
