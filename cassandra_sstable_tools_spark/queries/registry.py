@@ -17,6 +17,7 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from cassandra_sstable_tools_spark.llm import dedup, multimodal, similarity, text
     from cassandra_sstable_tools_spark.queries import (
+        catalog,
         cfstats,
         events,
         pstats,
@@ -28,7 +29,7 @@ def _modules():
 
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch,
-        text, dedup, similarity, events, multimodal,
+        text, dedup, similarity, events, multimodal, catalog,
     ]
 
 

@@ -1,0 +1,82 @@
+"""Property-based invariants (SURVEY.md §5.5) via hypothesis.
+
+Small randomized cell sets -> purge_stats must always satisfy:
+  0 <= reclaimable <= pre_size, merged_size = pre_size - reclaimable,
+  survivors never exceed inputs, and a partition wholly shadowed by a newer
+  partition-delete reclaims every older byte.
+Examples are kept few (Spark job per example) but each is adversarial:
+duplicate keys, marker pileups, boundary ldt values.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cassandra_sstable_tools_spark.operators.purge import purge_stats
+from tests.test_purge_semantics import COLS
+
+GC = 1000
+
+_KINDS = st.sampled_from(
+    ["CELL"] * 6 + ["ROW_DELETE", "PARTITION_DELETE", "RANGE_TOMBSTONE_MARKER", "ROW_MARKER"]
+)
+
+
+@st.composite
+def cell_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for i in range(n):
+        kind = draw(_KINDS)
+        pk = draw(st.sampled_from(["p1", "p2", "p3"]))
+        clustering = draw(st.sampled_from(["a", "b", "c"]))
+        name = (
+            draw(st.sampled_from(["c1", "c2"]))
+            if kind in ("CELL", "STATIC_CELL")
+            else None
+        )
+        tomb = kind == "CELL" and draw(st.booleans())
+        has_ldt = tomb or kind in (
+            "ROW_DELETE", "PARTITION_DELETE", "RANGE_TOMBSTONE_MARKER"
+        )
+        # boundary-heavy ldt values around gc_before
+        ldt = draw(st.sampled_from([GC - 2, GC - 1, GC, GC + 1])) if has_ldt else None
+        rs, re = (("a", draw(st.sampled_from(["a", "b", "c"])))
+                  if kind == "RANGE_TOMBSTONE_MARKER" else (None, None))
+        rows.append((
+            "ks", "t", f"s{draw(st.integers(1, 3))}", pk, clustering, kind,
+            name, draw(st.integers(1, 100)), i + 1,  # unique writetime
+            None, tomb, False, False, ldt, rs, re, 0,
+        ))
+    return rows
+
+
+@pytest.mark.slow
+@given(rows=cell_rows())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_purge_invariants(spark, rows):
+    df = spark.createDataFrame(rows, schema=COLS)
+    out = purge_stats(df, gc_before=GC).collect()
+    total_input = sum(r[7] for r in rows)
+    assert sum(o["pre_size"] for o in out) == total_input
+    for o in out:
+        assert 0 <= o["reclaimable"] <= o["pre_size"]
+        assert o["merged_size"] == o["pre_size"] - o["reclaimable"]
+        assert o["tables"] >= 1
+
+
+def test_full_partition_delete_reclaims_all_older(spark):
+    rows = [
+        ("ks", "t", "s1", "p1", "a", "CELL", "c1", 10, 1, None, False, False,
+         False, None, None, None, 0),
+        ("ks", "t", "s2", "p1", "b", "CELL", "c2", 20, 2, None, False, False,
+         False, None, None, None, 0),
+        # newest: partition delete, itself purgeable
+        ("ks", "t", "s3", "p1", "", "PARTITION_DELETE", None, 5, 3, None,
+         False, False, False, GC - 1, None, None, 0),
+    ]
+    out = purge_stats(spark.createDataFrame(rows, schema=COLS), gc_before=GC).collect()
+    assert out[0]["reclaimable"] == 35  # everything reclaimed
