@@ -135,6 +135,119 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard pairs (no LSH): every pair sharing >= 1 shingle,
+    kept when jaccard >= threshold. Ground truth for LSH recall measurement.
+
+    Scale posture: the shingle self-join shuffles on the shingle string; a
+    frequent shingle with document frequency f contributes f^2 pair rows, so
+    at 100 TB this operator REQUIRES the df-cap below (drop shingles appearing
+    in > max_df docs -- stopword n-grams carry no dedup signal anyway). The
+    cap keys the join on rare shingles only, bounding the blowup; the LSH
+    variant (minhash_lsh_pairs) remains the true scale path."""
+    sh = _shingles(spark, sf_dir).cache()
+    # df-cap: drop ubiquitous shingles (here df > half the corpus; at 100 TB
+    # an absolute cap like 1000 is the right setting).
+    n_docs = sh.select("doc_id").distinct().count()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= F.lit(max(2, n_docs // 2)))
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(F.col("inter") * 1000000 / (F.col("na") + F.col("nb") - F.col("inter"))),
+        )
+        .where(F.col("jaccard_ppm") >= JACCARD_THRESHOLD_PPM)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard_ppm")
+    )
+
+
+def _simhash_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash as an integer (bit i = sign of vote i)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).withColumn("h", F.md5("word"))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    val = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        val = bit if val is None else (val + bit)
+    return agg.select("doc_id", val.cast("bigint").alias("simhash"))
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash: hamming(a, b) <= 3 over 16-bit
+    signatures. EXACT via pigeonhole banding: 4 bands x 4 bits -- any pair
+    within hamming 3 differs in at most 3 bands, so at least one band matches;
+    candidates = band-bucket self-join, verified with bit_count(xor).
+
+    Scale posture: shuffles only (band_id, band_value) keys -- the standard
+    simhash index layout (Manku et al., WWW'07 pattern); never N^2."""
+    sig = _simhash_val(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    pair_frames = []
+    for b in range(4):
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("sh_a"),
+            F.col(f"band{b}").alias("bk"),
+        )
+        c = bands.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sh_b"),
+            F.col(f"band{b}").alias("bk"),
+        )
+        pair_frames.append(
+            a.join(c, "bk")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sh_a", "sh_b")
+        )
+    cands = pair_frames[0]
+    for pf in pair_frames[1:]:
+        cands = cands.unionByName(pf)
+    return (
+        cands.distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
+        )
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc: bit i votes +1 when the i-th md5 hex nibble of a
     word has its high bit set ('89abcdef'), -1 otherwise; sign of the sum."""
@@ -199,7 +312,73 @@ _CAND_SQL = (
     + "\n)"
 )
 
+_SIMHASH_VAL_SQL = (
+    "words AS (\n"
+    "    SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h\n"
+    "    FROM documents\n"
+    "),\nvotes AS (\n    SELECT doc_id,\n           "
+    + ",\n           ".join(
+        f"sum(CASE WHEN substr(h, {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    + "\n    FROM words GROUP BY 1\n),\nsig AS (\n    SELECT doc_id, CAST("
+    + " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    + " AS BIGINT) AS simhash\n    FROM votes\n)"
+)
+
 ORACLES = {
+    "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES_SQL.lstrip()},
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM shingles),
+rare AS (
+    SELECT shingle FROM shingles, n_docs
+    GROUP BY shingle, n
+    HAVING count(*) <= greatest(2, n // 2)
+),
+capped AS (SELECT s.* FROM shingles s JOIN rare r ON r.shingle = s.shingle),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),
+inter AS (
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
+    FROM capped sa
+    JOIN capped sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter, za.n_shingles AS na, zb.n_shingles AS nb,
+       CAST(floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
+      >= {JACCARD_THRESHOLD_PPM}
+""",
+    "simhash_neardup_pairs": f"""
+WITH {_SIMHASH_VAL_SQL},
+bands AS (
+    SELECT doc_id, simhash,
+           (simhash >> 0) & 15 AS band0, (simhash >> 4) & 15 AS band1,
+           (simhash >> 8) & 15 AS band2, (simhash >> 12) & 15 AS band3
+    FROM sig
+),
+cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sh_a, b.simhash AS sh_b
+    FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM bands a JOIN bands b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM bands a JOIN bands b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cands
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
     "dedup_exact": r"""
 SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
        count(*) AS copies,
@@ -249,5 +428,7 @@ WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_signature": simhash_signature,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
 }
