@@ -25,10 +25,11 @@ def _modules():
         sstables_listing,
         summary,
         tpch,
+        tpch_ext,
     )
 
     return [
-        summary, sstables_listing, pstats, cfstats, purge, tpch,
+        summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
         text, dedup, similarity, events, multimodal, catalog,
     ]
 

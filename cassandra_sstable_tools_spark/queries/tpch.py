@@ -85,8 +85,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1994-01-01")))
-        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1995-01-01")))
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -106,8 +106,8 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1994-01-01")))
-            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-01-01")))
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -121,9 +121,13 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: customers that never ordered, counted per market segment."""
+    """Anti join: customers that never placed an URGENT order, counted per
+    market segment. (The fixture generator gives every customer at least one
+    order, so the unrestricted anti join would be the degenerate empty set.)"""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
         .groupBy("c_mktsegment")
@@ -182,8 +186,8 @@ JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o_orderdate < TIMESTAMP '1995-01-01'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
 """,
     "tpch_q6": """
@@ -191,15 +195,16 @@ SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BI
            AS revenue_cents,
        count(*) AS matched_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
 """,
     "customers_without_orders": """
 SELECT c_mktsegment, count(*) AS customer_count
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
 GROUP BY 1
 """,
     "priority_orders_with_cheap_lines": """
