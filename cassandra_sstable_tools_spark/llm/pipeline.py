@@ -1,0 +1,229 @@
+"""Composed training-data cleaning pipeline: quality filter -> exact dedup ->
+near-dup pruning, as one declarative plan.
+
+This is the operator the individual pieces (text_quality, dedup_exact,
+minhash_lsh_pairs) exist to serve: a corpus goes in, a keep-list of clean,
+unique documents comes out. Every stage is the SAME semantics as the
+standalone operator, so the pipeline is literally their composition:
+
+1. quality:  keep docs with char_len >= 100, word_count >= 20 and
+             punctuation < 30% of characters (text_quality's keep flag);
+2. exact:    among survivors, keep the lowest doc_id per normalized-text
+             md5 (dedup_exact's canonical choice);
+3. near-dup: among the remaining docs, find minhash-LSH candidate pairs,
+             verify exact trigram-Jaccard >= threshold, and drop any doc
+             that near-duplicates a LOWER-numbered survivor (one-pass
+             greedy -- deterministic and shuffle-local; a union-find pass
+             would need iteration and buys little: transitive chains are
+             rare at a 0.3 Jaccard threshold).
+
+Scale posture: stages 1-2 are a scan + one hash aggregation on the text
+hash. Stage 3 shuffles only (band_id, band_hash) keys and verifies only
+candidate pairs -- the standard LSH bound. Nothing here is quadratic and
+nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.llm.dedup import (
+    _CAND_SQL,
+    _SIG_SQL,
+    JACCARD_THRESHOLD_PPM,
+    _shingles,
+    _signatures,
+)
+from cassandra_sstable_tools_spark.llm.text import _TOKEN_RE, _word_count
+from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+MIN_CHARS = 100
+MIN_WORDS = 20
+MAX_PUNCT_PPM = 300_000
+
+
+def _exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids surviving stage 1 (quality) + stage 2 (exact dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    punct_ppm = F.floor(
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1000000 / n
+    )
+    qdocs = d.where(
+        (n >= MIN_CHARS)
+        & (_word_count(F.col("text")) >= MIN_WORDS)
+        & (punct_ppm < MAX_PUNCT_PPM)
+    )
+    norm_hash = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        qdocs.groupBy(norm_hash.alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def _neardup_drops(spark: SparkSession, sf_dir: str, edocs: DataFrame) -> DataFrame:
+    """Stage 3: doc_b of every verified near-dup pair among ``edocs``."""
+    sh = _shingles(spark, sf_dir).join(edocs, "doc_id").cache()
+    sig = _signatures(sh)
+    n_bands = len([c for c in sig.columns if c.startswith("band")])
+    pair_frames = []
+    for b in range(n_bands):
+        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        c = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        pair_frames.append(
+            a.join(c, "bk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        )
+    cands = pair_frames[0]
+    for pf in pair_frames[1:]:
+        cands = cands.unionByName(pf)
+    cands = cands.distinct()
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .where(
+            F.floor(F.col("inter") * 1000000 / (F.col("na") + F.col("nb") - F.col("inter")))
+            >= JACCARD_THRESHOLD_PPM
+        )
+    )
+    return jac.select(F.col("doc_b").alias("doc_id")).distinct()
+
+
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus: one row per kept document with its size stats."""
+    edocs = _exact_survivors(spark, sf_dir)
+    drops = _neardup_drops(spark, sf_dir, edocs)
+    final = edocs.join(drops, "doc_id", "left_anti")
+    d = load_table(spark, sf_dir, "documents")
+    return final.join(d, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("char_len"),
+        _word_count(F.col("text")).alias("word_count"),
+        F.regexp_count("text", F.lit(_TOKEN_RE)).alias("token_count"),
+    )
+
+
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row funnel report: how many docs (and tokens) survive each stage."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    punct_ppm = F.floor(
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1000000 / n
+    )
+    quality = d.where(
+        (n >= MIN_CHARS)
+        & (_word_count(F.col("text")) >= MIN_WORDS)
+        & (punct_ppm < MAX_PUNCT_PPM)
+    )
+    edocs = _exact_survivors(spark, sf_dir)
+    kept = corpus_keep_list(spark, sf_dir)
+    totals = d.agg(F.count(F.lit(1)).alias("n_total"))
+    q = quality.agg(F.count(F.lit(1)).alias("n_quality"))
+    e = edocs.agg(F.count(F.lit(1)).alias("n_exact"))
+    k = kept.agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum("token_count").alias("tokens_final"),
+    )
+    return totals.crossJoin(q).crossJoin(e).crossJoin(k)
+
+
+_WC_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+_QUALITY_PRED = (
+    f"length(text) >= {MIN_CHARS} AND ({_WC_SQL}) >= {MIN_WORDS} "
+    "AND floor(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1000000 "
+    f"/ length(text)) < {MAX_PUNCT_PPM}"
+)
+
+# Stage CTEs shared by both oracle queries. `words` is restricted to exact-
+# dedup survivors so the downstream shingle/signature CTEs (reused verbatim
+# from dedup.py) operate on the surviving subset only.
+_PIPELINE_CTES = f"""
+qdocs AS (SELECT doc_id, text FROM documents WHERE {_QUALITY_PRED}),
+edocs AS (
+    SELECT min(doc_id) AS doc_id
+    FROM (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+          FROM qdocs)
+    GROUP BY h
+),
+words AS (
+    SELECT d.doc_id,
+           generate_subscripts(string_split_regex(trim(d.text), '\\s+'), 1) - 1 AS pos,
+           unnest(string_split_regex(trim(d.text), '\\s+')) AS word
+    FROM documents d JOIN edocs e ON e.doc_id = d.doc_id
+),
+shingles AS (
+    SELECT DISTINCT w1.doc_id,
+           concat(w1.word, ' ', w2.word, ' ', w3.word) AS shingle
+    FROM words w1
+    JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+),
+{_SIG_SQL},
+{_CAND_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cands c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+drops AS (
+    SELECT DISTINCT i.doc_b AS doc_id
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
+          >= {JACCARD_THRESHOLD_PPM}
+),
+final AS (
+    SELECT doc_id FROM edocs e
+    WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = e.doc_id)
+)"""
+
+ORACLES = {
+    "corpus_keep_list": rf"""
+WITH {_PIPELINE_CTES.lstrip()}
+SELECT f.doc_id, d.lang, d.source,
+       length(d.text) AS char_len,
+       CASE WHEN length(trim(d.text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(d.text), '\s+')) END AS word_count,
+       len(regexp_extract_all(d.text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+           AS token_count
+FROM final f JOIN documents d ON d.doc_id = f.doc_id
+""",
+    "corpus_clean_stats": rf"""
+WITH {_PIPELINE_CTES.lstrip()}
+SELECT (SELECT count(*) FROM documents) AS n_total,
+       (SELECT count(*) FROM qdocs) AS n_quality,
+       (SELECT count(*) FROM edocs) AS n_exact,
+       (SELECT count(*) FROM final) AS n_final,
+       (SELECT CAST(sum(len(regexp_extract_all(d.text,
+                    '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+        FROM final f JOIN documents d ON d.doc_id = f.doc_id) AS tokens_final
+""",
+}
+
+QUERIES = {
+    "corpus_keep_list": corpus_keep_list,
+    "corpus_clean_stats": corpus_clean_stats,
+}

@@ -38,6 +38,8 @@ from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 N_QUERIES = 20
 TOP_K = 10
 NEARDUP_SIM_PPM = 400_000
+N_CENTROIDS = 16
+NPROBE = 2
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,6 +107,66 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
         .withColumn("sim_ppm", F.floor(_sim(F.col("dot"), F.col("q_norm"), F.col("norm")) * 1000000))
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("sim_ppm"), F.asc("vec_id")],
+        TOP_K,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-K -- the list-partitioned scale
+    path. Deterministic single-pass IVF: the first N_CENTROIDS corpus vectors
+    act as centroids (no iterative k-means -- keeps the operator reproducible
+    and oracle-checkable); every vector is assigned to its most-cosine-similar
+    centroid (ties -> lowest centroid id); each query probes its NPROBE
+    nearest centroids and scores only those inverted lists.
+
+    Scale posture: centroids broadcast (K rows); assignment is a linear scan
+    in whole-stage codegen; the candidate join shuffles on centroid_id --
+    i.e. the corpus is re-partitioned BY LIST, which is exactly the IVF index
+    layout. Per-query work drops from O(N) to O(N * NPROBE / K)."""
+    emb = _quantized(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("norm").alias("c_norm"),
+    )
+    csim = (
+        emb.join(broadcast(cents))
+        .withColumn("cdot", _dot(F.col("qv"), F.col("c_qv")))
+        .withColumn("csim", _sim(F.col("cdot"), F.col("norm"), F.col("c_norm")))
+    )
+    rank_w = top_n_per_group  # alias for readability below
+    assigned = rank_w(
+        csim, ["vec_id"], [F.desc("csim"), F.asc("centroid_id")], 1
+    ).select("vec_id", "centroid_id")
+    probes = rank_w(
+        csim.where(F.col("vec_id") < N_QUERIES),
+        ["vec_id"],
+        [F.desc("csim"), F.asc("centroid_id")],
+        NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = (
+        probes.join(assigned, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
+        .withColumn(
+            "sim_ppm",
+            F.floor(_sim(F.col("dot"), F.col("q_norm"), F.col("norm")) * 1000000),
+        )
     )
     return top_n_per_group(
         scored,
@@ -200,9 +262,63 @@ SELECT query_id, neighbor_id, sim_ppm, rank FROM (
 """
 
 
+_IVF_SQL = f"""
+WITH {_ELEMS_SQL.lstrip()},
+cdots AS (
+    SELECT e.vec_id, c.vec_id AS centroid_id,
+           CAST(sum(e.q * c.q) AS BIGINT) AS cdot
+    FROM elems e
+    JOIN elems c ON c.pos = e.pos AND c.vec_id < {N_CENTROIDS}
+    GROUP BY 1, 2
+),
+csims AS (
+    SELECT d.vec_id, d.centroid_id,
+           d.cdot / sqrt(CAST(ne.norm * nc.norm AS DOUBLE)) AS csim
+    FROM cdots d
+    JOIN norms ne ON ne.vec_id = d.vec_id
+    JOIN norms nc ON nc.vec_id = d.centroid_id
+),
+ranked AS (
+    SELECT vec_id, centroid_id, row_number() OVER (
+        PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS crank
+    FROM csims
+),
+assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS query_id, centroid_id FROM ranked
+    WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> p.query_id
+),
+dots AS (
+    SELECT c.query_id, c.neighbor_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+    FROM cand c
+    JOIN elems a ON a.vec_id = c.query_id
+    JOIN elems b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+                AS BIGINT) AS sim_ppm
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sim_ppm, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
 ORACLES = {
     "ann_bruteforce_topk": _topk_sql(bucketed=False),
     "ann_lsh_topk": _topk_sql(bucketed=True),
+    "ann_ivf_topk": _IVF_SQL,
     "embedding_neardup_pairs": f"""
 WITH {_ELEMS_SQL.lstrip()},
 dots AS (
@@ -228,5 +344,6 @@ WHERE floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }

@@ -15,7 +15,13 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from cassandra_sstable_tools_spark.llm import dedup, multimodal, similarity, text
+    from cassandra_sstable_tools_spark.llm import (
+        dedup,
+        multimodal,
+        pipeline,
+        similarity,
+        text,
+    )
     from cassandra_sstable_tools_spark.queries import (
         catalog,
         cfstats,
@@ -30,7 +36,7 @@ def _modules():
 
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
-        text, dedup, similarity, events, multimodal, catalog,
+        text, dedup, similarity, pipeline, events, multimodal, catalog,
     ]
 
 
