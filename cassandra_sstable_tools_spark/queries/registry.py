@@ -22,6 +22,7 @@ def _modules():
         similarity,
         text,
     )
+    from cassandra_sstable_tools_spark.streaming import stateful
     from cassandra_sstable_tools_spark.queries import (
         catalog,
         cfstats,
@@ -37,6 +38,7 @@ def _modules():
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
         text, dedup, similarity, pipeline, events, multimodal, catalog,
+        stateful,
     ]
 
 

@@ -1,0 +1,163 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The windowed aggregations in ``events_stream.py`` are what built-in
+Structured Streaming state can express; sessionization (a session ends after
+> 30 min of inactivity) is the canonical operator it CANNOT -- session
+boundaries depend on the previous event's time, so the state is per-user
+(last_ts, open-session accumulator), not a fixed window. This module keeps
+that state explicitly via the Arrow-batched stateful API.
+
+Semantics contract: identical to the batch ``queries/events.sessionize``
+(lag + running-sum formulation). Each micro-batch emits, per user, every
+session CLOSED within the batch plus the still-open session (flagged
+``open = 1``); downstream consumers upsert by (user_id, session_seq), so the
+open session's row is replaced when it either extends (next batch) or
+closes. When the stream is drained to the end (availableNow), the union of
+closed + open rows equals the batch answer exactly -- asserted in tests.
+
+Scale posture: state is O(1) per active user (five longs -- the open
+session's accumulator), partitioned by user_id across executors; Arrow
+batches keep the Python boundary amortized. At 100 TB of events the state
+store holds |active users| entries regardless of history length, which is
+the whole point of the stateful formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from cassandra_sstable_tools_spark.streaming.events_stream import EVENTS_SCHEMA
+
+SESSION_GAP_SECONDS = 1800
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("events", LongType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("duration_s", LongType()),
+        StructField("value_cents", LongType()),
+        StructField("open", LongType()),
+    ]
+)
+
+# (session_seq, session_start, last_ts, events, value_cents) of the open session
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_seq", LongType()),
+        StructField("session_start", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        seq, start, last_ts, n_events, cents = state.get
+    else:
+        seq, start, last_ts, n_events, cents = 0, None, None, 0, 0
+
+    out: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_s", "event_id"])
+        for ts, v_cents in zip(pdf["ts_s"].to_numpy(), pdf["value_cents"].to_numpy()):
+            ts = int(ts)
+            if last_ts is not None and ts - last_ts > SESSION_GAP_SECONDS:
+                out.append(
+                    (user_id, seq, n_events, start, last_ts, last_ts - start,
+                     cents, 0)
+                )
+                seq += 1
+                start, n_events, cents = ts, 0, 0
+            if start is None:
+                start = ts
+            last_ts = ts
+            n_events += 1
+            cents += int(v_cents)
+
+    if last_ts is not None:
+        state.update((seq, start, last_ts, n_events, cents))
+        out.append(
+            (user_id, seq, n_events, start, last_ts, last_ts - start, cents, 1)
+        )
+    if out:
+        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization; returns the (unstarted) stateful stream."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    prepared = stream.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000000").alias("ts_s"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DRAIN_COUNTER = [0]
+
+
+def stream_sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: drain the stateful stream to completion and return
+    the sessions (closed + final open = exactly the batch answer; the batch
+    ``sessionize`` oracle SQL verifies it)."""
+    _DRAIN_COUNTER[0] += 1
+    out = run_update_available_now(
+        stream_sessionize(spark, sf_dir),
+        f"t_reg_stateful_sessions_{_DRAIN_COUNTER[0]}",
+    )
+    return out.drop("open")
+
+
+def run_update_available_now(df: DataFrame, table_name: str) -> DataFrame:
+    """Drain a stateful stream (update mode) into a memory sink; returns the
+    materialized rows (all emits; single-batch availableNow emits each
+    (user, session) exactly once)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(table_name)
+
+
+# Oracle: the batch sessionize formulation (lag + running sum) -- the stateful
+# stream drained with availableNow must produce exactly this.
+from cassandra_sstable_tools_spark.queries.events import ORACLES as _EVENT_ORACLES
+
+ORACLES = {
+    "stream_sessionize_sessions": _EVENT_ORACLES["sessionize"],
+}
+
+QUERIES = {
+    "stream_sessionize_sessions": stream_sessionize_sessions,
+}
