@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# One representative query per reference command family + heavyweight extras.
+# One representative query per reference command family + heavyweight extras
+# from the extension surface (joins, dedup pipeline, ANN, sessionization).
 HEADLINE = [
     "summary",
     "sstables",
@@ -29,6 +30,10 @@ HEADLINE = [
     "cfstats_sstables",
     "cfstats_top_size",
     "purge_top",
+    "tpch_q10",
+    "corpus_keep_list",
+    "ann_ivf_topk",
+    "sessionize",
 ]
 
 

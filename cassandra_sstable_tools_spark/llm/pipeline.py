@@ -32,6 +32,7 @@ from cassandra_sstable_tools_spark.llm.dedup import (
     _CAND_SQL,
     _SIG_SQL,
     JACCARD_THRESHOLD_PPM,
+    _band_candidates,
     _shingles,
     _signatures,
 )
@@ -67,18 +68,7 @@ def _neardup_drops(spark: SparkSession, sf_dir: str, edocs: DataFrame) -> DataFr
     """Stage 3: doc_b of every verified near-dup pair among ``edocs``."""
     sh = _shingles(spark, sf_dir).join(edocs, "doc_id").cache()
     sig = _signatures(sh)
-    n_bands = len([c for c in sig.columns if c.startswith("band")])
-    pair_frames = []
-    for b in range(n_bands):
-        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        c = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        pair_frames.append(
-            a.join(c, "bk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        )
-    cands = pair_frames[0]
-    for pf in pair_frames[1:]:
-        cands = cands.unionByName(pf)
-    cands = cands.distinct()
+    cands = _band_candidates(sig)
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

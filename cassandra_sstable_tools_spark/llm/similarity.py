@@ -154,8 +154,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("q_qv"),
         F.col("norm").alias("q_norm"),
     )
+    # probes is N_QUERIES * NPROBE rows -- always tiny; broadcast it so the
+    # corpus-sized `assigned` side never shuffles (verified: SMJ without the
+    # hint, BroadcastHashJoin with it).
     cand = (
-        probes.join(assigned, "centroid_id")
+        assigned.join(broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
