@@ -110,9 +110,94 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_n_bytes: int = 100) -> 
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, media_kind string, orig_w int, orig_h int, new_w int, new_h int"
+)
+TARGET_DIM = 224
+
+EMBED_SCHEMA = "doc_id long, embedding array<int>"
+EMBED_DIMS = 8
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decoded dimensions (mapInPandas): scale the
+    longest side to TARGET_DIM preserving aspect ratio, exact integer math.
+    The decode is the stubbed kernel; the resize arithmetic and the Arrow
+    batch path are the production shape."""
+    media = media_table(spark, sf_dir).where(F.col("media_kind") == "image")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [fake_decode(p) for p in pdf["payload"]]
+            w = [d["width"] for d in decoded]
+            h = [d["height"] for d in decoded]
+            longest = [max(a, b) for a, b in zip(w, h)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_kind"],
+                    "orig_w": w,
+                    "orig_h": h,
+                    "new_w": [a * TARGET_DIM // m for a, m in zip(w, longest)],
+                    "new_h": [b * TARGET_DIM // m for b, m in zip(h, longest)],
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction to a fixed-dim integer 'embedding' (mapInPandas):
+    dim i = hex value of the i-th md5 nibble of the payload. A real model
+    would replace the kernel body; the array<int> column, Arrow batching and
+    downstream-join shape are what the engine guarantees."""
+    media = media_table(spark, sf_dir)
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                hx = hashlib.md5(p).hexdigest()
+                vecs.append([_HEX.index(c) for c in hx[:EMBED_DIMS]])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    out = media.mapInPandas(embed, schema=EMBED_SCHEMA)
+    # The operator's column IS array<int>; the registered result serializes it
+    # so the driver's sorted-column value-hash (scalars only) can compare it.
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.col("embedding").cast("array<string>")).alias(
+            "embedding_csv"
+        ),
+    )
+
+
 # Oracle: the fake-decode math re-expressed in SQL (strpos over md5 hex) --
 # proves the pandas-UDF path produces engine-grade deterministic output.
+_W_SQL = "64 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) * 16"
+_H_SQL = "64 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) * 16"
+
 ORACLES = {
+    "image_resize": f"""
+SELECT doc_id, 'image' AS media_kind,
+       CAST({_W_SQL} AS INT) AS orig_w,
+       CAST({_H_SQL} AS INT) AS orig_h,
+       CAST(({_W_SQL}) * {TARGET_DIM} // greatest({_W_SQL}, {_H_SQL}) AS INT)
+           AS new_w,
+       CAST(({_H_SQL}) * {TARGET_DIM} // greatest({_W_SQL}, {_H_SQL}) AS INT)
+           AS new_h
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+    "media_embed": f"""
+SELECT doc_id,
+       array_to_string([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+                        FOR i IN range(1, {EMBED_DIMS} + 1)], ',')
+           AS embedding_csv
+FROM documents
+""",
     "media_metadata": """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -131,4 +216,6 @@ FROM documents
 QUERIES = {
     "media_metadata": media_metadata,
     "frame_sample": frame_sample,  # rows-only check (explosion shape)
+    "image_resize": image_resize,
+    "media_embed": media_embed,
 }

@@ -1,0 +1,130 @@
+"""Semantic guarantees of the dedup / cleaning operators, tested by
+injection (plant a duplicate, assert it is found/dropped) and by property
+(the pigeonhole banding bound, session invariants). These complement the
+oracle tests: the oracle proves Spark == SQL; these prove the SEMANTICS are
+the ones a pipeline needs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions at midnight and twelve sailors navigate the "
+    "northern passage with steady hands and quiet resolve every single day"
+)  # 30 words, ~190 chars -> passes the quality gate
+
+
+def _write_docs(spark, tmp_path, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["synthetic"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    out = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def test_exact_duplicate_dropped(spark, tmp_path):
+    from cassandra_sstable_tools_spark.llm.pipeline import corpus_keep_list
+
+    variant = BASE_TEXT.replace("fox", "cat").replace("sailors", "pilots").replace(
+        "midnight", "dawn"
+    ).replace("quick", "slow").replace("lazy", "alert")
+    texts = [BASE_TEXT, BASE_TEXT, variant]  # doc 1 is an exact copy of doc 0
+    kept = corpus_keep_list(spark, _write_docs(spark, tmp_path, texts))
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids, "canonical (min doc_id) must survive"
+    assert 1 not in ids, "exact copy must be dropped"
+
+
+def test_neardup_dropped_and_distinct_kept(spark, tmp_path):
+    from cassandra_sstable_tools_spark.llm.pipeline import corpus_keep_list
+
+    near = BASE_TEXT.replace("fox", "wolf")  # 1 of 30 words changed
+    distinct = (
+        "completely different content about spark execution plans and the "
+        "catalyst optimizer rewriting logical trees into efficient physical "
+        "operators with whole stage code generation for columnar batches in "
+        "memory pipelines across many executor nodes tonight"
+    )
+    kept = corpus_keep_list(
+        spark, _write_docs(spark, tmp_path, [BASE_TEXT, near, distinct])
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {0, 2}, f"near-dup must drop doc 1 only, got {ids}"
+
+
+def test_minhash_finds_injected_neardup(spark, tmp_path):
+    from cassandra_sstable_tools_spark.llm.dedup import minhash_lsh_pairs
+
+    near = BASE_TEXT.replace("fox", "wolf")
+    pairs = minhash_lsh_pairs(
+        spark, _write_docs(spark, tmp_path, [BASE_TEXT, near])
+    ).collect()
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in pairs)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sig=st.integers(min_value=0, max_value=0xFFFF),
+    flips=st.sets(st.integers(min_value=0, max_value=15), max_size=3),
+)
+def test_simhash_pigeonhole_guarantee(sig, flips):
+    """Any pair within hamming distance 3 of 16-bit signatures shares at
+    least one 4-bit band -- the exactness claim of simhash_neardup_pairs."""
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+    shared = any(
+        (sig >> (4 * band)) & 15 == (other >> (4 * band)) & 15 for band in range(4)
+    )
+    assert shared
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_tools_spark.queries.events import (
+        SESSION_GAP_SECONDS,
+        sessionize,
+    )
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import events_table
+
+    s = sessionize(spark, sf_dir).cache()
+    # durations are non-negative and consistent
+    assert s.where(F.col("duration_s") < 0).count() == 0
+    assert s.where(
+        F.col("session_end") - F.col("session_start") != F.col("duration_s")
+    ).count() == 0
+    # event conservation: every event lands in exactly one session
+    total_events = events_table(spark, sf_dir).count()
+    assert s.agg(F.sum("events")).collect()[0][0] == total_events
+    # consecutive sessions of a user are separated by > gap
+    nxt = s.select(
+        "user_id",
+        F.col("session_seq"),
+        "session_start",
+        F.lag("session_end", 1)
+        .over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                "user_id"
+            ).orderBy("session_seq")
+        )
+        .alias("prev_end"),
+    ).where(F.col("prev_end").isNotNull())
+    bad = nxt.where(
+        F.col("session_start") - F.col("prev_end") <= SESSION_GAP_SECONDS
+    ).count()
+    assert bad == 0
