@@ -1,0 +1,66 @@
+"""Physical-plan audit helpers: make "the plan we want" a TESTED property,
+not a one-time `.explain()` glance.
+
+A query's correctness is proven by the DuckDB oracle; these helpers prove
+the PLAN stays the shape that scales (filters reach the scan, projections
+prune columns, small sides broadcast, no accidental cartesian products).
+Tests pin the properties so a refactor that silently regresses the plan --
+e.g. a widened ReadSchema or a broadcast that degrades to sort-merge -- is
+caught at test time, the way a perf regression would surface in production.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The `.explain("formatted")` text (captured, not printed)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(plan: str) -> list[str]:
+    """Every PushedFilters entry across the plan's scans."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schemas(plan: str) -> list[str]:
+    """Every scan's ReadSchema struct body."""
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def assert_filter_pushed(df: DataFrame, column: str) -> None:
+    """At least one scan pushes a predicate on ``column``."""
+    plan = formatted_plan(df)
+    assert any(column in f for f in pushed_filters(plan)), (
+        f"no pushed filter mentions {column!r}; PushedFilters={pushed_filters(plan)}"
+    )
+
+
+def assert_columns_pruned(df: DataFrame, table_width: int) -> None:
+    """Every scan reads strictly fewer columns than the full table."""
+    plan = formatted_plan(df)
+    widths = [len(s.split(",")) for s in read_schemas(plan)]
+    assert widths and all(w < table_width for w in widths), (
+        f"scan reads full width ({widths} vs table {table_width})"
+    )
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, "plan contains a cartesian product"
+
+
+def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    plan = formatted_plan(df)
+    n = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert n >= min_count, f"expected >= {min_count} broadcast joins, found {n}"
+
+
+def assert_no_sort_merge_join(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, "plan degraded to sort-merge join"

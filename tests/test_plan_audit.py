@@ -1,0 +1,56 @@
+"""Plan-shape regressions are test failures (see plans/audit.py).
+
+Each assertion here was first verified by reading `.explain("formatted")`
+output; the test pins it so refactors can't silently regress the physical
+plan while staying value-correct.
+"""
+
+from __future__ import annotations
+
+from cassandra_sstable_tools_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_columns_pruned,
+    assert_filter_pushed,
+    assert_no_cartesian,
+    assert_no_sort_merge_join,
+)
+
+LINEITEM_WIDTH = 11  # columns in the fixture lineitem table
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    from cassandra_sstable_tools_spark.queries.tpch import tpch_q6
+
+    df = tpch_q6(spark, sf_dir)
+    assert_filter_pushed(df, "l_shipdate")
+    assert_columns_pruned(df, LINEITEM_WIDTH)
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    from cassandra_sstable_tools_spark.queries.tpch import tpch_q3
+
+    df = tpch_q3(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_ivf_probe_broadcast_no_smj(spark, sf_dir):
+    from cassandra_sstable_tools_spark.llm.similarity import ann_ivf_topk
+
+    df = ann_ivf_topk(spark, sf_dir)
+    assert_no_sort_merge_join(df)
+    assert_broadcast_join(df, min_count=2)  # centroids + probes (+ queries)
+
+
+def test_pstats_prunes_index_scan(spark, sf_dir):
+    from cassandra_sstable_tools_spark.queries.pstats import pstats_top_size
+
+    df = pstats_top_size(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_filename_filter_pushed(spark, sf_dir):
+    from cassandra_sstable_tools_spark.queries.catalog import sstables_filtered
+
+    df = sstables_filtered(spark, sf_dir)
+    assert_no_cartesian(df)
