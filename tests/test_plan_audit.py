@@ -54,3 +54,35 @@ def test_filename_filter_pushed(spark, sf_dir):
 
     df = sstables_filtered(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_bucketed_layout_elides_exchange(spark, sf_dir):
+    """The SSTable sort-order optimization (SURVEY.md §4): pre-bucketed cells
+    aggregate by partition_key with ZERO shuffles, and the result matches the
+    shuffling plan exactly."""
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+    from cassandra_sstable_tools_spark.sources.bucketed import (
+        materialize_bucketed_cells,
+        per_partition_stats_bucketed,
+    )
+
+    b = materialize_bucketed_cells(spark, sf_dir, table="t_bucketed_cells")
+    try:
+        df = per_partition_stats_bucketed(b)
+        assert "Exchange" not in formatted_plan(df)
+        from cassandra_sstable_tools_spark.sources.tpch_adapter import cells
+
+        plain = per_partition_stats_bucketed(cells(spark, sf_dir))
+        assert "Exchange" in formatted_plan(plain)  # the baseline DOES shuffle
+        import pandas as pd
+
+        from conftest import normalize
+
+        pd.testing.assert_frame_equal(
+            normalize(df.toPandas()),
+            normalize(plain.toPandas()),
+            check_dtype=False,
+            check_exact=True,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_cells")
