@@ -1,10 +1,14 @@
-"""CLI mirroring the reference's five subcommands (cli/CLI.java:9-20).
+"""CLI mirroring the reference's five subcommands (cli/CLI.java:9-20), plus
+the engine's extension surface.
 
     python -m cassandra_sstable_tools_spark summary  [--sf-dir DIR]
     python -m cassandra_sstable_tools_spark sstables [--sf-dir DIR]
     python -m cassandra_sstable_tools_spark pstats   [--sf-dir DIR] [-n N]
     python -m cassandra_sstable_tools_spark cfstats  [--sf-dir DIR] [-n N]
     python -m cassandra_sstable_tools_spark purge    [--sf-dir DIR] [-n N]
+    python -m cassandra_sstable_tools_spark clean    [--sf-dir DIR] [--out DIR]
+    python -m cassandra_sstable_tools_spark dedup    [--sf-dir DIR]
+    python -m cassandra_sstable_tools_spark ann      [--sf-dir DIR] [-n N]
 
 Reports render as the reference's ASCII tables with humanized sizes and
 timestamps (X1-X3). Only report-sized results are collected to the driver.
@@ -43,9 +47,14 @@ def _render(df: DataFrame, humanize_cols: dict[str, str] | None = None) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cassandra_sstable_tools_spark")
-    p.add_argument("command", choices=["summary", "sstables", "pstats", "cfstats", "purge"])
+    p.add_argument(
+        "command",
+        choices=["summary", "sstables", "pstats", "cfstats", "purge",
+                 "clean", "dedup", "ann"],
+    )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("-n", type=int, default=10, help="top-N size for rankings")
+    p.add_argument("--out", default=None, help="clean: write keep-list here")
     args = p.parse_args(argv)
 
     from cassandra_sstable_tools_spark.session import get_spark
@@ -109,6 +118,34 @@ def main(argv: list[str] | None = None) -> int:
         out.append(("Top reclaimable partitions", _render(
             m.purge_top(spark, sf, args.n),
             {"pre_size": "bytes", "merged_size": "bytes", "reclaimable": "bytes"})))
+    elif args.command == "clean":
+        from cassandra_sstable_tools_spark.llm.pipeline import corpus_clean_stats
+
+        out.append(("Cleaning funnel", _render(corpus_clean_stats(spark, sf))))
+        if args.out:
+            from cassandra_sstable_tools_spark.sources.parquet_sink import (
+                write_clean_corpus,
+            )
+
+            written = write_clean_corpus(spark, sf, args.out)
+            sys.stdout.write(f"wrote {written.count()} kept docs to {args.out}\n")
+    elif args.command == "dedup":
+        from pyspark.sql import functions as F
+
+        from cassandra_sstable_tools_spark.llm.dedup import (
+            dedup_exact,
+            minhash_lsh_pairs,
+        )
+
+        dupes = dedup_exact(spark, sf).where(F.col("copies") > 1)
+        out.append(("Exact duplicate groups", _render(dupes)))
+        out.append(("Near-duplicate pairs (minhash-LSH, verified)", _render(
+            minhash_lsh_pairs(spark, sf))))
+    elif args.command == "ann":
+        from cassandra_sstable_tools_spark.llm.similarity import ann_ivf_topk
+
+        out.append((f"IVF top-{args.n} neighbors (first 20 query vectors)",
+                    _render(ann_ivf_topk(spark, sf).limit(200))))
 
     for title, table in out:
         sys.stdout.write(f"{title}\n{table}\n")
