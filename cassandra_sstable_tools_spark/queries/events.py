@@ -79,6 +79,29 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week; for each
+    (cohort_week, activity_week) the count of cohort members active that
+    week. Two shuffles by construction (per-user min, then the matrix
+    groupBy) -- the standard retention formulation; the per-user cohort
+    frame is broadcast back against weekly activity."""
+    e = events_table(spark, sf_dir)
+    week = (F.expr("ts_s div 604800") * 604800).alias("week_start")
+    active = e.select("user_id", week).distinct()
+    cohorts = active.groupBy("user_id").agg(
+        F.min("week_start").alias("cohort_week")
+    )
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy("cohort_week", "week_start")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .withColumn(
+            "weeks_since_cohort",
+            ((F.col("week_start") - F.col("cohort_week")) / 604800).cast("bigint"),
+        )
+    )
+
+
 def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_table(spark, sf_dir)
     return e.groupBy("user_id").agg(
@@ -140,6 +163,21 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM sessions
 GROUP BY 1, 2
 """,
+    "cohort_retention": f"""
+WITH active AS (
+    SELECT DISTINCT user_id, ({_TS_S_SQL} // 604800) * 604800 AS week_start
+    FROM events
+),
+cohorts AS (
+    SELECT user_id, min(week_start) AS cohort_week FROM active GROUP BY 1
+)
+SELECT c.cohort_week, a.week_start,
+       count(DISTINCT a.user_id) AS active_users,
+       CAST((a.week_start - c.cohort_week) // 604800 AS BIGINT)
+           AS weeks_since_cohort
+FROM active a JOIN cohorts c ON c.user_id = a.user_id
+GROUP BY 1, 2
+""",
     "user_activity": f"""
 SELECT user_id,
        count(*) AS events,
@@ -157,4 +195,5 @@ QUERIES = {
     "events_sliding": events_sliding,
     "sessionize": sessionize,
     "user_activity": user_activity,
+    "cohort_retention": cohort_retention,
 }
