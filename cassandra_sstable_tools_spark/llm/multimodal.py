@@ -198,6 +198,18 @@ SELECT doc_id,
            AS embedding_csv
 FROM documents
 """,
+    # n_frames counts BYTES (octet_length of the utf-8 payload) while
+    # frame_bytes slices CHARS (binary->string cast then substring) --
+    # mirroring the Spark formulation exactly.
+    "frame_sample": """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       substr(text, CAST(i * 100 + 1 AS BIGINT), 100) AS frame_bytes
+FROM documents,
+     LATERAL (SELECT unnest(range(0,
+         greatest(1, octet_length(encode(text)) // 100))) AS i)
+WHERE doc_id % 3 = 2
+""",
     "media_metadata": """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
