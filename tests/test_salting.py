@@ -46,3 +46,24 @@ def test_salted_agg_single_hot_key(spark):
     assert len(out) == 1
     assert out[0]["s"] == sum(range(10000))
     assert out[0]["c"] == 10000
+
+
+def test_approx_percentiles_track_exact(spark, sf_dir):
+    """The 100 TB percentile mode (percentile_approx sketch) must stay within
+    1% relative error of the exact mode it replaces at scale."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_tools_spark.operators.percentiles import (
+        percentile_cols,
+    )
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("v")
+    )
+    exact = li.agg(*percentile_cols("v", approx=False)).collect()[0].asDict()
+    approx = li.agg(*percentile_cols("v", approx=True)).collect()[0].asDict()
+    assert set(exact) == set(approx)
+    for k, ev in exact.items():
+        av = approx[k]
+        assert abs(av - ev) <= max(1, 0.01 * ev), (k, ev, av)
