@@ -54,20 +54,27 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-trigram shingles per document. Single scan: the trigram
     window is a higher-order `transform` over the split array (no positional
     self-join -- the oracle keeps the equivalent relational formulation, the
-    shingle SETS are identical). Only shuffle: the per-doc `distinct`."""
-    d = load_table(spark, sf_dir, "documents")
-    tri = F.when(
-        F.size("w") >= 3,
-        F.expr(
-            "transform(sequence(0, size(w) - 3),"
-            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    return (
-        d.withColumn("w", F.split(F.trim(F.col("text")), r"\s+"))
-        .select("doc_id", F.explode(tri).alias("shingle"))
-        .distinct()
-    )
+    shingle SETS are identical). Only shuffle: the per-doc `distinct`.
+    Persisted via the adapter cache registry: minhash, exact-Jaccard and the
+    cleaning pipeline all reuse one shingling pass."""
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import _cached
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        tri = F.when(
+            F.size("w") >= 3,
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        return (
+            d.withColumn("w", F.split(F.trim(F.col("text")), r"\s+"))
+            .select("doc_id", F.explode(tri).alias("shingle"))
+            .distinct()
+        )
+
+    return _cached(spark, sf_dir, "doc_shingles", build)
 
 
 def _signatures(sh: DataFrame) -> DataFrame:

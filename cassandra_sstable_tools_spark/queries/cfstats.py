@@ -96,17 +96,24 @@ flags AS (
 
 def per_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-partition collated statistics (the reference's
-    PartitionStatistics after cross-sstable collate)."""
-    c = _flags(tpch_adapter.cells(spark, sf_dir))
-    return c.groupBy("keyspace", "table_name", "partition_key").agg(
-        F.sum("cell_size").alias("size"),
-        F.countDistinct("sstable_id").alias("tables"),
-        F.countDistinct("row_key").alias("rows"),
-        F.sum("f_rowdel").alias("row_deletes"),
-        F.sum("f_cell").alias("cells"),
-        F.sum("f_tomb").alias("tombstones"),
-        F.sum("f_droppable").alias("droppable_tombstones"),
-    )
+    PartitionStatistics after cross-sstable collate). Persisted via the
+    adapter's cache registry: the global summary and all five rankings
+    reuse ONE collate pass (the reference's single stream feeding 5 heaps
+    + 4 histograms, cli/ColumnFamilyStatisticsCollector.java:121-141)."""
+
+    def build() -> DataFrame:
+        c = _flags(tpch_adapter.cells(spark, sf_dir))
+        return c.groupBy("keyspace", "table_name", "partition_key").agg(
+            F.sum("cell_size").alias("size"),
+            F.countDistinct("sstable_id").alias("tables"),
+            F.countDistinct("row_key").alias("rows"),
+            F.sum("f_rowdel").alias("row_deletes"),
+            F.sum("f_cell").alias("cells"),
+            F.sum("f_tomb").alias("tombstones"),
+            F.sum("f_droppable").alias("droppable_tombstones"),
+        )
+
+    return tpch_adapter._cached(spark, sf_dir, "cfstats_per_partition", build)
 
 
 _PER_PARTITION_SQL = """

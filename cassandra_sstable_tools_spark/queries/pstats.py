@@ -35,15 +35,22 @@ from cassandra_sstable_tools_spark.sources import tpch_adapter
 
 
 def _collated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition (across sstables): total size + sstable count (J1)."""
-    sizes = index_partition_sizes(
-        tpch_adapter.index_entries(spark, sf_dir),
-        tpch_adapter.sstables(spark, sf_dir),
-    )
-    return sizes.groupBy("keyspace", "table_name", "partition_key").agg(
-        F.sum("size").alias("size"),
-        F.count(F.lit(1)).alias("tables"),
-    )
+    """Per-partition (across sstables): total size + sstable count (J1).
+    Persisted via the adapter's cache registry so the summary and both
+    top-N reports reuse ONE collate pass -- the Spark analog of the
+    reference's single stream feeding 2 heaps + 2 histograms."""
+
+    def build() -> DataFrame:
+        sizes = index_partition_sizes(
+            tpch_adapter.index_entries(spark, sf_dir),
+            tpch_adapter.sstables(spark, sf_dir),
+        )
+        return sizes.groupBy("keyspace", "table_name", "partition_key").agg(
+            F.sum("size").alias("size"),
+            F.count(F.lit(1)).alias("tables"),
+        )
+
+    return tpch_adapter._cached(spark, sf_dir, "pstats_collated", build)
 
 
 def pstats_summary(spark: SparkSession, sf_dir: str, approx: bool = False) -> DataFrame:
