@@ -78,18 +78,22 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures(sh: DataFrame) -> DataFrame:
-    """8 minhashes = min(md5(salt || shingle)) per salt; banded into 4 keys."""
+    """8 minhashes = min(md5(salt || shingle)) per salt; banded into 4 keys.
+    The shingle count rides along in the SAME fused aggregation (one pass
+    over the shingle rows serves both banding and Jaccard verification)."""
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{j}#"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = sh.groupBy("doc_id").agg(
+        *mins, F.count(F.lit(1)).alias("n_shingles")
+    )
     bands = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]))
         .alias(f"band{b}")
         for b in range(N_HASHES // BAND_SIZE)
     ]
-    return sig.select("doc_id", *bands)
+    return sig.select("doc_id", *bands, "n_shingles")
 
 
 def _band_candidates(sig: DataFrame) -> DataFrame:
@@ -119,11 +123,11 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact trigram Jaccard."""
-    sh = _shingles(spark, sf_dir).cache()
-    sig = _signatures(sh)
+    sh = _shingles(spark, sf_dir)
+    sig = _signatures(sh).cache()
     cands = _band_candidates(sig)
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sig.select("doc_id", "n_shingles")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

@@ -67,10 +67,10 @@ def _exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_drops(spark: SparkSession, sf_dir: str, edocs: DataFrame) -> DataFrame:
     """Stage 3: doc_b of every verified near-dup pair among ``edocs``."""
     sh = _shingles(spark, sf_dir).join(edocs, "doc_id").cache()
-    sig = _signatures(sh)
+    sig = _signatures(sh).cache()
     cands = _band_candidates(sig)
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sig.select("doc_id", "n_shingles")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
