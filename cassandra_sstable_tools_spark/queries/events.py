@@ -102,6 +102,24 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_top_types(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k event types per hour by volume (rank over an aggregation --
+    the grouped-top-N shape at event-time grain). One shuffle for the
+    count, one narrow one for the per-hour ranking."""
+    e = events_table(spark, sf_dir)
+    counts = e.groupBy(
+        (F.expr("ts_s div 3600") * 3600).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("events"))
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("hour_start", "event_type", "events", "rank")
+    )
+
+
 def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_table(spark, sf_dir)
     return e.groupBy("user_id").agg(
@@ -178,6 +196,18 @@ SELECT c.cohort_week, a.week_start,
 FROM active a JOIN cohorts c ON c.user_id = a.user_id
 GROUP BY 1, 2
 """,
+    "events_top_types": f"""
+WITH counts AS (
+    SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
+           event_type, count(*) AS events
+    FROM events GROUP BY 1, 2
+)
+SELECT hour_start, event_type, events, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY hour_start ORDER BY events DESC, event_type ASC) AS rank
+    FROM counts
+) WHERE rank <= 3
+""",
     "user_activity": f"""
 SELECT user_id,
        count(*) AS events,
@@ -196,4 +226,5 @@ QUERIES = {
     "sessionize": sessionize,
     "user_activity": user_activity,
     "cohort_retention": cohort_retention,
+    "events_top_types": events_top_types,
 }
