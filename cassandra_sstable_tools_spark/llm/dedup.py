@@ -195,7 +195,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_val(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash as an integer (bit i = sign of vote i)."""
+    """32-bit SimHash as an integer (bit i = sign of vote i over the i-th
+    md5 nibble). 32 bits (vs the 16-bit signature demo in
+    simhash_signature) keeps the hamming<=3 ball selective: at 16 bits a
+    5k-doc corpus produced 3.3M "near-dup" pairs (27% of all pairs --
+    quadratic blowup); at 32 bits only genuinely similar docs collide."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
@@ -205,11 +209,11 @@ def _simhash_val(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(16)
+        for i in range(32)
     ]
     agg = words.groupBy("doc_id").agg(*votes)
     val = None
-    for i in range(16):
+    for i in range(32):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         val = bit if val is None else (val + bit)
     return agg.select("doc_id", val.cast("bigint").alias("simhash"))
@@ -228,7 +232,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         *[
-            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias(f"band{b}")
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias(f"band{b}")
             for b in range(4)
         ],
     )
@@ -335,10 +339,10 @@ _SIMHASH_VAL_SQL = (
     + ",\n           ".join(
         f"sum(CASE WHEN substr(h, {i + 1}, 1) IN "
         f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(16)
+        for i in range(32)
     )
     + "\n    FROM words GROUP BY 1\n),\nsig AS (\n    SELECT doc_id, CAST("
-    + " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    + " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
     + " AS BIGINT) AS simhash\n    FROM votes\n)"
 )
 
@@ -372,8 +376,8 @@ WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
 WITH {_SIMHASH_VAL_SQL},
 bands AS (
     SELECT doc_id, simhash,
-           (simhash >> 0) & 15 AS band0, (simhash >> 4) & 15 AS band1,
-           (simhash >> 8) & 15 AS band2, (simhash >> 12) & 15 AS band3
+           (simhash >> 0) & 255 AS band0, (simhash >> 8) & 255 AS band1,
+           (simhash >> 16) & 255 AS band2, (simhash >> 24) & 255 AS band3
     FROM sig
 ),
 cands AS (

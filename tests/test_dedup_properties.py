@@ -78,17 +78,18 @@ def test_minhash_finds_injected_neardup(spark, tmp_path):
 
 @settings(max_examples=300, deadline=None)
 @given(
-    sig=st.integers(min_value=0, max_value=0xFFFF),
-    flips=st.sets(st.integers(min_value=0, max_value=15), max_size=3),
+    sig=st.integers(min_value=0, max_value=0xFFFFFFFF),
+    flips=st.sets(st.integers(min_value=0, max_value=31), max_size=3),
 )
 def test_simhash_pigeonhole_guarantee(sig, flips):
-    """Any pair within hamming distance 3 of 16-bit signatures shares at
-    least one 4-bit band -- the exactness claim of simhash_neardup_pairs."""
+    """Any pair within hamming distance 3 of 32-bit signatures shares at
+    least one 8-bit band -- the exactness claim of simhash_neardup_pairs."""
     other = sig
     for b in flips:
         other ^= 1 << b
     shared = any(
-        (sig >> (4 * band)) & 15 == (other >> (4 * band)) & 15 for band in range(4)
+        (sig >> (8 * band)) & 255 == (other >> (8 * band)) & 255
+        for band in range(4)
     )
     assert shared
 
