@@ -65,37 +65,71 @@ STATE_SCHEMA = StructType(
 def _sessionize_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized kernel: session breaks via a shifted-diff comparison and a
+    cumulative sum, per-session stats via a C-path pandas groupby -- no
+    per-event Python loop. Cross-batch semantics are identical to the
+    row-at-a-time formulation (carry-in accumulator merged into the first
+    session when it continues, emitted closed when the batch opens anew)."""
+    import numpy as np
+
     (user_id,) = key
     if state.exists:
-        seq, start, last_ts, n_events, cents = state.get
+        seq0, start0, last_ts0, n0, cents0 = state.get
     else:
-        seq, start, last_ts, n_events, cents = 0, None, None, 0, 0
+        seq0, start0, last_ts0, n0, cents0 = 0, None, None, 0, 0
+
+    cols = [f.name for f in OUTPUT_SCHEMA.fields]
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if pdf.empty:
+        if last_ts0 is not None:
+            state.update((seq0, start0, last_ts0, n0, cents0))
+            yield pd.DataFrame(
+                [(user_id, seq0, n0, start0, last_ts0, last_ts0 - start0,
+                  cents0, 1)],
+                columns=cols,
+            )
+        return
+
+    pdf = pdf.sort_values(["ts_s", "event_id"])
+    ts = pdf["ts_s"].to_numpy(np.int64)
+    cents = pdf["value_cents"].to_numpy(np.int64)
+    prev = np.empty_like(ts)
+    prev[1:] = ts[:-1]
+    prev[0] = last_ts0 if last_ts0 is not None else ts[0]
+    seq = seq0 + np.cumsum((ts - prev) > SESSION_GAP_SECONDS)
+
+    g = (
+        pd.DataFrame({"seq": seq, "ts": ts, "cents": cents})
+        .groupby("seq", sort=True)
+        .agg(events=("ts", "size"), start=("ts", "min"),
+             end=("ts", "max"), cents=("cents", "sum"))
+        .reset_index()
+    )
 
     out: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_s", "event_id"])
-        for ts, v_cents in zip(pdf["ts_s"].to_numpy(), pdf["value_cents"].to_numpy()):
-            ts = int(ts)
-            if last_ts is not None and ts - last_ts > SESSION_GAP_SECONDS:
-                out.append(
-                    (user_id, seq, n_events, start, last_ts, last_ts - start,
-                     cents, 0)
-                )
-                seq += 1
-                start, n_events, cents = ts, 0, 0
-            if start is None:
-                start = ts
-            last_ts = ts
-            n_events += 1
-            cents += int(v_cents)
+    if last_ts0 is not None:
+        if int(g.iloc[0]["seq"]) == seq0:
+            # batch continues the open session: fold the carried accumulator in
+            g.loc[g.index[0], "events"] += n0
+            g.loc[g.index[0], "cents"] += cents0
+            g.loc[g.index[0], "start"] = start0
+        else:
+            # batch starts past the gap: the carried session closes as-is
+            out.append((user_id, seq0, n0, start0, last_ts0,
+                        last_ts0 - start0, cents0, 0))
 
-    if last_ts is not None:
-        state.update((seq, start, last_ts, n_events, cents))
+    last_i = len(g) - 1
+    for i in range(len(g)):
+        r = g.iloc[i]
         out.append(
-            (user_id, seq, n_events, start, last_ts, last_ts - start, cents, 1)
+            (user_id, int(r["seq"]), int(r["events"]), int(r["start"]),
+             int(r["end"]), int(r["end"] - r["start"]), int(r["cents"]),
+             1 if i == last_i else 0)
         )
-    if out:
-        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+    o = g.iloc[last_i]
+    state.update((int(o["seq"]), int(o["start"]), int(o["end"]),
+                  int(o["events"]), int(o["cents"])))
+    yield pd.DataFrame(out, columns=cols)
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

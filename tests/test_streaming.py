@@ -44,3 +44,69 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
         normalize(streamed), normalize(batch), check_dtype=False, check_exact=True
     )
     assert len(streamed) > 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the kernel across batches."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _run_batches(batches):
+    from cassandra_sstable_tools_spark.streaming.stateful import (
+        _sessionize_group,
+    )
+
+    state = _FakeState()
+    emitted = {}
+    for batch in batches:
+        pdf = pd.DataFrame(batch, columns=["user_id", "event_id", "ts_s",
+                                           "value_cents"])
+        for out in _sessionize_group((7,), iter([pdf]), state):
+            for r in out.itertuples(index=False):
+                emitted[r.session_seq] = r  # upsert, like a real sink
+    return emitted, state
+
+
+def test_stateful_kernel_continues_session_across_batches():
+    emitted, state = _run_batches([
+        [(7, 1, 1000, 5), (7, 2, 1100, 5)],
+        [(7, 3, 1200, 5)],  # within gap: same session extends
+    ])
+    assert list(emitted) == [0]
+    s = emitted[0]
+    assert (s.events, s.session_start, s.session_end, s.value_cents) == (
+        3, 1000, 1200, 15)
+    assert s.open == 1
+
+
+def test_stateful_kernel_closes_carried_session_on_gap():
+    emitted, state = _run_batches([
+        [(7, 1, 1000, 5)],
+        [(7, 2, 99000, 7)],  # far past gap: carried session closes
+    ])
+    assert sorted(emitted) == [0, 1]
+    closed, opened = emitted[0], emitted[1]
+    assert (closed.events, closed.value_cents, closed.open) == (1, 5, 0)
+    assert (opened.events, opened.value_cents, opened.open) == (1, 7, 1)
+
+
+def test_stateful_kernel_multiple_sessions_one_batch():
+    emitted, _ = _run_batches([
+        [(7, 1, 1000, 1), (7, 2, 1100, 2), (7, 3, 50000, 3), (7, 4, 99000, 4)],
+    ])
+    assert sorted(emitted) == [0, 1, 2]
+    assert [emitted[k].open for k in sorted(emitted)] == [0, 0, 1]
+    assert [emitted[k].events for k in sorted(emitted)] == [2, 1, 1]
