@@ -99,7 +99,7 @@ sstables_meta AS (
         SELECT keyspace, table_name, sstable_seq, sstable_id,
                count(*) AS keys,
                CAST(sum(psize) AS BIGINT) AS uncompressed_length,
-               max(psize) AS max_row_size,
+               CAST(max(psize) AS BIGINT) AS max_row_size,
                CAST(floor(sum(psize) / count(*)) AS BIGINT) AS avg_row_size,
                max(pcells) AS max_column_count,
                CAST(floor(sum(pcells) / count(*)) AS BIGINT) AS avg_column_count,

@@ -84,6 +84,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable as bigint nanos.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime SQLConf, so setting
+    it here works even on a caller-provided SparkSession that was built
+    without this repo's session factory (the driver contract passes its own
+    session). Must run before any read that touches `events.parquet`."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` with a canonical epoch-seconds column.
 
@@ -92,6 +102,7 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Seconds are derived with exact integer division (`div`) -- nanos exceed
     2^53 so double division would lose precision. The DuckDB oracle mirror is
     ``CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)`` (exact: ms < 2^53)."""
+    _enable_nanos_as_long(spark)
     e = load_table(spark, sf_dir, "events")
     return e.withColumn("ts_s", F.expr("ts div 1000000000"))
 

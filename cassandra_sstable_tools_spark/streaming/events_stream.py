@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from cassandra_sstable_tools_spark.sources.tpch_adapter import _enable_nanos_as_long
+
 # `ts` arrives as raw nanos (bigint) -- see session.py nanosAsLong note.
 EVENTS_SCHEMA = StructType(
     [
@@ -48,6 +50,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests)."""
     # File stream sources require a directory; select the single events
     # parquet via glob filter.
+    _enable_nanos_as_long(spark)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")

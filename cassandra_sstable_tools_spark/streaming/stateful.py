@@ -134,6 +134,9 @@ def _sessionize_group(
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-sessionization; returns the (unstarted) stateful stream."""
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import _enable_nanos_as_long
+
+    _enable_nanos_as_long(spark)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
