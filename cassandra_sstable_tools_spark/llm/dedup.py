@@ -13,8 +13,9 @@ oracle -- no opaque library calls, no Python in the hot path:
   verify join touches only candidates -- never the full N^2.
 - ngram_jaccard_pairs: exact Jaccard for pairs sharing >= 1 shingle (smaller
   corpora / ground-truth for LSH recall).
-- simhash_signature: 16-bit SimHash from per-word md5-nibble high-bit votes;
-  near-dup banding over 4-bit bands works the same way as minhash banding.
+- simhash_signature: 16-bit SimHash demo signature (string form);
+  simhash_neardup_pairs runs 32-bit signatures with 4x8-bit pigeonhole
+  banding, melted into one (band_id, band_value) self-join.
 
 Determinism notes: md5 is identical everywhere; lexicographic MIN over hex
 strings is engine-independent; all ratios are integer ppm.
@@ -27,9 +28,20 @@ from pyspark.sql import functions as F
 
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
+# MinHash+LSH tuning. N_HASHES signatures banded as N_BANDS x BAND_SIZE;
+# the sf-test config is 8 = 4x2. The 100 TB config is a flip of these
+# constants (e.g. 128 hashes as 16x8: collision prob s^8 per band keeps
+# candidate volume sane at higher doc counts while 16 bands hold recall).
 N_HASHES = 8
-BAND_SIZE = 2  # 4 bands x 2 rows
+BAND_SIZE = 2
+N_BANDS = N_HASHES // BAND_SIZE
 JACCARD_THRESHOLD_PPM = 300_000
+# ngram_jaccard_pairs df-cap: shingles appearing in more than this many docs
+# are dropped before the pair join (stopword n-grams carry no dedup signal;
+# a shingle with document frequency f contributes f^2 pair rows). Static
+# config -- never derived from data at runtime (that would cost an extra
+# job per call at scale).
+NGRAM_MAX_DF = 250
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +103,7 @@ def _signatures(sh: DataFrame) -> DataFrame:
     bands = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]))
         .alias(f"band{b}")
-        for b in range(N_HASHES // BAND_SIZE)
+        for b in range(N_BANDS)
     ]
     return sig.select("doc_id", *bands, "n_shingles")
 
@@ -161,13 +173,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap keys the join on rare shingles only, bounding the blowup; the LSH
     variant (minhash_lsh_pairs) remains the true scale path."""
     sh = _shingles(spark, sf_dir).cache()
-    # df-cap: drop ubiquitous shingles (here df > half the corpus; at 100 TB
-    # an absolute cap like 1000 is the right setting).
-    n_docs = sh.select("doc_id").distinct().count()
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= F.lit(max(2, n_docs // 2)))
+        .where(F.col("df") <= NGRAM_MAX_DF)
         .select("shingle")
     )
     capped = sh.join(rare, "shingle")
@@ -220,44 +229,44 @@ def _simhash_val(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by SimHash: hamming(a, b) <= 3 over 16-bit
-    signatures. EXACT via pigeonhole banding: 4 bands x 4 bits -- any pair
+    """Near-duplicate pairs by SimHash: hamming(a, b) <= 3 over 32-bit
+    signatures. EXACT via pigeonhole banding: 4 bands x 8 bits -- any pair
     within hamming 3 differs in at most 3 bands, so at least one band matches;
-    candidates = band-bucket self-join, verified with bit_count(xor).
+    candidates from ONE melted (band_id, band_value) self-join, verified with
+    bit_count(xor). Same melt pattern as minhash `_band_candidates`: one
+    exchange of 4x rows instead of 4 exchanges + union.
 
     Scale posture: shuffles only (band_id, band_value) keys -- the standard
     simhash index layout (Manku et al., WWW'07 pattern); never N^2."""
     sig = _simhash_val(spark, sf_dir)
-    bands = sig.select(
+    long = sig.select(
         "doc_id",
         "simhash",
-        *[
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias(f"band{b}")
-            for b in range(4)
-        ],
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col("simhash"), 8 * b)
+                    .bitwiseAND(F.lit(255))
+                    .alias("bk"),
+                )
+                for b in range(4)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band_id", "e.bk")
+    a = long.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band_id", "bk",
     )
-    pair_frames = []
-    for b in range(4):
-        a = bands.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("simhash").alias("sh_a"),
-            F.col(f"band{b}").alias("bk"),
-        )
-        c = bands.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("simhash").alias("sh_b"),
-            F.col(f"band{b}").alias("bk"),
-        )
-        pair_frames.append(
-            a.join(c, "bk")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sh_a", "sh_b")
-        )
-    cands = pair_frames[0]
-    for pf in pair_frames[1:]:
-        cands = cands.unionByName(pf)
+    c = long.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band_id", "bk",
+    )
     return (
-        cands.distinct()
+        a.join(c, ["band_id", "bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
@@ -315,7 +324,7 @@ _SIG_SQL = (
         "md5(concat_ws('|', "
         + ", ".join(f"mh{b * BAND_SIZE + r}" for r in range(BAND_SIZE))
         + f")) AS band{b}"
-        for b in range(N_HASHES // BAND_SIZE)
+        for b in range(N_BANDS)
     )
     + "\n    FROM signatures\n)"
 )
@@ -326,7 +335,7 @@ _CAND_SQL = (
         f"    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
         f"    FROM bands a JOIN bands b ON a.band{b} = b.band{b}\n"
         f"    WHERE a.doc_id < b.doc_id"
-        for b in range(N_HASHES // BAND_SIZE)
+        for b in range(N_BANDS)
     )
     + "\n)"
 )
@@ -349,11 +358,10 @@ _SIMHASH_VAL_SQL = (
 ORACLES = {
     "ngram_jaccard_pairs": f"""
 WITH {_SHINGLES_SQL.lstrip()},
-n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM shingles),
 rare AS (
-    SELECT shingle FROM shingles, n_docs
-    GROUP BY shingle, n
-    HAVING count(*) <= greatest(2, n // 2)
+    SELECT shingle FROM shingles
+    GROUP BY shingle
+    HAVING count(*) <= {NGRAM_MAX_DF}
 ),
 capped AS (SELECT s.* FROM shingles s JOIN rare r ON r.shingle = s.shingle),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),

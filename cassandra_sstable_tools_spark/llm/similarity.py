@@ -19,14 +19,22 @@ Operators:
   bucketed by the sign pattern of the first 8 quantized dimensions (a fixed
   orthogonal-ish projection); candidates only within the query's bucket.
   Same output schema; approximate recall, O(N/2^8) candidates per query.
-- embedding_neardup_pairs: near-duplicate detection -- all pairs with cosine
-  >= threshold via bucketed self-join. The driver's synthetic embeddings are
-  near-orthogonal (max within-bucket cosine ~0.43 at sf0.01), so the
-  threshold is set to 0.40 to keep the verify path non-degenerate; a real
-  corpus would use ~0.95.
+- embedding_neardup_pairs: near-duplicate detection via banded sign-LSH
+  (AND-OR construction): a pair is a candidate iff it agrees on ALL
+  ``NEARDUP_BAND_BITS`` sign bits of ANY of the ``NEARDUP_N_BANDS`` bands;
+  candidates are exact-verified against the cosine threshold. The band
+  width bounds bucket occupancy (E[bucket] = N / 2^bits), so candidate
+  volume is N^2 * bands / 2^bits -- a config knob, not a redesign: the
+  sf-test config is 4 bands x 8 bits (dims 0..31); a 100 TB corpus flips
+  to e.g. 4 x 16 (occupancy N/65536) without touching the plan shape.
+  The driver's synthetic embeddings are near-orthogonal (max cosine ~0.43
+  at sf0.01), so the threshold is 0.40 to keep the verify path
+  non-degenerate; a real corpus would use ~0.95.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +48,12 @@ TOP_K = 10
 NEARDUP_SIM_PPM = 400_000
 N_CENTROIDS = 16
 NPROBE = 2
+# Banded sign-LSH for near-dup pairing. Bits per band bounds bucket occupancy
+# (N / 2^bits); band count is the OR-construction recall knob. 100 TB config:
+# raise NEARDUP_BAND_BITS to 16 (the 64-dim fixture caps total bits at 64;
+# wider configs would hash random hyperplane projections instead of raw dims).
+NEARDUP_N_BANDS = 4
+NEARDUP_BAND_BITS = 8
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,24 +193,61 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
 
 
+def _band_keys(qv: Column) -> Column:
+    """Array of NEARDUP_N_BANDS integer band keys; band b packs the sign bits
+    of quantized dims [b*BITS, (b+1)*BITS)."""
+    keys = []
+    for b in range(NEARDUP_N_BANDS):
+        terms = [
+            F.when(
+                qv.getItem(b * NEARDUP_BAND_BITS + i) >= 0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for i in range(NEARDUP_BAND_BITS)
+        ]
+        keys.append(reduce(lambda x, y: x + y, terms))
+    return F.array(*keys)
+
+
+def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct candidate (vec_a, vec_b) pairs from the banded sign-LSH:
+    melt each vector into (band_id, band_key) rows, ONE equi-self-join on
+    (band_id, band_key) -- never an all-pairs comparison -- then distinct
+    (a pair agreeing in several bands must verify once, not k times)."""
+    emb = _quantized(spark, sf_dir)
+    bands = emb.select(
+        "vec_id", F.posexplode(_band_keys(F.col("qv"))).alias("band_id", "band_key")
+    )
+    other = bands.select(
+        F.col("vec_id").alias("vec_b"), "band_id", "band_key"
+    )
+    return (
+        bands.withColumnRenamed("vec_id", "vec_a")
+        .join(other, ["band_id", "band_key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors: cosine >= threshold, bucketed self-join + verify."""
-    emb = _quantized(spark, sf_dir).withColumn("bucket", _bucket(F.col("qv")))
+    """Near-duplicate vectors: cosine >= threshold; banded-LSH candidates,
+    exact verify on candidates only."""
+    emb = _quantized(spark, sf_dir)
+    cand = neardup_candidate_pairs(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("qv").alias("qv_a"),
         F.col("norm").alias("norm_a"),
-        "bucket",
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("qv").alias("qv_b"),
         F.col("norm").alias("norm_b"),
-        "bucket",
     )
     return (
-        a.join(b, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("dot", _dot(F.col("qv_a"), F.col("qv_b")))
         .withColumn(
             "sim_ppm",
@@ -324,13 +375,25 @@ ORACLES = {
     "ann_ivf_topk": _IVF_SQL,
     "embedding_neardup_pairs": f"""
 WITH {_ELEMS_SQL.lstrip()},
+band_keys AS (
+    SELECT vec_id, CAST((pos - 1) // {NEARDUP_BAND_BITS} AS INT) AS band_id,
+           CAST(sum(CASE WHEN q >= 0
+                         THEN 1 << CAST((pos - 1) % {NEARDUP_BAND_BITS} AS INT)
+                         ELSE 0 END) AS BIGINT) AS band_key
+    FROM elems WHERE pos <= {NEARDUP_N_BANDS * NEARDUP_BAND_BITS}
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM band_keys a
+    JOIN band_keys b ON b.band_id = a.band_id AND b.band_key = a.band_key
+                    AND a.vec_id < b.vec_id
+),
 dots AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(sum(a.q * b.q) AS BIGINT) AS dot
-    FROM elems a
-    JOIN elems b ON a.pos = b.pos AND a.vec_id < b.vec_id
-    JOIN buckets ba ON ba.vec_id = a.vec_id
-    JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+    SELECT c.vec_a, c.vec_b, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+    FROM cand c
+    JOIN elems a ON a.vec_id = c.vec_a
+    JOIN elems b ON b.vec_id = c.vec_b AND b.pos = a.pos
     GROUP BY 1, 2
 )
 SELECT d.vec_a, d.vec_b,

@@ -94,6 +94,54 @@ def test_simhash_pigeonhole_guarantee(sig, flips):
     assert shared
 
 
+def test_minhash_banding_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH banding recall on the fixture corpus: every pair the exact
+    trigram-Jaccard ground truth (ngram_jaccard_pairs) reports at >= the
+    threshold should also be surfaced by minhash banding. With 4 bands x 2
+    rows the per-pair candidate probability at jaccard s is
+    1 - (1 - s^2)^4 (>= 0.31 at s = 0.3, ~1 for true near-dups), so on the
+    fixture's high-similarity dup pairs recall should be near-total; bound
+    it at 0.8 to keep the test robust to corpus drift."""
+    from cassandra_sstable_tools_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert truth, "ground truth must be non-degenerate on the fixture corpus"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"banding recall {recall:.2f} < 0.8 ({len(truth)} truth pairs)"
+
+
+def test_embedding_neardup_candidates_bounded(spark, sf_dir):
+    """The banded sign-LSH must generate candidates, never all pairs: the
+    expected candidate volume is N^2/2 * bands / 2^bits, so with 4x8-bit
+    bands the fraction of all pairs surviving banding stays ~4/256. Bound it
+    at 5% -- an all-pairs regression would be ~100%."""
+    from cassandra_sstable_tools_spark.llm.similarity import (
+        NEARDUP_BAND_BITS,
+        NEARDUP_N_BANDS,
+        load_table,
+        neardup_candidate_pairs,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    cand = neardup_candidate_pairs(spark, sf_dir).count()
+    all_pairs = n * (n - 1) // 2
+    # loose structural bound (3x the expected random-sign fraction)
+    expected_frac = NEARDUP_N_BANDS / (2**NEARDUP_BAND_BITS)
+    assert cand <= max(3 * expected_frac, 0.05) * all_pairs, (
+        f"candidate blowup: {cand}/{all_pairs} pairs survived banding"
+    )
+
+
 def test_sessionize_invariants(spark, sf_dir):
     from pyspark.sql import functions as F
 
