@@ -2,13 +2,19 @@
 the engine's extension surface.
 
     python -m cassandra_sstable_tools_spark summary  [--sf-dir DIR]
-    python -m cassandra_sstable_tools_spark sstables [--sf-dir DIR]
-    python -m cassandra_sstable_tools_spark pstats   [--sf-dir DIR] [-n N]
-    python -m cassandra_sstable_tools_spark cfstats  [--sf-dir DIR] [-n N]
-    python -m cassandra_sstable_tools_spark purge    [--sf-dir DIR] [-n N]
+    python -m cassandra_sstable_tools_spark sstables [--sf-dir DIR] [-f F1,F2]
+    python -m cassandra_sstable_tools_spark pstats   [--sf-dir DIR] [-n N] [-f F1,F2]
+    python -m cassandra_sstable_tools_spark cfstats  [--sf-dir DIR] [-n N] [-f F1,F2]
+    python -m cassandra_sstable_tools_spark purge    [--sf-dir DIR] [-n N] [-f F1,F2]
     python -m cassandra_sstable_tools_spark clean    [--sf-dir DIR] [--out DIR]
     python -m cassandra_sstable_tools_spark dedup    [--sf-dir DIR]
     python -m cassandra_sstable_tools_spark ann      [--sf-dir DIR] [-n N]
+
+Flag parity with the reference CLI (cli/PartitionSizeStatisticsCollector
+.java:35-59): `-n` top-N size, `-f` comma-separated Data.db filename
+restriction, `-t` snapshot name (accepted; a no-op by design -- parquet
+inputs are immutable, SURVEY.md §1.3/S6), `-b` batch mode (accepted; this
+CLI never renders interactive progress, S8 non-goal -> Spark UI).
 
 Reports render as the reference's ASCII tables with humanized sizes and
 timestamps (X1-X3). Only report-sized results are collected to the driver.
@@ -45,7 +51,9 @@ def _render(df: DataFrame, humanize_cols: dict[str, str] | None = None) -> str:
     return str(tb)
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. `spark=None` builds (and stops) a session; passing one in
+    runs embedded against it and leaves its lifecycle to the caller."""
     p = argparse.ArgumentParser(prog="cassandra_sstable_tools_spark")
     p.add_argument(
         "command",
@@ -54,15 +62,37 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("-n", type=int, default=10, help="top-N size for rankings")
+    p.add_argument(
+        "-f", "--filenames", default=None,
+        help="comma-separated Data.db filenames to restrict to (reference -f)",
+    )
+    p.add_argument(
+        "-t", "--snapshot", default=None,
+        help="snapshot name (accepted for parity; no-op on immutable parquet)",
+    )
+    p.add_argument(
+        "-b", "--batch", action="store_true",
+        help="batch mode (accepted for parity; output is always non-interactive)",
+    )
     p.add_argument("--out", default=None, help="clean: write keep-list here")
     args = p.parse_args(argv)
 
     from cassandra_sstable_tools_spark.session import get_spark
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import filename_filter
 
-    spark = get_spark(app_name=f"sstable-tools-{args.command}")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name=f"sstable-tools-{args.command}")
     sf = args.sf_dir
+    names = args.filenames.split(",") if args.filenames else None
     out: list[tuple[str, str]] = []
 
+    with filename_filter(names):
+        return _dispatch(spark, args, sf, out, stop_session=owns_session)
+
+
+def _dispatch(spark, args, sf: str, out: list[tuple[str, str]],
+              stop_session: bool = True) -> int:
     if args.command == "summary":
         from cassandra_sstable_tools_spark.queries.summary import summary
 
@@ -149,7 +179,8 @@ def main(argv: list[str] | None = None) -> int:
 
     for title, table in out:
         sys.stdout.write(f"{title}\n{table}\n")
-    spark.stop()
+    if stop_session:
+        spark.stop()
     return 0
 
 

@@ -53,6 +53,8 @@ Mapping spec (mirrored in oracles.ADAPTER_CTE):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,15 +65,36 @@ TPCH_TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Active `-f` restriction (reference cli/PartitionSizeStatisticsCollector
+# .java:54-59 parse, cassandra/ColumnFamilyBackend.java:80-89 apply): when
+# set, the derived cell/metadata frames only see the named Data.db files.
+# Applied at the ROOT of the derivation chain (`cells`) so every downstream
+# frame (partition_sizes, sstables, index_entries, collates) inherits it,
+# exactly like the reference's file-list restriction at open time.
+_FILENAME_FILTER: tuple[str, ...] | None = None
+
+
+@contextmanager
+def filename_filter(names: list[str] | None):
+    """Scope a `-f` Data.db filename restriction over the derived frames."""
+    global _FILENAME_FILTER
+    prev = _FILENAME_FILTER
+    _FILENAME_FILTER = tuple(sorted(names)) if names else None
+    try:
+        yield
+    finally:
+        _FILENAME_FILTER = prev
+
+
 # The derived frames stand in for tables that would be *materialized* in a
 # real deployment (they are the engine's inputs, not part of its queries).
 # Persisting them avoids re-deriving from lineitem inside every query plan
 # (self-referencing plans would otherwise re-scan the source per branch).
-_DERIVED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_DERIVED_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (id(spark), sf_dir, name, _FILENAME_FILTER)
     df = _DERIVED_CACHE.get(key)
     if df is None:
         df = build().persist()
@@ -108,8 +131,18 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data.db analog at cell grain (SURVEY.md §1.2 `cells` table)."""
-    return _cached(spark, sf_dir, "cells", lambda: _cells_uncached(spark, sf_dir))
+    """Data.db analog at cell grain (SURVEY.md §1.2 `cells` table). Honors
+    the active `filename_filter` (F1) -- a plain predicate on the derived
+    filename, so Catalyst folds it into the scan."""
+
+    def build() -> DataFrame:
+        df = _cells_uncached(spark, sf_dir)
+        if _FILENAME_FILTER:
+            fname = F.concat(F.lit("nb-"), F.col("sstable_id"), F.lit("-big-Data.db"))
+            df = df.where(fname.isin(list(_FILENAME_FILTER)))
+        return df
+
+    return _cached(spark, sf_dir, "cells", build)
 
 
 def _cells_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,118 @@
+"""End-to-end CLI tests through ``__main__.main``: reference flag parity
+(-n / -f, cli/PartitionSizeStatisticsCollector.java:35-59) and the
+strategy-dependent sstable ordering rendered by the TableBuilder path
+(SSTableMetadata.java:21-42 comparators: TWCS -> maxTimestamp, LCS ->
+level, STCS -> generation id, all ascending with id tiebreak). The driver's
+oracle hash is order-insensitive, so row ORDER is only provable here.
+"""
+
+from __future__ import annotations
+
+from cassandra_sstable_tools_spark.__main__ import main
+
+
+def _tables(stdout: str) -> dict[str, list[list[str]]]:
+    """Parse the CLI output into {section_title: data_rows}; each data row is
+    the list of stripped cell strings (header row excluded)."""
+    sections: dict[str, list[list[str]]] = {}
+    title = None
+    rows: list[list[str]] = []
+    saw_header = False
+    for line in stdout.splitlines():
+        if line.startswith("+"):
+            continue
+        if line.startswith("|"):
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            if not saw_header:
+                saw_header = True  # first pipe row of a section is the header
+            else:
+                rows.append(cells)
+            continue
+        if line.strip():  # a section title
+            if title is not None:
+                sections[title] = rows
+            title, rows, saw_header = line.strip(), [], False
+    if title is not None:
+        sections[title] = rows
+    return sections
+
+
+def test_cli_top_n_flag(spark, sf_dir, capsys):
+    assert main(["pstats", "--sf-dir", sf_dir, "-n", "3"], spark=spark) == 0
+    sections = _tables(capsys.readouterr().out)
+    largest = sections["Largest partitions"]
+    # 3 tables x top-3 each (rank column is the last-but-one... assert per group)
+    per_table: dict[str, int] = {}
+    for row in largest:
+        per_table[row[1]] = per_table.get(row[1], 0) + 1
+    assert set(per_table.values()) == {3}, per_table
+
+
+def test_cli_filename_filter_flag(spark, sf_dir, capsys):
+    assert main(
+        ["cfstats", "--sf-dir", sf_dir, "-n", "2", "-f",
+         "nb-00001-big-Data.db,nb-00003-big-Data.db"],
+        spark=spark,
+    ) == 0
+    sections = _tables(capsys.readouterr().out)
+    per_sstable = sections["Per-SSTable"]
+    ids = {row[2] for row in per_sstable}
+    assert ids == {"00001", "00003"}, ids
+    # -n flows through alongside -f
+    largest = sections["Largest partitions"]
+    per_table: dict[str, int] = {}
+    for row in largest:
+        per_table[row[1]] = per_table.get(row[1], 0) + 1
+    assert set(per_table.values()) == {2}, per_table
+
+
+def test_cli_filter_restricts_purge(spark, sf_dir, capsys):
+    """purge totals under -f must cover only the named sstables (the filter
+    applies at the cells root, so the merge simulation sees fewer inputs)."""
+    assert main(["purge", "--sf-dir", sf_dir], spark=spark) == 0
+    full = _tables(capsys.readouterr().out)["Top reclaimable partitions"]
+    assert main(
+        ["purge", "--sf-dir", sf_dir, "-f", "nb-00002-big-Data.db"], spark=spark
+    ) == 0
+    filtered = _tables(capsys.readouterr().out)["Top reclaimable partitions"]
+    assert filtered != full  # single-sstable merge differs from 4-way merge
+
+
+def test_cli_parity_noop_flags(spark, sf_dir, capsys):
+    """-t (snapshot) and -b (batch) are accepted; output is unchanged."""
+    assert main(["summary", "--sf-dir", sf_dir], spark=spark) == 0
+    base = capsys.readouterr().out
+    assert main(
+        ["summary", "--sf-dir", sf_dir, "-t", "snap1", "-b"], spark=spark
+    ) == 0
+    assert capsys.readouterr().out == base
+
+
+def test_sstables_cli_order_matches_strategy_comparators(spark, sf_dir, capsys):
+    """Golden ordering through main(): within each table, rendered row order
+    must equal the reference comparator for that table's strategy."""
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    meta = {
+        (r["table_name"], r["sstable_id"]): r
+        for r in tpch_adapter.sstables(spark, sf_dir).collect()
+    }
+    strategy = {"tab_twcs": "TWCS", "tab_lcs": "LCS", "tab_stcs": "STCS"}
+
+    def ref_key(table_name: str, sstable_id: str):
+        m = meta[(table_name, sstable_id)]
+        if strategy[table_name] == "TWCS":
+            return (m["max_timestamp"], sstable_id)
+        if strategy[table_name] == "LCS":
+            return (m["level"], sstable_id)
+        return (sstable_id,)
+
+    assert main(["sstables", "--sf-dir", sf_dir], spark=spark) == 0
+    rows = _tables(capsys.readouterr().out)["SSTables"]
+    seen: dict[str, list[str]] = {}
+    for row in rows:
+        seen.setdefault(row[1], []).append(row[2])
+    assert set(seen) == set(strategy)
+    for table_name, ids in seen.items():
+        expected = sorted(ids, key=lambda i: ref_key(table_name, i))
+        assert ids == expected, f"{table_name}: rendered {ids} != comparator {expected}"

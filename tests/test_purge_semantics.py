@@ -117,6 +117,44 @@ def test_marker_reconciliation_keeps_newest(spark):
     assert out["p1"]["reclaimable"] == 5
 
 
+def test_rtm_boundary_split_deviation_bound(spark):
+    """Quantifies the DOCUMENTED deviation from the reference's boundary
+    splitting (cassandra/PurgeStatisticBackend.java:233-256): when two
+    adjacent range tombstones meet at a boundary and only ONE side is
+    purgeable, the reference replaces the boundary marker with the
+    unpurgeable side's bound marker -- i.e. part of the marker's bytes
+    survive. This engine's declared-size model treats each RTM row
+    atomically: fully purged (ldt < gcBefore) or fully kept.
+
+    Fixture: r1=[a,c] droppable, r2=[c,e] not droppable -- the reference
+    would merge their meeting point at 'c' into a boundary and keep r2's
+    open side; both models keep r2 whole, and the models differ ONLY in
+    whether r1's marker bytes survive. Hence per straddling boundary:
+
+        0 <= engine_reclaimable - reference_reclaimable <= size(droppable RTM)
+
+    The engine sits at the upper end (purges all of r1); the reference
+    keeps the boundary-to-bound remnant. The test pins the engine value and
+    asserts the deviation bound, keeping the trade-off on record."""
+    rtm_size = 9
+    out = _run(spark, [
+        _cell("p1", "b", "ca", 100, 10),  # shadowed by r1 (older, in [a,c])
+        _cell("p1", "", None, rtm_size, 20, kind="RANGE_TOMBSTONE_MARKER",
+              ldt=GC - 1, rs="a", re="c"),   # droppable side of the boundary
+        _cell("p1", "", None, rtm_size, 20, kind="RANGE_TOMBSTONE_MARKER",
+              ldt=GC + 1, rs="c", re="e"),   # kept side of the boundary
+    ])
+    # engine: cell shadowed (100) + r1 purged whole (9); r2 survives whole
+    assert out["p1"]["merged_size"] == rtm_size
+    assert out["p1"]["reclaimable"] == 100 + rtm_size
+    # reference split semantics would retain r1's close-bound remnant at the
+    # boundary: reference_reclaimable in [100, 100 + rtm_size). The deviation
+    # is bounded by the droppable marker's declared size.
+    engine_reclaimable = out["p1"]["reclaimable"]
+    reference_lower_bound = 100  # everything but the full droppable marker
+    assert 0 <= engine_reclaimable - reference_lower_bound <= rtm_size
+
+
 def test_reclaimable_bounded_by_size(spark, sf_dir):
     from cassandra_sstable_tools_spark.sources import tpch_adapter
 
