@@ -13,8 +13,10 @@ the engine's extension surface.
 Flag parity with the reference CLI (cli/PartitionSizeStatisticsCollector
 .java:35-59): `-n` top-N size, `-f` comma-separated Data.db filename
 restriction, `-t` snapshot name (accepted; a no-op by design -- parquet
-inputs are immutable, SURVEY.md §1.3/S6), `-b` batch mode (accepted; this
-CLI never renders interactive progress, S8 non-goal -> Spark UI).
+inputs are immutable, SURVEY.md §1.3/S6), `-b` batch mode (plain percent
+lines instead of the interactive block bar, ProgressBar.java:25/83-94).
+Progress (S8) renders on stderr from Spark's statusTracker task counts
+(report/progress.py); stdout carries only the report tables.
 
 Reports render as the reference's ASCII tables with humanized sizes and
 timestamps (X1-X3). Only report-sized results are collected to the driver.
@@ -87,8 +89,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     names = args.filenames.split(",") if args.filenames else None
     out: list[tuple[str, str]] = []
 
+    from cassandra_sstable_tools_spark.report.progress import job_progress
+
+    interactive = (not args.batch) and sys.stderr.isatty()
     with filename_filter(names):
-        return _dispatch(spark, args, sf, out, stop_session=owns_session)
+        with job_progress(spark, f"Analyzing {args.command}", interactive=interactive):
+            return _dispatch(spark, args, sf, out, stop_session=owns_session)
 
 
 def _dispatch(spark, args, sf: str, out: list[tuple[str, str]],
