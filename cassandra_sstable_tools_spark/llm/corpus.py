@@ -1,0 +1,164 @@
+"""Corpus-level analytics for LLM training-data pipelines.
+
+Complements the per-document ops in ``llm/text.py`` with the corpus-wide
+passes a data-curation run needs before/after cleaning:
+
+- ngram_topk:             global top-K word bigrams (content drift /
+                          boilerplate detector).
+- pii_scan:               per-doc counts of email / long-digit / URL
+                          patterns + a redaction-needed flag.
+- length_histogram:       document-length distribution in fixed buckets.
+- stratified_sample_rates: deterministic md5-keyed subsampling audited per
+                          source stratum (the reproducible "take X% of
+                          each source" primitive; the keep decision is a
+                          pure function of (doc_id, source), so re-runs
+                          and retries pick the identical sample).
+
+Scale posture: every op is a single codegen'd scan + one aggregation.
+``ngram_topk`` aggregates (bigram -> count) with map-side partial combine,
+then takes the global top-K via orderBy+limit (TakeOrderedAndProject: a
+bounded heap per task + driver merge of K rows -- never a global sort of
+the distinct-bigram table); the rank column is added on the K collected
+rows. ``pii_scan`` is pure per-row regex counting in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+NGRAM_TOP_K = 20
+LENGTH_BUCKET = 200
+# keep a doc when the first hex nibble of md5(doc_id|source) is 0..3 (25%)
+SAMPLE_KEEP_NIBBLES = ("0", "1", "2", "3")
+
+_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+_LONG_DIGIT_RE = r"[0-9]{6,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str, k: int = NGRAM_TOP_K) -> DataFrame:
+    """Global top-K word bigrams (count desc, bigram asc tiebreak)."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    counts = (
+        d.withColumn("w", F.split(F.trim(F.col("text")), r"\s+"))
+        .select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    topk = counts.orderBy(F.desc("occurrences"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("occurrences"), F.asc("ngram"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII-ish pattern counts; flag docs needing redaction."""
+    d = load_table(spark, sf_dir, "documents")
+    email = F.regexp_count("text", F.lit(_EMAIL_RE))
+    long_digit = F.regexp_count("text", F.lit(_LONG_DIGIT_RE))
+    url = F.regexp_count("text", F.lit(_URL_RE))
+    return d.select(
+        "doc_id",
+        email.alias("email_hits"),
+        long_digit.alias("long_digit_hits"),
+        url.alias("url_hits"),
+        ((email + long_digit) > 0).cast("int").alias("needs_redaction"),
+    )
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution in LENGTH_BUCKET-char buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / LENGTH_BUCKET) * LENGTH_BUCKET).cast("bigint")
+    return d.groupBy(bucket.alias("length_bucket")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+def _keep(doc_id, source):
+    nibble = F.substring(F.md5(F.concat(doc_id.cast("string"), F.lit("|"), source)), 1, 1)
+    return nibble.isin(*SAMPLE_KEEP_NIBBLES)
+
+
+def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the deterministic 25% subsample per source stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = _keep(F.col("doc_id"), F.col("source")).cast("int")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(kept).alias("kept_docs"),
+        F.floor(F.sum(kept) * 1000000 / F.count(F.lit(1))).alias("kept_ppm"),
+    )
+
+
+_BIGRAMS_SQL = r"""
+words AS (
+    SELECT doc_id,
+           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos,
+           unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+),
+bigrams AS (
+    SELECT concat(w1.word, ' ', w2.word) AS ngram
+    FROM words w1
+    JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+)"""
+
+ORACLES = {
+    "ngram_topk": f"""
+WITH {_BIGRAMS_SQL.lstrip()}
+SELECT ngram, occurrences, rank FROM (
+    SELECT ngram, count(*) AS occurrences,
+           row_number() OVER (ORDER BY count(*) DESC, ngram ASC) AS rank
+    FROM bigrams GROUP BY 1
+) WHERE rank <= {NGRAM_TOP_K}
+""",
+    "pii_scan": rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS email_hits,
+       len(regexp_extract_all(text, '{_LONG_DIGIT_RE}')) AS long_digit_hits,
+       len(regexp_extract_all(text, '{_URL_RE}')) AS url_hits,
+       CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                 + len(regexp_extract_all(text, '{_LONG_DIGIT_RE}')) > 0
+            THEN 1 ELSE 0 END AS needs_redaction
+FROM documents
+""",
+    "length_histogram": f"""
+SELECT CAST(floor(length(text) / {LENGTH_BUCKET}) * {LENGTH_BUCKET} AS BIGINT)
+           AS length_bucket,
+       count(*) AS docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       min(length(text)) AS min_len,
+       max(length(text)) AS max_len
+FROM documents
+GROUP BY 1
+""",
+    "stratified_sample_rates": f"""
+SELECT source,
+       count(*) AS total_docs,
+       CAST(sum(CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), '|', source)), 1, 1)
+                          IN {SAMPLE_KEEP_NIBBLES} THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_docs,
+       CAST(floor(sum(CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), '|', source)), 1, 1)
+                                IN {SAMPLE_KEEP_NIBBLES} THEN 1 ELSE 0 END)
+                  * 1000000 / count(*)) AS BIGINT) AS kept_ppm
+FROM documents
+GROUP BY 1
+""",
+}
+
+QUERIES = {
+    "ngram_topk": ngram_topk,
+    "pii_scan": pii_scan,
+    "length_histogram": length_histogram,
+    "stratified_sample_rates": stratified_sample_rates,
+}

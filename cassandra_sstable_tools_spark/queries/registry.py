@@ -16,13 +16,14 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from cassandra_sstable_tools_spark.llm import (
+        corpus,
         dedup,
         multimodal,
         pipeline,
         similarity,
         text,
     )
-    from cassandra_sstable_tools_spark.streaming import stateful
+    from cassandra_sstable_tools_spark.streaming import events_stream, stateful
     from cassandra_sstable_tools_spark.queries import (
         catalog,
         cfstats,
@@ -37,8 +38,8 @@ def _modules():
 
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
-        text, dedup, similarity, pipeline, events, multimodal, catalog,
-        stateful,
+        text, corpus, dedup, similarity, pipeline, events, multimodal,
+        catalog, stateful, events_stream,
     ]
 
 

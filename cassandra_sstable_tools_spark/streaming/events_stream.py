@@ -73,6 +73,21 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRAIN_COUNTER = [0]
+
+
+def stream_events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: drain the watermarked tumbling-window stream to
+    completion (availableNow, complete mode) and return the materialized
+    hourly x event_type aggregate. Drained-to-end it must equal the batch
+    arithmetic bucketing exactly -- the oracle below is plain batch SQL."""
+    _DRAIN_COUNTER[0] += 1
+    return run_available_now(
+        stream_events_hourly(spark, sf_dir),
+        f"t_reg_stream_hourly_{_DRAIN_COUNTER[0]}",
+    )
+
+
 def run_available_now(df: DataFrame, table_name: str = "stream_out") -> DataFrame:
     """Drain a streaming DataFrame with the availableNow trigger into an
     in-memory table; returns the materialized result (test/demo helper)."""
@@ -85,3 +100,23 @@ def run_available_now(df: DataFrame, table_name: str = "stream_out") -> DataFram
     )
     q.awaitTermination()
     return df.sparkSession.table(table_name)
+
+
+# Oracle: the batch arithmetic-bucket formulation (queries/events.py proves
+# F.window's UTC-aligned hour starts == (ts_s // 3600) * 3600).
+from cassandra_sstable_tools_spark.queries.events import _TS_S_SQL
+
+ORACLES = {
+    "stream_events_hourly": f"""
+SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
+       event_type,
+       count(*) AS events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+}
+
+QUERIES = {
+    "stream_events_hourly": stream_events_hourly_agg,
+}
