@@ -58,7 +58,11 @@ def _flags(c: DataFrame) -> DataFrame:
         "*",
         is_cell.cast("int").alias("f_cell"),
         is_row.alias("f_rowkind"),
-        F.when(is_row, F.concat_ws("#", "sstable_id", "clustering")).alias("row_key"),
+        # full physical-row identity: distinct-counting it inside ANY coarser
+        # grouping (per-partition OR per-sstable) yields that grain's row
+        # count; a partial key would collapse rows across the omitted column.
+        F.when(is_row, F.concat_ws("#", "sstable_id", "partition_key", "clustering"))
+        .alias("row_key"),
         (F.col("kind") == "ROW_DELETE").cast("int").alias("f_rowdel"),
         (F.col("kind") == "RANGE_TOMBSTONE_MARKER").cast("int").alias("f_rtm"),
         (F.col("kind") == "PARTITION_DELETE").cast("int").alias("f_partdel"),
@@ -78,7 +82,8 @@ flags AS (
            CASE WHEN kind IN ('CELL', 'STATIC_CELL') THEN 1 ELSE 0 END AS f_cell,
            kind IN ('CELL', 'ROW_MARKER', 'ROW_DELETE') AS f_rowkind,
            CASE WHEN kind IN ('CELL', 'ROW_MARKER', 'ROW_DELETE')
-                THEN concat(sstable_id, '#', clustering) END AS row_key,
+                THEN concat(sstable_id, '#', partition_key, '#', clustering)
+           END AS row_key,
            CASE WHEN kind = 'ROW_DELETE' THEN 1 ELSE 0 END AS f_rowdel,
            CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END AS f_rtm,
            CASE WHEN kind = 'PARTITION_DELETE' THEN 1 ELSE 0 END AS f_partdel,
@@ -147,11 +152,19 @@ def cfstats_global(spark: SparkSession, sf_dir: str, approx: bool = False) -> Da
 
 
 def cfstats_sstables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: per-sstable statistics with int-truncated liveness %."""
+    """A3: per-sstable statistics with int-truncated liveness %.
+
+    Two-level aggregation: level 1 folds cells to (sstable, partition) with a
+    SINGLE conditional distinct (row clustering); level 2 sums those partials
+    per sstable, where `partitions` is a plain count(*) and `row_count` a
+    plain sum (distinct (pk, clustering) = sum over pk of distinct
+    clustering). Avoids the multi-countDistinct Expand (x3 row blowup of the
+    cell scan) the naive one-level formulation plans."""
+    key = ["keyspace", "table_name", "sstable_id"]
     c = _flags(tpch_adapter.cells(spark, sf_dir))
-    agg = c.groupBy("keyspace", "table_name", "sstable_id").agg(
-        F.countDistinct("partition_key").alias("partitions"),
-        F.countDistinct("row_key").alias("row_count"),
+    # distinct-free main aggregate: pure map-side partial combine folds the
+    # whole scan to #sstables rows before the (tiny) shuffle
+    sums = c.groupBy(*key).agg(
         F.sum("f_rowdel").alias("row_delete_count"),
         F.sum("f_cell").alias("cell_count"),
         F.sum("f_live").alias("live_cell_count"),
@@ -166,7 +179,29 @@ def cfstats_sstables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("writetime").alias("min_timestamp"),
         F.max("writetime").alias("max_timestamp"),
     )
-    return agg.withColumn(
+    # partitions per sstable: the (sstable, pk) grain is already materialized
+    # in the shared partition_sizes cache -- count it, don't re-distinct cells
+    parts = (
+        tpch_adapter.partition_sizes_cached(spark, sf_dir)
+        .groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("partitions"))
+    )
+    # physical rows: one single-purpose distinct over the narrow row identity
+    rows = (
+        c.where("f_rowkind")
+        .select(*key, "partition_key", "clustering")
+        .distinct()
+        .groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+    agg = sums.join(parts, key).join(rows, key)
+    return agg.select(
+        *key, "partitions", "row_count", "row_delete_count", "cell_count",
+        "live_cell_count", "expiring_cell_count", "counter_cell_count",
+        "tombstone_count", "droppable_tombstone_count",
+        "range_tombstone_count", "partition_delete_count", "size",
+        "max_cell_size", "min_timestamp", "max_timestamp",
+    ).withColumn(
         "liveness_pct",
         F.when(
             F.col("cell_count") > 0,

@@ -56,6 +56,43 @@ def test_filename_filter_pushed(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_simhash_banding_is_single_join(spark, sf_dir):
+    """The melted (band_id, band_value) formulation must plan exactly ONE
+    self-join -- a 4-joins+union regression would show 4 join nodes."""
+    from cassandra_sstable_tools_spark.llm.dedup import simhash_neardup_pairs
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(simhash_neardup_pairs(spark, sf_dir))
+    # count join operators in the plan TREE only ("formatted" repeats every
+    # node name once more as a detail-block header)
+    tree = [l for l in plan.splitlines() if not l.startswith("(")]
+    joins = sum(
+        ("SortMergeJoin" in l) or ("ShuffledHashJoin" in l) or ("BroadcastHashJoin" in l)
+        for l in tree
+    )
+    assert joins == 1, f"expected 1 band join, found {joins}"
+
+
+def test_ngram_topk_uses_bounded_heap(spark, sf_dir):
+    """Global top-K must plan TakeOrderedAndProject (bounded per-task heap),
+    never a full global sort of the distinct-ngram table."""
+    from cassandra_sstable_tools_spark.llm.corpus import ngram_topk
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(ngram_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-K lost the bounded-heap plan"
+
+
+def test_cfstats_sstables_avoids_expand(spark, sf_dir):
+    """The split-branch formulation must not plan an Expand (the x3 row
+    blowup a multi-countDistinct aggregate would reintroduce)."""
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+    from cassandra_sstable_tools_spark.queries.cfstats import cfstats_sstables
+
+    plan = formatted_plan(cfstats_sstables(spark, sf_dir))
+    assert "Expand" not in plan, "cfstats_sstables regressed to Expand x3"
+
+
 def test_bucketed_layout_elides_exchange(spark, sf_dir):
     """The SSTable sort-order optimization (SURVEY.md §4): pre-bucketed cells
     aggregate by partition_key with ZERO shuffles, and the result matches the
