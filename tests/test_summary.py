@@ -44,3 +44,47 @@ def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     one = sorted(langs)[0].split("=", 1)[1]
     pruned = readback.where(readback["lang"] == one)
     assert 0 < pruned.count() < max(2, readback.count())
+
+
+def test_parquet_sink_bounds_files_per_partition(spark, sf_dir, tmp_path):
+    """files_per_partition must BOUND the file count per partition dir AND
+    spread one partition value over multiple writer tasks (repartitioning on
+    the partition cols alone would collapse each lang into one file; no
+    repartition would spray tasks x partitions slivers)."""
+    import os
+
+    from cassandra_sstable_tools_spark.llm.pipeline import corpus_keep_list
+    from cassandra_sstable_tools_spark.sources.parquet_sink import write_partitioned
+
+    def file_counts(out: str) -> dict[str, int]:
+        return {
+            d: len([f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")])
+            for d in os.listdir(out)
+            if d.startswith("lang=")
+        }
+
+    kept = corpus_keep_list(spark, sf_dir)
+    out = str(tmp_path / "sized")
+    write_partitioned(kept, out, ["lang"], spread_col="doc_id",
+                      files_per_partition=3)
+    per_dir = file_counts(out)
+    # upper bound always holds; at test scale AQE may coalesce below it
+    # (desirable: tiny outputs should NOT be forced into 3 sliver files)
+    assert per_dir and all(1 <= n <= 3 for n in per_dir.values()), per_dir
+
+    # with AQE coalescing off, the spread key must actually fan one
+    # partition value out over multiple writer tasks (the 100 TB behavior)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        out2 = str(tmp_path / "sized_noaqe")
+        write_partitioned(kept, out2, ["lang"], spread_col="doc_id",
+                          files_per_partition=3)
+        per_dir2 = file_counts(out2)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert per_dir2 and all(1 <= n <= 3 for n in per_dir2.values()), per_dir2
+    assert any(n > 1 for n in per_dir2.values()), (
+        f"spread_col produced no intra-partition parallelism: {per_dir2}"
+    )
