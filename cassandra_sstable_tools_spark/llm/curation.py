@@ -1,0 +1,191 @@
+"""Corpus curation operators: benchmark decontamination + mixture budgeting.
+
+Two pipeline stages every large-scale training-data run needs after
+cleaning/dedup (no analog in the reference — extension surface):
+
+- decontaminate_flags: flags training documents that share at least one
+  word-``CONTAM_NGRAM``-gram with a held-out evaluation split (the classic
+  benchmark-decontamination pass). The eval split here is a deterministic
+  md5-keyed ~1/16 slice of the corpus standing in for an external benchmark
+  suite; swapping in a real eval-set table changes one input frame, not the
+  plan.
+- mixture_budget: per-language token budgeting — rank documents by quality
+  (the `text_quality` keep flag), take documents in rank order until the
+  per-language token budget is spent, report selected vs total docs/tokens.
+  This is the "data mixing weights" primitive: the budget constant is the
+  per-language sampling knob.
+
+Scale posture (100 TB):
+- Decontamination joins the corpus' exploded n-grams against the EVAL
+  side's distinct n-grams. An eval suite is a few thousand documents ->
+  a few million distinct n-grams -> always broadcast (explicit hint); the
+  training side stays a single codegen'd scan + explode with NO corpus
+  shuffle. The per-doc hit aggregation shuffles only matched rows (a tiny
+  fraction of the corpus). Zero Python in the plan.
+- Mixture budgeting is one window (cumulative token sum per language;
+  shuffle on lang — low cardinality, but each partition carries only
+  (lang, keep, doc_id, tokens) — 4 narrow columns, not text) + one
+  aggregation. With heavily skewed language sizes the window sort is the
+  cost; at 100 TB pre-aggregate tokens per (lang, quality-tier) when exact
+  per-doc cutoff is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.llm.text import _TOKEN_RE, _word_count
+from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+# Word-n-gram size for contamination matching. 8 is the common published
+# choice (matches are then near-certain verbatim overlap, not phrase reuse).
+CONTAM_NGRAM = 8
+# Deterministic pseudo-eval split: docs whose md5(doc_id) starts with this
+# nibble (~1/16 of the corpus) play the benchmark suite.
+EVAL_NIBBLE = "f"
+# Per-language token budget for the mixture pass (test-scale knob; the
+# 100 TB value is a per-language config vector).
+MIXTURE_TOKEN_BUDGET = 20_000
+
+
+def _is_eval(doc_id):
+    return F.substring(F.md5(doc_id.cast("string")), 1, 1) == EVAL_NIBBLE
+
+
+def _contam_grams(d: DataFrame) -> DataFrame:
+    """Distinct word-CONTAM_NGRAM-grams per document (single scan, no join)."""
+    grams = F.when(
+        F.size("w") >= CONTAM_NGRAM,
+        F.expr(
+            f"transform(sequence(0, size(w) - {CONTAM_NGRAM}),"
+            f" i -> array_join(slice(w, i + 1, {CONTAM_NGRAM}), ' '))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return (
+        d.withColumn("w", F.split(F.trim(F.col("text")), r"\s+"))
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .distinct()
+    )
+
+
+def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per TRAINING doc: distinct eval-overlapping n-grams + flag."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _contam_grams(d)
+    gram_is_eval = _is_eval(F.col("doc_id"))
+    eval_grams = grams.where(gram_is_eval).select("ngram").distinct()
+    train_grams = grams.where(~gram_is_eval)
+    # (doc_id, ngram) is unique on both sides of the join -> plain count.
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    train_docs = d.where(~_is_eval(F.col("doc_id"))).select("doc_id")
+    n_hits = F.coalesce("contaminated_ngrams", F.lit(0))
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_hits.cast("bigint").alias("contaminated_ngrams"),
+        (n_hits > 0).cast("int").alias("contaminated"),
+    )
+
+
+def _keep_flag(text_col):
+    """The text_quality composite keep flag (shared cutoff constants)."""
+    n = F.length(text_col)
+    punct = F.regexp_count(text_col, F.lit(r"[^A-Za-z0-9\s]"))
+    return (
+        (n >= 100)
+        & (_word_count(text_col) >= 20)
+        & (F.floor(punct * 1000000 / n) < 300000)
+    ).cast("int")
+
+
+def mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture report: docs/tokens selected under the budget
+    when documents are taken quality-first (keep desc, doc_id asc)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        "doc_id",
+        F.regexp_count("text", F.lit(_TOKEN_RE)).alias("tokens"),
+        _keep_flag(F.col("text")).alias("keep"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("keep"), F.asc("doc_id"))
+    cum = scored.withColumn("cum_tokens", F.sum("tokens").over(w))
+    sel = F.col("cum_tokens") <= MIXTURE_TOKEN_BUDGET
+    return cum.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(sel.cast("int")).cast("bigint").alias("selected_docs"),
+        F.sum(F.when(sel, F.col("tokens")).otherwise(0)).alias("selected_tokens"),
+    )
+
+
+_GRAMS_SQL = rf"""
+docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{CONTAM_NGRAM - 1}], ' ') AS ngram
+  FROM docs, UNNEST(generate_series(1, len(w) - {CONTAM_NGRAM - 1})) AS t(i)
+  WHERE len(w) >= {CONTAM_NGRAM}
+)"""
+
+_WC_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+ORACLES = {
+    "decontaminate_flags": f"""
+WITH {_GRAMS_SQL.lstrip()},
+eval_grams AS (
+  SELECT DISTINCT ngram FROM grams
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{EVAL_NIBBLE}'
+),
+hits AS (
+  SELECT g.doc_id, count(*) AS contaminated_ngrams
+  FROM grams g JOIN eval_grams e USING (ngram)
+  WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) <> '{EVAL_NIBBLE}'
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+       CASE WHEN coalesce(h.contaminated_ngrams, 0) > 0 THEN 1 ELSE 0 END
+           AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '{EVAL_NIBBLE}'
+""",
+    "mixture_budget": rf"""
+WITH scored AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(text, '{_TOKEN_RE}')) AS tokens,
+         CASE WHEN length(text) >= 100 AND ({_WC_SQL}) >= 20
+                   AND floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                             * 1000000 / length(text)) < 300000
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+),
+cum AS (
+  SELECT lang, tokens,
+         sum(tokens) OVER (PARTITION BY lang
+                           ORDER BY keep DESC, doc_id ASC) AS cum_tokens
+  FROM scored
+)
+SELECT lang,
+       count(*) AS total_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN cum_tokens <= {MIXTURE_TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS selected_docs,
+       CAST(sum(CASE WHEN cum_tokens <= {MIXTURE_TOKEN_BUDGET} THEN tokens ELSE 0 END)
+            AS BIGINT) AS selected_tokens
+FROM cum GROUP BY 1
+""",
+}
+
+QUERIES = {
+    "decontaminate_flags": decontaminate_flags,
+    "mixture_budget": mixture_budget,
+}

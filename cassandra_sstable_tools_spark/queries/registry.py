@@ -17,6 +17,7 @@ QuerieFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from cassandra_sstable_tools_spark.llm import (
         corpus,
+        curation,
         dedup,
         multimodal,
         pipeline,
@@ -38,7 +39,7 @@ def _modules():
 
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
-        text, corpus, dedup, similarity, pipeline, events, multimodal,
+        text, corpus, curation, dedup, similarity, pipeline, events, multimodal,
         catalog, stateful, events_stream,
     ]
 

@@ -123,3 +123,28 @@ def test_bucketed_layout_elides_exchange(spark, sf_dir):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_cells")
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-side n-gram set must broadcast (a benchmark suite is always
+    tiny next to the corpus); the training side must never cartesian."""
+    from cassandra_sstable_tools_spark.llm.curation import decontaminate_flags
+
+    df = decontaminate_flags(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_mixture_budget_single_window_pass(spark, sf_dir):
+    """Mixture budgeting is one window + one aggregation over 4 narrow
+    columns -- the scan must prune the text column out of the shuffle
+    (projection happens before the lang exchange)."""
+    from cassandra_sstable_tools_spark.llm.curation import mixture_budget
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    df = mixture_budget(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    tree = [l for l in plan.splitlines() if not l.startswith("(")]
+    windows = sum("Window" in l for l in tree)
+    assert windows == 1, f"expected 1 window pass, found {windows}"
