@@ -134,9 +134,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-K -- the list-partitioned scale
     path. Deterministic single-pass IVF: the first N_CENTROIDS corpus vectors
     act as centroids (no iterative k-means -- keeps the operator reproducible
-    and oracle-checkable); every vector is assigned to its most-cosine-similar
-    centroid (ties -> lowest centroid id); each query probes its NPROBE
-    nearest centroids and scores only those inverted lists.
+    and oracle-checkable); see ann_ivf_kmeans_topk for the sampled-k-means
+    seeding a 100 TB deployment would use. Every vector is assigned to its
+    most-cosine-similar centroid (ties -> lowest centroid id); each query
+    probes its NPROBE nearest centroids and scores only those inverted lists.
 
     Scale posture: centroids broadcast (K rows); assignment is a linear scan
     in whole-stage codegen; the candidate join shuffles on centroid_id --
@@ -148,6 +149,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("c_qv"),
         F.col("norm").alias("c_norm"),
     )
+    return _ivf_topk(emb, cents)
+
+
+def _ivf_topk(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared IVF plan: assignment scan + probe selection + list-local
+    scoring, given any (centroid_id, c_qv, c_norm) centroid frame."""
     csim = (
         emb.join(broadcast(cents))
         .withColumn("cdot", _dot(F.col("qv"), F.col("c_qv")))
@@ -191,6 +198,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("sim_ppm"), F.asc("vec_id")],
         TOP_K,
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
+
+
+# Sampled-k-means seeding knobs. At 100 TB raise the sample modulus so the
+# driver-side sample stays O(K * oversample) rows (the same shape MLlib's
+# kmeans|| uses: sample distributed, refine small, broadcast back).
+KMEANS_SAMPLE_MOD = 4
+KMEANS_ITERS = 3
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str,
+                     k: int = N_CENTROIDS, iters: int = KMEANS_ITERS):
+    """Deterministic sampled spherical k-means seeding for the IVF layout.
+
+    Sample = vectors where pmod(xxhash64(vec_id), KMEANS_SAMPLE_MOD) == 0
+    (hash-deterministic: re-runs and retries pick the identical sample; no
+    RNG). Init = first k sample vectors by vec_id; `iters` Lloyd steps run
+    driver-side in numpy over the BOUNDED sample -- the corpus itself is
+    never collected. Returns a list of k unit float centroid rows.
+    """
+    import numpy as np
+
+    emb = _quantized(spark, sf_dir)
+    sample = (
+        emb.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(KMEANS_SAMPLE_MOD)) == 0)
+        .select("vec_id", "qv")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r.qv for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # first-max: deterministic ties
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                c = pts.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-K with sampled-k-means centroids -- the 100 TB seeding
+    (rows-only correctness check: Lloyd iterations are not SQL-expressible;
+    recall and list-balance vs the first-K seeding are bounded in
+    tests/test_similarity_kmeans.py). Identical plan shape to ann_ivf_topk:
+    only the broadcast centroid frame differs."""
+    emb = _quantized(spark, sf_dir)
+    C = kmeans_centroids(spark, sf_dir)
+    import numpy as np
+
+    rows = [
+        (cid, [int(q) for q in np.floor(vec * 1000).astype("int64")])
+        for cid, vec in enumerate(C)
+    ]
+    cents = spark.createDataFrame(rows, "centroid_id int, c_qv array<bigint>")
+    norm = F.aggregate(
+        F.col("c_qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    cents = cents.select("centroid_id", "c_qv", norm.alias("c_norm"))
+    return _ivf_topk(emb, cents)
 
 
 def _band_keys(qv: Column) -> Column:
@@ -411,5 +481,6 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,  # rows-only (see docstring)
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
