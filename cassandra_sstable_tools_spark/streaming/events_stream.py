@@ -88,18 +88,67 @@ def stream_events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_available_now(df: DataFrame, table_name: str = "stream_out") -> DataFrame:
+def run_available_now(
+    df: DataFrame, table_name: str = "stream_out", mode: str = "complete"
+) -> DataFrame:
     """Drain a streaming DataFrame with the availableNow trigger into an
-    in-memory table; returns the materialized result (test/demo helper)."""
+    in-memory table; returns the materialized result (test/demo helper).
+    Aggregating streams drain in complete mode; row streams (dedup) append."""
     q = (
         df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return df.sparkSession.table(table_name)
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``.
+
+    The input stream is deterministically duplicated 2x in-flight (explode
+    over a 2-element array -- standing in for at-least-once redelivery from
+    a real source); the dedup operator must restore exactly the original
+    rows. Because the duplicate copies are bit-identical, the output is
+    deterministic regardless of arrival order, so the batch oracle is just
+    the undoubled events table.
+
+    Scale posture: dedup state holds one entry per key only until the
+    watermark passes (2 h of event-time), i.e. O(keys per window) not
+    O(stream history) -- the property that makes streaming dedup viable on
+    an unbounded 100 TB/day feed. State is hash-partitioned on event_id by
+    the streaming aggregation exchange; no skew (keys are unique)."""
+    _enable_nanos_as_long(spark)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    )
+    doubled = stream.withColumn(
+        "copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("copy")
+    deduped = doubled.withWatermark("event_time", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return deduped.select(
+        "event_id",
+        F.expr("ts div 1000000000").alias("ts_s"),
+        "user_id",
+        "event_type",
+    )
+
+
+def stream_dedup_events_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: drain the dedup stream (append mode) to completion."""
+    _DRAIN_COUNTER[0] += 1
+    return run_available_now(
+        stream_dedup_events(spark, sf_dir),
+        f"t_reg_stream_dedup_{_DRAIN_COUNTER[0]}",
+        mode="append",
+    )
 
 
 # Oracle: the batch arithmetic-bucket formulation (queries/events.py proves
@@ -115,8 +164,13 @@ SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
 FROM events
 GROUP BY 1, 2
 """,
+    # dedup of a 2x-duplicated stream == the original rows
+    "stream_dedup_events": f"""
+SELECT event_id, {_TS_S_SQL} AS ts_s, user_id, event_type FROM events
+""",
 }
 
 QUERIES = {
     "stream_events_hourly": stream_events_hourly_agg,
+    "stream_dedup_events": stream_dedup_events_drained,
 }

@@ -26,6 +26,30 @@ def test_stream_matches_batch(spark, sf_dir):
     assert len(streamed) > 0
 
 
+def test_stream_dedup_restores_original_rows(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the deterministically 2x-duplicated
+    stream must emit exactly the original (undoubled) events."""
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+    from cassandra_sstable_tools_spark.streaming.events_stream import (
+        stream_dedup_events,
+    )
+
+    streamed = run_available_now(
+        stream_dedup_events(spark, sf_dir), "t_stream_dedup", mode="append"
+    ).toPandas()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_id", "ts div 1000000000 AS ts_s", "user_id", "event_type"
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        normalize(streamed), normalize(batch), check_dtype=False, check_exact=True
+    )
+    assert len(streamed) > 0
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir):
     from cassandra_sstable_tools_spark.queries.events import sessionize
     from cassandra_sstable_tools_spark.streaming.stateful import (
