@@ -15,10 +15,14 @@ Operators:
   + per-row array kernel in whole-stage codegen + TakeOrderedAndProject per
   query. At 100 TB: broadcast the query set, scan the corpus once -- linear,
   no shuffle of the corpus.
-- ann_lsh_topk: sign-LSH bucketed variant (the scale path): vectors are
-  bucketed by the sign pattern of the first 8 quantized dimensions (a fixed
-  orthogonal-ish projection); candidates only within the query's bucket.
-  Same output schema; approximate recall, O(N/2^8) candidates per query.
+- ann_lsh_topk: banded multi-probe sign-LSH (the scale path): each vector
+  hashes to LSH_N_BANDS band keys (sign pattern of `bits` quantized dims per
+  band); a corpus vector is a candidate iff it shares ANY band key with the
+  query (OR-construction). Band width `bits` is derived from the corpus
+  size so expected candidates per query stay ~LSH_TARGET_CANDIDATES
+  (E[cand] = B * N / 2^bits) -- the operator self-tunes from sf0.001 to
+  100 TB instead of fixing a 256-bucket table. Same output schema as
+  bruteforce; recall is bounded vs bruteforce in tests/test_similarity_lsh.py.
 - embedding_neardup_pairs: near-duplicate detection via banded sign-LSH
   (AND-OR construction): a pair is a candidate iff it agrees on ALL
   ``NEARDUP_BAND_BITS`` sign bits of ANY of the ``NEARDUP_N_BANDS`` bands;
@@ -34,6 +38,7 @@ Operators:
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -54,6 +59,22 @@ NPROBE = 2
 # wider configs would hash random hyperplane projections instead of raw dims).
 NEARDUP_N_BANDS = 4
 NEARDUP_BAND_BITS = 8
+# ann_lsh_topk multi-probe knobs: band count is the OR-construction recall
+# knob; band WIDTH is derived from corpus size (see _lsh_bits) so expected
+# candidates per query track LSH_TARGET_CANDIDATES at any scale.
+LSH_N_BANDS = 4
+LSH_TARGET_CANDIDATES = 64
+LSH_MIN_BITS = 4
+LSH_MAX_BITS = 14  # LSH_N_BANDS * LSH_MAX_BITS must fit the 64-dim fixture
+
+
+def _lsh_bits(n: int) -> int:
+    """Band width for a corpus of n vectors: E[candidates/query] =
+    LSH_N_BANDS * n / 2^bits ~= LSH_TARGET_CANDIDATES. The same formula runs
+    in the DuckDB oracle (floor(log2(...)) over the identical integer count),
+    so both sides derive the identical width from the data."""
+    raw = math.floor(math.log2(max(LSH_N_BANDS * n / LSH_TARGET_CANDIDATES, 2.0)))
+    return int(max(LSH_MIN_BITS, min(LSH_MAX_BITS, raw)))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,27 +119,41 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
 
 
-def _bucket(qv: Column) -> Column:
-    """Sign pattern of the first 8 quantized dims -> 256 LSH buckets."""
-    bits = [F.when(qv.getItem(i) >= 0, "1").otherwise("0") for i in range(8)]
-    return F.concat(*bits)
-
-
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-K: candidates restricted to the query's sign bucket."""
-    emb = _quantized(spark, sf_dir).withColumn("bucket", _bucket(F.col("qv")))
+    """Approximate top-K via banded multi-probe sign-LSH.
+
+    Plan (100 TB shape): corpus scanned once to melt into (band_id,
+    band_key) rows; the query side's band rows (Q * B rows) are BROADCAST,
+    so candidate generation never shuffles the corpus. The distinct (a pair
+    may agree in several bands) and the scoring joins touch candidates only
+    (Q * ~LSH_TARGET_CANDIDATES rows), and the candidate list is broadcast
+    back against the corpus for vector gather -- the corpus is never
+    repartitioned. Per-query work: O(B * N / 2^bits) instead of O(N)."""
+    emb = _quantized(spark, sf_dir)
+    bits = _lsh_bits(emb.count())
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(_band_keys(F.col("qv"), LSH_N_BANDS, bits)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    q_bands = bands.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_key"
+    )
+    cand = (
+        bands.join(broadcast(q_bands), ["band_id", "band_key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("norm").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
     )
     scored = (
-        emb.join(
-            broadcast(queries),
-            (F.col("bucket") == F.col("q_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
+        emb.join(broadcast(cand), "vec_id")
+        .join(broadcast(queries), "query_id")
         .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
         .withColumn("sim_ppm", F.floor(_sim(F.col("dot"), F.col("q_norm"), F.col("norm")) * 1000000))
     )
@@ -200,10 +235,12 @@ def _ivf_topk(emb: DataFrame, cents: DataFrame) -> DataFrame:
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
 
 
-# Sampled-k-means seeding knobs. At 100 TB raise the sample modulus so the
-# driver-side sample stays O(K * oversample) rows (the same shape MLlib's
-# kmeans|| uses: sample distributed, refine small, broadcast back).
-KMEANS_SAMPLE_MOD = 4
+# Sampled-k-means seeding knobs. The driver-side sample is bounded to
+# O(k * KMEANS_SAMPLE_PER_CENTROID) rows at ANY corpus size: the modulus is
+# derived from a cheap count() and a deterministic limit() hard-caps stragglers
+# (the same shape MLlib's kmeans|| uses: sample distributed, refine small,
+# broadcast back).
+KMEANS_SAMPLE_PER_CENTROID = 256
 KMEANS_ITERS = 3
 
 
@@ -211,19 +248,27 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str,
                      k: int = N_CENTROIDS, iters: int = KMEANS_ITERS):
     """Deterministic sampled spherical k-means seeding for the IVF layout.
 
-    Sample = vectors where pmod(xxhash64(vec_id), KMEANS_SAMPLE_MOD) == 0
-    (hash-deterministic: re-runs and retries pick the identical sample; no
-    RNG). Init = first k sample vectors by vec_id; `iters` Lloyd steps run
-    driver-side in numpy over the BOUNDED sample -- the corpus itself is
-    never collected. Returns a list of k unit float centroid rows.
+    Sample = vectors where pmod(xxhash64(vec_id), mod) == 0, with
+    mod = max(1, N // (k * KMEANS_SAMPLE_PER_CENTROID)) from a cheap corpus
+    count, so E[sample] ~= k * KMEANS_SAMPLE_PER_CENTROID rows; the
+    orderBy(vec_id).limit(2 * target) hard-caps the collect at twice that
+    regardless of hash skew. Driver memory is therefore O(k * 256 * dims) --
+    independent of corpus size -- and the sample is hash-deterministic
+    (re-runs and retries pick the identical rows; no RNG). Init = first k
+    sample vectors by vec_id; `iters` Lloyd steps run driver-side in numpy
+    over the bounded sample -- the corpus itself is never collected.
+    Returns a list of k unit float centroid rows.
     """
     import numpy as np
 
     emb = _quantized(spark, sf_dir)
+    target = k * KMEANS_SAMPLE_PER_CENTROID
+    mod = max(1, emb.count() // target)
     sample = (
-        emb.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(KMEANS_SAMPLE_MOD)) == 0)
+        emb.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
         .select("vec_id", "qv")
         .orderBy("vec_id")
+        .limit(2 * target)
         .collect()
     )
     X = np.array([r.qv for r in sample], dtype=np.float64)
@@ -263,17 +308,21 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(emb, cents)
 
 
-def _band_keys(qv: Column) -> Column:
-    """Array of NEARDUP_N_BANDS integer band keys; band b packs the sign bits
-    of quantized dims [b*BITS, (b+1)*BITS)."""
+def _band_keys(
+    qv: Column,
+    n_bands: int = NEARDUP_N_BANDS,
+    bits: int = NEARDUP_BAND_BITS,
+) -> Column:
+    """Array of n_bands integer band keys; band b packs the sign bits of
+    quantized dims [b*bits, (b+1)*bits)."""
     keys = []
-    for b in range(NEARDUP_N_BANDS):
+    for b in range(n_bands):
         terms = [
             F.when(
-                qv.getItem(b * NEARDUP_BAND_BITS + i) >= 0,
+                qv.getItem(b * bits + i) >= 0,
                 F.lit(1 << i).cast("bigint"),
             ).otherwise(F.lit(0).cast("bigint"))
-            for i in range(NEARDUP_BAND_BITS)
+            for i in range(bits)
         ]
         keys.append(reduce(lambda x, y: x + y, terms))
     return F.array(*keys)
@@ -337,30 +386,10 @@ elems AS (
 ),
 norms AS (
     SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS norm FROM elems GROUP BY 1
-),
-buckets AS (
-    SELECT e.vec_id, concat(
-        CASE WHEN max(CASE WHEN pos = 1 THEN q END) >= 0 THEN '1' ELSE '0' END,
-        CASE WHEN max(CASE WHEN pos = 2 THEN q END) >= 0 THEN '1' ELSE '0' END,
-        CASE WHEN max(CASE WHEN pos = 3 THEN q END) >= 0 THEN '1' ELSE '0' END,
-        CASE WHEN max(CASE WHEN pos = 4 THEN q END) >= 0 THEN '1' ELSE '0' END,
-        CASE WHEN max(CASE WHEN pos = 5 THEN q END) >= 0 THEN '1' ELSE '0' END,
-        CASE WHEN max(CASE WHEN pos = 6 THEN q END) >= 0 THEN '1' ELSE '0' END,
-        CASE WHEN max(CASE WHEN pos = 7 THEN q END) >= 0 THEN '1' ELSE '0' END,
-        CASE WHEN max(CASE WHEN pos = 8 THEN q END) >= 0 THEN '1' ELSE '0' END
-    ) AS bucket
-    FROM elems e GROUP BY 1
 )"""
 
 
-def _topk_sql(bucketed: bool) -> str:
-    bucket_join = (
-        "JOIN buckets ba ON ba.vec_id = a.vec_id\n"
-        "    JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket\n    "
-        if bucketed
-        else ""
-    )
-    return f"""
+_BRUTEFORCE_SQL = f"""
 WITH {_ELEMS_SQL.lstrip()},
 dots AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -368,7 +397,56 @@ dots AS (
     FROM elems a
     JOIN elems b ON a.pos = b.pos AND a.vec_id < {N_QUERIES}
                 AND b.vec_id <> a.vec_id
-    {bucket_join}GROUP BY 1, 2
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+                AS BIGINT) AS sim_ppm
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sim_ppm, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+# Band width derived from corpus size with the SAME formula as _lsh_bits --
+# both sides floor(log2()) the identical exact dyadic rational (count * B / T
+# with T a power of two), so the widths agree bit-for-bit.
+_LSH_SQL = f"""
+WITH {_ELEMS_SQL.lstrip()},
+params AS (
+    SELECT greatest({LSH_MIN_BITS}, least({LSH_MAX_BITS},
+           CAST(floor(log2(greatest(
+               count(*) * {LSH_N_BANDS}.0 / {LSH_TARGET_CANDIDATES}, 2.0)))
+           AS INT))) AS bits
+    FROM embeddings
+),
+band_keys AS (
+    SELECT vec_id,
+           CAST((pos - 1) // (SELECT bits FROM params) AS INT) AS band_id,
+           CAST(sum(CASE WHEN q >= 0
+                         THEN 1 << CAST((pos - 1) % (SELECT bits FROM params) AS INT)
+                         ELSE 0 END) AS BIGINT) AS band_key
+    FROM elems WHERE pos <= {LSH_N_BANDS} * (SELECT bits FROM params)
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM band_keys q
+    JOIN band_keys c ON c.band_id = q.band_id AND c.band_key = q.band_key
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+dots AS (
+    SELECT c.query_id, c.neighbor_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+    FROM cand c
+    JOIN elems a ON a.vec_id = c.query_id
+    JOIN elems b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+    GROUP BY 1, 2
 ),
 scored AS (
     SELECT d.query_id, d.neighbor_id,
@@ -440,8 +518,8 @@ SELECT query_id, neighbor_id, sim_ppm, rank FROM (
 """
 
 ORACLES = {
-    "ann_bruteforce_topk": _topk_sql(bucketed=False),
-    "ann_lsh_topk": _topk_sql(bucketed=True),
+    "ann_bruteforce_topk": _BRUTEFORCE_SQL,
+    "ann_lsh_topk": _LSH_SQL,
     "ann_ivf_topk": _IVF_SQL,
     "embedding_neardup_pairs": f"""
 WITH {_ELEMS_SQL.lstrip()},
