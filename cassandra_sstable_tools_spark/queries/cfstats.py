@@ -194,7 +194,16 @@ def cfstats_sstables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(*key)
         .agg(F.count(F.lit(1)).alias("row_count"))
     )
-    agg = sums.join(parts, key).join(rows, key)
+    # LEFT joins: an sstable whose cells are all partition-grain (no
+    # CELL/ROW_MARKER/ROW_DELETE kinds) must still report, with row_count=0 --
+    # matching the oracle's count(DISTINCT all-NULL)=0 semantics. The sums
+    # frame (all cell kinds) is the authoritative sstable universe.
+    agg = (
+        sums.join(parts, key, "left")
+        .join(rows, key, "left")
+        .withColumn("partitions", F.coalesce("partitions", F.lit(0).cast("bigint")))
+        .withColumn("row_count", F.coalesce("row_count", F.lit(0).cast("bigint")))
+    )
     return agg.select(
         *key, "partitions", "row_count", "row_delete_count", "cell_count",
         "live_cell_count", "expiring_cell_count", "counter_cell_count",
