@@ -30,7 +30,17 @@ import sys
 from pyspark.sql import DataFrame
 
 
-def _render(df: DataFrame, humanize_cols: dict[str, str] | None = None) -> str:
+def _render(
+    df: DataFrame,
+    humanize_cols: dict[str, str] | None = None,
+    order: list[str] | None = None,
+) -> str:
+    """Render a report-sized frame as a reference-style ASCII table.
+
+    `order` pins display order at the presentation edge (reference reports
+    are grouped per table, rankings in rank order) -- queries themselves stay
+    sort-free because the driver's hash check is order-insensitive and a
+    global sort inside the query would be pure cost in every embedding."""
     from cassandra_sstable_tools_spark.functions import humanize as H
     from cassandra_sstable_tools_spark.report.table import TableBuilder
 
@@ -40,6 +50,8 @@ def _render(df: DataFrame, humanize_cols: dict[str, str] | None = None) -> str:
         "ts_us": H.format_timestamp_us,
         "ldt": H.format_deletion_time,
     }
+    if order:
+        df = df.orderBy(*order)
     rows = df.collect()
     tb = TableBuilder()
     tb.set_header(*df.columns)
@@ -111,13 +123,13 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         out.append(("Summary", _render(
             summary(spark, sf),
             {"disk_size": "bytes", "data_size": "bytes", "last_repaired": "ts_ms"},
+            order=["keyspace", "table_name"],
         )))
     elif args.command == "sstables":
         from cassandra_sstable_tools_spark.queries.sstables_listing import sstables_listing
 
         out.append(("SSTables", _render(
-            sstables_listing(spark, sf).orderBy(
-                "keyspace", "table_name", "sort_rank", "sstable_id"),
+            sstables_listing(spark, sf),
             {
                 "min_timestamp": "ts_us", "max_timestamp": "ts_us",
                 "min_local_deletion_time": "ldt", "max_local_deletion_time": "ldt",
@@ -125,6 +137,7 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                 "disk_length": "bytes", "uncompressed_length": "bytes",
                 "avg_row_size": "bytes", "max_row_size": "bytes",
             },
+            order=["keyspace", "table_name", "sort_rank", "sstable_id"],
         )))
     elif args.command == "pstats":
         from cassandra_sstable_tools_spark.queries import pstats as m
@@ -132,35 +145,50 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         size_fmt = {k: "bytes" for k in
                     ["total_size", "min_size", "max_size", "avg_size",
                      "p50", "p75", "p90", "p95", "p99", "p999"]}
-        out.append(("Partition size summary", _render(m.pstats_summary(spark, sf), size_fmt)))
+        out.append(("Partition size summary", _render(
+            m.pstats_summary(spark, sf), size_fmt,
+            order=["keyspace", "table_name"])))
         out.append(("Largest partitions", _render(
-            m.pstats_top_size(spark, sf, args.n), {"size": "bytes"})))
+            m.pstats_top_size(spark, sf, args.n), {"size": "bytes"},
+            order=["keyspace", "table_name", "rank"])))
         out.append(("Partitions in most sstables", _render(
-            m.pstats_top_tables(spark, sf, args.n), {"size": "bytes"})))
+            m.pstats_top_tables(spark, sf, args.n), {"size": "bytes"},
+            order=["keyspace", "table_name", "rank"])))
     elif args.command == "cfstats":
         from cassandra_sstable_tools_spark.queries import cfstats as m
 
+        by_table = ["keyspace", "table_name"]
+        by_rank = ["keyspace", "table_name", "rank"]
         out.append(("Totals", _render(m.cfstats_global(spark, sf),
-                                      {"total_size": "bytes", "avg_partition_size": "bytes"})))
+                                      {"total_size": "bytes", "avg_partition_size": "bytes"},
+                                      order=by_table)))
         out.append(("Per-SSTable", _render(m.cfstats_sstables(spark, sf),
                                            {"size": "bytes", "min_timestamp": "ts_us",
-                                            "max_timestamp": "ts_us"})))
-        out.append(("TTL histogram", _render(m.cfstats_ttl(spark, sf))))
+                                            "max_timestamp": "ts_us"},
+                                           order=[*by_table, "sstable_id"])))
+        out.append(("TTL histogram", _render(m.cfstats_ttl(spark, sf),
+                                             order=[*by_table, "ttl"])))
         out.append(("Largest partitions", _render(
-            m.cfstats_top_size(spark, sf, args.n), {"size": "bytes"})))
-        out.append(("Widest partitions", _render(m.cfstats_widest(spark, sf, args.n))))
-        out.append(("Most tombstones", _render(m.cfstats_top_tombstones(spark, sf, args.n))))
-        out.append(("Most deleted rows", _render(m.cfstats_most_deleted(spark, sf, args.n))))
-        out.append(("In most sstables", _render(m.cfstats_top_tables(spark, sf, args.n))))
+            m.cfstats_top_size(spark, sf, args.n), {"size": "bytes"}, order=by_rank)))
+        out.append(("Widest partitions", _render(
+            m.cfstats_widest(spark, sf, args.n), order=by_rank)))
+        out.append(("Most tombstones", _render(
+            m.cfstats_top_tombstones(spark, sf, args.n), order=by_rank)))
+        out.append(("Most deleted rows", _render(
+            m.cfstats_most_deleted(spark, sf, args.n), order=by_rank)))
+        out.append(("In most sstables", _render(
+            m.cfstats_top_tables(spark, sf, args.n), order=by_rank)))
     elif args.command == "purge":
         from cassandra_sstable_tools_spark.queries import purge as m
 
         out.append(("Purge totals", _render(m.purge_global(spark, sf),
                                             {"total_size": "bytes", "total_merged": "bytes",
-                                             "total_reclaimable": "bytes"})))
+                                             "total_reclaimable": "bytes"},
+                                            order=["keyspace", "table_name"])))
         out.append(("Top reclaimable partitions", _render(
             m.purge_top(spark, sf, args.n),
-            {"pre_size": "bytes", "merged_size": "bytes", "reclaimable": "bytes"})))
+            {"pre_size": "bytes", "merged_size": "bytes", "reclaimable": "bytes"},
+            order=["keyspace", "table_name", "rank"])))
     elif args.command == "clean":
         from cassandra_sstable_tools_spark.llm.pipeline import corpus_clean_stats
 

@@ -1,0 +1,40 @@
+"""Regenerate the golden CLI transcripts (tests/golden/*.txt).
+
+Run after an INTENTIONAL report-format change, then review the diff:
+
+    python -m tests.regen_golden
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cassandra_sstable_tools_spark.__main__ import main  # noqa: E402
+from cassandra_sstable_tools_spark.session import get_spark  # noqa: E402
+
+GOLDEN_SF = "/root/testdata/sf0.001"
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def regen() -> None:
+    spark = get_spark(app_name="regen-golden", master="local[8]", shuffle_partitions=8)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for cmd in ["summary", "sstables", "pstats", "cfstats", "purge"]:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main([cmd, "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+        assert rc == 0, f"{cmd} failed"
+        path = os.path.join(GOLDEN_DIR, f"{cmd}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path} ({len(buf.getvalue())} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    regen()

@@ -1,0 +1,39 @@
+"""Golden end-to-end CLI transcripts for the five reference subcommands.
+
+Byte-compares full stdout (section titles + TableBuilder layout + X1-X3
+humanized values + display ordering) against checked-in expected output at
+the pinned sf0.001 fixture -- the whole-report analog of the reference's
+report structure (cli/ColumnFamilyStatisticsCollector.java:148-350,
+TableBuilder.java:15-81). Regenerate after an intentional report change:
+
+    python -m tests.regen_golden
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+import os
+
+import pytest
+
+from cassandra_sstable_tools_spark.__main__ import main
+
+GOLDEN_SF = "/root/testdata/sf0.001"  # pinned: goldens are sf-specific
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.mark.parametrize(
+    "cmd", ["summary", "sstables", "pstats", "cfstats", "purge"]
+)
+def test_cli_golden_transcript(cmd, spark):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([cmd, "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, f"{cmd}.txt")) as f:
+        expected = f.read()
+    assert buf.getvalue() == expected, (
+        f"{cmd} transcript drifted from tests/golden/{cmd}.txt "
+        "(regenerate with python -m tests.regen_golden if intentional)"
+    )
