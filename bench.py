@@ -34,6 +34,13 @@ HEADLINE = [
     "corpus_keep_list",
     "ann_ivf_topk",
     "sessionize",
+    # r03 additions: user-facing extension surfaces that previously had no
+    # perf trajectory (events rollup, multimodal plumbing, near-dup join,
+    # streaming dedup drain). Bars recorded in SCALE.md's bench table.
+    "events_hourly",
+    "media_metadata",
+    "minhash_lsh_pairs",
+    "stream_dedup_events",
 ]
 
 
