@@ -13,6 +13,8 @@ Operators:
 - lang_id:       stopword-vote language guesser (en/de/fr/es) with
                  deterministic tie-breaking
 - fingerprint:   whitespace-normalized md5 document fingerprint
+- doc_repetition: Gopher-style intra-document repetition signals
+                 (duplicate-word / duplicate-bigram fractions, ppm)
 """
 
 from __future__ import annotations
@@ -129,6 +131,59 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppm(num, den):
+    """Exact integer parts-per-million with a zero-denominator guard."""
+    return F.when(den > 0, F.floor(num * 1000000 / den)).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher/MassiveText repetition rules'
+    shape): fraction of duplicate words and duplicate word-bigrams per doc,
+    as exact integer ppm.
+
+    Scale posture: computed ENTIRELY with array expressions
+    (split / array_distinct / transform+slice) inside one whole-stage-codegen
+    scan -- no explode, no shuffle, no Python. A 100 TB corpus runs this as
+    an embarrassingly parallel map."""
+    d = load_table(spark, sf_dir, "documents")
+    empty = F.length(F.trim(F.col("text"))) == 0
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select(
+        "doc_id",
+        F.when(empty, F.expr("CAST(array() AS array<string>)"))
+        .otherwise(w)
+        .alias("w"),
+    )
+    # Bigrams via the same 1-based slice construction as the decontamination
+    # n-grams (llm/curation.py) so Spark and DuckDB index identically.
+    staged = base.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("words"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("distinct_words"),
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2),"
+            " i -> array_join(slice(w, i + 1, 2), ' ')) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("bg"),
+    )
+    return staged.select(
+        "doc_id",
+        "words",
+        "distinct_words",
+        _ppm(F.col("words") - F.col("distinct_words"), F.col("words")).alias(
+            "dup_word_ppm"
+        ),
+        F.size("bg").cast("bigint").alias("bigrams"),
+        F.size(F.array_distinct("bg")).cast("bigint").alias("distinct_bigrams"),
+        _ppm(
+            F.size("bg") - F.size(F.array_distinct("bg")), F.size("bg")
+        ).alias("dup_bigram_ppm"),
+    )
+
+
 _WC_SQL = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE len(string_split_regex(trim(text), '\\s+')) END"
@@ -200,6 +255,40 @@ FROM (SELECT *, row_number() OVER (
       FROM scores)
 WHERE rn = 1
 """,
+    # Explode-based formulation (different physical shape, same integers).
+    "doc_repetition": r"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+wstats AS (
+  SELECT doc_id, len(w) AS words, len(list_distinct(w)) AS distinct_words
+  FROM docs
+),
+bg AS (
+  SELECT d.doc_id, array_to_string(w[i:i+1], ' ') AS gram
+  FROM docs d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+bstats AS (
+  SELECT doc_id, count(*) AS bigrams, count(DISTINCT gram) AS distinct_bigrams
+  FROM bg GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(s.words AS BIGINT) AS words,
+       CAST(s.distinct_words AS BIGINT) AS distinct_words,
+       CASE WHEN s.words > 0
+            THEN CAST(floor((s.words - s.distinct_words) * 1000000 / s.words)
+                 AS BIGINT) ELSE 0 END AS dup_word_ppm,
+       CAST(coalesce(b.bigrams, 0) AS BIGINT) AS bigrams,
+       CAST(coalesce(b.distinct_bigrams, 0) AS BIGINT) AS distinct_bigrams,
+       CASE WHEN coalesce(b.bigrams, 0) > 0
+            THEN CAST(floor((b.bigrams - b.distinct_bigrams) * 1000000
+                            / b.bigrams) AS BIGINT) ELSE 0 END AS dup_bigram_ppm
+FROM wstats s LEFT JOIN bstats b USING (doc_id)
+""",
 }
 
 QUERIES = {
@@ -208,4 +297,5 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id": lang_id,
     "fingerprint": fingerprint,
+    "doc_repetition": doc_repetition,
 }

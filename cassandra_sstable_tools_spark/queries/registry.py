@@ -41,6 +41,7 @@ def _modules():
         curation,
         dedup,
         multimodal,
+        packing,
         pipeline,
         similarity,
         text,
@@ -60,8 +61,8 @@ def _modules():
 
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
-        text, corpus, curation, dedup, similarity, pipeline, events, multimodal,
-        catalog, stateful, events_stream,
+        text, packing, corpus, curation, dedup, similarity, pipeline, events,
+        multimodal, catalog, stateful, events_stream,
     ]
 
 

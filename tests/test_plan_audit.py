@@ -42,6 +42,19 @@ def test_ivf_probe_broadcast_no_smj(spark, sf_dir):
     assert_broadcast_join(df, min_count=2)  # centroids + probes (+ queries)
 
 
+def test_lsh_topk_broadcasts_query_side(spark, sf_dir):
+    """Banded multi-probe LSH: query band keys, the candidate list, and the
+    query vectors all broadcast -- the corpus must never sort-merge-join
+    (i.e. never shuffles for a join; the only exchange is the tiny
+    candidate distinct)."""
+    from cassandra_sstable_tools_spark.llm.similarity import ann_lsh_topk
+
+    df = ann_lsh_topk(spark, sf_dir)
+    assert_no_sort_merge_join(df)
+    assert_broadcast_join(df, min_count=3)  # q_bands + cand + queries
+    assert_no_cartesian(df)
+
+
 def test_pstats_prunes_index_scan(spark, sf_dir):
     from cassandra_sstable_tools_spark.queries.pstats import pstats_top_size
 
@@ -123,6 +136,31 @@ def test_bucketed_layout_elides_exchange(spark, sf_dir):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_cells")
+
+
+def test_pack_chunks_hierarchical_prefix_sum(spark, sf_dir):
+    """Sequence packing must plan the two-level prefix sum (bucket window +
+    per-(lang,bucket) doc window -- exactly 2 Window nodes), broadcast the
+    tiny bucket-offset frame, and never fall back to one giant per-lang
+    window over the corpus (which would be a single Window node)."""
+    from cassandra_sstable_tools_spark.llm.packing import pack_chunks
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    df = pack_chunks(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+    tree = [l for l in formatted_plan(df).splitlines() if not l.startswith("(")]
+    windows = sum("Window" in l for l in tree)
+    assert windows == 2, f"expected 2-level prefix sum, found {windows} windows"
+
+
+def test_doc_repetition_is_pure_map(spark, sf_dir):
+    """Repetition signals are array expressions in one codegen'd scan --
+    the plan must contain NO Exchange (no shuffle at any corpus size)."""
+    from cassandra_sstable_tools_spark.llm.text import doc_repetition
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    assert "Exchange" not in formatted_plan(doc_repetition(spark, sf_dir))
 
 
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
