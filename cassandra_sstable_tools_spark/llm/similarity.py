@@ -286,25 +286,88 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str,
     return C
 
 
-def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-K with sampled-k-means centroids -- the 100 TB seeding
-    (rows-only correctness check: Lloyd iterations are not SQL-expressible;
-    recall and list-balance vs the first-K seeding are bounded in
-    tests/test_similarity_kmeans.py). Identical plan shape to ann_ivf_topk:
-    only the broadcast centroid frame differs."""
-    emb = _quantized(spark, sf_dir)
-    C = kmeans_centroids(spark, sf_dir)
-    import numpy as np
+# Fixed-point scale for summing unit-vector coordinates across cluster
+# members: integer sums are order-independent, so distributed Lloyd steps
+# are bit-deterministic under any partitioning / retry schedule.
+KMEANS_UNIT_SCALE = 100_000
 
-    rows = [
-        (cid, [int(q) for q in np.floor(vec * 1000).astype("int64")])
-        for cid, vec in enumerate(C)
-    ]
-    cents = spark.createDataFrame(rows, "centroid_id int, c_qv array<bigint>")
+
+def kmeans_centroids_spark(spark: SparkSession, sf_dir: str,
+                           k: int = N_CENTROIDS, iters: int = KMEANS_ITERS):
+    """Lloyd iterations as Spark aggregations -- the full-corpus 100 TB
+    k-means (vs kmeans_centroids' bounded-sample seeding).
+
+    Per iteration, ONE whole-stage-codegen corpus scan: the K quantized
+    centroids are inlined as a literal K x D array, each row computes its
+    argmax-cosine assignment with a per-row `transform` (ties -> lowest
+    centroid id, exactly the numpy first-max), quantizes its UNIT vector to
+    integer KMEANS_UNIT_SCALE fixed-point, and a groupBy(centroid) with D
+    partial-aggregated column sums reduces the corpus to K x D integers --
+    the shuffle carries K rows per map partition, the driver holds K x D
+    values, and integer summation makes the result independent of row order
+    (no float-accumulation nondeterminism). Empty clusters keep their
+    previous centroid. Returns [(centroid_id, qv_milliunits)] rows.
+    """
+    import math
+
+    emb = _quantized(spark, sf_dir).select("vec_id", "qv", "norm")
+    dims = len(emb.select("qv").first().qv)
+    init = emb.orderBy("vec_id").limit(k).collect()
+    cents = [[int(v) for v in r.qv] for r in init]
+
+    unit_q = F.transform(
+        F.col("qv"),
+        lambda x: F.floor(x * KMEANS_UNIT_SCALE / F.sqrt(F.col("norm").cast("double"))),
+    )
+    for _ in range(iters):
+        cq = F.array(*[
+            F.array(*[F.lit(v).cast("bigint") for v in vec]) for vec in cents
+        ])
+        cn = F.array(*[
+            F.lit(math.sqrt(sum(v * v for v in vec))) for vec in cents
+        ])
+        scores = F.transform(
+            cq, lambda c, j: _dot(F.col("qv"), c) / F.element_at(cn, j + 1)
+        )
+        # argmax with ties -> lowest centroid id: max of (score, -j) structs.
+        best = F.array_max(
+            F.transform(scores, lambda s, j: F.struct(s.alias("s"), (-j).alias("nj")))
+        )
+        sums = (
+            emb.select((-best["nj"]).alias("cid"), unit_q.alias("uq"))
+            .groupBy("cid")
+            .agg(*[F.sum(F.col("uq").getItem(i)).alias(f"s{i}") for i in range(dims)])
+            .collect()
+        )
+        for r in sums:
+            vec = [r[f"s{i}"] for i in range(dims)]
+            n = math.sqrt(sum(v * v for v in vec))
+            if n > 0:
+                cents[r.cid] = [int(math.floor(v / n * 1000)) for v in vec]
+    return list(enumerate(cents))
+
+
+def _cents_frame(spark: SparkSession, rows) -> DataFrame:
+    """(centroid_id, c_qv, c_norm) frame from [(cid, milliunit vector)]."""
+    cents = spark.createDataFrame(
+        [(cid, [int(v) for v in vec]) for cid, vec in rows],
+        "centroid_id int, c_qv array<bigint>",
+    )
     norm = F.aggregate(
         F.col("c_qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
     )
-    cents = cents.select("centroid_id", "c_qv", norm.alias("c_norm"))
+    return cents.select("centroid_id", "c_qv", norm.alias("c_norm"))
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-K with DISTRIBUTED-Lloyd k-means centroids
+    (kmeans_centroids_spark; the bounded-sample kmeans_centroids remains the
+    cheap seeding path). Rows-only correctness check: Lloyd iterations are
+    not SQL-expressible; determinism, recall and list-balance are bounded in
+    tests/test_similarity_kmeans.py. Identical plan shape to ann_ivf_topk:
+    only the broadcast centroid frame differs."""
+    emb = _quantized(spark, sf_dir)
+    cents = _cents_frame(spark, kmeans_centroids_spark(spark, sf_dir))
     return _ivf_topk(emb, cents)
 
 

@@ -1,5 +1,7 @@
-"""Sampled-k-means IVF seeding (ann_ivf_kmeans_topk): determinism, recall,
-and list balance vs the first-K demo seeding.
+"""k-means IVF (ann_ivf_kmeans_topk): determinism, recall, and list balance
+vs the first-K demo seeding -- for BOTH the bounded-sample driver-side
+seeding (kmeans_centroids) and the distributed integer-exact Lloyd
+refinement (kmeans_centroids_spark) the registry operator now uses.
 
 Fixture caveat baked into the bounds: the synthetic embeddings are
 near-orthogonal (max cosine ~0.5), so averaged k-means centroids sit
@@ -55,7 +57,9 @@ def test_kmeans_seeding_deterministic(spark, sf_dir):
 
 def test_kmeans_recall_beats_random_probing(spark, sf_dir):
     """Recall@K must clearly beat blind probing (NPROBE/K = 2/16 = 0.125
-    expected under random assignment) even on the near-orthogonal fixture."""
+    expected under random assignment) even on the near-orthogonal fixture.
+    (Measured: ~0.67 at sf0.01 with distributed Lloyd, vs ~0.39 for the
+    sampled seeding it replaced -- bound kept loose for fixture drift.)"""
     truth = {
         (r.query_id, r.neighbor_id)
         for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
@@ -65,12 +69,13 @@ def test_kmeans_recall_beats_random_probing(spark, sf_dir):
         for r in S.ann_ivf_kmeans_topk(spark, sf_dir).collect()
     }
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.25, f"kmeans IVF recall {recall:.3f} below 2x random floor"
+    assert recall >= 0.35, f"kmeans IVF recall {recall:.3f} below bound"
 
 
 def test_kmeans_lists_at_least_as_balanced(spark, sf_dir):
     """The point of Lloyd refinement: inverted-list spread (max-min) must not
-    be worse than the first-K seeding's, and every list must be non-empty."""
+    be worse than the first-K seeding's, and every list must be non-empty --
+    for both the sampled seeding and the distributed Lloyd centroids."""
     emb = S._quantized(spark, sf_dir)
     firstk = emb.where(F.col("vec_id") < S.N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
@@ -78,8 +83,23 @@ def test_kmeans_lists_at_least_as_balanced(spark, sf_dir):
         F.col("norm").alias("c_norm"),
     )
     base = _list_sizes(emb, firstk)
-    km = _list_sizes(emb, _kmeans_cents(spark, sf_dir))
-    assert len(km) == S.N_CENTROIDS, f"empty inverted lists: {len(km)} of {S.N_CENTROIDS}"
-    assert max(km) - min(km) <= max(base) - min(base), (
-        f"kmeans spread {max(km)}-{min(km)} worse than first-K {max(base)}-{min(base)}"
-    )
+    for label, cents in [
+        ("sampled", _kmeans_cents(spark, sf_dir)),
+        ("distributed", S._cents_frame(spark, S.kmeans_centroids_spark(spark, sf_dir))),
+    ]:
+        km = _list_sizes(emb, cents)
+        assert len(km) == S.N_CENTROIDS, (
+            f"{label}: empty inverted lists: {len(km)} of {S.N_CENTROIDS}"
+        )
+        assert max(km) - min(km) <= max(base) - min(base), (
+            f"{label}: spread {max(km)}-{min(km)} worse than "
+            f"first-K {max(base)}-{min(base)}"
+        )
+
+
+def test_distributed_lloyd_is_deterministic(spark, sf_dir):
+    """Integer fixed-point member sums: two full runs must produce
+    bit-identical centroids regardless of partitioning/row order."""
+    a = S.kmeans_centroids_spark(spark, sf_dir)
+    b = S.kmeans_centroids_spark(spark, sf_dir)
+    assert a == b
