@@ -26,8 +26,18 @@ Merge semantics on the `cells` event model:
 
 Deviation from the reference (documented, SURVEY.md A7): sizes are declared
 ``cell_size`` bytes, not Cassandra serialization; STATIC_CELLs merge like
-regular cells; range-tombstone boundary splitting (:233-256) is out of scope
-for the declared-size model.
+regular cells.
+
+Range-tombstone boundary splitting (reference :233-256) in the declared-size
+model: where a droppable RTM's bound coincides with an opposite-type bound of
+a surviving RTM (its ``range_end`` == the survivor's ``range_start`` or vice
+versa -- a boundary marker in the reference's merged stream), the reference
+replaces the boundary with the surviving side's bound marker instead of
+dropping the whole marker (``createCorrespondingOpenMarker`` /
+``createCorrespondingCloseMarker``). The declared-size analog: a marker's
+size covers its two bounds, so the purged marker retains ``cell_size / 2``
+(integer floor) per shared boundary (at most its two bounds). Both-sides
+droppable -> whole boundary purged (reference returns null), no remnant.
 
 Spark shape -- single-partitioning design, NO Python in the hot path:
 the input is repartitioned ONCE on (keyspace, table_name, partition_key);
@@ -134,6 +144,55 @@ def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
         how="left_anti",
     )
 
+    # RTM boundary splitting (docstring above): melt each live RTM into its
+    # two bounds; a purged marker's bound that coincides with an OPPOSITE-type
+    # bound of a kept marker is a reference boundary -> half the purged
+    # marker's declared size survives per such bound. Rare-rows only: every
+    # frame below holds exclusively RTM rows, so the extra exchange is tiny.
+    rtm_live = enriched.where(
+        (F.col("kind") == "RANGE_TOMBSTONE_MARKER")
+        & (F.col("rn") == 1)
+        & not_pd_shadowed
+    )
+    bounds = F.explode(
+        F.array(
+            F.struct(F.col("range_start").alias("pos"), F.lit("open").alias("typ")),
+            F.struct(F.col("range_end").alias("pos"), F.lit("close").alias("typ")),
+        )
+    )
+    purged_bounds = (
+        rtm_live.where(F.col("local_deletion_time") < gc_before)
+        .select(*_PK, "range_start", "range_end", "cell_size", bounds.alias("b"))
+        .select(*_PK, "range_start", "range_end", "cell_size", "b.pos", "b.typ")
+    )
+    kept_bounds = (
+        rtm_live.where(F.col("local_deletion_time") >= gc_before)
+        .select(
+            *[F.col(k).alias(f"k_{k}") for k in _PK], bounds.alias("b")
+        )
+        .select("k_keyspace", "k_table_name", "k_partition_key",
+                F.col("b.pos").alias("k_pos"), F.col("b.typ").alias("k_typ"))
+    )
+    remnants = (
+        purged_bounds.join(
+            kept_bounds,
+            on=[
+                F.col("keyspace") == F.col("k_keyspace"),
+                F.col("table_name") == F.col("k_table_name"),
+                F.col("partition_key") == F.col("k_partition_key"),
+                F.col("pos") == F.col("k_pos"),
+                F.col("typ") != F.col("k_typ"),
+            ],
+            how="left_semi",
+        )
+        # one remnant per (marker, bound position), even if several kept
+        # markers share the position
+        .select(*_PK, "range_start", "range_end", "cell_size", "pos")
+        .distinct()
+        .groupBy(*_PK)
+        .agg(F.sum(F.floor(F.col("cell_size") / 2)).alias("remnant"))
+    )
+
     pre = c.groupBy(*_PK).agg(
         F.sum("cell_size").alias("pre_size"),
         F.countDistinct("sstable_id").alias("tables"),
@@ -142,7 +201,13 @@ def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
 
     return (
         pre.join(merged, _PK, "left")
-        .withColumn("merged_size", F.coalesce(F.col("merged_size"), F.lit(0)))
+        .join(remnants, _PK, "left")
+        .withColumn(
+            "merged_size",
+            F.coalesce(F.col("merged_size"), F.lit(0))
+            + F.coalesce(F.col("remnant"), F.lit(0)),
+        )
+        .drop("remnant")
         .withColumn("reclaimable", F.col("pre_size") - F.col("merged_size"))
     )
 
@@ -211,21 +276,56 @@ rd_surv AS (
     WHERE d.rn = 1 AND d.local_deletion_time >= {gc_before}
       AND (p.pd_wt IS NULL OR d.writetime > p.pd_wt)
 ),
-rtm_surv AS (
-    SELECT d.keyspace, d.table_name, d.partition_key, d.cell_size FROM (
+rtm_live AS (
+    SELECT d.* FROM (
         SELECT *, row_number() OVER (
             PARTITION BY keyspace, table_name, partition_key, range_start, range_end
             ORDER BY writetime DESC) AS rn
         FROM cells WHERE kind = 'RANGE_TOMBSTONE_MARKER') d
     LEFT JOIN pd_wt p USING (keyspace, table_name, partition_key)
-    WHERE d.rn = 1 AND d.local_deletion_time >= {gc_before}
-      AND (p.pd_wt IS NULL OR d.writetime > p.pd_wt)
+    WHERE d.rn = 1 AND (p.pd_wt IS NULL OR d.writetime > p.pd_wt)
+),
+rtm_surv AS (
+    SELECT keyspace, table_name, partition_key, cell_size
+    FROM rtm_live WHERE local_deletion_time >= {gc_before}
+),
+-- boundary splitting (declared-size model, reference
+-- PurgeStatisticBackend.java:233-256): a purged marker's bound meeting an
+-- opposite-type bound of a kept marker retains floor(cell_size / 2)
+rtm_remnant AS (
+    SELECT keyspace, table_name, partition_key,
+           CAST(sum(CAST(floor(cell_size / 2) AS BIGINT)) AS BIGINT) AS cell_size
+    FROM (
+        SELECT DISTINCT pb.keyspace, pb.table_name, pb.partition_key,
+               pb.range_start, pb.range_end, pb.cell_size, pb.pos
+        FROM (
+            SELECT keyspace, table_name, partition_key, range_start, range_end,
+                   cell_size, range_start AS pos, 'open' AS typ
+            FROM rtm_live WHERE local_deletion_time < {gc_before}
+            UNION ALL
+            SELECT keyspace, table_name, partition_key, range_start, range_end,
+                   cell_size, range_end, 'close'
+            FROM rtm_live WHERE local_deletion_time < {gc_before}
+        ) pb
+        JOIN (
+            SELECT keyspace, table_name, partition_key,
+                   range_start AS pos, 'open' AS typ
+            FROM rtm_live WHERE local_deletion_time >= {gc_before}
+            UNION ALL
+            SELECT keyspace, table_name, partition_key, range_end, 'close'
+            FROM rtm_live WHERE local_deletion_time >= {gc_before}
+        ) kb
+          ON pb.keyspace = kb.keyspace AND pb.table_name = kb.table_name
+         AND pb.partition_key = kb.partition_key
+         AND pb.pos = kb.pos AND pb.typ <> kb.typ
+    ) GROUP BY 1, 2, 3
 ),
 survivors AS (
     SELECT * FROM surviving_cells
     UNION ALL SELECT * FROM pd_surv
     UNION ALL SELECT * FROM rd_surv
     UNION ALL SELECT * FROM rtm_surv
+    UNION ALL SELECT * FROM rtm_remnant
 ),
 merged AS (
     SELECT keyspace, table_name, partition_key,

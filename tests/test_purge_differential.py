@@ -80,6 +80,29 @@ def _model(rows):
                 continue
             if ldt >= GC:
                 merged += r["cell_size"]
+
+    # RTM boundary splitting (declared-size model, operators/purge.py): a
+    # purged marker's bound meeting an opposite-type bound of a kept marker
+    # retains floor(size / 2) per distinct matched bound position.
+    rtm_live = [
+        r for r in winners.values()
+        if r["kind"] == "RANGE_TOMBSTONE_MARKER"
+        and (pd_wt is None or r["writetime"] > pd_wt)
+    ]
+    kept_bounds = set()
+    for r in rtm_live:
+        if r["local_deletion_time"] >= GC:
+            kept_bounds.add((r["range_start"], "open"))
+            kept_bounds.add((r["range_end"], "close"))
+    for r in rtm_live:
+        if r["local_deletion_time"] < GC:
+            matched = {
+                pos
+                for pos, typ in [(r["range_start"], "open"),
+                                 (r["range_end"], "close")]
+                if (pos, "close" if typ == "open" else "open") in kept_bounds
+            }
+            merged += len(matched) * (r["cell_size"] // 2)
     return {"pre_size": pre, "merged_size": merged,
             "reclaimable": pre - merged, "tables": tables}
 

@@ -117,25 +117,19 @@ def test_marker_reconciliation_keeps_newest(spark):
     assert out["p1"]["reclaimable"] == 5
 
 
-def test_rtm_boundary_split_deviation_bound(spark):
-    """Quantifies the DOCUMENTED deviation from the reference's boundary
-    splitting (cassandra/PurgeStatisticBackend.java:233-256): when two
-    adjacent range tombstones meet at a boundary and only ONE side is
-    purgeable, the reference replaces the boundary marker with the
-    unpurgeable side's bound marker -- i.e. part of the marker's bytes
-    survive. This engine's declared-size model treats each RTM row
-    atomically: fully purged (ldt < gcBefore) or fully kept.
+def test_rtm_boundary_split(spark):
+    """Boundary splitting (cassandra/PurgeStatisticBackend.java:233-256):
+    when two adjacent range tombstones meet at a boundary and only ONE side
+    is purgeable, the reference replaces the boundary marker with the
+    unpurgeable side's bound marker (``createCorrespondingOpenMarker``)
+    instead of dropping it whole -- part of the boundary's bytes survive.
 
-    Fixture: r1=[a,c] droppable, r2=[c,e] not droppable -- the reference
-    would merge their meeting point at 'c' into a boundary and keep r2's
-    open side; both models keep r2 whole, and the models differ ONLY in
-    whether r1's marker bytes survive. Hence per straddling boundary:
+    Declared-size analog (operators/purge.py docstring): the purged marker
+    retains floor(cell_size / 2) -- the shared bound's half -- per boundary
+    it forms with a kept marker.
 
-        0 <= engine_reclaimable - reference_reclaimable <= size(droppable RTM)
-
-    The engine sits at the upper end (purges all of r1); the reference
-    keeps the boundary-to-bound remnant. The test pins the engine value and
-    asserts the deviation bound, keeping the trade-off on record."""
+    Fixture: r1=[a,c] droppable, r2=[c,e] kept; they meet at 'c'
+    (r1's close bound == r2's open bound). r1 retains 9 // 2 = 4."""
     rtm_size = 9
     out = _run(spark, [
         _cell("p1", "b", "ca", 100, 10),  # shadowed by r1 (older, in [a,c])
@@ -144,15 +138,34 @@ def test_rtm_boundary_split_deviation_bound(spark):
         _cell("p1", "", None, rtm_size, 20, kind="RANGE_TOMBSTONE_MARKER",
               ldt=GC + 1, rs="c", re="e"),   # kept side of the boundary
     ])
-    # engine: cell shadowed (100) + r1 purged whole (9); r2 survives whole
-    assert out["p1"]["merged_size"] == rtm_size
-    assert out["p1"]["reclaimable"] == 100 + rtm_size
-    # reference split semantics would retain r1's close-bound remnant at the
-    # boundary: reference_reclaimable in [100, 100 + rtm_size). The deviation
-    # is bounded by the droppable marker's declared size.
-    engine_reclaimable = out["p1"]["reclaimable"]
-    reference_lower_bound = 100  # everything but the full droppable marker
-    assert 0 <= engine_reclaimable - reference_lower_bound <= rtm_size
+    # merged = r2 whole (9) + r1's surviving shared bound (9 // 2 = 4)
+    assert out["p1"]["merged_size"] == rtm_size + rtm_size // 2
+    assert out["p1"]["reclaimable"] == 100 + rtm_size - rtm_size // 2
+
+
+def test_rtm_boundary_both_sides_droppable_purged_whole(spark):
+    """Both sides of a boundary purgeable -> the reference returns null for
+    the whole boundary marker; no remnant survives."""
+    out = _run(spark, [
+        _cell("p1", "", None, 9, 20, kind="RANGE_TOMBSTONE_MARKER",
+              ldt=GC - 1, rs="a", re="c"),
+        _cell("p1", "", None, 7, 30, kind="RANGE_TOMBSTONE_MARKER",
+              ldt=GC - 1, rs="c", re="e"),
+    ])
+    assert out["p1"]["merged_size"] == 0
+    assert out["p1"]["reclaimable"] == 16
+
+
+def test_rtm_same_type_bounds_do_not_form_boundary(spark):
+    """Two markers OPENING at the same position (overlap, not adjacency) do
+    not form a reference boundary marker -> no remnant for the purged one."""
+    out = _run(spark, [
+        _cell("p1", "", None, 9, 20, kind="RANGE_TOMBSTONE_MARKER",
+              ldt=GC - 1, rs="a", re="c"),
+        _cell("p1", "", None, 7, 30, kind="RANGE_TOMBSTONE_MARKER",
+              ldt=GC + 1, rs="a", re="e"),  # same OPEN bound 'a', kept
+    ])
+    assert out["p1"]["merged_size"] == 7  # r2 whole, r1 purged with no remnant
 
 
 def test_reclaimable_bounded_by_size(spark, sf_dir):
