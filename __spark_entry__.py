@@ -21,9 +21,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from cassandra_sstable_tools_spark.queries.summary import summary
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
+    First asserts the driver testdata's parquet dtypes still match what the
+    adapter assumes (the schema has drifted between rounds before --
+    events.ts burned r03); a named-column AssertionError here beats nine
+    baffling downstream failures."""
+    from cassandra_sstable_tools_spark.queries.summary import summary
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import (
+        assert_testdata_schema,
+    )
+
+    assert_testdata_schema(spark, "/root/testdata/sf0.001")
     return summary(spark, "/root/testdata/sf0.001")
 
 

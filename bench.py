@@ -51,24 +51,38 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = qs[name]
-        fn(spark, SF_DIR).collect()  # warm-up (JIT, file listing, code cache)
-        runs = []
-        for _ in range(3):
-            t0 = time.monotonic()
-            fn(spark, SF_DIR).collect()
-            runs.append(time.monotonic() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
+        # Failure isolation: one broken query must not zero the whole
+        # round's perf signal (r03: a sessionize warm-up crash left the
+        # round with NO numbers). Record null + the error, keep going,
+        # always emit the JSON line.
+        try:
+            fn(spark, SF_DIR).collect()  # warm-up (JIT, file listing, code cache)
+            runs = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                fn(spark, SF_DIR).collect()
+                runs.append(time.monotonic() - t0)
+            timings[name] = round(statistics.median(runs), 3)
+        except Exception as exc:  # noqa: BLE001 -- deliberate: isolate any failure
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+    measured = [t for t in timings.values() if t is not None]
+    total = round(sum(measured), 3)
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

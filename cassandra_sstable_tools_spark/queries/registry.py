@@ -19,6 +19,16 @@ rotate into the window automatically as new rounds' results are committed.
 The ordering is a pure function of files already in the repo, hence
 deterministic for any given checkout, and identical between ``queries()``
 and ``oracle_sql()``.
+
+Round-exit gate (r03 advice #5)
+-------------------------------
+The rotation knowingly lets previously-green queries leave the driver's
+window unverified. That is acceptable ONLY because
+``tests/test_core_queries.py`` runs ALL registered queries against their
+oracles locally -- so a full ``python -m pytest tests/`` green run is a
+round-exit precondition, covering the ~25 certificates the driver window
+can't. (r03 proof: the events dtype drift would have been caught locally
+before burning a driver round had this gate been enforced.)
 """
 
 from __future__ import annotations

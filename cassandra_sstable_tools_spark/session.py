@@ -36,9 +36,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas-UDF path (LLM extensions, multimodal stubs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS),
-        # which Spark rejects by default; read as raw nanos (bigint) and
-        # convert explicitly (sources/tpch_adapter.events_table).
+        # Driver testdata has shipped `events.ts` as TIMESTAMP(NANOS) in some
+        # rounds (Spark rejects that by default; this reads it as bigint
+        # nanos) and as timestamp[us] in others -- the adapter dispatches on
+        # the loaded dtype (sources/tpch_adapter.ts_seconds_col). The conf
+        # only affects NANOS columns; harmless otherwise.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quieter local runs.
         .config("spark.ui.showConsoleProgress", "false")

@@ -55,7 +55,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_sstable_tools_spark.constants import GC_GRACE_SECONDS
@@ -129,27 +129,121 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# --- testdata schema tripwire (r03 advice #4) -------------------------------
+# The driver regenerates its parquet between rounds and has silently changed
+# column types before (events.ts: int64-nanos in one round, timestamp[us] in
+# another -- the r03 burn). This table records every dtype the adapter and
+# query modules ASSUME; entry() and the test session fixture assert it up
+# front so drift fails fast with the drifted column named, instead of as a
+# baffling DATATYPE_MISMATCH (or worse, a silent 1000x unit error) downstream.
+# A set per column = dtypes the code genuinely handles, not a wish list.
+_TS_OK = {"timestamp", "timestamp_ntz", "bigint"}  # ts_seconds_col dispatches
+_DATE_OK = {"timestamp", "timestamp_ntz", "date"}
+EXPECTED_TESTDATA_SCHEMA: dict[str, dict[str, set[str]]] = {
+    "region": {"r_regionkey": {"int"}, "r_name": {"string"}},
+    "nation": {"n_nationkey": {"int"}, "n_name": {"string"},
+               "n_regionkey": {"int"}},
+    "customer": {"c_custkey": {"bigint"}, "c_name": {"string"},
+                 "c_nationkey": {"int"}, "c_acctbal": {"double"},
+                 "c_mktsegment": {"string"}},
+    "supplier": {"s_suppkey": {"bigint"}, "s_name": {"string"},
+                 "s_nationkey": {"int"}, "s_acctbal": {"double"}},
+    "part": {"p_partkey": {"bigint"}, "p_name": {"string"},
+             "p_brand": {"string"}, "p_type": {"string"},
+             "p_size": {"int"}, "p_retailprice": {"double"}},
+    "orders": {"o_orderkey": {"bigint"}, "o_custkey": {"bigint"},
+               "o_orderstatus": {"string"}, "o_totalprice": {"double"},
+               "o_orderdate": _DATE_OK, "o_orderpriority": {"string"}},
+    "lineitem": {"l_orderkey": {"bigint"}, "l_partkey": {"bigint"},
+                 "l_suppkey": {"bigint"}, "l_linenumber": {"int"},
+                 "l_quantity": {"double"}, "l_extendedprice": {"double"},
+                 "l_discount": {"double"}, "l_tax": {"double"},
+                 "l_returnflag": {"string"}, "l_linestatus": {"string"},
+                 "l_shipdate": _DATE_OK},
+    "events": {"event_id": {"bigint"}, "ts": _TS_OK, "user_id": {"bigint"},
+               "event_type": {"string"}, "value": {"double"},
+               "props": {"string"}},
+    "documents": {"doc_id": {"bigint"}, "text": {"string"},
+                  "lang": {"string"}, "source": {"string"},
+                  "n_chars": {"bigint"}},
+    "embeddings": {"vec_id": {"bigint"}, "embedding": {"array<float>"},
+                   "label": {"int"}},
+}
+
+
+def assert_testdata_schema(spark: SparkSession, sf_dir: str) -> None:
+    """Fail fast (with the drifted column NAMED) if the driver testdata's
+    parquet dtypes no longer match what this codebase assumes. Footer-only
+    reads -- costs milliseconds, saves a round."""
+    _enable_nanos_as_long(spark)
+    problems: list[str] = []
+    for table, cols in EXPECTED_TESTDATA_SCHEMA.items():
+        try:
+            actual = dict(load_table(spark, sf_dir, table).dtypes)
+        except Exception as exc:  # noqa: BLE001 -- report unreadable table, keep scanning
+            problems.append(f"{table}: unreadable ({type(exc).__name__}: {exc})")
+            continue
+        for col, allowed in cols.items():
+            dt = actual.get(col)
+            if dt is None:
+                problems.append(f"{table}.{col}: column missing")
+            elif dt not in allowed:
+                problems.append(
+                    f"{table}.{col}: dtype {dt!r} not in supported {sorted(allowed)}"
+                )
+    if problems:
+        raise AssertionError(
+            "driver testdata schema drifted from adapter assumptions:\n  "
+            + "\n  ".join(problems)
+        )
+
+
 def _enable_nanos_as_long(spark: SparkSession) -> None:
     """Make TIMESTAMP(NANOS) parquet readable as bigint nanos.
 
     ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime SQLConf, so setting
     it here works even on a caller-provided SparkSession that was built
     without this repo's session factory (the driver contract passes its own
-    session). Must run before any read that touches `events.parquet`."""
+    session). Must run before any read that touches `events.parquet`. Only
+    affects TIMESTAMP(NANOS) columns -- harmless otherwise."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp math below assumes UTC wall-clock == epoch instants; the
+    # repo session factory already sets this, but the driver contract may
+    # hand us a foreign session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def ts_seconds_col(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-seconds expression for a time column of WHATEVER dtype the
+    parquet actually has -- introspected, never assumed (the driver testdata
+    has shipped this column as int64-nanos in one round and timestamp[us] in
+    another; r03 burned 9 queries on the assumption).
+
+    - timestamp / timestamp_ntz: ``unix_seconds(cast(ts as timestamp))``
+      (session TZ pinned to UTC, so NTZ wall-clock == epoch instant -- exact
+      match for the DuckDB oracle ``CAST(floor(epoch_ms(ts)/1000) AS BIGINT)``,
+      verified min/max/sum-identical on the driver parquet).
+    - bigint (nanos via nanosAsLong): exact integer ``div`` -- nanos exceed
+      2^53 so double division would lose precision.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt in ("timestamp", "timestamp_ntz"):
+        return F.unix_seconds(F.col(col).cast("timestamp"))
+    if dt == "bigint":
+        return F.expr(f"{col} div 1000000000")
+    raise TypeError(
+        f"events.{col}: unsupported dtype {dt!r} (expected timestamp, "
+        "timestamp_ntz, or bigint nanos) -- driver testdata schema drifted?"
+    )
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` with a canonical epoch-seconds column.
-
-    The parquet stores ts as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as bigint nanos.
-    Seconds are derived with exact integer division (`div`) -- nanos exceed
-    2^53 so double division would lose precision. The DuckDB oracle mirror is
-    ``CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)`` (exact: ms < 2^53)."""
+    """`events` with a canonical epoch-seconds column ``ts_s``, derived from
+    the *loaded* dtype of ``ts`` (see ``ts_seconds_col``). The DuckDB oracle
+    mirror is ``CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)`` (exact: ms < 2^53)."""
     _enable_nanos_as_long(spark)
     e = load_table(spark, sf_dir, "events")
-    return e.withColumn("ts_s", F.expr("ts div 1000000000"))
+    return e.withColumn("ts_s", ts_seconds_col(e))
 
 
 def cells(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,30 +17,28 @@ Patterns demonstrated:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
+from pyspark.sql.types import StructType
+
+from cassandra_sstable_tools_spark.sources.tpch_adapter import (
+    _enable_nanos_as_long,
+    ts_seconds_col,
 )
 
-from cassandra_sstable_tools_spark.sources.tpch_adapter import _enable_nanos_as_long
 
-# `ts` arrives as raw nanos (bigint) -- see session.py nanosAsLong note.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def events_stream_spec(spark: SparkSession, sf_dir: str) -> tuple[StructType, Column]:
+    """(read schema, epoch-seconds Column) for streaming over `events`.
+
+    File streams require an explicit schema, but hard-coding one is how r03
+    silently read micros as nanos (off by 1000x): the driver testdata has
+    shipped `ts` as both int64-nanos and timestamp[us] across rounds. So the
+    schema is introspected from the parquet footer via a (lazy, footer-only)
+    batch read, and the seconds expression is dispatched on the actual dtype
+    by the same helper the batch path uses (``tpch_adapter.ts_seconds_col``)."""
+    _enable_nanos_as_long(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return batch.schema, ts_seconds_col(batch)
 
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,12 +48,12 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests)."""
     # File stream sources require a directory; select the single events
     # parquet via glob filter.
-    _enable_nanos_as_long(spark)
+    schema, ts_s = events_stream_spec(spark, sf_dir)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
+        .withColumn("event_time", F.timestamp_seconds(ts_s))
     )
     return (
         stream.withWatermark("event_time", "2 hours")
@@ -120,12 +118,12 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(stream history) -- the property that makes streaming dedup viable on
     an unbounded 100 TB/day feed. State is hash-partitioned on event_id by
     the streaming aggregation exchange; no skew (keys are unique)."""
-    _enable_nanos_as_long(spark)
+    schema, ts_s = events_stream_spec(spark, sf_dir)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_seconds(F.expr("ts div 1000000000")))
+        .withColumn("event_time", F.timestamp_seconds(ts_s))
     )
     doubled = stream.withColumn(
         "copy", F.explode(F.array(F.lit(1), F.lit(2)))
@@ -135,7 +133,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deduped.select(
         "event_id",
-        F.expr("ts div 1000000000").alias("ts_s"),
+        ts_s.alias("ts_s"),
         "user_id",
         "event_type",
     )

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
-from cassandra_sstable_tools_spark.streaming.events_stream import EVENTS_SCHEMA
+from cassandra_sstable_tools_spark.streaming.events_stream import events_stream_spec
 
 SESSION_GAP_SECONDS = 1800
 
@@ -134,18 +134,16 @@ def _sessionize_group(
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-sessionization; returns the (unstarted) stateful stream."""
-    from cassandra_sstable_tools_spark.sources.tpch_adapter import _enable_nanos_as_long
-
-    _enable_nanos_as_long(spark)
+    schema, ts_s = events_stream_spec(spark, sf_dir)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     prepared = stream.select(
         "user_id",
         "event_id",
-        F.expr("ts div 1000000000").alias("ts_s"),
+        ts_s.alias("ts_s"),
         F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(

@@ -23,6 +23,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    # Schema tripwire: fail the whole session fast, with the drifted column
+    # named, if the driver regenerated testdata with different dtypes.
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import (
+        assert_testdata_schema,
+    )
+
+    assert_testdata_schema(s, SF_DIR)
     yield s
 
 

@@ -29,7 +29,7 @@ def test_stream_matches_batch(spark, sf_dir):
 def test_stream_dedup_restores_original_rows(spark, sf_dir):
     """dropDuplicatesWithinWatermark over the deterministically 2x-duplicated
     stream must emit exactly the original (undoubled) events."""
-    from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import events_table
     from cassandra_sstable_tools_spark.streaming.events_stream import (
         stream_dedup_events,
     )
@@ -38,10 +38,8 @@ def test_stream_dedup_restores_original_rows(spark, sf_dir):
         stream_dedup_events(spark, sf_dir), "t_stream_dedup", mode="append"
     ).toPandas()
     batch = (
-        load_table(spark, sf_dir, "events")
-        .selectExpr(
-            "event_id", "ts div 1000000000 AS ts_s", "user_id", "event_type"
-        )
+        events_table(spark, sf_dir)
+        .select("event_id", "ts_s", "user_id", "event_type")
         .toPandas()
     )
     # Fixture invariant the oracle (plain SELECT of events) relies on: if a
