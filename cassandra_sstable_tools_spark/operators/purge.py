@@ -39,21 +39,33 @@ size covers its two bounds, so the purged marker retains ``cell_size / 2``
 (integer floor) per shared boundary (at most its two bounds). Both-sides
 droppable -> whole boundary purged (reference returns null), no remnant.
 
-Spark shape -- single-partitioning design, NO Python in the hot path:
-the input is repartitioned ONCE on (keyspace, table_name, partition_key);
-every subsequent operator -- the LWW ``row_number`` window, the
-partition-delete / row-delete watermark windows (conditional ``max() over``),
-the RTM anti-join (pk-equi + range post-filter), the pre-size aggregation and
-the merged-size aggregation -- keys on a superset of that partitioning, so
-Spark's ClusteredDistribution check elides every further exchange: ONE
-shuffle total for the whole simulation. Windows add only intra-partition
-sorts. At 100 TB this is shuffle-minimal and skew is handled by AQE.
+Spark shape -- ZERO corpus shuffles on the cached path, ONE corpus sort, no
+Python anywhere: the adapter caches `cells` hash-partitioned on (keyspace,
+table_name, partition_key), and every corpus-wide operator here -- the LWW
+``row_number`` window and the two-level final aggregation -- keys on a
+superset of that partitioning, so ClusteredDistribution is satisfied straight
+off the cache (an uncached input just gets one planner-inserted window
+exchange). ALL tombstone interactions -- partition-delete watermark,
+row-delete watermark, RTM interval shadowing, and the RTM boundary-splitting
+remnant -- ride ONE rare-row broadcast side table (deletes are a small
+fraction of any real corpus): a single marker scan aggregates per-pk structs
+and the remnant is computed with array expressions on that one row, so the
+corpus pays a hash probe per row where the r02-r03 formulation paid two more
+corpus-wide windows, a sort-merge anti-join, and a melt + self-join remnant
+branch. Survival is then a per-row boolean, and pre_size / merged_size /
+tables / remnant come out of a SINGLE two-level aggregation pass
+((pk, sstable) partials -> pk, both exchange-free on the corpus
+partitioning). At 100 TB: if a pathological corpus ever made the delete map
+too big to broadcast, it is a _PK-keyed equi-join, so dropping the broadcast
+hint falls back to a co-partitioned join on the existing partitioning; AQE
+decides at runtime.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from cassandra_sstable_tools_spark.constants import GC_BEFORE
 
@@ -63,8 +75,12 @@ _CELLISH = ("CELL", "STATIC_CELL", "ROW_MARKER")
 
 def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
     """Per-partition (pre_size, merged_size, reclaimable, tables)."""
-    # ONE shuffle: everything below reuses this partitioning.
-    c = cells.repartition(*[F.col(k) for k in _PK])
+    # No explicit repartition: the adapter's cells cache is hash-partitioned
+    # on (keyspace, table_name, partition_key), which satisfies the
+    # ClusteredDistribution of the LWW window AND the final aggregation --
+    # zero corpus exchanges on the cached path. An arbitrary (uncached)
+    # input just gets the planner-inserted window exchange instead.
+    c = cells
 
     # Scope-aware dedup key: partition deletes reconcile per pk, row deletes
     # per (pk, clustering), RTMs per (pk, range), cells per (pk, clustering,
@@ -85,127 +101,175 @@ def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
     w_lww = Window.partitionBy(
         *_PK, dedup_clustering, dedup_name
     ).orderBy(F.desc("writetime"))
-    w_pk = Window.partitionBy(*_PK)
-    w_row = Window.partitionBy(*_PK, "clustering")
 
-    enriched = (
-        c.withColumn("rn", F.row_number().over(w_lww))
-        .withColumn(
-            "pd_wt",
+    # Delete-marker side table: ONE pass over the (cached) raw input builds,
+    # per pk, everything tombstone-related the merge needs --
+    #   pd_wt:   partition-delete watermark (scalar)
+    #   rds:     row-delete watermarks as (clustering, wt) structs
+    #   rtms:    every RTM copy as a (rs, re, wt, ldt, cs) struct
+    #   remnant: the RTM boundary-splitting byte count (below)
+    # -- and broadcast-joins it back on pk. Deletes are a small fraction of
+    # any real corpus, so this frame is tiny; one broadcast replaces two
+    # corpus-wide windows and a sort-merge anti-join from the r02-r03
+    # formulation (the corpus paid a sort for each -- now it pays a hash
+    # probe per row), and fusing everything keeps it to a single
+    # materialization job over a single marker scan (profiled: the separate
+    # pd/rd/rtm/remnant subtrees each re-scanned the corpus cache at ~0.5s
+    # apiece). collect_list skips nulls, so the conditional structs
+    # partition the marker rows by kind.
+    delete_map_raw = (
+        cells.where(
+            F.col("kind").isin(
+                "PARTITION_DELETE", "ROW_DELETE", "RANGE_TOMBSTONE_MARKER"
+            )
+        )
+        .groupBy(*_PK)
+        .agg(
             F.max(
                 F.when(F.col("kind") == "PARTITION_DELETE", F.col("writetime"))
-            ).over(w_pk),
+            ).alias("pd_wt"),
+            F.collect_list(
+                F.when(
+                    F.col("kind") == "ROW_DELETE",
+                    F.struct(
+                        F.col("clustering").alias("cl"),
+                        F.col("writetime").alias("wt"),
+                    ),
+                )
+            ).alias("rds"),
+            F.collect_list(
+                F.when(
+                    F.col("kind") == "RANGE_TOMBSTONE_MARKER",
+                    F.struct(
+                        F.col("range_start").alias("rs"),
+                        F.col("range_end").alias("re"),
+                        F.col("writetime").alias("wt"),
+                        F.col("local_deletion_time").alias("ldt"),
+                        F.col("cell_size").alias("cs"),
+                    ),
+                )
+            ).alias("rtms"),
         )
-        .withColumn(
-            "rd_wt",
-            F.max(
-                F.when(F.col("kind") == "ROW_DELETE", F.col("writetime"))
-            ).over(w_row),
+    )
+
+    # RTM boundary splitting (docstring above) as pure array expressions on
+    # the per-pk rtms -- no extra scan, window, or join (the r03 melt +
+    # self-join formulation re-evaluated a corpus window stack per side):
+    # 1. winners: per distinct (rs, re) range, the last-writer copy.
+    #    array_sort on (rs, re, wt, ldt, cs) structs is lexicographic, so
+    #    within one range the max element is the max-writetime copy (tie ->
+    #    max ldt, cs -- the same this-row-or-that-row arbitrariness the
+    #    previous row_number() ordering by writetime alone had).
+    # 2. live: not shadowed by the partition-delete watermark.
+    # 3. A PURGED (ldt < gc_before) live winner's bound that coincides with
+    #    an OPPOSITE-type bound of a KEPT live winner is a reference
+    #    boundary marker -> floor(cs/2) survives per such bound; a
+    #    degenerate rs==re marker counts its position once.
+    _range = F.array_distinct(
+        F.transform("rtms", lambda m: F.struct(m["rs"].alias("rs"), m["re"].alias("re")))
+    )
+    winners = F.transform(
+        _range,
+        lambda r: F.element_at(
+            F.array_sort(
+                F.filter(
+                    "rtms", lambda m: (m["rs"] == r["rs"]) & (m["re"] == r["re"])
+                )
+            ),
+            -1,
+        ),
+    )
+    live = lambda m: F.col("pd_wt").isNull() | (m["wt"] > F.col("pd_wt"))  # noqa: E731
+    kept_w = F.filter(winners, lambda m: live(m) & (m["ldt"] >= gc_before))
+    purged_w = F.filter(winners, lambda m: live(m) & (m["ldt"] < gc_before))
+    kept_open_pos = F.transform(kept_w, lambda m: m["rs"])
+    kept_close_pos = F.transform(kept_w, lambda m: m["re"])
+    # purged OPEN bound (pos=rs) meets a kept CLOSE bound; purged CLOSE
+    # bound (pos=re) meets a kept OPEN bound.
+    def _remnant_bounds(m):
+        open_met = F.exists(kept_close_pos, lambda p: p == m["rs"])
+        close_met = F.exists(kept_open_pos, lambda p: p == m["re"])
+        both_same_pos = m["rs"] == m["re"]
+        n_bounds = F.when(
+            both_same_pos, F.when(open_met | close_met, 1).otherwise(0)
+        ).otherwise(
+            open_met.cast("int") + close_met.cast("int")
         )
+        return F.floor(m["cs"] / 2) * n_bounds.cast("bigint")
+
+    remnant = F.aggregate(
+        purged_w, F.lit(0).cast("bigint"), lambda acc, m: acc + _remnant_bounds(m)
+    )
+    delete_map = broadcast(delete_map_raw.withColumn("remnant", remnant))
+
+    enriched = c.withColumn("rn", F.row_number().over(w_lww)).join(
+        delete_map, _PK, "left"
     )
 
     is_cellish = F.col("kind").isin(*_CELLISH)
     not_pd_shadowed = F.col("pd_wt").isNull() | (F.col("writetime") > F.col("pd_wt"))
-    not_rd_shadowed = F.col("rd_wt").isNull() | (F.col("writetime") > F.col("rd_wt"))
+    # Row-delete watermark: max wt among this row's (pk, clustering) row
+    # deletes -- an O(|rds|) array probe, |rds| is per-pk delete count.
+    rd_wt = F.array_max(
+        F.transform(
+            F.filter(F.col("rds"), lambda r: r["cl"] == F.col("clustering")),
+            lambda r: r["wt"],
+        )
+    )
+    not_rd_shadowed = rd_wt.isNull() | (F.col("writetime") > rd_wt)
     acts_as_tombstone = F.col("is_tombstone") | (
         F.col("is_expiring") & (F.col("local_deletion_time") < gc_before)
     )
     not_purged_cell = ~(acts_as_tombstone & (F.col("local_deletion_time") < gc_before))
     marker_not_purged = F.col("local_deletion_time") >= gc_before
+    # RTM interval shadowing as a per-row array probe (same predicate the
+    # old anti-join carried; exists() over null/empty rtms -> coalesce).
+    rtm_shadowed = F.coalesce(
+        F.exists(
+            F.col("rtms"),
+            lambda r: (F.col("clustering") >= r["rs"])
+            & (F.col("clustering") <= r["re"])
+            & (F.col("writetime") < r["wt"]),
+        ),
+        F.lit(False),
+    )
 
-    keep = (F.col("rn") == 1) & (
-        F.when(is_cellish, not_pd_shadowed & not_rd_shadowed & not_purged_cell)
+    survives = (F.col("rn") == 1) & (
+        F.when(
+            is_cellish,
+            not_pd_shadowed & not_rd_shadowed & not_purged_cell & ~rtm_shadowed,
+        )
         .when(F.col("kind") == "PARTITION_DELETE", marker_not_purged)
         .otherwise(not_pd_shadowed & marker_not_purged)  # ROW_DELETE / RTM
     )
-    survivors = enriched.where(keep)
 
-    # RTM interval shadowing: pk-equi anti-join with range + kind predicates
-    # inside the condition so markers are never eliminated by it.
-    rtm = c.where(F.col("kind") == "RANGE_TOMBSTONE_MARKER").select(
-        F.col("keyspace").alias("t_keyspace"),
-        F.col("table_name").alias("t_table_name"),
-        F.col("partition_key").alias("t_partition_key"),
-        F.col("range_start").alias("t_range_start"),
-        F.col("range_end").alias("t_range_end"),
-        F.col("writetime").alias("rtm_wt"),
+    # ONE fused aggregation pass: pre_size (every copy), merged_size
+    # (survivors only -- the boolean above), and tables (distinct sstables)
+    # come out of a two-level aggregate. Level 1 groups by (pk, sstable_id)
+    # -- a superset of the corpus partitioning, so no exchange and heavy
+    # partial-agg reduction; level 2 counts level-1 rows for the exact
+    # distinct-sstable count WITHOUT countDistinct's Expand (which would
+    # double the corpus through the aggregate). The r02-r03 shape computed
+    # pre and merged as two corpus-sized aggregates and joined them.
+    # The per-pk remnant is a constant on every joined row of the pk (it
+    # rides the broadcast map), so max() carries it through both levels --
+    # no separate remnant frame, no extra join.
+    level1 = enriched.groupBy(*_PK, "sstable_id").agg(
+        F.sum("cell_size").alias("ps"),
+        F.sum(F.when(survives, F.col("cell_size")).otherwise(F.lit(0))).alias("ms"),
+        F.max("remnant").alias("remnant"),
     )
-    survivors = survivors.join(
-        rtm,
-        on=[
-            F.col("keyspace") == F.col("t_keyspace"),
-            F.col("table_name") == F.col("t_table_name"),
-            F.col("partition_key") == F.col("t_partition_key"),
-            F.col("kind").isin(*_CELLISH),
-            F.col("clustering") >= F.col("t_range_start"),
-            F.col("clustering") <= F.col("t_range_end"),
-            F.col("writetime") < F.col("rtm_wt"),
-        ],
-        how="left_anti",
+    stats = level1.groupBy(*_PK).agg(
+        F.sum("ps").alias("pre_size"),
+        F.sum("ms").alias("merged_size"),
+        F.count(F.lit(1)).alias("tables"),
+        F.max("remnant").alias("remnant"),
     )
-
-    # RTM boundary splitting (docstring above): melt each live RTM into its
-    # two bounds; a purged marker's bound that coincides with an OPPOSITE-type
-    # bound of a kept marker is a reference boundary -> half the purged
-    # marker's declared size survives per such bound. Rare-rows only: every
-    # frame below holds exclusively RTM rows, so the extra exchange is tiny.
-    rtm_live = enriched.where(
-        (F.col("kind") == "RANGE_TOMBSTONE_MARKER")
-        & (F.col("rn") == 1)
-        & not_pd_shadowed
-    )
-    bounds = F.explode(
-        F.array(
-            F.struct(F.col("range_start").alias("pos"), F.lit("open").alias("typ")),
-            F.struct(F.col("range_end").alias("pos"), F.lit("close").alias("typ")),
-        )
-    )
-    purged_bounds = (
-        rtm_live.where(F.col("local_deletion_time") < gc_before)
-        .select(*_PK, "range_start", "range_end", "cell_size", bounds.alias("b"))
-        .select(*_PK, "range_start", "range_end", "cell_size", "b.pos", "b.typ")
-    )
-    kept_bounds = (
-        rtm_live.where(F.col("local_deletion_time") >= gc_before)
-        .select(
-            *[F.col(k).alias(f"k_{k}") for k in _PK], bounds.alias("b")
-        )
-        .select("k_keyspace", "k_table_name", "k_partition_key",
-                F.col("b.pos").alias("k_pos"), F.col("b.typ").alias("k_typ"))
-    )
-    remnants = (
-        purged_bounds.join(
-            kept_bounds,
-            on=[
-                F.col("keyspace") == F.col("k_keyspace"),
-                F.col("table_name") == F.col("k_table_name"),
-                F.col("partition_key") == F.col("k_partition_key"),
-                F.col("pos") == F.col("k_pos"),
-                F.col("typ") != F.col("k_typ"),
-            ],
-            how="left_semi",
-        )
-        # one remnant per (marker, bound position), even if several kept
-        # markers share the position
-        .select(*_PK, "range_start", "range_end", "cell_size", "pos")
-        .distinct()
-        .groupBy(*_PK)
-        .agg(F.sum(F.floor(F.col("cell_size") / 2)).alias("remnant"))
-    )
-
-    pre = c.groupBy(*_PK).agg(
-        F.sum("cell_size").alias("pre_size"),
-        F.countDistinct("sstable_id").alias("tables"),
-    )
-    merged = survivors.groupBy(*_PK).agg(F.sum("cell_size").alias("merged_size"))
 
     return (
-        pre.join(merged, _PK, "left")
-        .join(remnants, _PK, "left")
-        .withColumn(
+        stats.withColumn(
             "merged_size",
-            F.coalesce(F.col("merged_size"), F.lit(0))
-            + F.coalesce(F.col("remnant"), F.lit(0)),
+            F.col("merged_size") + F.coalesce(F.col("remnant"), F.lit(0)),
         )
         .drop("remnant")
         .withColumn("reclaimable", F.col("pre_size") - F.col("merged_size"))

@@ -24,9 +24,15 @@ def get_spark(
         # Local mode: one shuffle partition per core. On a real cluster this
         # would be ~2-3x total cores; AQE coalesces small partitions anyway.
         shuffle_partitions = cpus
+    # Local mode runs all 32 executor threads inside the driver JVM; the
+    # default 1g heap GC-thrashes (and can OOM) under windowed plans at
+    # sf0.1 while the machine has 128 GiB. On a real cluster this maps to
+    # ordinary executor memory sizing.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         # AQE: runtime re-planning, small-partition coalescing, skew-join split.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

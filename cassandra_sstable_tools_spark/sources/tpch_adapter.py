@@ -113,13 +113,33 @@ def _evict(key: tuple) -> None:
         pass  # owning session already stopped; entry is gone either way
 
 
-def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+def _cached(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build,
+    part_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
     key = (id(spark), sf_dir, name, _FILENAME_FILTER)
     df = _DERIVED_CACHE.get(key)
     if df is None:
         while len(_DERIVED_CACHE) >= _DERIVED_CACHE_MAX:
             _evict(next(iter(_DERIVED_CACHE)))
-        df = build().persist()
+        df = build()
+        if part_cols:
+            # Hash-partition the cache on its natural key, for two reasons:
+            # (1) scan parallelism -- the source parquet arrives in ~3 input
+            # splits at sf0.1, and a cache that narrow serializes every
+            # downstream scan to 3 tasks (profiled: purge's side-table
+            # builds burned ~400ms each on 3-task scans; 32-way they are
+            # ~50ms); (2) clustering -- downstream windows/groupBys keyed on
+            # a superset of part_cols satisfy ClusteredDistribution straight
+            # off the cache, eliding their exchange. Deliberately NOT a
+            # blind round-robin: that widens the scan but destroys
+            # co-location (measured: corpus_keep_list 1.4s -> 3.7s when
+            # doc_shingles lost its clustering). One exchange at build time.
+            df = df.repartition(*[F.col(c) for c in part_cols])
+        df = df.persist()
         _DERIVED_CACHE[key] = df
     return df
 
@@ -258,7 +278,10 @@ def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = df.where(fname.isin(list(_FILENAME_FILTER)))
         return df
 
-    return _cached(spark, sf_dir, "cells", build)
+    return _cached(
+        spark, sf_dir, "cells", build,
+        part_cols=("keyspace", "table_name", "partition_key"),
+    )
 
 
 def _cells_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
