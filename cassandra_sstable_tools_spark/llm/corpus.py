@@ -100,6 +100,71 @@ def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_K = 30
+VOCAB_TOP_K = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = BPE_TOP_K) -> DataFrame:
+    """Top-K adjacent character-pair frequencies, weighted by word frequency
+    -- the counting step of one BPE merge iteration (the statistic a
+    tokenizer-training pipeline computes over the corpus each round).
+
+    Scale posture: the corpus scan reduces to the VOCABULARY grain first
+    (groupBy(word) with map-side combine -- vocabulary is sublinear in corpus
+    size), pairs explode off vocabulary rows only (len(word)-1 each), and the
+    global top-K is orderBy+limit = TakeOrderedAndProject (bounded per-task
+    heap + driver merge of K rows, never a global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).where(F.length("word") >= 2)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("occurrences"))
+    topk = counts.orderBy(F.desc("occurrences"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("occurrences"), F.asc("pair"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Vocabulary statistics: top-K words by document frequency, with term
+    frequency and an integer-exact inverse-document-frequency
+    (idf_ppm = floor(N_docs * 1e6 / doc_freq) -- a ratio, not a log, so both
+    engines compute it bit-identically). The stopword/boilerplate-vocabulary
+    detector a curation pipeline runs before filtering.
+
+    Scale posture: two-level aggregation -- (doc_id, word) partials collapse
+    per-document repetition before the per-word aggregate, so doc_freq is an
+    exact count WITHOUT countDistinct's Expand; top-K via orderBy+limit."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).where(F.length("word") >= 1)
+    dw = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = dw.groupBy("word").agg(
+        F.sum("cnt").alias("occurrences"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    topk = (
+        agg.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf_ppm",
+            F.floor(F.col("n_docs") * 1000000 / F.col("doc_freq")).cast("bigint"),
+        )
+        .drop("n_docs")
+        .orderBy(F.desc("doc_freq"), F.asc("word"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("word"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 _BIGRAMS_SQL = r"""
 words AS (
     SELECT doc_id,
@@ -156,9 +221,54 @@ GROUP BY 1
 """,
 }
 
+ORACLES["bpe_pair_counts"] = rf"""
+WITH words AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+),
+wf AS (
+    SELECT word, count(*) AS freq FROM words WHERE length(word) >= 2 GROUP BY 1
+),
+pairs AS (
+    SELECT substring(word, CAST(i AS INT), 2) AS pair, freq
+    FROM (SELECT word, freq,
+                 unnest(generate_series(1, length(word) - 1)) AS i
+          FROM wf)
+)
+SELECT pair, occurrences, rank FROM (
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS occurrences,
+           row_number() OVER (ORDER BY sum(freq) DESC, pair ASC) AS rank
+    FROM pairs GROUP BY 1
+) WHERE rank <= {BPE_TOP_K}
+"""
+
+ORACLES["vocab_topk"] = rf"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+),
+dw AS (
+    SELECT doc_id, word, count(*) AS cnt FROM words
+    WHERE length(word) >= 1 GROUP BY 1, 2
+),
+agg AS (
+    SELECT word, CAST(sum(cnt) AS BIGINT) AS occurrences,
+           count(*) AS doc_freq
+    FROM dw GROUP BY 1
+)
+SELECT word, occurrences, doc_freq, idf_ppm, rank FROM (
+    SELECT word, occurrences, doc_freq,
+           CAST(floor((SELECT count(*) FROM documents) * 1000000 / doc_freq)
+                AS BIGINT) AS idf_ppm,
+           row_number() OVER (ORDER BY doc_freq DESC, word ASC) AS rank
+    FROM agg
+) WHERE rank <= {VOCAB_TOP_K}
+"""
+
 QUERIES = {
     "ngram_topk": ngram_topk,
     "pii_scan": pii_scan,
     "length_histogram": length_histogram,
     "stratified_sample_rates": stratified_sample_rates,
+    "bpe_pair_counts": bpe_pair_counts,
+    "vocab_topk": vocab_topk,
 }

@@ -403,6 +403,167 @@ def ann_ivf_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Product quantization: M subspaces, K codes per subspace. Codebook = the
+# sub-vectors of the first PQ_K corpus vectors (deterministic, like
+# ann_ivf_topk's first-K centroids), so the whole operator is
+# oracle-expressible. 100 TB config: train per-subspace codebooks with
+# kmeans_centroids_spark over sub-vectors instead; the plan shape is
+# identical (only the literal codebook changes).
+PQ_M = 8
+PQ_K = 16
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-K via product quantization with asymmetric distance
+    (ADC) -- the memory-compression scale path: each corpus vector is stored
+    as M single-byte codes (here 8 bytes vs 64 floats, 32x), and each query
+    scores a candidate with M look-up-table reads instead of a D-dim dot
+    product.
+
+    Plan (100 TB shape): codebook is PQ_K x D integers collected once
+    (bounded, corpus-size-independent); ENCODING is one codegen scan -- per
+    row, per subspace, argmin-L2 over the K literal codebook entries (exact
+    bigint arithmetic, ties -> lowest code). The query side precomputes its
+    [M][K] inner-product LUT once per query row (Q rows, broadcast), and the
+    scoring join reads M LUT entries per (query, candidate) pair -- the
+    corpus is scanned once and never shuffled; TakeOrderedAndProject per
+    query bounds the result. Scoring uses the reconstructed vector
+    (sim = lut_dot / sqrt(q_norm * recon_norm), floored to ppm), so the
+    DuckDB oracle reproduces it bit-identically from the same integers."""
+    emb = _quantized(spark, sf_dir)
+    dims = len(emb.select("qv").first().qv)
+    sub_d = dims // PQ_M
+    cb_rows = emb.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    assert len(cb_rows) == PQ_K, "corpus smaller than PQ codebook"
+    # cb[m][j] = sub-vector (len sub_d) of codebook vector j in subspace m.
+    cb = [
+        [[int(v) for v in r.qv[m * sub_d:(m + 1) * sub_d]] for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(v).cast("bigint") for v in sub]) for sub in per_m
+        ])
+        for per_m in cb
+    ])
+    cbnorm_lit = F.array(*[
+        F.array(*[
+            F.lit(sum(v * v for v in sub)).cast("bigint") for sub in per_m
+        ])
+        for per_m in cb
+    ])
+
+    def _sub(vec, m):  # 1-based slice of subspace m (m is a 0-based Column)
+        return F.slice(vec, m * sub_d + 1, sub_d)
+
+    def _l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    # argmin as a single fold over the K codes (each distance evaluated
+    # once): acc = (best_d2, best_j), strict < keeps the FIRST minimum ->
+    # ties resolve to the lowest code, like the oracle's row_number ordered
+    # by (d2, j).
+    _D2_INF = 1 << 62
+
+    def _argmin_code(m):
+        def step(acc, j):
+            d2 = _l2(
+                _sub(F.col("qv"), m),
+                F.element_at(F.element_at(cb_lit, (m + 1).cast("int")),
+                             (j + 1).cast("int")),
+            )
+            better = d2 < acc["d"]
+            return F.struct(
+                F.when(better, d2).otherwise(acc["d"]).alias("d"),
+                F.when(better, j.cast("bigint")).otherwise(acc["j"]).alias("j"),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            F.struct(
+                F.lit(_D2_INF).cast("bigint").alias("d"),
+                F.lit(-1).cast("bigint").alias("j"),
+            ),
+            step,
+        )["j"]
+
+    codes = F.transform(ms, lambda m: _argmin_code(m))
+    encoded = emb.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.aggregate(
+            F.zip_with(
+                ms, codes,
+                lambda m, cd: F.element_at(
+                    F.element_at(cbnorm_lit, (m + 1).cast("int")),
+                    (cd + 1).cast("int"),
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("recon_norm"),
+    )
+
+    luts = F.transform(
+        ms,
+        lambda m: F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            lambda j: _dot(
+                _sub(F.col("q_qv"), m),
+                F.element_at(F.element_at(cb_lit, (m + 1).cast("int")),
+                             (j + 1).cast("int")),
+            ),
+        ),
+    )
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("norm").alias("q_norm"),
+        )
+        .withColumn("luts", luts)
+        .drop("q_qv")
+    )
+    recon_dot = F.aggregate(
+        F.zip_with(
+            ms, F.col("codes"),
+            lambda m, cd: F.element_at(
+                F.element_at(F.col("luts"), (m + 1).cast("int")),
+                (cd + 1).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("recon_dot", recon_dot)
+        .withColumn(
+            "simq_ppm",
+            F.floor(
+                F.col("recon_dot")
+                / F.sqrt(
+                    (F.col("q_norm") * F.greatest(F.col("recon_norm"), F.lit(1)))
+                    .cast("double")
+                )
+                * 1000000
+            ),
+        )
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("simq_ppm"), F.asc("vec_id")],
+        TOP_K,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "simq_ppm", "rank")
+
+
 def _band_keys(
     qv: Column,
     n_bands: int = NEARDUP_N_BANDS,
@@ -655,6 +816,68 @@ SELECT CAST(count(*) AS BIGINT) AS truth_pairs, TRUE AS recall_ok
 FROM ({_BRUTEFORCE_SQL.strip()}) bf
 """
 
+# Product quantization: codebook = first PQ_K vectors' sub-vectors; encode =
+# argmin-L2 per subspace (ties -> lowest code); ADC score from the
+# reconstruction. Same integers as the Spark plan -> identical ppm floors.
+_PQ_SUB_D = 64 // PQ_M
+ORACLES["ann_pq_topk"] = f"""
+WITH {_ELEMS_SQL.lstrip()},
+cb AS (
+    SELECT vec_id AS j, pos, q,
+           CAST((pos - 1) // {_PQ_SUB_D} AS INT) AS m
+    FROM elems WHERE vec_id < {PQ_K}
+),
+cbnorm AS (
+    SELECT j, m, CAST(sum(q * q) AS BIGINT) AS n2 FROM cb GROUP BY 1, 2
+),
+dists AS (
+    SELECT x.vec_id, c.m, c.j,
+           CAST(sum((x.q - c.q) * (x.q - c.q)) AS BIGINT) AS d2
+    FROM elems x JOIN cb c ON c.pos = x.pos
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+        FROM dists) WHERE rn = 1
+),
+recon AS (
+    SELECT co.vec_id, CAST(sum(cn.n2) AS BIGINT) AS recon_norm
+    FROM codes co JOIN cbnorm cn ON cn.j = co.code AND cn.m = co.m
+    GROUP BY 1
+),
+lut AS (
+    SELECT qe.vec_id AS query_id, c.m, c.j,
+           CAST(sum(qe.q * c.q) AS BIGINT) AS dot
+    FROM elems qe JOIN cb c ON c.pos = qe.pos
+    WHERE qe.vec_id < {N_QUERIES}
+    GROUP BY 1, 2, 3
+),
+pq_scores AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id,
+           CAST(sum(l.dot) AS BIGINT) AS recon_dot
+    FROM codes co JOIN lut l ON l.m = co.m AND l.j = co.code
+    WHERE co.vec_id <> l.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, simq_ppm, rank FROM (
+    SELECT s.query_id, s.neighbor_id,
+           CAST(floor(s.recon_dot
+                      / sqrt(CAST(n.norm * greatest(r.recon_norm, 1) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS simq_ppm,
+           row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY floor(s.recon_dot
+                              / sqrt(CAST(n.norm * greatest(r.recon_norm, 1)
+                                          AS DOUBLE)) * 1000000) DESC,
+                        s.neighbor_id ASC) AS rank
+    FROM pq_scores s
+    JOIN norms n ON n.vec_id = s.query_id
+    JOIN recon r ON r.vec_id = s.neighbor_id
+) WHERE rank <= {TOP_K}
+"""
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -663,5 +886,6 @@ QUERIES = {
     # raw top-k frame -- Lloyd isn't SQL-expressible, but the recall bound
     # against oracle-expressible bruteforce is. Raw frame: ann_ivf_kmeans_topk.
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_check,
+    "ann_pq_topk": ann_pq_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }

@@ -131,7 +131,63 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every purchase event, attributed to
+    the user's most recent click at-or-before it (ties: max click event_id),
+    with the click-to-purchase latency. Nulls where the user never clicked
+    before the purchase. Union + single-window -- one shuffle on user_id,
+    linear, no per-user quadratic range-join pair blowup."""
+    from cassandra_sstable_tools_spark.operators.asof import asof_join_last
+
+    e = events_table(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_s"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_s",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts_s").alias("click_ts_s"),
+    )
+    joined = asof_join_last(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        time_col="ts_s",
+        payload_cols=["click_event_id", "click_ts_s"],
+        tiebreak_col="click_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        "click_event_id",
+        "click_ts_s",
+        (F.col("ts_s") - F.col("click_ts_s")).alias("latency_s"),
+    )
+
+
 ORACLES = {
+    "purchase_attribution": f"""
+WITH p AS (
+    SELECT event_id, user_id, {_TS_S_SQL} AS ts_s
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_event_id, user_id, {_TS_S_SQL} AS click_ts_s
+    FROM events WHERE event_type = 'click'
+),
+m AS (
+    SELECT p.event_id, c.click_event_id, c.click_ts_s,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.click_ts_s DESC, c.click_event_id DESC) AS rn
+    FROM p JOIN c ON c.user_id = p.user_id AND c.click_ts_s <= p.ts_s
+)
+SELECT p.event_id, p.user_id, p.ts_s, m.click_event_id, m.click_ts_s,
+       p.ts_s - m.click_ts_s AS latency_s
+FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+""",
     "events_hourly": f"""
 SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
        event_type,
@@ -227,4 +283,5 @@ QUERIES = {
     "user_activity": user_activity,
     "cohort_retention": cohort_retention,
     "events_top_types": events_top_types,
+    "purchase_attribution": purchase_attribution,
 }
