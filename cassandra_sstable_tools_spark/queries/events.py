@@ -167,7 +167,82 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW_S = 1800
+
+
+def clicks_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bucketing: for each purchase, how many
+    clicks by the same user fell in the preceding 30-minute window
+    [ts-1800, ts] (inclusive both ends).
+
+    Scale shape: a naive range join (`c JOIN p ON user AND c.ts BETWEEN ...`)
+    gives the planner no equi-key for the time axis. Bucketing restores one:
+    each interval explodes to the <=2 width-1800 buckets it covers, each
+    point maps to its single bucket, the join is EQUI on (user, bucket) with
+    the exact range predicate as a post-filter. A point's bucket is unique,
+    so a (purchase, click) pair can match through exactly one bucket copy --
+    no dedup needed. Pair volume is bounded by real matches plus same-bucket
+    near-misses, never the per-user cross product."""
+    e = events_table(spark, sf_dir)
+    w = ATTRIBUTION_WINDOW_S
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_s").alias("p_ts")
+    )
+    p_bucketed = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("p_ts") - w) / w), F.floor(F.col("p_ts") / w)
+            )
+        ),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts_s").alias("c_ts"),
+        F.floor(F.col("ts_s") / w).alias("bucket"),
+    )
+    matched = p_bucketed.join(
+        clicks,
+        on=[
+            p_bucketed["user_id"] == clicks["c_user"],
+            p_bucketed["bucket"] == clicks["bucket"],
+            clicks["c_ts"] >= p_bucketed["p_ts"] - w,
+            clicks["c_ts"] <= p_bucketed["p_ts"],
+        ],
+        how="inner",
+    ).groupBy("event_id").agg(F.count(F.lit(1)).alias("clicks_30m"))
+    return (
+        purchases.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("p_ts").alias("ts_s"),
+            F.coalesce(F.col("clicks_30m"), F.lit(0)).alias("clicks_30m"),
+        )
+    )
+
+
 ORACLES = {
+    "clicks_near_purchases": f"""
+WITH p AS (
+    SELECT event_id, user_id, {_TS_S_SQL} AS ts_s
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, {_TS_S_SQL} AS ts_s
+    FROM events WHERE event_type = 'click'
+),
+m AS (
+    SELECT p.event_id, count(*) AS clicks_30m
+    FROM p JOIN c ON c.user_id = p.user_id
+               AND c.ts_s >= p.ts_s - {ATTRIBUTION_WINDOW_S}
+               AND c.ts_s <= p.ts_s
+    GROUP BY 1
+)
+SELECT p.event_id, p.user_id, p.ts_s,
+       CAST(coalesce(m.clicks_30m, 0) AS BIGINT) AS clicks_30m
+FROM p LEFT JOIN m USING (event_id)
+""",
     "purchase_attribution": f"""
 WITH p AS (
     SELECT event_id, user_id, {_TS_S_SQL} AS ts_s
@@ -284,4 +359,5 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "events_top_types": events_top_types,
     "purchase_attribution": purchase_attribution,
+    "clicks_near_purchases": clicks_near_purchases,
 }

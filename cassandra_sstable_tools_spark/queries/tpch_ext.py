@@ -324,6 +324,56 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (q21 adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" reuses the q4 convention --
+    l_shipdate > o_orderdate + 90 days; nation filter = s_nationkey 3).
+
+    The spec's correlated EXISTS (another supplier contributed to the order)
+    / NOT EXISTS (another supplier was ALSO late) pair is expressed as an
+    order-grain aggregate-then-join: an order counts for its late supplier s
+    iff it has > 1 distinct suppliers and EXACTLY one distinct late supplier
+    (necessarily s). No correlated re-execution; the only corpus shuffles
+    are the lineitem-orders join and the order-grain aggregate, and the
+    supplier dimension is broadcast."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    waiting = (
+        lo.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where((F.col("nsupp") > 1) & (F.col("nlate") == 1)),
+            "l_orderkey",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3)
+    counts = (
+        waiting.join(broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    w = Window.orderBy(F.desc("numwait"), F.asc("s_name"))
+    return (
+        counts.orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface (absent in the reference, SURVEY.md §2.5): per
     customer, rank orders by value and measure the gap in days since the
@@ -502,6 +552,34 @@ WHERE bal_cents > (SELECT avg(bal_cents) FROM cust WHERE bal_cents > 0)
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1
 """,
+    "tpch_q21_waiting_suppliers": """
+WITH lo AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+           count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+    FROM lo GROUP BY 1
+),
+waiting AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late
+),
+counts AS (
+    SELECT s.s_name, count(*) AS numwait
+    FROM waiting w
+    JOIN per_order p ON p.l_orderkey = w.l_orderkey
+                    AND p.nsupp > 1 AND p.nlate = 1
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey AND s.s_nationkey = 3
+    GROUP BY 1
+)
+SELECT s_name, numwait, rank FROM (
+    SELECT *, row_number() OVER (ORDER BY numwait DESC, s_name ASC) AS rank
+    FROM counts
+) WHERE rank <= 10
+""",
     "customer_order_windows": """
 WITH w AS (
     SELECT o_custkey, o_orderkey,
@@ -536,5 +614,6 @@ QUERIES = {
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
     "tpch_q22": tpch_q22,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "customer_order_windows": customer_order_windows,
 }

@@ -71,7 +71,42 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING 1-hour window with a 30-minute slide: every event
+    lands in two overlapping windows (F.window's slideDuration path --
+    overlapping-window state is the part tumbling windows don't exercise).
+    Watermark bounds state exactly as in the tumbling case; the batch
+    equivalence oracle is the two-offset union formulation that
+    queries/events.events_sliding already proves equal to sliding-window
+    semantics."""
+    schema, ts_s = events_stream_spec(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.timestamp_seconds(ts_s))
+    )
+    return (
+        stream.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "events",
+        )
+    )
+
+
 _DRAIN_COUNTER = [0]
+
+
+def stream_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: drain the sliding-window stream to completion."""
+    _DRAIN_COUNTER[0] += 1
+    return run_available_now(
+        stream_events_sliding(spark, sf_dir),
+        f"t_reg_stream_sliding_{_DRAIN_COUNTER[0]}",
+    )
 
 
 def stream_events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,9 +201,22 @@ GROUP BY 1, 2
     "stream_dedup_events": f"""
 SELECT event_id, {_TS_S_SQL} AS ts_s, user_id, event_type FROM events
 """,
+    # sliding(1h, 30min) == union of the two tumbling offsets (the batch
+    # events_sliding equivalence, proven in queries/events.py).
+    "stream_events_sliding": f"""
+WITH both_offsets AS (
+    SELECT ({_TS_S_SQL} // 3600) * 3600 AS window_start FROM events
+    UNION ALL
+    SELECT (({_TS_S_SQL} - 1800) // 3600) * 3600 + 1800 FROM events
+)
+SELECT window_start, count(*) AS events
+FROM both_offsets
+GROUP BY 1
+""",
 }
 
 QUERIES = {
     "stream_events_hourly": stream_events_hourly_agg,
     "stream_dedup_events": stream_dedup_events_drained,
+    "stream_events_sliding": stream_events_sliding_agg,
 }
