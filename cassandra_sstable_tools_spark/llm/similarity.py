@@ -413,29 +413,15 @@ PQ_M = 8
 PQ_K = 16
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-K via product quantization with asymmetric distance
-    (ADC) -- the memory-compression scale path: each corpus vector is stored
-    as M single-byte codes (here 8 bytes vs 64 floats, 32x), and each query
-    scores a candidate with M look-up-table reads instead of a D-dim dot
-    product.
-
-    Plan (100 TB shape): codebook is PQ_K x D integers collected once
-    (bounded, corpus-size-independent); ENCODING is one codegen scan -- per
-    row, per subspace, argmin-L2 over the K literal codebook entries (exact
-    bigint arithmetic, ties -> lowest code). The query side precomputes its
-    [M][K] inner-product LUT once per query row (Q rows, broadcast), and the
-    scoring join reads M LUT entries per (query, candidate) pair -- the
-    corpus is scanned once and never shuffled; TakeOrderedAndProject per
-    query bounds the result. Scoring uses the reconstructed vector
-    (sim = lut_dot / sqrt(q_norm * recon_norm), floored to ppm), so the
-    DuckDB oracle reproduces it bit-identically from the same integers."""
-    emb = _quantized(spark, sf_dir)
+def _pq_setup(emb: DataFrame):
+    """(cb_lit, cbnorm_lit, sub_d): literal [M][K][sub_d] codebook (the first
+    PQ_K corpus vectors' sub-vectors -- deterministic, oracle-expressible)
+    plus per-entry squared norms. Collected once; K x D ints, bounded and
+    corpus-size-independent."""
     dims = len(emb.select("qv").first().qv)
     sub_d = dims // PQ_M
     cb_rows = emb.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
     assert len(cb_rows) == PQ_K, "corpus smaller than PQ codebook"
-    # cb[m][j] = sub-vector (len sub_d) of codebook vector j in subspace m.
     cb = [
         [[int(v) for v in r.qv[m * sub_d:(m + 1) * sub_d]] for r in cb_rows]
         for m in range(PQ_M)
@@ -452,28 +438,39 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
         for per_m in cb
     ])
+    return cb_lit, cbnorm_lit, sub_d
 
-    def _sub(vec, m):  # 1-based slice of subspace m (m is a 0-based Column)
-        return F.slice(vec, m * sub_d + 1, sub_d)
 
-    def _l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+def _pq_sub(vec, m, sub_d):  # 1-based slice of subspace m (m: 0-based Column)
+    return F.slice(vec, m * sub_d + 1, sub_d)
 
-    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
-    # argmin as a single fold over the K codes (each distance evaluated
-    # once): acc = (best_d2, best_j), strict < keeps the FIRST minimum ->
-    # ties resolve to the lowest code, like the oracle's row_number ordered
-    # by (d2, j).
-    _D2_INF = 1 << 62
+
+def _pq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+_D2_INF = 1 << 62
+
+
+def _pq_ms():
+    # built lazily: Column construction needs an active SparkContext
+    return F.sequence(F.lit(0), F.lit(PQ_M - 1))
+
+
+def _pq_encoded(emb: DataFrame, cb_lit, cbnorm_lit, sub_d) -> DataFrame:
+    """(vec_id, codes, recon_norm): one codegen scan; per subspace the code
+    is an argmin-L2 single fold over the K literal entries (each distance
+    evaluated once; strict < keeps the FIRST minimum -> ties resolve to the
+    lowest code, like the oracle's row_number ordered by (d2, j))."""
 
     def _argmin_code(m):
         def step(acc, j):
-            d2 = _l2(
-                _sub(F.col("qv"), m),
+            d2 = _pq_l2(
+                _pq_sub(F.col("qv"), m, sub_d),
                 F.element_at(F.element_at(cb_lit, (m + 1).cast("int")),
                              (j + 1).cast("int")),
             )
@@ -492,13 +489,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             step,
         )["j"]
 
-    codes = F.transform(ms, lambda m: _argmin_code(m))
-    encoded = emb.select(
+    codes = F.transform(_pq_ms(), lambda m: _argmin_code(m))
+    return emb.select(
         "vec_id",
         codes.alias("codes"),
         F.aggregate(
             F.zip_with(
-                ms, codes,
+                _pq_ms(), codes,
                 lambda m, cd: F.element_at(
                     F.element_at(cbnorm_lit, (m + 1).cast("int")),
                     (cd + 1).cast("int"),
@@ -509,18 +506,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recon_norm"),
     )
 
+
+def _pq_queries(emb: DataFrame, cb_lit, sub_d) -> DataFrame:
+    """(query_id, q_norm, luts): each query row precomputes its [M][K]
+    inner-product look-up table against the literal codebook -- computed
+    once per query, broadcast to the scoring join."""
     luts = F.transform(
-        ms,
+        _pq_ms(),
         lambda m: F.transform(
             F.sequence(F.lit(0), F.lit(PQ_K - 1)),
             lambda j: _dot(
-                _sub(F.col("q_qv"), m),
+                _pq_sub(F.col("q_qv"), m, sub_d),
                 F.element_at(F.element_at(cb_lit, (m + 1).cast("int")),
                              (j + 1).cast("int")),
             ),
         ),
     )
-    queries = (
+    return (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -530,9 +532,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("luts", luts)
         .drop("q_qv")
     )
+
+
+def _pq_scored(pairs: DataFrame) -> DataFrame:
+    """ADC score for a frame holding (codes, recon_norm, luts, q_norm):
+    M LUT reads summed, normalized by the reconstruction norm, ppm floor."""
     recon_dot = F.aggregate(
         F.zip_with(
-            ms, F.col("codes"),
+            _pq_ms(), F.col("codes"),
             lambda m, cd: F.element_at(
                 F.element_at(F.col("luts"), (m + 1).cast("int")),
                 (cd + 1).cast("int"),
@@ -541,20 +548,90 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    scored = (
+    return pairs.withColumn("recon_dot", recon_dot).withColumn(
+        "simq_ppm",
+        F.floor(
+            F.col("recon_dot")
+            / F.sqrt(
+                (F.col("q_norm") * F.greatest(F.col("recon_norm"), F.lit(1)))
+                .cast("double")
+            )
+            * 1000000
+        ),
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-K via product quantization with asymmetric distance
+    (ADC) -- the memory-compression scale path: each corpus vector is stored
+    as M single-byte codes (here 8 bytes vs 64 floats, 32x), and each query
+    scores a candidate with M look-up-table reads instead of a D-dim dot
+    product.
+
+    Plan (100 TB shape): codebook collected once (bounded); encoding is one
+    codegen scan; query LUTs broadcast; the corpus is scanned once and never
+    shuffled; TakeOrderedAndProject per query bounds the result. Scoring
+    uses the reconstructed vector (sim = lut_dot / sqrt(q_norm *
+    recon_norm), floored to ppm), so the DuckDB oracle reproduces it
+    bit-identically from the same integers."""
+    emb = _quantized(spark, sf_dir)
+    cb_lit, cbnorm_lit, sub_d = _pq_setup(emb)
+    encoded = _pq_encoded(emb, cb_lit, cbnorm_lit, sub_d)
+    queries = _pq_queries(emb, cb_lit, sub_d)
+    scored = _pq_scored(
         encoded.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("recon_dot", recon_dot)
-        .withColumn(
-            "simq_ppm",
-            F.floor(
-                F.col("recon_dot")
-                / F.sqrt(
-                    (F.col("q_norm") * F.greatest(F.col("recon_norm"), F.lit(1)))
-                    .cast("double")
-                )
-                * 1000000
-            ),
-        )
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("simq_ppm"), F.asc("vec_id")],
+        TOP_K,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "simq_ppm", "rank")
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed -- the standard billion-scale ANN index layout
+    (coarse quantizer partitions the corpus into inverted lists; PQ codes
+    compress the vectors inside each list; queries probe NPROBE lists and
+    score candidates with ADC look-ups).
+
+    Plan: the IVF half reuses ann_ivf_topk's deterministic first-K
+    centroids (broadcast; assignment = linear codegen scan), the PQ half
+    reuses the shared encode/LUT helpers. The candidate join touches only
+    probed-list members (O(N * NPROBE / K) per query), each scored with M
+    LUT reads -- at 100 TB this is the layout where the corpus holds ONLY
+    byte-codes partitioned BY LIST, a ~32x memory cut on top of IVF's
+    compute cut. Exact integers end-to-end -> DuckDB-oracle-checkable."""
+    emb = _quantized(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("norm").alias("c_norm"),
+    )
+    csim = (
+        emb.join(broadcast(cents))
+        .withColumn("cdot", _dot(F.col("qv"), F.col("c_qv")))
+        .withColumn("csim", _sim(F.col("cdot"), F.col("norm"), F.col("c_norm")))
+    )
+    assigned = top_n_per_group(
+        csim, ["vec_id"], [F.desc("csim"), F.asc("centroid_id")], 1
+    ).select("vec_id", "centroid_id")
+    probes = top_n_per_group(
+        csim.where(F.col("vec_id") < N_QUERIES),
+        ["vec_id"],
+        [F.desc("csim"), F.asc("centroid_id")],
+        NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    cand = (
+        assigned.join(broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    cb_lit, cbnorm_lit, sub_d = _pq_setup(emb)
+    encoded = _pq_encoded(emb, cb_lit, cbnorm_lit, sub_d)
+    queries = _pq_queries(emb, cb_lit, sub_d)
+    scored = _pq_scored(
+        cand.join(encoded, "vec_id").join(broadcast(queries), "query_id")
     )
     return top_n_per_group(
         scored,
@@ -820,8 +897,10 @@ FROM ({_BRUTEFORCE_SQL.strip()}) bf
 # argmin-L2 per subspace (ties -> lowest code); ADC score from the
 # reconstruction. Same integers as the Spark plan -> identical ppm floors.
 _PQ_SUB_D = 64 // PQ_M
-ORACLES["ann_pq_topk"] = f"""
-WITH {_ELEMS_SQL.lstrip()},
+
+# Shared PQ CTE block (codebook, codes, reconstruction norms, query LUTs) --
+# composed by both the flat-PQ and the IVF+PQ oracles.
+_PQ_CTES = f"""
 cb AS (
     SELECT vec_id AS j, pos, q,
            CAST((pos - 1) // {_PQ_SUB_D} AS INT) AS m
@@ -853,14 +932,40 @@ lut AS (
     FROM elems qe JOIN cb c ON c.pos = qe.pos
     WHERE qe.vec_id < {N_QUERIES}
     GROUP BY 1, 2, 3
-),
-pq_scores AS (
-    SELECT l.query_id, co.vec_id AS neighbor_id,
-           CAST(sum(l.dot) AS BIGINT) AS recon_dot
-    FROM codes co JOIN lut l ON l.m = co.m AND l.j = co.code
-    WHERE co.vec_id <> l.query_id
+)"""
+
+# IVF candidate CTEs (assignment + probes), identical to _IVF_SQL's.
+_IVF_CAND_CTES = f"""
+cdots AS (
+    SELECT e.vec_id, c.vec_id AS centroid_id,
+           CAST(sum(e.q * c.q) AS BIGINT) AS cdot
+    FROM elems e
+    JOIN elems c ON c.pos = e.pos AND c.vec_id < {N_CENTROIDS}
     GROUP BY 1, 2
-)
+),
+csims AS (
+    SELECT d.vec_id, d.centroid_id,
+           d.cdot / sqrt(CAST(ne.norm * nc.norm AS DOUBLE)) AS csim
+    FROM cdots d
+    JOIN norms ne ON ne.vec_id = d.vec_id
+    JOIN norms nc ON nc.vec_id = d.centroid_id
+),
+ranked AS (
+    SELECT vec_id, centroid_id, row_number() OVER (
+        PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS crank
+    FROM csims
+),
+assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS query_id, centroid_id FROM ranked
+    WHERE crank <= {NPROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> p.query_id
+)"""
+_PQ_FINAL = f"""
 SELECT query_id, neighbor_id, simq_ppm, rank FROM (
     SELECT s.query_id, s.neighbor_id,
            CAST(floor(s.recon_dot
@@ -878,6 +983,34 @@ SELECT query_id, neighbor_id, simq_ppm, rank FROM (
 ) WHERE rank <= {TOP_K}
 """
 
+ORACLES["ann_pq_topk"] = f"""
+WITH {_ELEMS_SQL.lstrip()},
+{_PQ_CTES.strip()},
+pq_scores AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id,
+           CAST(sum(l.dot) AS BIGINT) AS recon_dot
+    FROM codes co JOIN lut l ON l.m = co.m AND l.j = co.code
+    WHERE co.vec_id <> l.query_id
+    GROUP BY 1, 2
+)
+{_PQ_FINAL.strip()}
+"""
+
+ORACLES["ann_ivfpq_topk"] = f"""
+WITH {_ELEMS_SQL.lstrip()},
+{_IVF_CAND_CTES.strip()},
+{_PQ_CTES.strip()},
+pq_scores AS (
+    SELECT ca.query_id, ca.neighbor_id,
+           CAST(sum(l.dot) AS BIGINT) AS recon_dot
+    FROM cand ca
+    JOIN codes co ON co.vec_id = ca.neighbor_id
+    JOIN lut l ON l.query_id = ca.query_id AND l.m = co.m AND l.j = co.code
+    GROUP BY 1, 2
+)
+{_PQ_FINAL.strip()}
+"""
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -887,5 +1020,6 @@ QUERIES = {
     # against oracle-expressible bruteforce is. Raw frame: ann_ivf_kmeans_topk.
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_check,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
