@@ -162,6 +162,72 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Min-propagation converges in <= graph-diameter iterations; near-dup
+# clusters are shallow (docs duplicating a common source), so a small cap
+# with a hard failure beats silently emitting unconverged labels.
+CC_MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    minhash-LSH near-dup pair graph; cluster_id = min doc_id of the
+    component. The step a real dedup pipeline needs between "pairs" and
+    "keep one per group" -- pairwise output alone can't tell A-B, B-C is one
+    group of three.
+
+    Distributed iterative algorithm (the registry's only one besides Lloyd):
+    per iteration, every node takes min(own label, neighbors' labels) -- one
+    equi-join + one groupBy(min) on the edge list, repeated to a fixpoint
+    detected by the monotone sum-of-labels invariant (labels only decrease,
+    are integers, so equal sum == converged; one cheap agg per round).
+    localCheckpoint truncates the growing lineage each round (on a cluster:
+    checkpoint dir). At 100 TB: edges shuffle on node id per iteration,
+    O(diameter) rounds; the alternating small-star/large-star optimization
+    (O(log n) rounds) keeps the same per-round plan shape and would slot in
+    here if diameters grew."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard pairs (no LSH): every pair sharing >= 1 shingle,
     kept when jaccard >= threshold. Ground truth for LSH recall measurement.
@@ -355,6 +421,31 @@ _SIMHASH_VAL_SQL = (
     + " AS BIGINT) AS simhash\n    FROM votes\n)"
 )
 
+# Shared CTE chain ending in `verified_pairs` (the minhash-LSH verified
+# near-dup pairs) -- composed by the pairs oracle and the clusters oracle.
+_MINHASH_PAIRS_CTES = f"""{_SHINGLES_SQL.lstrip()},
+{_SIG_SQL},
+{_CAND_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cands c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+verified_pairs AS (
+    SELECT i.doc_a, i.doc_b, i.inter, za.n_shingles AS na, zb.n_shingles AS nb,
+           CAST(floor(i.inter * 1000000
+                      / (za.n_shingles + zb.n_shingles - i.inter))
+                AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
+          >= {JACCARD_THRESHOLD_PPM}
+)"""
+
 ORACLES = {
     "ngram_jaccard_pairs": f"""
 WITH {_SHINGLES_SQL.lstrip()},
@@ -414,25 +505,27 @@ FROM documents
 GROUP BY 1
 """,
     "minhash_lsh_pairs": f"""
-WITH {_SHINGLES_SQL.lstrip()},
-{_SIG_SQL},
-{_CAND_SQL},
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),
-inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS inter
-    FROM cands c
-    JOIN shingles sa ON sa.doc_id = c.doc_a
-    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-    GROUP BY 1, 2
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, inter, na, nb, jaccard_ppm FROM verified_pairs
+""",
+    # connected components over the verified near-dup pair graph: recursive
+    # min-label closure (DuckDB WITH RECURSIVE) mirrors Spark's iterative
+    # min-propagation exactly -- both converge to min reachable doc_id.
+    "dedup_clusters": f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM verified_pairs
+),
+cnodes AS (SELECT DISTINCT src FROM edges),
+reach(src, lbl) AS (
+    SELECT src, src FROM cnodes
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.src = e.dst
 )
-SELECT i.doc_a, i.doc_b, i.inter, za.n_shingles AS na, zb.n_shingles AS nb,
-       CAST(floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
-            AS BIGINT) AS jaccard_ppm
-FROM inter i
-JOIN sizes za ON za.doc_id = i.doc_a
-JOIN sizes zb ON zb.doc_id = i.doc_b
-WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
-      >= {JACCARD_THRESHOLD_PPM}
+SELECT src AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1
 """,
     "simhash_signature": (
         "WITH words AS (\n"
@@ -455,6 +548,7 @@ WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_signature": simhash_signature,
     "simhash_neardup_pairs": simhash_neardup_pairs,

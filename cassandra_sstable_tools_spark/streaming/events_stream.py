@@ -97,7 +97,69 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW_S = 1800  # mirrors queries/events.clicks_near_purchases
+
+
+def stream_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: the purchases stream joined to the
+    clicks stream on user_id with a time-range condition (click within the
+    30 minutes at-or-before the purchase), both sides watermarked.
+
+    This is the canonical Structured Streaming inner interval join: with
+    watermarks on both sides plus a range condition, Spark derives a state
+    watermark for EACH side and evicts buffered rows once no future match
+    is possible -- state is O(rows within the watermark+interval horizon),
+    not O(stream history). The emitted pair set is deterministic (inner
+    join, no late-data dropping under availableNow), so the batch oracle is
+    the naive pair list."""
+    schema, ts_s = events_stream_spec(spark, sf_dir)
+
+    def _side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                ts_s.alias(f"{prefix}_ts"),
+                F.timestamp_seconds(ts_s).alias(f"{prefix}_time"),
+            )
+            .withWatermark(f"{prefix}_time", "2 hours")
+        )
+
+    purchases = _side("purchase", "p")
+    clicks = _side("click", "c")
+    joined = purchases.join(
+        clicks,
+        on=(
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_time") >= F.col("p_time") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_time") <= F.col("p_time"))
+        ),
+        how="inner",
+    )
+    return joined.select(
+        F.col("p_event_id").alias("purchase_event_id"),
+        F.col("c_event_id").alias("click_event_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts_s"),
+        F.col("c_ts").alias("click_ts_s"),
+    )
+
+
 _DRAIN_COUNTER = [0]
+
+
+def stream_click_purchase_pairs_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: drain the stream-stream join (append mode)."""
+    _DRAIN_COUNTER[0] += 1
+    return run_available_now(
+        stream_click_purchase_pairs(spark, sf_dir),
+        f"t_reg_stream_sspairs_{_DRAIN_COUNTER[0]}",
+        mode="append",
+    )
 
 
 def stream_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +263,22 @@ GROUP BY 1, 2
     "stream_dedup_events": f"""
 SELECT event_id, {_TS_S_SQL} AS ts_s, user_id, event_type FROM events
 """,
+    # inner interval join emits the exact deterministic pair set
+    "stream_click_purchase_pairs": f"""
+WITH p AS (
+    SELECT event_id AS purchase_event_id, user_id, {_TS_S_SQL} AS purchase_ts_s
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_event_id, user_id, {_TS_S_SQL} AS click_ts_s
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_event_id, c.click_event_id, p.user_id,
+       p.purchase_ts_s, c.click_ts_s
+FROM p JOIN c ON c.user_id = p.user_id
+           AND c.click_ts_s >= p.purchase_ts_s - 1800
+           AND c.click_ts_s <= p.purchase_ts_s
+""",
     # sliding(1h, 30min) == union of the two tumbling offsets (the batch
     # events_sliding equivalence, proven in queries/events.py).
     "stream_events_sliding": f"""
@@ -219,4 +297,5 @@ QUERIES = {
     "stream_events_hourly": stream_events_hourly_agg,
     "stream_dedup_events": stream_dedup_events_drained,
     "stream_events_sliding": stream_events_sliding_agg,
+    "stream_click_purchase_pairs": stream_click_purchase_pairs_drained,
 }
