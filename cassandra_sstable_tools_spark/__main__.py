@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="batch mode (accepted for parity; output is always non-interactive)",
     )
     p.add_argument("--out", default=None, help="clean: write keep-list here")
+    p.add_argument(
+        "--index", default="ivf", choices=["ivf", "ivfpq"],
+        help="ann: index layout (ivf = inverted lists; ivfpq = lists + PQ codes)",
+    )
     args = p.parse_args(argv)
 
     from cassandra_sstable_tools_spark.session import get_spark
@@ -213,10 +217,17 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         out.append(("Near-duplicate pairs (minhash-LSH, verified)", _render(
             minhash_lsh_pairs(spark, sf))))
     elif args.command == "ann":
-        from cassandra_sstable_tools_spark.llm.similarity import ann_ivf_topk
+        from cassandra_sstable_tools_spark.llm.similarity import (
+            ann_ivf_topk,
+            ann_ivfpq_topk,
+        )
 
-        out.append((f"IVF top-{args.n} neighbors (first 20 query vectors)",
-                    _render(ann_ivf_topk(spark, sf).limit(200))))
+        if args.index == "ivfpq":
+            out.append((f"IVF+PQ top-{args.n} neighbors (first 20 query vectors)",
+                        _render(ann_ivfpq_topk(spark, sf).limit(200))))
+        else:
+            out.append((f"IVF top-{args.n} neighbors (first 20 query vectors)",
+                        _render(ann_ivf_topk(spark, sf).limit(200))))
 
     for title, table in out:
         sys.stdout.write(f"{title}\n{table}\n")

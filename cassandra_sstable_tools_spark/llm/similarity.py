@@ -490,9 +490,21 @@ def _pq_encoded(emb: DataFrame, cb_lit, cbnorm_lit, sub_d) -> DataFrame:
         )["j"]
 
     codes = F.transform(_pq_ms(), lambda m: _argmin_code(m))
+    # The M codes pack into ONE bigint (4 bits each; PQ_K <= 16 asserted) --
+    # the candidate side of the scoring join then carries exactly two
+    # bigints (packed codes + recon_norm), which IS the PQ memory story,
+    # realized in join row width, not just in prose.
+    assert PQ_K <= 16, "4-bit packing requires PQ_K <= 16"
+    packed = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(codes, m + 1) * (1 << (4 * m))
+            for m in range(PQ_M)
+        ],
+    )
     return emb.select(
         "vec_id",
-        codes.alias("codes"),
+        packed.alias("packed_codes"),
         F.aggregate(
             F.zip_with(
                 _pq_ms(), codes,
@@ -529,24 +541,35 @@ def _pq_queries(emb: DataFrame, cb_lit, sub_d) -> DataFrame:
             F.col("qv").alias("q_qv"),
             F.col("norm").alias("q_norm"),
         )
-        .withColumn("luts", luts)
+        # flat [M*K] layout: scoring indexes it with m*K + code, one
+        # element_at per subspace with no nested-array hop
+        .withColumn("luts", F.flatten(luts))
         .drop("q_qv")
     )
 
 
 def _pq_scored(pairs: DataFrame) -> DataFrame:
     """ADC score for a frame holding (codes, recon_norm, luts, q_norm):
-    M LUT reads summed, normalized by the reconstruction norm, ppm floor."""
-    recon_dot = F.aggregate(
-        F.zip_with(
-            _pq_ms(), F.col("codes"),
-            lambda m, cd: F.element_at(
-                F.element_at(F.col("luts"), (m + 1).cast("int")),
-                (cd + 1).cast("int"),
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    M LUT reads summed, normalized by the reconstruction norm, ppm floor.
+
+    The M-term sum is UNROLLED into static element_at expressions instead
+    of a zip_with/aggregate fold: higher-order functions evaluate their
+    lambdas interpreted (outside whole-stage codegen), which made the
+    scoring join -- the per-(query, candidate) hot path -- slower than the
+    64-mult bruteforce kernel it is supposed to beat. Unrolled, the whole
+    score stays inside codegen. M is a small static constant, so the
+    expression size is bounded."""
+    def _code(m):  # 4-bit unpack, pure codegen shift/mask
+        return F.shiftrightunsigned(F.col("packed_codes"), 4 * m).bitwiseAND(15)
+
+    recon_dot = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.col("luts"), (F.lit(m * PQ_K) + _code(m) + 1).cast("int")
+            )
+            for m in range(PQ_M)
+        ],
     )
     return pairs.withColumn("recon_dot", recon_dot).withColumn(
         "simq_ppm",
@@ -561,6 +584,20 @@ def _pq_scored(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _pq_index(spark: SparkSession, sf_dir: str, emb: DataFrame,
+              cb_lit, cbnorm_lit, sub_d) -> DataFrame:
+    """The encoded corpus (vec_id, codes, recon_norm), cached: PQ codes are
+    an index -- built once per corpus, queried many times. Uses the shared
+    derived-frame cache registry (same lifecycle/eviction as the adapter's
+    cells cache)."""
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import _cached
+
+    return _cached(
+        spark, sf_dir, "pq_codes",
+        lambda: _pq_encoded(emb, cb_lit, cbnorm_lit, sub_d),
+    )
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-K via product quantization with asymmetric distance
     (ADC) -- the memory-compression scale path: each corpus vector is stored
@@ -569,14 +606,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     product.
 
     Plan (100 TB shape): codebook collected once (bounded); encoding is one
-    codegen scan; query LUTs broadcast; the corpus is scanned once and never
+    codegen scan whose RESULT is cached -- PQ codes are an INDEX, built once
+    and queried many times, so the encode scan is a build cost, not a
+    per-query one (the derived-frame cache registry models the persisted
+    index). Query LUTs broadcast; the corpus is scanned once and never
     shuffled; TakeOrderedAndProject per query bounds the result. Scoring
     uses the reconstructed vector (sim = lut_dot / sqrt(q_norm *
     recon_norm), floored to ppm), so the DuckDB oracle reproduces it
     bit-identically from the same integers."""
     emb = _quantized(spark, sf_dir)
     cb_lit, cbnorm_lit, sub_d = _pq_setup(emb)
-    encoded = _pq_encoded(emb, cb_lit, cbnorm_lit, sub_d)
+    encoded = _pq_index(spark, sf_dir, emb, cb_lit, cbnorm_lit, sub_d)
     queries = _pq_queries(emb, cb_lit, sub_d)
     scored = _pq_scored(
         encoded.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
@@ -628,7 +668,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     cb_lit, cbnorm_lit, sub_d = _pq_setup(emb)
-    encoded = _pq_encoded(emb, cb_lit, cbnorm_lit, sub_d)
+    encoded = _pq_index(spark, sf_dir, emb, cb_lit, cbnorm_lit, sub_d)
     queries = _pq_queries(emb, cb_lit, sub_d)
     scored = _pq_scored(
         cand.join(encoded, "vec_id").join(broadcast(queries), "query_id")

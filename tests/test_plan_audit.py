@@ -186,3 +186,48 @@ def test_mixture_budget_single_window_pass(spark, sf_dir):
     tree = [l for l in plan.splitlines() if not l.startswith("(")]
     windows = sum("Window" in l for l in tree)
     assert windows == 1, f"expected 1 window pass, found {windows}"
+
+
+def test_asof_join_single_shuffle_no_join_operator(spark, sf_dir):
+    """The as-of union+window formulation must contain NO join operator at
+    all (the naive formulation is a range join) -- just the per-key window
+    over the unioned sides."""
+    from cassandra_sstable_tools_spark.queries.events import purchase_attribution
+
+    df = purchase_attribution(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_no_sort_merge_join(df)
+
+
+def test_range_join_is_equi_not_bnlj(spark, sf_dir):
+    """Bucketing must give the planner an equi-key: the interval join must
+    plan as a hash/sort-merge EQUI join, never BroadcastNestedLoopJoin or
+    CartesianProduct (which is what the raw range predicate would get)."""
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+    from cassandra_sstable_tools_spark.queries.events import clicks_near_purchases
+
+    df = clicks_near_purchases(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert_no_cartesian(df)
+
+
+def test_purge_no_corpus_join_exchanges(spark, sf_dir):
+    """Purge's cached path: the only joins are the rare-row broadcast of
+    the delete map -- never a sort-merge join of the corpus."""
+    from cassandra_sstable_tools_spark.operators.purge import purge_stats
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    df = purge_stats(tpch_adapter.cells(spark, sf_dir))
+    assert_no_sort_merge_join(df)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_ivfpq_broadcasts_and_no_corpus_smj(spark, sf_dir):
+    from cassandra_sstable_tools_spark.llm.similarity import ann_ivfpq_topk
+
+    df = ann_ivfpq_topk(spark, sf_dir)
+    assert_no_sort_merge_join(df)
+    assert_broadcast_join(df, min_count=2)  # centroids/probes + queries
+    assert_no_cartesian(df)
