@@ -413,11 +413,10 @@ PQ_M = 8
 PQ_K = 16
 
 
-def _pq_setup(emb: DataFrame):
-    """(cb_lit, cbnorm_lit, sub_d): literal [M][K][sub_d] codebook (the first
-    PQ_K corpus vectors' sub-vectors -- deterministic, oracle-expressible)
-    plus per-entry squared norms. Collected once; K x D ints, bounded and
-    corpus-size-independent."""
+def _pq_raw_codebook(emb: DataFrame):
+    """(cb, sub_d): the raw [M][K][sub_d] integer codebook -- the first PQ_K
+    corpus vectors' sub-vectors (deterministic, oracle-expressible).
+    Collected once; K x D ints, bounded and corpus-size-independent."""
     dims = len(emb.select("qv").first().qv)
     sub_d = dims // PQ_M
     cb_rows = emb.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
@@ -426,6 +425,11 @@ def _pq_setup(emb: DataFrame):
         [[int(v) for v in r.qv[m * sub_d:(m + 1) * sub_d]] for r in cb_rows]
         for m in range(PQ_M)
     ]
+    return cb, sub_d
+
+
+def _pq_literals(cb):
+    """(cb_lit, cbnorm_lit) literal expressions for a raw codebook."""
     cb_lit = F.array(*[
         F.array(*[
             F.array(*[F.lit(v).cast("bigint") for v in sub]) for sub in per_m
@@ -438,6 +442,13 @@ def _pq_setup(emb: DataFrame):
         ])
         for per_m in cb
     ])
+    return cb_lit, cbnorm_lit
+
+
+def _pq_setup(emb: DataFrame):
+    """(cb_lit, cbnorm_lit, sub_d) for the deterministic first-K codebook."""
+    cb, sub_d = _pq_raw_codebook(emb)
+    cb_lit, cbnorm_lit = _pq_literals(cb)
     return cb_lit, cbnorm_lit, sub_d
 
 
@@ -581,6 +592,116 @@ def _pq_scored(pairs: DataFrame) -> DataFrame:
             )
             * 1000000
         ),
+    )
+
+
+PQ_TRAIN_ITERS = 3
+
+
+def _pq_quant_error(emb: DataFrame, cb, sub_d: int) -> int:
+    """EXACT total squared quantization error of a codebook over the corpus:
+    one codegen scan, bigint sum (order-independent -> deterministic)."""
+    cb_lit, _ = _pq_literals(cb)
+
+    def min_d2(m: int):
+        def step(acc, j):
+            d2 = _pq_l2(
+                F.slice(F.col("qv"), m * sub_d + 1, sub_d),
+                F.element_at(F.element_at(cb_lit, m + 1), (j + 1).cast("int")),
+            )
+            return F.least(acc, d2)
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            F.lit(_D2_INF).cast("bigint"),
+            step,
+        )
+
+    total = reduce(lambda a, b: a + b, [min_d2(m) for m in range(PQ_M)])
+    return int(emb.select(F.sum(total).alias("e")).first().e)
+
+
+def pq_train_codebooks(spark: SparkSession, sf_dir: str,
+                       iters: int = PQ_TRAIN_ITERS):
+    """Per-subspace Euclidean Lloyd over the corpus sub-vectors -- the
+    trained-codebook 100 TB configuration the first-K default stands in for.
+
+    Distributed shape (mirrors kmeans_centroids_spark): per subspace and
+    iteration, ONE codegen scan computes each row's argmin code against the
+    K literal centroids and a groupBy(code) reduces the corpus to K x sub_d
+    INTEGER sums + counts -- the driver holds K x sub_d values, and integer
+    summation makes results independent of partitioning/retry order.
+    Centroid update = floor(sum / count) (empty codes keep their centroid).
+    Because floored-integer centroids can in principle nudge the objective
+    either way, the BEST iterate by exact quantization error is returned
+    (the init is iterate 0, so the result is NEVER worse than first-K --
+    that certainty is what the registry contract asserts).
+
+    Returns (best_cb, best_err, init_err)."""
+    emb = _quantized(spark, sf_dir).select("qv")
+    cb, sub_d = _pq_raw_codebook(_quantized(spark, sf_dir))
+    init_err = _pq_quant_error(emb, cb, sub_d)
+    best_cb = [[list(sub) for sub in per_m] for per_m in cb]
+    best_err = init_err
+    cur = [[list(sub) for sub in per_m] for per_m in cb]
+    for _ in range(iters):
+        for m in range(PQ_M):
+            cl = F.array(*[
+                F.array(*[F.lit(v).cast("bigint") for v in sub])
+                for sub in cur[m]
+            ])
+
+            def step(acc, j):
+                d2 = _pq_l2(
+                    F.slice(F.col("qv"), m * sub_d + 1, sub_d),
+                    F.element_at(cl, (j + 1).cast("int")),
+                )
+                better = d2 < acc["d"]
+                return F.struct(
+                    F.when(better, d2).otherwise(acc["d"]).alias("d"),
+                    F.when(better, j.cast("bigint")).otherwise(acc["j"]).alias("j"),
+                )
+
+            code = F.aggregate(
+                F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+                F.struct(
+                    F.lit(_D2_INF).cast("bigint").alias("d"),
+                    F.lit(-1).cast("bigint").alias("j"),
+                ),
+                step,
+            )["j"]
+            sub = F.slice(F.col("qv"), m * sub_d + 1, sub_d)
+            sums = (
+                emb.select(code.alias("c"), sub.alias("s"))
+                .groupBy("c")
+                .agg(
+                    *[F.sum(F.col("s")[d]).alias(f"s{d}") for d in range(sub_d)],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            for r in sums:
+                if r.n > 0:
+                    cur[m][r.c] = [
+                        int(r[f"s{d}"] // r.n) for d in range(sub_d)
+                    ]
+        e = _pq_quant_error(emb, cur, sub_d)
+        if e < best_err:
+            best_err = e
+            best_cb = [[list(sub) for sub in per_m] for per_m in cur]
+    return best_cb, best_err, init_err
+
+
+def ann_pq_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for trained-PQ: one row with the EXACT
+    first-K-codebook quantization error (oracle-expressible: min-L2 per
+    (vector, subspace) summed -- same integers in DuckDB) and a boolean
+    asserting the trained codebook's error is <= it (certain by best-iterate
+    construction, yet the value proves the training jobs really ran)."""
+    _, best_err, init_err = pq_train_codebooks(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(init_err), bool(best_err <= init_err))],
+        "init_err_total bigint, improved boolean",
     )
 
 
@@ -1036,6 +1157,29 @@ pq_scores AS (
 {_PQ_FINAL.strip()}
 """
 
+# Trained-PQ contract: the exact FIRST-K-codebook quantization error (the
+# `dists` CTE already computes every (vector, subspace, code) distance);
+# `improved` is certain by best-iterate construction Spark-side.
+ORACLES["ann_pq_kmeans_check"] = f"""
+WITH {_ELEMS_SQL.lstrip()},
+cb AS (
+    SELECT vec_id AS j, pos, q,
+           CAST((pos - 1) // {_PQ_SUB_D} AS INT) AS m
+    FROM elems WHERE vec_id < {PQ_K}
+),
+dists AS (
+    SELECT x.vec_id, c.m, c.j,
+           CAST(sum((x.q - c.q) * (x.q - c.q)) AS BIGINT) AS d2
+    FROM elems x JOIN cb c ON c.pos = x.pos
+    GROUP BY 1, 2, 3
+),
+mind AS (
+    SELECT vec_id, m, min(d2) AS min_d2 FROM dists GROUP BY 1, 2
+)
+SELECT CAST(sum(min_d2) AS BIGINT) AS init_err_total, TRUE AS improved
+FROM mind
+"""
+
 ORACLES["ann_ivfpq_topk"] = f"""
 WITH {_ELEMS_SQL.lstrip()},
 {_IVF_CAND_CTES.strip()},
@@ -1061,5 +1205,6 @@ QUERIES = {
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_check,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_pq_kmeans_check": ann_pq_kmeans_check,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
