@@ -179,7 +179,31 @@ def media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W_SQL = "64 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) * 16"
 _H_SQL = "64 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) * 16"
 
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over BINARY payloads: group by md5 of the bytes
+    (not any decoded form), keep the min-doc_id copy. The multimodal analog
+    of dedup_exact -- at 100 TB of media the checksum groupBy is the only
+    linear-cost dedup there is, and `kinds` > 1 exposes the same bytes
+    ingested under different modality tags. One scan + one hash groupBy."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy(F.md5("payload").alias("checksum")).agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.countDistinct("media_kind").alias("kinds"),
+    )
+
+
 ORACLES = {
+    "media_dedup_exact": """
+SELECT md5(text) AS checksum,
+       count(*) AS copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       count(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                           WHEN doc_id % 3 = 1 THEN 'audio'
+                           ELSE 'video' END) AS kinds
+FROM documents
+GROUP BY 1
+""",
     "image_resize": f"""
 SELECT doc_id, 'image' AS media_kind,
        CAST({_W_SQL} AS INT) AS orig_w,
@@ -230,4 +254,5 @@ QUERIES = {
     "frame_sample": frame_sample,  # rows-only check (explosion shape)
     "image_resize": image_resize,
     "media_embed": media_embed,
+    "media_dedup_exact": media_dedup_exact,
 }
