@@ -162,69 +162,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Min-propagation converges in <= graph-diameter iterations; near-dup
-# clusters are shallow (docs duplicating a common source), so a small cap
-# with a hard failure beats silently emitting unconverged labels.
-CC_MAX_ITERS = 20
-
-
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified
     minhash-LSH near-dup pair graph; cluster_id = min doc_id of the
     component. The step a real dedup pipeline needs between "pairs" and
     "keep one per group" -- pairwise output alone can't tell A-B, B-C is one
-    group of three.
+    group of three. Algorithm + scale posture: operators/graph.py
+    (iterative distributed min-label propagation; the registry's only
+    iterative operator besides Lloyd)."""
+    from cassandra_sstable_tools_spark.operators.graph import connected_components
 
-    Distributed iterative algorithm (the registry's only one besides Lloyd):
-    per iteration, every node takes min(own label, neighbors' labels) -- one
-    equi-join + one groupBy(min) on the edge list, repeated to a fixpoint
-    detected by the monotone sum-of-labels invariant (labels only decrease,
-    are integers, so equal sum == converged; one cheap agg per round).
-    localCheckpoint truncates the growing lineage each round (on a cluster:
-    checkpoint dir). At 100 TB: edges shuffle on node id per iteration,
-    O(diameter) rounds; the alternating small-star/large-star optimization
-    (O(log n) rounds) keeps the same per-round plan shape and would slot in
-    here if diameters grew."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"connected components did not converge in {CC_MAX_ITERS} rounds"
-        )
-    edges.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
     )
 
 

@@ -871,6 +871,22 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters: connected components over the embedding
+    near-dup pair graph (cluster_id = min vec_id). Same iterative
+    min-propagation operator as the text-side dedup_clusters
+    (operators/graph.py) with the embedding-cosine edge source -- groups of
+    vectors that are pairwise-or-transitively near-identical, the unit a
+    semantic-dedup pass drops to one representative."""
+    from cassandra_sstable_tools_spark.operators.graph import connected_components
+
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    return connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
 # Oracle: relational unnest formulation -- same integers, same final double.
 _ELEMS_SQL = """
 elems AS (
@@ -1011,12 +1027,9 @@ SELECT query_id, neighbor_id, sim_ppm, rank FROM (
 ) WHERE rank <= {TOP_K}
 """
 
-ORACLES = {
-    "ann_bruteforce_topk": _BRUTEFORCE_SQL,
-    "ann_lsh_topk": _LSH_SQL,
-    "ann_ivf_topk": _IVF_SQL,
-    "embedding_neardup_pairs": f"""
-WITH {_ELEMS_SQL.lstrip()},
+# Shared CTE chain ending in `neardup_pairs` -- composed by the pairs and
+# clusters oracles.
+_NEARDUP_CTES = f"""{_ELEMS_SQL.lstrip()},
 band_keys AS (
     SELECT vec_id, CAST((pos - 1) // {NEARDUP_BAND_BITS} AS INT) AS band_id,
            CAST(sum(CASE WHEN q >= 0
@@ -1025,27 +1038,56 @@ band_keys AS (
     FROM elems WHERE pos <= {NEARDUP_N_BANDS * NEARDUP_BAND_BITS}
     GROUP BY 1, 2
 ),
-cand AS (
+ncand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM band_keys a
     JOIN band_keys b ON b.band_id = a.band_id AND b.band_key = a.band_key
                     AND a.vec_id < b.vec_id
 ),
-dots AS (
+ndots AS (
     SELECT c.vec_a, c.vec_b, CAST(sum(a.q * b.q) AS BIGINT) AS dot
-    FROM cand c
+    FROM ncand c
     JOIN elems a ON a.vec_id = c.vec_a
     JOIN elems b ON b.vec_id = c.vec_b AND b.pos = a.pos
     GROUP BY 1, 2
+),
+neardup_pairs AS (
+    SELECT d.vec_a, d.vec_b,
+           CAST(floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+                AS BIGINT) AS sim_ppm
+    FROM ndots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+          >= {NEARDUP_SIM_PPM}
+)"""
+
+ORACLES = {
+    "ann_bruteforce_topk": _BRUTEFORCE_SQL,
+    "ann_lsh_topk": _LSH_SQL,
+    "ann_ivf_topk": _IVF_SQL,
+    "embedding_neardup_pairs": f"""
+WITH {_NEARDUP_CTES}
+SELECT vec_a, vec_b, sim_ppm FROM neardup_pairs
+""",
+    # connected components over the embedding near-dup graph (semantic
+    # duplicate clusters) -- same recursive min-label closure as
+    # dedup_clusters, different edge source.
+    "embedding_dedup_clusters": f"""
+WITH RECURSIVE {_NEARDUP_CTES},
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM neardup_pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM neardup_pairs
+),
+cnodes AS (SELECT DISTINCT src FROM edges),
+reach(src, lbl) AS (
+    SELECT src, src FROM cnodes
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.src = e.dst
 )
-SELECT d.vec_a, d.vec_b,
-       CAST(floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
-            AS BIGINT) AS sim_ppm
-FROM dots d
-JOIN norms na ON na.vec_id = d.vec_a
-JOIN norms nb ON nb.vec_id = d.vec_b
-WHERE floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
-      >= {NEARDUP_SIM_PPM}
+SELECT src AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1
 """,
 }
 
@@ -1207,4 +1249,5 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_pq_kmeans_check": ann_pq_kmeans_check,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_dedup_clusters": embedding_dedup_clusters,
 }
