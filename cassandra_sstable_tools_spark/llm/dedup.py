@@ -504,3 +504,92 @@ QUERIES = {
     "simhash_signature": simhash_signature,
     "simhash_neardup_pairs": simhash_neardup_pairs,
 }
+
+
+# --- sub-document (chunk-level) dedup ---------------------------------------
+# Exact-dedup at document grain misses boilerplate REPEATED ACROSS documents
+# (headers, license blocks, templated passages). The standard large-scale
+# approximation of substring dedup (suffix arrays don't distribute) is
+# fixed-size chunk fingerprinting: split each normalized document into
+# consecutive CHUNK_WORDS-word chunks, hash each, and measure what fraction
+# of a document's chunks also occur elsewhere in the corpus.
+CHUNK_WORDS = 10
+
+
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage stats over corpus-wide chunk hashes.
+
+    Plan: one scan builds every chunk via array expressions (sequence +
+    transform + slice -- no positional self-join, no Python); a groupBy on
+    the chunk hash counts corpus-wide copies (linear, hash-partitioned); a
+    join back on the hash marks each occurrence duplicated/unique; a final
+    groupBy(doc_id) rolls up. Three linear shuffles, nothing quadratic --
+    the shape survives 100 TB because chunk volume is ~words/CHUNK_WORDS and
+    every exchange is keyed on a high-cardinality hash. (The duplicated-hash
+    side is usually small enough to broadcast instead; the shuffle join is
+    kept because "most of the corpus is duplicated" is exactly the
+    adversarial case this query exists to detect.)"""
+    n = _normalized(spark, sf_dir)
+    words = F.split(F.col("norm"), " ")
+    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
+    chunk_texts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+        ),
+    )
+    occurrences = n.select(
+        "doc_id", F.explode(chunk_texts).alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    freq = occurrences.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
+    return (
+        occurrences.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.floor(F.col("dup_chunks") * 1000000 / F.col("n_chunks")).alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+ORACLES["chunk_dedup_stats"] = rf"""
+WITH n AS (
+    SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+    FROM documents
+),
+w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+idx AS (
+    SELECT doc_id,
+           unnest(generate_series(
+               0, CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS BIGINT) - 1)) AS i
+    FROM w
+),
+occ AS (
+    SELECT idx.doc_id,
+           md5(array_to_string(
+               list_slice(w.ws, i * {CHUNK_WORDS} + 1,
+                          i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')) AS h
+    FROM idx JOIN w ON w.doc_id = idx.doc_id
+),
+freq AS (SELECT h, count(*) AS copies FROM occ GROUP BY 1)
+SELECT occ.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN freq.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_chunks,
+       CAST(floor(sum(CASE WHEN freq.copies > 1 THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS dup_ppm
+FROM occ JOIN freq ON freq.h = occ.h
+GROUP BY 1
+"""
+
+QUERIES["chunk_dedup_stats"] = chunk_dedup_stats

@@ -299,3 +299,24 @@ QUERIES = {
     "fingerprint": fingerprint,
     "doc_repetition": doc_repetition,
 }
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality matrix: labeled lang x guessed lang doc counts.
+    The evaluation view of ``lang_id`` (e.g. 'zh' documents can only land in
+    a wrong cell -- the guesser votes over en/de/fr/es stopwords only).
+    Aggregate of an aggregate: one extra narrow shuffle over lang_id's
+    per-doc output."""
+    return (
+        lang_id(spark, sf_dir)
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+ORACLES["lang_confusion"] = (
+    "WITH li AS (" + ORACLES["lang_id"] + ")\n"
+    "SELECT labeled_lang, guessed_lang, count(*) AS docs\n"
+    "FROM li GROUP BY 1, 2"
+)
+QUERIES["lang_confusion"] = lang_confusion

@@ -65,6 +65,7 @@ def _modules():
         purge,
         sstables_listing,
         summary,
+        timeseries,
         tpch,
         tpch_ext,
     )
@@ -72,7 +73,7 @@ def _modules():
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
         text, packing, corpus, curation, dedup, similarity, pipeline, events,
-        multimodal, catalog, stateful, events_stream,
+        timeseries, multimodal, catalog, stateful, events_stream,
     ]
 
 

@@ -1,0 +1,207 @@
+"""Time-series analytics over `events`: funnels, gap-fill, moving windows.
+
+The reference is a batch stats tool with no time axis (SURVEY.md §2.8);
+these extend the engine with the remaining time-series shapes a telemetry /
+product-analytics pipeline needs beyond ``queries/events.py``:
+
+- funnel_stages:    ordered multi-stage conversion funnel (view -> click ->
+                    purchase, each stage strictly after the previous one)
+- events_gapfill:   dense hourly axis with zero-filled missing buckets
+                    (sequence + explode -- the distributed gap-fill idiom)
+- events_moving_avg: trailing 3-hour moving aggregate via a RANGE window
+                    frame over event-time (not ROWS: gaps must widen the
+                    frame, which only range frames express)
+
+All time math is exact integer arithmetic over canonical epoch seconds
+(``ts_s``, see ``tpch_adapter.events_table``) so Spark and the DuckDB
+oracles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.queries.events import _TS_S_SQL
+from cassandra_sstable_tools_spark.sources.tpch_adapter import events_table
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users whose first `view` is
+    followed by a later `click`, followed by a later `purchase`.
+
+    Shape: stage N is a per-user min over the stage-N events that happened
+    AFTER the user's stage-(N-1) time -- a chain of
+    filter -> join(user_id) -> groupBy(user_id) steps. Every shuffle in the
+    chain is keyed on user_id, so each groupBy's output is already
+    hash-partitioned for the next stage's join (no re-exchange of the
+    per-user frames); the big events scan is filtered to one event_type
+    BEFORE its shuffle. Per-user state is one timestamp per stage -- O(users)
+    total, never a per-user event blowup. At 100 TB this is 3 slim shuffles
+    of the type-filtered slices, not 3 scans' worth of raw events.
+    """
+    e = events_table(spark, sf_dir).select("user_id", "event_type", "ts_s")
+
+    def stage_events(stage_type: str) -> DataFrame:
+        return e.where(F.col("event_type") == stage_type)
+
+    reached = stage_events(FUNNEL_STAGES[0]).groupBy("user_id").agg(
+        F.min("ts_s").alias("t_prev")
+    )
+    counts = [reached.agg(F.count(F.lit(1)).alias("users"))]
+    for stage_type in FUNNEL_STAGES[1:]:
+        reached = (
+            stage_events(stage_type)
+            .join(reached, "user_id")
+            .where(F.col("ts_s") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts_s").alias("t_prev"))
+        )
+        counts.append(reached.agg(F.count(F.lit(1)).alias("users")))
+    out = None
+    for i, (stage_type, c) in enumerate(zip(FUNNEL_STAGES, counts), start=1):
+        row = c.select(
+            F.lit(i).alias("stage"),
+            F.lit(stage_type).alias("event_type"),
+            F.col("users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per type over a DENSE hour axis: every
+    (hour, event_type) cell between the corpus' first and last hour exists,
+    zero-filled where no events landed.
+
+    Shape: one shuffle aggregates events to (hour, type) counts; the dense
+    axis is generated driver-free via ``sequence(min, max, 3600)`` +
+    ``explode`` on a 1-row global-bounds frame crossed with the distinct
+    types -- O(hours x types) rows, aggregate-sized at any corpus scale, so
+    the left join back to the counts broadcasts. No collect, no Python
+    loop over the time range."""
+    e = events_table(spark, sf_dir)
+    hour = (F.expr("ts_s div 3600") * 3600).alias("hour_start")
+    counts = e.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("events")
+    )
+    bounds = e.agg(
+        (F.floor(F.min("ts_s") / 3600) * 3600).cast("bigint").alias("mn"),
+        (F.floor(F.max("ts_s") / 3600) * 3600).cast("bigint").alias("mx"),
+    )
+    types = e.select("event_type").distinct()
+    axis = bounds.crossJoin(types).select(
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("hour_start"),
+        "event_type",
+    )
+    return axis.join(
+        F.broadcast(counts), ["hour_start", "event_type"], "left"
+    ).select(
+        "hour_start",
+        "event_type",
+        F.coalesce(F.col("events"), F.lit(0)).alias("events"),
+    )
+
+
+MOVING_WINDOW_S = 7200  # current hour + the 2 preceding = trailing 3h
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-hour moving aggregate of hourly event counts, per type,
+    computed with a RANGE window frame over event-time.
+
+    RANGE (not ROWS) is the point: hours with zero events are absent from
+    the sparse aggregate, and a rows-frame would silently widen the time
+    span it averages over; a range frame keyed on the hour epoch keeps the
+    frame exactly [h-7200, h] regardless of gaps. The window partitions by
+    event_type over HOURLY aggregate rows -- O(hours) per partition, i.e.
+    aggregate-sized state no matter how big the raw corpus is; the one real
+    shuffle is the hourly groupBy. The average is emitted as exact
+    floor-milli units (integer determinism, SCALE.md #1)."""
+    e = events_table(spark, sf_dir)
+    hour = (F.expr("ts_s div 3600") * 3600).alias("hour_start")
+    counts = e.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rangeBetween(-MOVING_WINDOW_S, 0)
+    )
+    frame_sum = F.sum("events").over(w)
+    frame_n = F.count(F.lit(1)).over(w)
+    return counts.select(
+        "hour_start",
+        "event_type",
+        "events",
+        frame_sum.alias("events_3h_sum"),
+        F.floor(frame_sum * 1000 / frame_n).alias("moving_avg_milli"),
+    )
+
+
+_HOURLY_SQL = f"""
+    SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
+           event_type, count(*) AS events
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLES = {
+    "funnel_stages": f"""
+WITH e AS (
+    SELECT user_id, event_type, {_TS_S_SQL} AS ts_s FROM events
+),
+s1 AS (
+    SELECT user_id, min(ts_s) AS t1 FROM e
+    WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts_s) AS t2
+    FROM e JOIN s1 ON e.user_id = s1.user_id AND e.ts_s > s1.t1
+    WHERE e.event_type = '{FUNNEL_STAGES[1]}' GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts_s) AS t3
+    FROM e JOIN s2 ON e.user_id = s2.user_id AND e.ts_s > s2.t2
+    WHERE e.event_type = '{FUNNEL_STAGES[2]}' GROUP BY 1
+)
+SELECT 1 AS stage, '{FUNNEL_STAGES[0]}' AS event_type,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 2, '{FUNNEL_STAGES[1]}', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, '{FUNNEL_STAGES[2]}', (SELECT count(*) FROM s3)
+""",
+    "events_gapfill": f"""
+WITH c AS ({_HOURLY_SQL}),
+b AS (SELECT min(hour_start) AS mn, max(hour_start) AS mx FROM c),
+hours AS (
+    SELECT unnest(generate_series(b.mn, b.mx, 3600)) AS hour_start FROM b
+),
+axis AS (
+    SELECT hours.hour_start, t.event_type
+    FROM hours, (SELECT DISTINCT event_type FROM events) t
+)
+SELECT axis.hour_start, axis.event_type,
+       CAST(coalesce(c.events, 0) AS BIGINT) AS events
+FROM axis LEFT JOIN c
+  ON c.hour_start = axis.hour_start AND c.event_type = axis.event_type
+""",
+    "events_moving_avg": f"""
+WITH c AS ({_HOURLY_SQL})
+SELECT hour_start, event_type, events,
+       CAST(sum(events) OVER w AS BIGINT) AS events_3h_sum,
+       CAST(floor(sum(events) OVER w * 1000.0 / count(*) OVER w) AS BIGINT)
+           AS moving_avg_milli
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+             RANGE BETWEEN {MOVING_WINDOW_S} PRECEDING AND CURRENT ROW)
+""",
+}
+
+QUERIES = {
+    "funnel_stages": funnel_stages,
+    "events_gapfill": events_gapfill,
+    "events_moving_avg": events_moving_avg,
+}
