@@ -53,6 +53,17 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    # Global warm-up pass: the first queries in the list otherwise pay
+    # JVM-wide costs (C2-compiling Spark's whole-stage-codegen pipeline,
+    # building the shared derived-frame caches) inside their TIMED runs --
+    # measured: `summary` first-in-process times ~3s vs 0.88s steady-state.
+    # One full untimed pass moves every query to steady state; the per-query
+    # warm-up below then only has to touch query-local state.
+    for name in names:
+        try:
+            qs[name](spark, SF_DIR).collect()
+        except Exception:  # noqa: BLE001 -- the timed loop reports it
+            pass
     for name in names:
         fn = qs[name]
         # Failure isolation: one broken query must not zero the whole
