@@ -272,3 +272,46 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "vocab_topk": vocab_topk,
 }
+
+
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length outliers: docs whose length deviates from
+    their source's mean by more than 2 standard deviations -- computed
+    EXACTLY in integers. |len - mean| > 2*sigma is cross-multiplied to
+    (n*len - sum)^2 > 4 * (n*sumsq - sum^2) (both sides integer), so Spark
+    and DuckDB agree bit-for-bit with no float mean/stddev anywhere. The
+    squares are evaluated in decimal(38,0) (Spark) / HUGEINT (DuckDB):
+    exact through ~1e38, far past any per-source corpus this runs on.
+    Shape: one groupBy(source) for the 3 moments (aggregate-sized),
+    broadcast back against the doc scan -- one corpus shuffle total."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sq"),
+    )
+    dev = (F.col("n") * F.col("n_chars") - F.col("s")).cast("decimal(38,0)")
+    var_term = (
+        (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+        .cast("decimal(38,0)")
+    )
+    return (
+        d.join(F.broadcast(stats), "source")
+        .where(dev * dev > 4 * var_term)
+        .select("doc_id", "source", "n_chars", F.col("n").alias("source_docs"))
+    )
+
+
+ORACLES["doc_length_outliers"] = """
+WITH stats AS (
+    SELECT source, count(*) AS n, sum(n_chars) AS s,
+           sum(n_chars * n_chars) AS sq
+    FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.source, d.n_chars, CAST(stats.n AS BIGINT) AS source_docs
+FROM documents d JOIN stats USING (source)
+WHERE (stats.n * d.n_chars - stats.s)::HUGEINT
+      * (stats.n * d.n_chars - stats.s)::HUGEINT
+      > 4 * (stats.n * stats.sq - stats.s * stats.s)::HUGEINT
+"""
+QUERIES["doc_length_outliers"] = doc_length_outliers

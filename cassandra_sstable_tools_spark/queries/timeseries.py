@@ -205,3 +205,52 @@ QUERIES = {
     "events_gapfill": events_gapfill,
     "events_moving_avg": events_moving_avg,
 }
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly flags: an hour is anomalous for a type when its
+    count exceeds 2x the average of the TWO PRECEDING hours (frame
+    [h-7200, h-3600] -- strictly historical, so the anomaly can't dampen its
+    own baseline). The comparison is cross-multiplied integers
+    (events * n_prev > 2 * sum_prev): exact, no float average. Hours with no
+    history flag false. Same aggregate-sized window input as
+    ``events_moving_avg``."""
+    e = events_table(spark, sf_dir)
+    hour = (F.expr("ts_s div 3600") * 3600).alias("hour_start")
+    counts = e.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rangeBetween(-2 * 3600, -3600)
+    )
+    prev_sum = F.sum("events").over(w)
+    prev_n = F.count(F.lit(1)).over(w)
+    return counts.select(
+        "hour_start",
+        "event_type",
+        "events",
+        F.coalesce(prev_sum, F.lit(0)).alias("prev_sum"),
+        prev_n.alias("prev_hours"),
+        F.when(
+            (prev_n > 0) & (F.col("events") * prev_n > 2 * prev_sum), True
+        )
+        .otherwise(False)
+        .alias("is_anomaly"),
+    )
+
+
+ORACLES["events_anomaly"] = f"""
+WITH c AS ({_HOURLY_SQL})
+SELECT hour_start, event_type, events,
+       CAST(coalesce(sum(events) OVER w, 0) AS BIGINT) AS prev_sum,
+       CAST(count(*) OVER w AS BIGINT) AS prev_hours,
+       CASE WHEN count(*) OVER w > 0
+                 AND events * count(*) OVER w > 2 * sum(events) OVER w
+            THEN true ELSE false END AS is_anomaly
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+             RANGE BETWEEN 7200 PRECEDING AND 3600 PRECEDING)
+"""
+QUERIES["events_anomaly"] = events_anomaly
