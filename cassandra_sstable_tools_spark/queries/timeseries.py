@@ -254,3 +254,77 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
              RANGE BETWEEN 7200 PRECEDING AND 3600 PRECEDING)
 """
 QUERIES["events_anomaly"] = events_anomaly
+
+
+def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type global stats via the SALTED two-phase aggregation
+    (operators/salting.py), registered so the skew path is itself
+    oracle-certified. event_type has ~5 distinct values -- exactly the
+    pathological regime at 100 TB, where a plain groupBy funnels 20% of the
+    corpus into each of 5 reducer tasks; the salt splits each key across 16
+    reducers and the second exchange moves only 16 partial rows per key.
+    The oracle is the PLAIN one-phase GROUP BY: the hash-equality proves the
+    2-exchange plan is semantically invisible."""
+    from cassandra_sstable_tools_spark.operators.salting import salted_agg
+
+    e = events_table(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        "ts_s",
+    )
+    return salted_agg(
+        e,
+        key_cols=["event_type"],
+        aggs={
+            "events": ("count", "event_type"),
+            "value_cents": ("sum", "value_cents"),
+            "first_ts_s": ("min", "ts_s"),
+            "last_ts_s": ("max", "ts_s"),
+        },
+    )
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping sets --
+    (type, dow), (type), (dow), () -- in ONE pass with grouping_id
+    disambiguating the all-rows marker from a genuine value. Spark plans
+    this as a single Expand + aggregate (4x row multiplication before the
+    partial agg, then one shuffle); at scale that beats four separate
+    scans+shuffles as long as the expansion factor stays small."""
+    e = events_table(spark, sf_dir)
+    dow = ((F.expr("ts_s div 86400") + 4) % 7).alias("dow")  # epoch day 0 = Thu
+    return (
+        e.select("event_type", dow, "user_id")
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .select("event_type", "dow", "gid", "events")
+    )
+
+
+ORACLES["events_type_stats_salted"] = f"""
+SELECT event_type,
+       count(*) AS events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       min({_TS_S_SQL}) AS first_ts_s,
+       max({_TS_S_SQL}) AS last_ts_s
+FROM events
+GROUP BY 1
+"""
+
+ORACLES["events_cube"] = f"""
+WITH e AS (
+    SELECT event_type, (({_TS_S_SQL} // 86400) + 4) % 7 AS dow FROM events
+)
+SELECT event_type, dow,
+       CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT) AS gid,
+       count(*) AS events
+FROM e
+GROUP BY CUBE (event_type, dow)
+"""
+
+QUERIES["events_type_stats_salted"] = events_type_stats_salted
+QUERIES["events_cube"] = events_cube
