@@ -64,3 +64,20 @@ def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
 def assert_no_sort_merge_join(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, "plan degraded to sort-merge join"
+
+
+def partition_filters(plan: str) -> list[str]:
+    """Every non-empty PartitionFilters entry across the plan's scans."""
+    return [f for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if f]
+
+
+def assert_partition_pruned(df: DataFrame, column: str) -> None:
+    """At least one scan prunes hive-style partitions on ``column`` --
+    the reader-side payoff of a partitioned sink: the filter becomes a
+    directory listing, not a row filter, so non-matching partitions are
+    never opened."""
+    plan = formatted_plan(df)
+    assert any(column in f for f in partition_filters(plan)), (
+        f"no PartitionFilters mentions {column!r}; "
+        f"partition_filters={partition_filters(plan)}"
+    )

@@ -88,3 +88,21 @@ def test_parquet_sink_bounds_files_per_partition(spark, sf_dir, tmp_path):
     assert any(n > 1 for n in per_dir2.values()), (
         f"spread_col produced no intra-partition parallelism: {per_dir2}"
     )
+
+
+def test_partitioned_sink_gives_readers_partition_pruning(spark, sf_dir, tmp_path):
+    """The 100 TB payoff of `write_partitioned(partition_cols=['lang'])`:
+    a per-language reader plans a PartitionFilters directory prune (never
+    opens other languages' files) instead of a row-level filter. Also pins
+    that only the matching hive directory's rows come back."""
+    from cassandra_sstable_tools_spark.plans.audit import assert_partition_pruned
+    from cassandra_sstable_tools_spark.sources.parquet_sink import write_clean_corpus
+
+    out = str(tmp_path / "clean_corpus")
+    full = write_clean_corpus(spark, sf_dir, out)
+    langs = {r["lang"] for r in full.select("lang").distinct().collect()}
+    assert len(langs) > 1  # pruning below is only meaningful with >1 dir
+
+    reader = spark.read.parquet(out).where("lang = 'en'")
+    assert_partition_pruned(reader, "lang")
+    assert {r["lang"] for r in reader.select("lang").distinct().collect()} == {"en"}
