@@ -231,3 +231,40 @@ def test_ivfpq_broadcasts_and_no_corpus_smj(spark, sf_dir):
     assert_no_sort_merge_join(df)
     assert_broadcast_join(df, min_count=2)  # centroids/probes + queries
     assert_no_cartesian(df)
+
+
+def test_funnel_filters_pushed_no_cartesian(spark, sf_dir):
+    from cassandra_sstable_tools_spark.queries.timeseries import funnel_stages
+
+    df = funnel_stages(spark, sf_dir)
+    assert_filter_pushed(df, "event_type")  # stage slices filter at the scan
+    assert_no_cartesian(df)
+
+
+def test_gapfill_broadcasts_counts(spark, sf_dir):
+    from cassandra_sstable_tools_spark.queries.timeseries import events_gapfill
+
+    # the dense axis and the hourly counts are both aggregate-sized; the
+    # final left join must broadcast, never shuffle the axis
+    df = events_gapfill(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)
+
+
+def test_cube_single_expand_single_agg_pass(spark, sf_dir):
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+    from cassandra_sstable_tools_spark.queries.timeseries import events_cube
+
+    import re
+
+    plan = formatted_plan(events_cube(spark, sf_dir))
+    # one Expand feeding one aggregation chain -- NOT four scans unioned
+    # (formatted plans list each node twice: tree + detail section)
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_chunk_dedup_linear_no_cartesian(spark, sf_dir):
+    from cassandra_sstable_tools_spark.llm.dedup import chunk_dedup_stats
+
+    df = chunk_dedup_stats(spark, sf_dir)
+    assert_no_cartesian(df)
