@@ -315,3 +315,97 @@ WHERE (stats.n * d.n_chars - stats.s)::HUGEINT
       > 4 * (stats.n * stats.sq - stats.s * stats.s)::HUGEINT
 """
 QUERIES["doc_length_outliers"] = doc_length_outliers
+
+
+# --- count-min sketch heavy hitters -----------------------------------------
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 256   # buckets per row = one md5 hex byte
+CMS_TOP_K = 20
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus words with their count-min-sketch estimate, certifying
+    the sketch math itself: `cms_overestimate` (est - exact) is >= 0 by the
+    CMS one-sided-error invariant, and the oracle recomputes the identical
+    sketch, so a hash match proves the distributed sketch equals the
+    sequential definition.
+
+    Hash family: row i buckets word w by md5 hex byte i (2 hex chars) --
+    byte-exact in both engines, no int conversion. Scale shape: the token
+    stream reduces to VOCABULARY grain first (map-side combined groupBy);
+    the 4 x 256-cell sketch and the per-word estimates are all vocab-grain
+    or smaller, and the sketch side of the estimate join is 1024 rows ->
+    broadcast. At 100 TB the sketch is what you SHIP (merge = cell-wise
+    sum, size independent of corpus) -- the exact counts exist here only to
+    certify the estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .withColumn("h", F.md5("word"))
+    )
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring("h", 2 * i + 1, 2).alias("bucket"),
+            )
+            for i in range(CMS_DEPTH)
+        ])
+    ).alias("r")
+    melted = vocab.select("word", "exact_cnt", rows).select(
+        "word", "exact_cnt", F.col("r.i").alias("i"), F.col("r.bucket").alias("bucket")
+    )
+    sketch = melted.groupBy("i", "bucket").agg(
+        F.sum("exact_cnt").alias("cell_sum")
+    )
+    est = (
+        melted.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cell_sum").alias("cms_est"))
+    )
+    return (
+        est.orderBy(F.desc("exact_cnt"), F.asc("word"))
+        .limit(CMS_TOP_K)
+        .select(
+            "word",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("cms_overestimate"),
+        )
+    )
+
+
+_CMS_ROWS_SQL = "\n    UNION ALL\n".join(
+    f"    SELECT word, exact_cnt, {i} AS i, substr(h, {2 * i + 1}, 2) AS bucket"
+    " FROM vocab"
+    for i in range(CMS_DEPTH)
+)
+
+ORACLES["heavy_hitters_cms"] = f"""
+WITH vocab AS (
+    SELECT word, count(*) AS exact_cnt, md5(word) AS h
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents)
+    GROUP BY 1
+),
+melted AS (
+{_CMS_ROWS_SQL}
+),
+sketch AS (
+    SELECT i, bucket, sum(exact_cnt) AS cell_sum FROM melted GROUP BY 1, 2
+),
+est AS (
+    SELECT m.word, m.exact_cnt, min(s.cell_sum) AS cms_est
+    FROM melted m JOIN sketch s ON s.i = m.i AND s.bucket = m.bucket
+    GROUP BY 1, 2
+)
+SELECT word, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS cms_overestimate
+FROM est
+ORDER BY exact_cnt DESC, word ASC
+LIMIT {CMS_TOP_K}
+"""
+QUERIES["heavy_hitters_cms"] = heavy_hitters_cms

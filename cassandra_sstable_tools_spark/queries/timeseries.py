@@ -328,3 +328,39 @@ GROUP BY CUBE (event_type, dow)
 
 QUERIES["events_type_stats_salted"] = events_type_stats_salted
 QUERIES["events_cube"] = events_cube
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: the `props` column is a JSON
+    string; parse it with a TYPED ``from_json`` schema (one JsonToStructs
+    expression inside codegen -- never a per-row Python json.loads) and
+    aggregate the extracted field per (event_type, k-decade).
+
+    Scale shape: schema-on-read projection happens in the scan's own stage,
+    so only the two small extracted ints reach the shuffle -- the JSON text
+    itself is never exchanged. That ordering (parse THEN shuffle) is the
+    whole game for wide JSON payloads at 100 TB."""
+    e = events_table(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") - F.col("k") % 10).alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+    )
+
+
+ORACLES["events_props_stats"] = """
+SELECT event_type,
+       (k - k % 10) AS k_decade,
+       count(*) AS events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       count(DISTINCT k) AS distinct_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY 1, 2
+"""
+QUERIES["events_props_stats"] = events_props_stats
