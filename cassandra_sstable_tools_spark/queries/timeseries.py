@@ -43,15 +43,21 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the type-filtered slices, not 3 scans' worth of raw events.
     """
     e = events_table(spark, sf_dir).select("user_id", "event_type", "ts_s")
+    return funnel_over(e)
+
+
+def funnel_over(e: DataFrame, stages: list[str] = FUNNEL_STAGES) -> DataFrame:
+    """Core funnel over any (user_id, event_type, ts_s) frame -- split out
+    so the randomized differential test can drive it with generated data."""
 
     def stage_events(stage_type: str) -> DataFrame:
         return e.where(F.col("event_type") == stage_type)
 
-    reached = stage_events(FUNNEL_STAGES[0]).groupBy("user_id").agg(
+    reached = stage_events(stages[0]).groupBy("user_id").agg(
         F.min("ts_s").alias("t_prev")
     )
     counts = [reached.agg(F.count(F.lit(1)).alias("users"))]
-    for stage_type in FUNNEL_STAGES[1:]:
+    for stage_type in stages[1:]:
         reached = (
             stage_events(stage_type)
             .join(reached, "user_id")
@@ -61,7 +67,7 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts.append(reached.agg(F.count(F.lit(1)).alias("users")))
     out = None
-    for i, (stage_type, c) in enumerate(zip(FUNNEL_STAGES, counts), start=1):
+    for i, (stage_type, c) in enumerate(zip(stages, counts), start=1):
         row = c.select(
             F.lit(i).alias("stage"),
             F.lit(stage_type).alias("event_type"),
