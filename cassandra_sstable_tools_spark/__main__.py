@@ -9,6 +9,7 @@ the engine's extension surface.
     python -m cassandra_sstable_tools_spark clean    [--sf-dir DIR] [--out DIR]
     python -m cassandra_sstable_tools_spark dedup    [--sf-dir DIR]
     python -m cassandra_sstable_tools_spark ann      [--sf-dir DIR] [-n N]
+    python -m cassandra_sstable_tools_spark query    [NAME] [--sf-dir DIR] [--max-rows N]
 
 Flag parity with the reference CLI (cli/PartitionSizeStatisticsCollector
 .java:35-59): `-n` top-N size, `-f` comma-separated Data.db filename
@@ -72,7 +73,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "command",
         choices=["summary", "sstables", "pstats", "cfstats", "purge",
-                 "clean", "dedup", "ann"],
+                 "clean", "dedup", "ann", "query"],
+    )
+    p.add_argument(
+        "name", nargs="?", default=None,
+        help="query: registered query name to run (omit to list all)",
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("-n", type=int, default=10, help="top-N size for rankings")
@@ -89,6 +94,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="batch mode (accepted for parity; output is always non-interactive)",
     )
     p.add_argument("--out", default=None, help="clean: write keep-list here")
+    p.add_argument("--max-rows", type=int, default=50,
+                   help="query: max rows to display (row count always shown)")
     p.add_argument(
         "--index", default="ivf", choices=["ivf", "ivfpq"],
         help="ann: index layout (ivf = inverted lists; ivfpq = lists + PQ codes)",
@@ -216,6 +223,26 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         out.append(("Exact duplicate groups", _render(dupes)))
         out.append(("Near-duplicate pairs (minhash-LSH, verified)", _render(
             minhash_lsh_pairs(spark, sf))))
+    elif args.command == "query":
+        # Generic escape hatch: every registered (oracle-certified) query is
+        # user-runnable by name. Display truncates at --max-rows after a
+        # deterministic all-column sort; the row count is always reported.
+        from cassandra_sstable_tools_spark.queries import registry
+
+        qs = registry.queries()
+        if not args.name:
+            sys.stdout.write("\n".join(sorted(qs)) + "\n")
+            return 0
+        if args.name not in qs:
+            sys.stderr.write(f"unknown query {args.name!r} (run `query` with "
+                             "no name to list)\n")
+            return 2
+        df = qs[args.name](spark, sf)
+        n_rows = df.count()
+        shown = df.orderBy(*df.columns).limit(args.max_rows)
+        out.append((f"{args.name} ({n_rows} rows"
+                    + (f", first {args.max_rows} shown" if n_rows > args.max_rows else "")
+                    + ")", _render(shown)))
     elif args.command == "ann":
         from cassandra_sstable_tools_spark.llm.similarity import (
             ann_ivf_topk,

@@ -116,3 +116,18 @@ def test_sstables_cli_order_matches_strategy_comparators(spark, sf_dir, capsys):
     for table_name, ids in seen.items():
         expected = sorted(ids, key=lambda i: ref_key(table_name, i))
         assert ids == expected, f"{table_name}: rendered {ids} != comparator {expected}"
+
+
+def test_cli_generic_query_command(spark, sf_dir, capsys):
+    """`query` with no name lists every registered query; with a name it
+    renders the frame with the true row count in the title."""
+    assert main(["query", "--sf-dir", sf_dir], spark=spark) == 0
+    listing = capsys.readouterr().out.splitlines()
+    assert "funnel_stages" in listing and "tpch_q1" in listing
+
+    assert main(["query", "funnel_stages", "--sf-dir", sf_dir], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("funnel_stages (3 rows)")
+    assert "| stage |" in out
+
+    assert main(["query", "no_such_query", "--sf-dir", sf_dir], spark=spark) == 2
