@@ -189,3 +189,189 @@ QUERIES = {
     "decontaminate_flags": decontaminate_flags,
     "mixture_budget": mixture_budget,
 }
+
+
+# --- Bloom-filter decontamination (the beyond-broadcast scale path) ---------
+# decontaminate_flags broadcasts the eval n-gram SET exactly -- right while
+# the suite fits in memory. When it doesn't (stacked benchmark suites at
+# 100 TB), the shippable summary is a Bloom filter: fixed-size bit array,
+# merge = bitwise OR, no false negatives, tunable false-positive rate.
+BLOOM_BITS = 65536     # 16 bits per position = 4 md5 hex chars (2048 words;
+#   sized so ~1.4k eval grams give a per-doc FP rate around 1% -- a 4096-bit
+#   filter saturates at this gram count and flags nearly everything)
+BLOOM_WORD = 32        # bits per packed word -> masks stay < 2^31
+BLOOM_K = 2            # hash functions = disjoint hex quadruplets
+
+
+def _bloom_positions(ngram_col):
+    """K bit positions per n-gram from disjoint md5 hex triplets --
+    deterministic, engine-portable (the oracle recomputes the same
+    quadruplets via strpos arithmetic)."""
+    h = F.md5(ngram_col)
+    return [
+        F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("int")
+        for j in range(BLOOM_K)
+    ]
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc contamination via a 65536-bit Bloom filter of the
+    eval n-grams, WITH the exact answer alongside certifying the sketch:
+    `no_false_negative` (bloom >= exact, the Bloom guarantee) is emitted
+    per row, and the whole frame is deterministic, so the oracle recomputes
+    the identical filter and the hash match proves the distributed build
+    (groupBy(word) + bit_or) equals the sequential definition.
+
+    Scale shape: the filter is <=2048 ints REGARDLESS of eval-set size --
+    that's the point; it broadcasts into the probe join at any scale. Build
+    = one groupBy over eval gram positions; probe = the training gram scan
+    joined against the broadcast words, then two narrow aggregations
+    (gram-level AND over the K probes, doc-level ANY)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _contam_grams(d)
+    gram_is_eval = _is_eval(F.col("doc_id"))
+    eval_grams = grams.where(gram_is_eval).select("ngram").distinct()
+    train_grams = grams.where(~gram_is_eval)
+
+    def melt(df: DataFrame, keep_cols: list[str]) -> DataFrame:
+        pos = _bloom_positions(F.col("ngram"))
+        probes = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (p / BLOOM_WORD).cast("int").alias("word_idx"),
+                    (p % BLOOM_WORD).alias("bit"),
+                )
+                for j, p in enumerate(pos)
+            ])
+        ).alias("p")
+        return df.select(*keep_cols, probes).select(
+            *keep_cols,
+            "p.j",
+            "p.word_idx",
+            F.expr("cast(shiftleft(1, p.bit) as bigint)").alias("mask"),
+        )
+
+    bloom = (
+        melt(eval_grams, ["ngram"])
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bf_word"))
+    )
+    probed = (
+        melt(train_grams, ["doc_id", "ngram"])
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "probe_hit",
+            (F.coalesce(F.col("bf_word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0)
+            .cast("int"),
+        )
+        .groupBy("doc_id", "ngram")
+        .agg(F.min("probe_hit").alias("gram_hit"))  # AND over the K probes
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.max("gram_hit").alias("bloom_contaminated"),
+        F.sum("gram_hit").alias("bloom_hit_ngrams"),
+    )
+    exact = (
+        train_grams.join(F.broadcast(eval_grams), "ngram")
+        .select("doc_id").distinct()
+        .withColumn("exact_contaminated", F.lit(1))
+    )
+    train_docs = d.where(~_is_eval(F.col("doc_id"))).select("doc_id")
+    return (
+        train_docs.join(per_doc, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_contaminated", F.lit(0)).cast("int")
+                .alias("bloom_contaminated"),
+            F.coalesce("bloom_hit_ngrams", F.lit(0)).cast("bigint")
+                .alias("bloom_hit_ngrams"),
+            F.coalesce("exact_contaminated", F.lit(0)).cast("int")
+                .alias("exact_contaminated"),
+            (
+                F.coalesce("bloom_contaminated", F.lit(0))
+                >= F.coalesce("exact_contaminated", F.lit(0))
+            ).alias("no_false_negative"),
+        )
+    )
+
+
+# hex triplet -> int, oracle-side: strpos arithmetic over the hex alphabet
+def _hexval_sql(expr: str) -> str:
+    return f"(strpos('0123456789abcdef', {expr}) - 1)"
+
+
+def _pos_sql(j: int) -> str:
+    c = [f"substr(md5(ngram), {1 + 4 * j + i}, 1)" for i in range(4)]
+    return (f"({_hexval_sql(c[0])} * 4096 + {_hexval_sql(c[1])} * 256"
+            f" + {_hexval_sql(c[2])} * 16 + {_hexval_sql(c[3])})")
+
+
+_BLOOM_MELT_SQL = "\n    UNION ALL\n".join(
+    f"    SELECT *, {j} AS j, CAST({_pos_sql(j)} // {BLOOM_WORD} AS INT)"
+    f" AS word_idx,"
+    f" CAST(1::BIGINT << ({_pos_sql(j)} % {BLOOM_WORD}) AS BIGINT) AS mask"
+    " FROM {src}"
+    for j in range(BLOOM_K)
+)
+
+ORACLES["decontaminate_bloom"] = f"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(w[i + 1 : i + {CONTAM_NGRAM}], ' ') AS ngram
+    FROM (SELECT doc_id, w,
+                 unnest(range(len(w) - {CONTAM_NGRAM} + 1)) AS i
+          FROM words WHERE len(w) >= {CONTAM_NGRAM})
+),
+eval_grams AS (
+    SELECT DISTINCT ngram FROM grams
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{EVAL_NIBBLE}'
+),
+train_grams AS (
+    SELECT * FROM grams
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '{EVAL_NIBBLE}'
+),
+eval_melt AS (
+{_BLOOM_MELT_SQL.format(src="eval_grams")}
+),
+bloom AS (
+    SELECT word_idx, bit_or(mask) AS bf_word FROM eval_melt GROUP BY 1
+),
+train_melt AS (
+{_BLOOM_MELT_SQL.format(src="train_grams")}
+),
+probed AS (
+    SELECT m.doc_id, m.ngram,
+           min(CASE WHEN (coalesce(b.bf_word, 0) & m.mask) != 0
+                    THEN 1 ELSE 0 END) AS gram_hit
+    FROM train_melt m LEFT JOIN bloom b USING (word_idx)
+    GROUP BY 1, 2
+),
+per_doc AS (
+    SELECT doc_id, max(gram_hit) AS bloom_contaminated,
+           sum(gram_hit) AS bloom_hit_ngrams
+    FROM probed GROUP BY 1
+),
+exact AS (
+    SELECT DISTINCT t.doc_id, 1 AS exact_contaminated
+    FROM train_grams t JOIN eval_grams e USING (ngram)
+),
+train_docs AS (
+    SELECT doc_id FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '{EVAL_NIBBLE}'
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.bloom_contaminated, 0) AS INT) AS bloom_contaminated,
+       CAST(coalesce(p.bloom_hit_ngrams, 0) AS BIGINT) AS bloom_hit_ngrams,
+       CAST(coalesce(e.exact_contaminated, 0) AS INT) AS exact_contaminated,
+       coalesce(p.bloom_contaminated, 0) >= coalesce(e.exact_contaminated, 0)
+           AS no_false_negative
+FROM train_docs d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN exact e USING (doc_id)
+"""
+QUERIES["decontaminate_bloom"] = decontaminate_bloom
