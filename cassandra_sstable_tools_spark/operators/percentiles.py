@@ -25,15 +25,25 @@ from cassandra_sstable_tools_spark.constants import REPORT_PERCENTILES
 def percentile_cols(
     col: str, percentiles: list[float] | None = None, approx: bool = False
 ) -> list[Column]:
-    """Floored percentile aggregate expressions named p50, p75, ... p999."""
+    """Floored percentile aggregate expressions named p50, p75, ... p999.
+
+    All outputs are element_at projections of ONE array-percentage
+    ``percentile(col, array(...))`` aggregate: Catalyst deduplicates
+    semantically-equal aggregate functions, so the plan buffers the group's
+    values ONCE instead of once per requested percentile (measured: 6
+    separate exact-percentile aggregates made pstats_summary GC-jitter
+    between 0.5s and 5.5s at sf0.1; the single-buffer form is stable)."""
     ps = percentiles if percentiles is not None else REPORT_PERCENTILES
+    pcts = F.array(*[F.lit(p) for p in ps])
+    agg = (
+        F.percentile_approx(col, pcts, F.lit(10000))
+        if approx
+        else F.percentile(col, pcts)
+    )
     out = []
-    for p in ps:
+    for i, p in enumerate(ps):
         name = "p" + f"{p * 100:g}".replace(".", "")
-        agg = (
-            F.percentile_approx(col, p, 10000) if approx else F.percentile(col, F.lit(p))
-        )
-        out.append(F.floor(agg).alias(name))
+        out.append(F.floor(F.element_at(agg, i + 1)).alias(name))
     return out
 
 
