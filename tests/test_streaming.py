@@ -176,3 +176,63 @@ def test_stream_parquet_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     run_once()  # restart, same checkpoint, no new input
     second = spark.read.parquet(out)
     assert second.count() == n_first, "restart reprocessed data into the sink"
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Late-data policy, behaviorally: batch 1 advances the watermark past
+    an old hour; batch 2 (a second availableNow run on the same checkpoint)
+    delivers events for that hour. The aggregation must DROP them -- the
+    old window stays finalized with its batch-1 count -- while rows inside
+    the watermark horizon still land. This is the state-bounding contract:
+    without the drop, 100 TB of ancient replays would resurrect every
+    window ever emitted."""
+    from pyspark.sql import functions as F
+
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "event_id long, ts_s long, user_id long"
+    HOUR = 3600
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).write.parquet(f"{indir}/{name}")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(indir)
+            .withColumn("event_time", F.timestamp_seconds(F.col("ts_s")))
+            .withWatermark("event_time", "1 hour")
+            .groupBy(F.window("event_time", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("events"))
+            .select(F.unix_timestamp("w.start").alias("hour_start"), "events")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            (r["hour_start"], r["events"])
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    # batch 1: 2 events in hour 0, max event time at hour 10 -> watermark
+    # ends at hour 9; hour 0's window finalizes with count 2
+    write_batch("b1", [(1, 10, 1), (2, 20, 1), (3, 10 * HOUR, 1)])
+    got1 = [row for row in drain() if row[0] == 0]
+    assert got1 == [(0, 2)]
+
+    # batch 2: one LATE event for hour 0 (beyond watermark -> dropped) and
+    # one on-time event in hour 9 (inside horizon -> contributes). A
+    # non-dropped late row would build NEW hour-0 state and append a
+    # second hour-0 row once finalized -- so the invariant is exactly one
+    # hour-0 row, still at its batch-1 count.
+    write_batch("b2", [(4, 30, 1), (5, 9 * HOUR + 5, 1)])
+    got2 = [row for row in drain() if row[0] == 0]
+    assert got2 == [(0, 2)], "late event resurrected a finalized window"
