@@ -593,3 +593,27 @@ GROUP BY 1
 """
 
 QUERIES["chunk_dedup_stats"] = chunk_dedup_stats
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes: how many connected
+    components of each size the minhash graph contains -- the report that
+    tells you whether dedup is removing twins or collapsing whole template
+    families. Two aggregate-grain groupBys over the clusters frame (tiny
+    vs corpus: one row per clustered doc)."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("clusters")
+    )
+
+
+ORACLES["dedup_cluster_sizes"] = (
+    "SELECT cluster_size, count(*) AS clusters FROM (\n"
+    "  SELECT cluster_id, count(*) AS cluster_size FROM (\n"
+    + ORACLES["dedup_clusters"]
+    + ") GROUP BY 1\n) GROUP BY 1"
+)
+QUERIES["dedup_cluster_sizes"] = dedup_cluster_sizes

@@ -370,3 +370,40 @@ FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
 GROUP BY 1, 2
 """
 QUERIES["events_props_stats"] = events_props_stats
+
+
+USERS_SKETCH_TOL_PCT = 5
+
+
+def events_users_sketch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct users, exact AND as an HLL++ sketch, emitted as a
+    hash-checkable contract (the cardinality_estimates pattern at window
+    grain): the approx value is engine-specific, so the row carries the
+    exact count plus a boolean asserting the sketch landed within 5% --
+    integer cross-multiplication, no float tolerance. At 100 TB the exact
+    countDistinct is the expensive half (two-level Expand shuffle); the
+    sketch column is the one you keep, mergeable across hours/days for
+    rollups the exact count cannot do incrementally."""
+    e = events_table(spark, sf_dir)
+    hour = (F.expr("ts_s div 3600") * 3600).alias("hour_start")
+    agg = e.groupBy(hour).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+    diff = F.abs(F.col("approx_users") - F.col("exact_users"))
+    # Tolerance band: 5% relative OR +-2 absolute. The absolute floor
+    # matters at window grain: an hour with 14 users makes 5% < 1, and
+    # Spark's HLL++ has no sparse mode, so tiny cardinalities can be off
+    # by one -- a pure relative band would flag correct sketch behavior.
+    within = (diff <= 2) | (diff * 100 <= F.col("exact_users") * USERS_SKETCH_TOL_PCT)
+    return agg.select("hour_start", "exact_users", within.alias("approx_within_tol"))
+
+
+ORACLES["events_users_sketch_hourly"] = f"""
+SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
+       count(DISTINCT user_id) AS exact_users,
+       true AS approx_within_tol
+FROM events
+GROUP BY 1
+"""
+QUERIES["events_users_sketch_hourly"] = events_users_sketch_hourly
