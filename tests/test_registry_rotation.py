@@ -9,20 +9,21 @@ from cassandra_sstable_tools_spark.queries import registry
 
 DRIVER_WINDOW = 50
 
-# Queries with no green driver row as of round 2 (judge r02 verdict) —
-# every one must sit inside the next round's verification window.
-NEVER_VERIFIED_R02 = {
-    "ann_ivf_kmeans_topk", "events_hourly", "events_sliding", "sessionize",
-    "user_activity", "cohort_retention", "events_top_types", "media_metadata",
-    "frame_sample", "image_resize", "media_embed", "catalog_tables",
-    "sstables_filtered", "summary_rollup", "cardinality_estimates",
-    "stream_sessionize_sessions", "stream_events_hourly", "stream_dedup_events",
-}
-
-
 def test_never_verified_queries_inside_driver_window():
-    window = list(registry.queries())[:DRIVER_WINDOW]
-    missing = NEVER_VERIFIED_R02 - set(window)
+    """Every query with NO green driver row in any committed round must sit
+    inside the next round's 50-entry window -- computed from the live green
+    history, not a frozen list (an r02-frozen set went stale the moment its
+    members got certified and newer queries pushed them down). This is also
+    the registry-growth guard: adding queries is fine only while the
+    never-green population still fits the window."""
+    names = list(registry.queries())
+    hist = registry._green_history()
+    never = [n for n in names if n not in hist]
+    assert len(never) <= DRIVER_WINDOW, (
+        f"{len(never)} never-certified queries exceed the {DRIVER_WINDOW}-entry "
+        "driver window; stop adding queries until a round certifies some"
+    )
+    missing = set(never) - set(names[:DRIVER_WINDOW])
     assert not missing, f"never-verified queries outside driver window: {missing}"
 
 
