@@ -11,6 +11,16 @@ product-analytics pipeline needs beyond ``queries/events.py``:
 - events_moving_avg: trailing 3-hour moving aggregate via a RANGE window
                     frame over event-time (not ROWS: gaps must widen the
                     frame, which only range frames express)
+- events_anomaly:   hours exceeding 2x the strictly-preceding-hours average
+                    (cross-multiplied integer threshold, no float baseline)
+- events_type_stats_salted: the skew-salting operator certified against the
+                    plain one-phase GROUP BY oracle
+- events_cube:      all four (type, day-of-week) grouping sets in one
+                    Expand+aggregate pass, grouping_id-disambiguated
+- events_props_stats: typed from_json over the JSON payload column --
+                    parse in-scan, only extracted ints reach the shuffle
+- events_users_sketch_hourly: windowed HLL++ distinct-user contract
+                    (exact count + in-tolerance boolean)
 
 All time math is exact integer arithmetic over canonical epoch seconds
 (``ts_s``, see ``tpch_adapter.events_table``) so Spark and the DuckDB
