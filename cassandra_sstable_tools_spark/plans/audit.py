@@ -81,3 +81,11 @@ def assert_partition_pruned(df: DataFrame, column: str) -> None:
         f"no PartitionFilters mentions {column!r}; "
         f"partition_filters={partition_filters(plan)}"
     )
+
+
+def assert_no_python_eval(df: DataFrame) -> None:
+    """No row-at-a-time or Arrow Python evaluation anywhere in the plan --
+    the expression stayed in JVM codegen (e.g. from_json, not a UDF)."""
+    plan = formatted_plan(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, f"plan drops to Python evaluation ({node})"

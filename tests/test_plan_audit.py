@@ -268,3 +268,49 @@ def test_chunk_dedup_linear_no_cartesian(spark, sf_dir):
 
     df = chunk_dedup_stats(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_props_json_parse_stays_in_jvm(spark, sf_dir):
+    from cassandra_sstable_tools_spark.plans.audit import assert_no_python_eval
+    from cassandra_sstable_tools_spark.queries.timeseries import events_props_stats
+
+    assert_no_python_eval(events_props_stats(spark, sf_dir))
+
+
+def test_cms_sketch_broadcasts(spark, sf_dir):
+    from cassandra_sstable_tools_spark.llm.corpus import heavy_hitters_cms
+
+    df = heavy_hitters_cms(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)  # 1024-cell sketch never shuffles
+    assert_no_cartesian(df)
+
+
+def test_bloom_filter_broadcasts(spark, sf_dir):
+    from cassandra_sstable_tools_spark.llm.curation import decontaminate_bloom
+
+    df = decontaminate_bloom(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)  # <=2048 packed words
+    assert_no_cartesian(df)
+
+
+def test_length_outliers_broadcast_moments(spark, sf_dir):
+    from cassandra_sstable_tools_spark.llm.corpus import doc_length_outliers
+
+    df = doc_length_outliers(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)  # per-source moments frame
+    assert_no_cartesian(df)
+
+
+def test_salted_agg_two_exchange_shape(spark, sf_dir):
+    import re
+
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+    from cassandra_sstable_tools_spark.queries.timeseries import (
+        events_type_stats_salted,
+    )
+
+    plan = formatted_plan(events_type_stats_salted(spark, sf_dir))
+    # the documented trade: exactly the salt exchange + the final key
+    # exchange, no more (a third would mean the salt column leaked)
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 2, f"expected the 2-exchange salted shape, found {n}:\n{plan}"
