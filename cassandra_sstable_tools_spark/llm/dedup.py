@@ -529,7 +529,12 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is usually small enough to broadcast instead; the shuffle join is
     kept because "most of the corpus is duplicated" is exactly the
     adversarial case this query exists to detect.)"""
-    n = _normalized(spark, sf_dir)
+    return chunk_dedup_over(_normalized(spark, sf_dir))
+
+
+def chunk_dedup_over(n: DataFrame) -> DataFrame:
+    """Core over any (doc_id, norm) frame -- split out so the randomized
+    differential test can drive it with generated corpora."""
     words = F.split(F.col("norm"), " ")
     n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
     chunk_texts = F.transform(
