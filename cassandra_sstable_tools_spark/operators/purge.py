@@ -75,6 +75,19 @@ _CELLISH = ("CELL", "STATIC_CELL", "ROW_MARKER")
 
 def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
     """Per-partition (pre_size, merged_size, reclaimable, tables)."""
+    enriched, survives = merge_enriched(cells, gc_before)
+    return _purge_aggregate(enriched, survives)
+
+
+def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
+    """The compaction-merge core: (enriched frame, survives Column).
+
+    `enriched` is every cell copy with its LWW rank and the broadcast
+    per-pk delete map (pd_wt / rds / rtms / remnant) joined on; `survives`
+    is the post-merge-post-purge keep decision per row. purge_stats
+    aggregates this to sizes; compaction_preview aggregates it per cell
+    class -- both consume ONE shared formulation so the semantics can't
+    fork."""
     # No explicit repartition: the adapter's cells cache is hash-partitioned
     # on (keyspace, table_name, partition_key), which satisfies the
     # ClusteredDistribution of the LWW window AND the final aggregation --
@@ -242,7 +255,10 @@ def purge_stats(cells: DataFrame, gc_before: int = GC_BEFORE) -> DataFrame:
         .when(F.col("kind") == "PARTITION_DELETE", marker_not_purged)
         .otherwise(not_pd_shadowed & marker_not_purged)  # ROW_DELETE / RTM
     )
+    return enriched, survives
 
+
+def _purge_aggregate(enriched: DataFrame, survives) -> DataFrame:
     # ONE fused aggregation pass: pre_size (every copy), merged_size
     # (survivors only -- the boolean above), and tables (distinct sstables)
     # come out of a two-level aggregate. Level 1 groups by (pk, sstable_id)

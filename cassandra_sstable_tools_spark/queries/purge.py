@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_sstable_tools_spark.constants import DEFAULT_TOP_N
-from cassandra_sstable_tools_spark.operators.purge import purge_stats, purge_stats_sql
+from cassandra_sstable_tools_spark.operators.purge import (
+    merge_enriched,
+    purge_stats,
+    purge_stats_sql,
+)
 from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
 from cassandra_sstable_tools_spark.oracles import with_adapter
 from cassandra_sstable_tools_spark.sources import tpch_adapter
@@ -68,5 +72,113 @@ FROM purge_per_partition
 GROUP BY 1, 2
 """)
 
-QUERIES = {"purge_top": purge_top, "purge_global": purge_global}
-ORACLES = {"purge_top": ORACLE_PURGE_TOP, "purge_global": ORACLE_PURGE_GLOBAL}
+def compaction_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What compaction would WRITE, per (table, cell class): row and byte
+    counts before the merge vs in the merged output -- the content-level
+    view the reference's byte-total reports don't give (which data rows LWW
+    kept, which delete markers survived GC, what the boundary-split
+    remnants add). Consumes the same merge_enriched core as purge_stats, so
+    the two reports cannot drift; the oracle re-derives the same grain from
+    the per-kind survivor CTEs of the SQL mirror. Aggregation grain is
+    (table, class) -- aggregate-sized output at any corpus scale, same
+    exchange-free two-level shape as purge_stats off the pk-clustered
+    cells cache."""
+    cells = tpch_adapter.cells(spark, sf_dir)
+    enriched, survives = merge_enriched(cells)
+    cls = (
+        F.when(
+            F.col("kind").isin("CELL", "STATIC_CELL", "ROW_MARKER"), "data"
+        )
+        .when(F.col("kind") == "PARTITION_DELETE", "partition_delete")
+        .when(F.col("kind") == "ROW_DELETE", "row_delete")
+        .otherwise("range_tombstone")
+        .alias("cell_class")
+    )
+    base = enriched.groupBy("keyspace", "table_name", cls).agg(
+        F.count(F.lit(1)).alias("rows_pre"),
+        F.sum("cell_size").alias("bytes_pre"),
+        F.sum(survives.cast("int")).cast("bigint").alias("rows_merged"),
+        F.sum(F.when(survives, F.col("cell_size")).otherwise(F.lit(0))).alias(
+            "bytes_merged_raw"
+        ),
+    )
+    # boundary-split remnant bytes belong to the range_tombstone class; the
+    # per-pk remnant rides every enriched row of its pk (broadcast map), so
+    # max-per-pk then sum-per-table recovers the exact total
+    rem = (
+        enriched.groupBy("keyspace", "table_name", "partition_key")
+        .agg(F.max("remnant").alias("r"))
+        .groupBy("keyspace", "table_name")
+        .agg(F.sum("r").alias("rem_bytes"))
+    )
+    return (
+        base.join(rem, ["keyspace", "table_name"], "left")
+        .select(
+            "keyspace",
+            "table_name",
+            "cell_class",
+            "rows_pre",
+            "bytes_pre",
+            "rows_merged",
+            (
+                F.col("bytes_merged_raw")
+                + F.when(
+                    F.col("cell_class") == "range_tombstone",
+                    F.coalesce(F.col("rem_bytes"), F.lit(0)),
+                ).otherwise(F.lit(0))
+            ).alias("bytes_merged"),
+        )
+    )
+
+
+ORACLE_COMPACTION_PREVIEW = with_adapter(f""",
+{purge_stats_sql().lstrip()},
+pre_cls AS (
+    SELECT keyspace, table_name,
+           CASE WHEN kind IN ('CELL', 'STATIC_CELL', 'ROW_MARKER') THEN 'data'
+                WHEN kind = 'PARTITION_DELETE' THEN 'partition_delete'
+                WHEN kind = 'ROW_DELETE' THEN 'row_delete'
+                ELSE 'range_tombstone' END AS cell_class,
+           count(*) AS rows_pre,
+           CAST(sum(cell_size) AS BIGINT) AS bytes_pre
+    FROM cells GROUP BY 1, 2, 3
+),
+m_cls AS (
+    SELECT keyspace, table_name, 'data' AS cell_class,
+           count(*) AS rows_merged,
+           CAST(sum(cell_size) AS BIGINT) AS bytes_merged
+    FROM surviving_cells GROUP BY 1, 2
+    UNION ALL
+    SELECT keyspace, table_name, 'partition_delete', count(*),
+           CAST(sum(cell_size) AS BIGINT)
+    FROM pd_surv GROUP BY 1, 2
+    UNION ALL
+    SELECT keyspace, table_name, 'row_delete', count(*),
+           CAST(sum(cell_size) AS BIGINT)
+    FROM rd_surv GROUP BY 1, 2
+    UNION ALL
+    SELECT keyspace, table_name, 'range_tombstone',
+           CAST(sum(CASE WHEN is_row THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(cell_size) AS BIGINT)
+    FROM (SELECT keyspace, table_name, cell_size, true AS is_row FROM rtm_surv
+          UNION ALL
+          SELECT keyspace, table_name, cell_size, false FROM rtm_remnant)
+    GROUP BY 1, 2
+)
+SELECT p.keyspace, p.table_name, p.cell_class, p.rows_pre, p.bytes_pre,
+       CAST(coalesce(m.rows_merged, 0) AS BIGINT) AS rows_merged,
+       CAST(coalesce(m.bytes_merged, 0) AS BIGINT) AS bytes_merged
+FROM pre_cls p
+LEFT JOIN m_cls m USING (keyspace, table_name, cell_class)
+""")
+
+QUERIES = {
+    "purge_top": purge_top,
+    "purge_global": purge_global,
+    "compaction_preview": compaction_preview,
+}
+ORACLES = {
+    "purge_top": ORACLE_PURGE_TOP,
+    "purge_global": ORACLE_PURGE_GLOBAL,
+    "compaction_preview": ORACLE_COMPACTION_PREVIEW,
+}
