@@ -69,3 +69,87 @@ def connected_components(
         )
     edges.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+# --- PageRank (fixed-round, integer-exact) ----------------------------------
+PR_ROUNDS = 5
+PR_INIT = 1_000_000          # initial rank mass per node (ppm of one unit)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact ratio
+PR_BASE = PR_INIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*init
+
+
+def pagerank(edges: DataFrame, src: str, dst: str,
+             rounds: int = PR_ROUNDS) -> DataFrame:
+    """Fixed-round PageRank over a DIRECTED edge list, entirely in integer
+    arithmetic: per round every node's rank becomes
+    ``PR_BASE + sum(floor(r(u) * 85 / (100 * outdeg(u))))`` over in-edges.
+
+    Fixed rounds (not convergence detection) + integer floor division make
+    the result bit-exact and SQL-expressible -- the oracle unrolls the same
+    recurrence as chained CTEs, so a hash match proves the distributed
+    iteration equals the sequential definition. Per round the plan is ONE
+    equi-join (edges pre-joined with out-degrees, keyed on src -- reused
+    partitioning) + ONE groupBy(dst): the standard distributed PageRank
+    shape, linear in |E| per round, no N^2 anywhere. Dangling mass is
+    dropped (nodes keep the base term) -- documented, matches the oracle.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.withColumn("rank", F.lit(PR_INIT).cast("bigint"))
+    for _ in range(rounds):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(rank * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(PR_BASE) + F.coalesce(F.col("in_mass"), F.lit(0)))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return ranks
+
+
+def pagerank_unrolled_sql(edges_cte: str, rounds: int = PR_ROUNDS) -> str:
+    """DuckDB mirror: the same recurrence unrolled as chained CTEs (recursive
+    CTEs forbid aggregation in the recursive member, so fixed-round
+    unrolling IS the relational formulation). `edges_cte` must name a CTE
+    `edges(src, dst)` already distinct."""
+    parts = [f"""deg AS (SELECT src, count(*) AS outdeg FROM {edges_cte} GROUP BY 1),
+pr_nodes AS (
+    SELECT src AS node FROM {edges_cte}
+    UNION SELECT dst FROM {edges_cte}
+),
+pr0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS rank FROM pr_nodes)"""]
+    for i in range(rounds):
+        parts.append(f"""pr{i + 1} AS (
+    SELECT n.node,
+           CAST({PR_BASE} + coalesce(s.in_mass, 0) AS BIGINT) AS rank
+    FROM pr_nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               sum((p.rank * {PR_DAMP_NUM}) // ({PR_DAMP_DEN} * d.outdeg))
+                   AS in_mass
+        FROM pr{i} p
+        JOIN {edges_cte} e ON e.src = p.node
+        JOIN deg d ON d.src = e.src
+        GROUP BY 1
+    ) s ON s.node = n.node
+)""")
+    return ",\n".join(parts)

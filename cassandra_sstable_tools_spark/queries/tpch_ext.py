@@ -820,3 +820,64 @@ QUERIES["tpch_q2_min_cost_supplier"] = tpch_q2_min_cost_supplier
 QUERIES["tpch_q9_profit"] = tpch_q9_profit
 QUERIES["tpch_q11_revenue_concentration"] = tpch_q11_revenue_concentration
 QUERIES["tpch_q16_supplier_counts"] = tpch_q16_supplier_counts
+
+
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer PageRank (operators/graph.pagerank -- the
+    engine's third iterative operator after connected components and
+    Lloyd) over the bipartite trade graph: distinct (part, supplier) pairs
+    from lineitem as edges in both directions. Node ids are
+    parity-namespaced (2*partkey vs 2*suppkey+1) so the two key spaces
+    cannot collide. Rank concentrates on heavily-co-traded nodes; the
+    oracle unrolls the identical recurrence, so the hash match proves the
+    distributed iteration."""
+    from cassandra_sstable_tools_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("part_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("part_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("part_node").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, "src", "dst")
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias(
+            "node_type"
+        ),
+        F.expr("node div 2").alias("key"),
+        "rank",
+    )
+
+
+def _pagerank_oracle() -> str:
+    from cassandra_sstable_tools_spark.operators.graph import (
+        PR_ROUNDS,
+        pagerank_unrolled_sql,
+    )
+
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l_partkey * 2 AS part_node, l_suppkey * 2 + 1 AS supp_node
+    FROM lineitem
+),
+edges AS (
+    SELECT part_node AS src, supp_node AS dst FROM pairs
+    UNION ALL
+    SELECT supp_node, part_node FROM pairs
+),
+{pagerank_unrolled_sql("edges")}
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       node // 2 AS key,
+       rank
+FROM pr{PR_ROUNDS}
+"""
+
+
+ORACLES["supplier_part_pagerank"] = _pagerank_oracle()
+QUERIES["supplier_part_pagerank"] = supplier_part_pagerank
