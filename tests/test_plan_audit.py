@@ -314,3 +314,22 @@ def test_salted_agg_two_exchange_shape(spark, sf_dir):
     # exchange, no more (a third would mean the salt column leaked)
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n == 2, f"expected the 2-exchange salted shape, found {n}:\n{plan}"
+
+
+def test_compaction_preview_broadcasts_delete_map(spark, sf_dir):
+    from cassandra_sstable_tools_spark.queries.purge import compaction_preview
+
+    df = compaction_preview(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)  # the per-pk delete map
+    assert_no_cartesian(df)
+
+
+def test_pagerank_no_cartesian_no_python(spark, sf_dir):
+    from cassandra_sstable_tools_spark.plans.audit import assert_no_python_eval
+    from cassandra_sstable_tools_spark.queries.tpch_ext import (
+        supplier_part_pagerank,
+    )
+
+    df = supplier_part_pagerank(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_no_python_eval(df)
