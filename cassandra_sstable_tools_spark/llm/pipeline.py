@@ -217,3 +217,91 @@ QUERIES = {
     "corpus_keep_list": corpus_keep_list,
     "corpus_clean_stats": corpus_clean_stats,
 }
+
+
+# --- composite quality score (the "model-based filter" stand-in) ------------
+# Fixed integer weights over the certified per-doc signals; sums to 1e6 ppm.
+QS_W_KEEP = 400_000        # heuristic quality gate (length/words/punct)
+QS_W_WORD_REP = 300_000    # 1 - duplicate-word fraction
+QS_W_BIGRAM_REP = 200_000  # 1 - duplicate-bigram fraction
+QS_W_LANG = 100_000        # language ID agrees with the label
+QS_KEEP_THRESHOLD = 700_000
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc composite quality score: a fixed-integer-weight linear model
+    over the engine's certified signals (quality gate, Gopher repetition
+    ppms, language agreement) -- the deterministic stand-in for the learned
+    quality classifier a production pipeline would drop in here (swap this
+    scoring expression for a model UDF; the plumbing is identical).
+
+    Composition-by-join of the certified component frames (all keyed on
+    doc_id -- three linear joins, no new scans' worth of semantics to
+    re-prove); score arithmetic is exact ppm integers, so the oracle (the
+    component oracles composed as CTEs) hashes identically."""
+    from cassandra_sstable_tools_spark.llm.curation import _keep_flag
+    from cassandra_sstable_tools_spark.llm.text import doc_repetition, lang_id
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _keep_flag(F.col("text")).alias("keep")
+    )
+    rep = doc_repetition(spark, sf_dir).select(
+        "doc_id", "dup_word_ppm", "dup_bigram_ppm"
+    )
+    li = lang_id(spark, sf_dir).select(
+        "doc_id",
+        (F.col("guessed_lang") == F.col("labeled_lang")).cast("int").alias(
+            "lang_match"
+        ),
+    )
+    score = (
+        F.col("keep") * QS_W_KEEP
+        + F.expr(f"({QS_W_WORD_REP} * (1000000 - dup_word_ppm)) div 1000000")
+        + F.expr(f"({QS_W_BIGRAM_REP} * (1000000 - dup_bigram_ppm)) div 1000000")
+        + F.col("lang_match") * QS_W_LANG
+    ).cast("bigint")
+    return (
+        d.join(rep, "doc_id")
+        .join(li, "doc_id")
+        .select(
+            "doc_id",
+            score.alias("score_ppm"),
+            (score >= QS_KEEP_THRESHOLD).alias("keep_verdict"),
+        )
+    )
+
+
+def _quality_scores_oracle() -> str:
+    from cassandra_sstable_tools_spark.llm.curation import _WC_SQL
+    from cassandra_sstable_tools_spark.llm.text import ORACLES as TEXT_ORACLES
+
+    return f"""
+WITH rep AS ({TEXT_ORACLES["doc_repetition"]}),
+li AS ({TEXT_ORACLES["lang_id"]}),
+k AS (
+    SELECT doc_id,
+           CASE WHEN length(text) >= 100 AND ({_WC_SQL}) >= 20
+                     AND floor(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                               * 1000000 / length(text)) < 300000
+                THEN 1 ELSE 0 END AS keep
+    FROM documents
+),
+scored AS (
+    SELECT k.doc_id,
+           CAST(k.keep * {QS_W_KEEP}
+                + ({QS_W_WORD_REP} * (1000000 - rep.dup_word_ppm)) // 1000000
+                + ({QS_W_BIGRAM_REP} * (1000000 - rep.dup_bigram_ppm)) // 1000000
+                + (CASE WHEN li.guessed_lang = li.labeled_lang
+                        THEN 1 ELSE 0 END) * {QS_W_LANG}
+             AS BIGINT) AS score_ppm
+    FROM k
+    JOIN rep ON rep.doc_id = k.doc_id
+    JOIN li ON li.doc_id = k.doc_id
+)
+SELECT doc_id, score_ppm, score_ppm >= {QS_KEEP_THRESHOLD} AS keep_verdict
+FROM scored
+"""
+
+
+ORACLES["doc_quality_scores"] = _quality_scores_oracle()
+QUERIES["doc_quality_scores"] = doc_quality_scores
