@@ -128,6 +128,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
 
 def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
+    if args.name and args.command != "query":
+        # the positional exists only for `query NAME`; silently ignoring it
+        # elsewhere would swallow typos (`summary pstats` running only summary)
+        sys.stderr.write(
+            f"unexpected argument {args.name!r} for command {args.command!r}\n"
+        )
+        return 2
     if args.command == "summary":
         from cassandra_sstable_tools_spark.queries.summary import summary
 
@@ -237,12 +244,18 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             sys.stderr.write(f"unknown query {args.name!r} (run `query` with "
                              "no name to list)\n")
             return 2
-        df = qs[args.name](spark, sf)
-        n_rows = df.count()
-        shown = df.orderBy(*df.columns).limit(args.max_rows)
-        out.append((f"{args.name} ({n_rows} rows"
-                    + (f", first {args.max_rows} shown" if n_rows > args.max_rows else "")
-                    + ")", _render(shown)))
+        df = qs[args.name](spark, sf).persist()
+        try:
+            # persist => the query computes ONCE; the count materializes the
+            # cache and the ordered display reads it (an uncached frame would
+            # run expensive iterative queries end-to-end twice)
+            n_rows = df.count()
+            shown = df.orderBy(*df.columns).limit(args.max_rows)
+            out.append((f"{args.name} ({n_rows} rows"
+                        + (f", first {args.max_rows} shown" if n_rows > args.max_rows else "")
+                        + ")", _render(shown)))
+        finally:
+            df.unpersist()
     elif args.command == "ann":
         from cassandra_sstable_tools_spark.llm.similarity import (
             ann_ivf_topk,

@@ -290,11 +290,13 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("s"),
         F.sum(F.col("n_chars") * F.col("n_chars")).alias("sq"),
     )
-    dev = (F.col("n") * F.col("n_chars") - F.col("s")).cast("decimal(38,0)")
-    var_term = (
-        (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
-        .cast("decimal(38,0)")
-    )
+    # operands cast to decimal BEFORE multiplying: computing n*sq or s*s in
+    # 64-bit first would silently wrap at ~3e9 total chars per source (well
+    # inside 100 TB corpora) and only then widen -- the exactness bound must
+    # hold for the PRODUCTS, not just the final comparison
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dev = dec("n") * F.col("n_chars").cast("decimal(38,0)") - dec("s")
+    var_term = dec("n") * dec("sq") - dec("s") * dec("s")
     return (
         d.join(F.broadcast(stats), "source")
         .where(dev * dev > 4 * var_term)
@@ -310,9 +312,9 @@ WITH stats AS (
 )
 SELECT d.doc_id, d.source, d.n_chars, CAST(stats.n AS BIGINT) AS source_docs
 FROM documents d JOIN stats USING (source)
-WHERE (stats.n * d.n_chars - stats.s)::HUGEINT
-      * (stats.n * d.n_chars - stats.s)::HUGEINT
-      > 4 * (stats.n * stats.sq - stats.s * stats.s)::HUGEINT
+WHERE (stats.n::HUGEINT * d.n_chars - stats.s)
+      * (stats.n::HUGEINT * d.n_chars - stats.s)
+      > 4 * (stats.n::HUGEINT * stats.sq - stats.s::HUGEINT * stats.s)
 """
 QUERIES["doc_length_outliers"] = doc_length_outliers
 

@@ -249,7 +249,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             *keep_cols,
             "p.j",
             "p.word_idx",
-            F.expr("cast(shiftleft(1, p.bit) as bigint)").alias("mask"),
+            F.expr("shiftleft(cast(1 as bigint), p.bit)").alias("mask"),
         )
 
     bloom = (

@@ -124,6 +124,12 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             .cast("bigint")
             .alias("rank"),
         )
+    # materialize the final ranks off the caches, then release them --
+    # otherwise every invocation leaks two pinned frames for the session
+    # lifetime (evicting genuinely shared caches like the adapter's cells)
+    ranks = ranks.localCheckpoint(eager=True)
+    e_deg.unpersist()
+    nodes.unpersist()
     return ranks
 
 

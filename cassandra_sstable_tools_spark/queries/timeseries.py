@@ -99,13 +99,13 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left join back to the counts broadcasts. No collect, no Python
     loop over the time range."""
     e = events_table(spark, sf_dir)
-    hour = (F.expr("ts_s div 3600") * 3600).alias("hour_start")
-    counts = e.groupBy(hour, "event_type").agg(
-        F.count(F.lit(1)).alias("events")
-    )
+    counts = _hourly_counts(e)
+    # bucket-of-min == min-of-buckets (monotonic), using the SAME truncating
+    # `div` idiom as the counts -- mixing floor() here would emit a phantom
+    # axis row if ts_s could go negative
     bounds = e.agg(
-        (F.floor(F.min("ts_s") / 3600) * 3600).cast("bigint").alias("mn"),
-        (F.floor(F.max("ts_s") / 3600) * 3600).cast("bigint").alias("mx"),
+        (F.expr("min(ts_s) div 3600") * 3600).cast("bigint").alias("mn"),
+        (F.expr("max(ts_s) div 3600") * 3600).cast("bigint").alias("mx"),
     )
     types = e.select("event_type").distinct()
     axis = bounds.crossJoin(types).select(
@@ -118,6 +118,19 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_start",
         "event_type",
         F.coalesce(F.col("events"), F.lit(0)).alias("events"),
+    )
+
+
+def _hourly_counts(e: DataFrame) -> DataFrame:
+    """(hour_start, event_type, events) -- THE canonical hourly bucketing,
+    shared by gap-fill / moving-average / anomaly / sketch so the bucket
+    expression cannot drift between them (its SQL mirror is _HOURLY_SQL).
+    Domain note: ts_s >= 0 (epoch seconds; Spark's `div` truncates while
+    DuckDB's `//` floors -- identical on the non-negative domain the
+    events contract guarantees)."""
+    hour = (F.expr("ts_s div 3600") * 3600).alias("hour_start")
+    return e.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("events")
     )
 
 
@@ -136,11 +149,7 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-sized state no matter how big the raw corpus is; the one real
     shuffle is the hourly groupBy. The average is emitted as exact
     floor-milli units (integer determinism, SCALE.md #1)."""
-    e = events_table(spark, sf_dir)
-    hour = (F.expr("ts_s div 3600") * 3600).alias("hour_start")
-    counts = e.groupBy(hour, "event_type").agg(
-        F.count(F.lit(1)).alias("events")
-    )
+    counts = _hourly_counts(events_table(spark, sf_dir))
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_start")
@@ -231,11 +240,7 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events * n_prev > 2 * sum_prev): exact, no float average. Hours with no
     history flag false. Same aggregate-sized window input as
     ``events_moving_avg``."""
-    e = events_table(spark, sf_dir)
-    hour = (F.expr("ts_s div 3600") * 3600).alias("hour_start")
-    counts = e.groupBy(hour, "event_type").agg(
-        F.count(F.lit(1)).alias("events")
-    )
+    counts = _hourly_counts(events_table(spark, sf_dir))
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_start")
@@ -311,7 +316,7 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_table(spark, sf_dir)
     dow = ((F.expr("ts_s div 86400") + 4) % 7).alias("dow")  # epoch day 0 = Thu
     return (
-        e.select("event_type", dow, "user_id")
+        e.select("event_type", dow)
         .cube("event_type", "dow")
         .agg(
             F.grouping_id().alias("gid"),

@@ -65,7 +65,10 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN -- the lazy
     re-parse could not reconstruct the raw line); materializing the parse
     is the documented pattern, and is what a real ingest does anyway (parse
-    once, split, write both sinks)."""
+    once, split, write both sinks). Cache ownership stays with the caller:
+    unpersist the returned frames' source (``clean.unpersist()`` reaches the
+    same cached plan) once both sinks are written -- a long-lived ingest
+    loop that never releases it pins every parsed batch in storage."""
     df = df.cache()
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
