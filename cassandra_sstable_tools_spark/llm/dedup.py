@@ -622,3 +622,23 @@ ORACLES["dedup_cluster_sizes"] = (
     + ") GROUP BY 1\n) GROUP BY 1"
 )
 QUERIES["dedup_cluster_sizes"] = dedup_cluster_sizes
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ``dedup_clusters`` via the small-star/large-star
+    operator (O(log n) rounds -- the deep-graph formulation). Registered
+    against the SAME recursive-closure oracle: the driver hash-match
+    certifies both connected-components implementations independently."""
+    from cassandra_sstable_tools_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_star(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+QUERIES["dedup_clusters_star"] = dedup_clusters_star
