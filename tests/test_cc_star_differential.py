@@ -35,3 +35,14 @@ def test_star_cc_matches_min_label_on_random_graphs(spark):
         want = _labels(connected_components(df, "a", "b", max_iters=100))
         got = _labels(connected_components_star(df, "a", "b"))
         assert got == want, f"case {i}: star CC diverged from min-label CC"
+
+
+def test_star_cc_collapses_deep_chain_within_default_budget(spark):
+    """The O(log n) claim, behaviorally: a 200-node chain (diameter 200 --
+    min-label propagation would need ~200 rounds) collapses to one
+    component within the DEFAULT round budget (20). This is the measurable
+    difference between the two formulations, not just an asymptotic note."""
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = _labels(connected_components_star(df, "a", "b"))
+    assert got == {i: 0 for i in range(201)}
