@@ -43,6 +43,8 @@ def _word_count(col):
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc structural stats: char length, word and distinct-word counts,
+    integer avg word span -- single codegen scan, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     return d.select(
@@ -57,6 +59,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens AND a BPE-ish regex token count per doc (the
+    pre-tokenization budget estimate) -- pure regexp_count expressions."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -26,6 +26,8 @@ DEFAULT_FILENAMES = ["nb-00001-big-Data.db", "nb-00003-big-Data.db"]
 
 
 def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/T3: keyspace.table catalog with per-table SSTable counts, in the
+    reference's sorted enumeration order."""
     meta = tpch_adapter.sstables(spark, sf_dir)
     return (
         meta.groupBy("keyspace", "table_name")
@@ -37,6 +39,8 @@ def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sstables_filtered(
     spark: SparkSession, sf_dir: str, filenames: list[str] | None = None
 ) -> DataFrame:
+    """F1: the metadata listing restricted to an explicit Data.db filename
+    set (the reference's `-f` flag as a pushed-down predicate)."""
     names = filenames or DEFAULT_FILENAMES
     meta = tpch_adapter.sstables(spark, sf_dir)
     return meta.where(F.col("filename").isin(names)).select(
@@ -46,6 +50,8 @@ def sstables_filtered(
 
 
 def summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (keyspace, table): per-table rows, per-keyspace subtotals
+    and the grand total in one grouping-sets pass (gid disambiguates)."""
     meta = tpch_adapter.sstables(spark, sf_dir)
     return (
         meta.rollup("keyspace", "table_name")

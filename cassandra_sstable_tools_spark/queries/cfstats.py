@@ -236,7 +236,8 @@ def cfstats_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ranking(metric_cols: list[str], order, filter_col: str | None = None):
+def _ranking(metric_cols: list[str], order, filter_col: str | None = None,
+             doc: str | None = None):
     def run(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) -> DataFrame:
         p = per_partition(spark, sf_dir)
         if filter_col:
@@ -245,28 +246,38 @@ def _ranking(metric_cols: list[str], order, filter_col: str | None = None):
             "keyspace", "table_name", "partition_key", *metric_cols, "rank"
         )
 
+    run.__doc__ = doc or "cfstats per-table top-N ranking (T1)."
     return run
 
 
 cfstats_top_size = _ranking(
-    ["size", "tables"], lambda: [F.desc("size"), F.asc("partition_key")]
+    ["size", "tables"], lambda: [F.desc("size"), F.asc("partition_key")],
+    doc="Largest partitions per table by merged size (T1; the reference's "
+        "MinMaxPriorityQueue size ranking, CFStatsCollector.java)."
 )
 cfstats_widest = _ranking(
-    ["cells", "size"], lambda: [F.desc("cells"), F.desc("size"), F.asc("partition_key")]
+    ["cells", "size"],
+    lambda: [F.desc("cells"), F.desc("size"), F.asc("partition_key")],
+    doc="Widest partitions per table by live cell count (T1)."
 )
 cfstats_top_tombstones = _ranking(
     ["tombstones", "size"],
     lambda: [F.desc("tombstones"), F.desc("size"), F.asc("partition_key")],
     filter_col="tombstones",
+    doc="Most-tombstoned partitions per table; zero-tombstone partitions "
+        "never enter the heap (F2 conditional admission)."
 )
 cfstats_most_deleted = _ranking(
     ["row_deletes", "size"],
     lambda: [F.desc("row_deletes"), F.desc("size"), F.asc("partition_key")],
     filter_col="row_deletes",
+    doc="Partitions with the most row deletes per table (F2-gated T1)."
 )
 cfstats_top_tables = _ranking(
     ["tables", "size"],
     lambda: [F.desc("tables"), F.desc("size"), F.asc("partition_key")],
+    doc="Partitions spread over the most SSTables per table (compaction "
+        "debt signal)."
 )
 
 

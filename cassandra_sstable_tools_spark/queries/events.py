@@ -33,6 +33,8 @@ _TS_S_SQL = "CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)"
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type: counts, distinct users,
+    floored value cents (one shuffle; integer bucket arithmetic)."""
     e = events_table(spark, sf_dir)
     return (
         e.groupBy(
@@ -47,6 +49,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window every 30 min as the two-offset union --
+    proven equal to F.window sliding semantics in the streaming tests."""
     e = events_table(spark, sf_dir)
     w1 = (F.expr("ts_s div 3600") * 3600).alias("window_start")
     w2 = (F.expr("(ts_s - 1800) div 3600") * 3600 + 1800).alias("window_start")
@@ -121,6 +125,8 @@ def events_top_types(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime rollup with conditional aggregation (positive
+    events, distinct types, last-seen)."""
     e = events_table(spark, sf_dir)
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("events"),

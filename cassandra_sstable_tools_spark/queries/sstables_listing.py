@@ -29,6 +29,8 @@ _COLS = [
 
 
 def sstables_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference cmd 2 (sstables, S3/T2): full metadata listing ordered by
+    each table's compaction-strategy comparator (TWCS/LCS/STCS)."""
     meta = tpch_adapter.sstables(spark, sf_dir)
     # Strategy-dependent sort key (SSTableMetadataCollector.java:60-69):
     # TWCS -> max_timestamp, LCS -> level, else generation id.

@@ -22,6 +22,8 @@ from cassandra_sstable_tools_spark.sources import tpch_adapter
 
 
 def summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference cmd 1 (SummaryCollector): per-table SSTable counts, disk
+    and data sizes, int-truncated averages (X5), last-repaired sentinel."""
     meta = tpch_adapter.sstables(spark, sf_dir)
     return meta.groupBy("keyspace", "table_name").agg(
         F.count(F.lit(1)).alias("sstable_count"),

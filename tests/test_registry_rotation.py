@@ -42,3 +42,13 @@ def test_queries_and_oracles_share_order():
 
 def test_ordering_is_deterministic():
     assert list(registry.queries()) == list(registry.queries())
+
+
+def test_every_registered_query_is_documented():
+    """Docstring coverage is part of the registry contract: the docstring is
+    where each query states its semantics and its 100 TB plan shape."""
+    undocumented = [
+        n for n, f in registry.queries().items()
+        if not (f.__doc__ or "").strip()
+    ]
+    assert not undocumented, f"queries without docstrings: {undocumented}"

@@ -53,3 +53,24 @@ def test_ts_seconds_dispatch_covers_all_supported_dtypes(spark):
     df_bad = spark.sql("SELECT 'not a time' AS ts")
     with pytest.raises(TypeError, match="unsupported dtype"):
         ts_seconds_col(df_bad)
+
+
+def test_events_ts_domain_is_nonnegative(spark):
+    """The bucketing contract (queries/timeseries._hourly_counts) relies on
+    ts_s >= 0: Spark's `div` truncates toward zero while DuckDB's `//`
+    floors, identical only on the non-negative domain. Pin the fixtures'
+    domain at every SF so a driver-side regeneration with pre-epoch
+    timestamps fails HERE with the contract named, not as a silent
+    bucket-boundary hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import events_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mn = events_table(spark, f"/root/testdata/{sf}").agg(
+            F.min("ts_s")
+        ).first()[0]
+        assert mn is not None and mn >= 0, (
+            f"{sf}: events.ts_s has negative values (min={mn}) -- the "
+            "div-vs-floor bucketing equivalence no longer holds"
+        )
