@@ -422,3 +422,37 @@ FROM events
 GROUP BY 1
 """
 QUERIES["events_users_sketch_hourly"] = events_users_sketch_hourly
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour x event-type count MATRIX via relational PIVOT: one row per
+    hour, one column per type. The type list is DECLARED (not inferred) --
+    `pivot(col)` without explicit values runs a whole extra distinct job
+    over the corpus before the real aggregation, exactly the hidden second
+    scan you can't afford at 100 TB. With the list supplied this plans as
+    ONE pass: a single groupBy(hour) aggregate of conditional counts.
+    Oracle = the same CASE-WHEN matrix spelled out."""
+    e = events_table(spark, sf_dir)
+    return (
+        e.groupBy((F.expr("ts_s div 3600") * 3600).alias("hour_start"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .select(
+            "hour_start",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+        )
+    )
+
+
+ORACLES["events_hourly_pivot"] = f"""
+SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
+       {", ".join(
+           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+           for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+QUERIES["events_hourly_pivot"] = events_hourly_pivot
