@@ -450,7 +450,8 @@ def events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["events_hourly_pivot"] = f"""
 SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
        {", ".join(
-           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+           f" AS BIGINT) AS {t}"
            for t in EVENT_TYPES)}
 FROM events
 GROUP BY 1
