@@ -457,3 +457,29 @@ FROM events
 GROUP BY 1
 """
 QUERIES["events_hourly_pivot"] = events_hourly_pivot
+
+
+def events_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (``stack``) as the certified inverse of the pivot: melt the
+    hour x type matrix back to long form, drop the zero-filled cells, and
+    the result must equal the plain hourly GROUP BY -- proving the wide
+    matrix is lossless, and exercising the wide->long expression (a
+    Generate in-stage, zero extra shuffle beyond the pivot's own)."""
+    wide = events_hourly_pivot(spark, sf_dir)
+    stack = F.expr(
+        "stack({n}, {args}) as (event_type, events)".format(
+            n=len(EVENT_TYPES),
+            args=", ".join(f"'{t}', {t}" for t in EVENT_TYPES),
+        )
+    )
+    return wide.select("hour_start", stack).where(F.col("events") > 0)
+
+
+ORACLES["events_pivot_roundtrip"] = f"""
+SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
+       event_type,
+       count(*) AS events
+FROM events
+GROUP BY 1, 2
+"""
+QUERIES["events_pivot_roundtrip"] = events_pivot_roundtrip
