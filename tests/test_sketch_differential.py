@@ -137,3 +137,47 @@ def test_bloom_matches_python_model(spark, tmp_path):
     want = sorted(python_bloom(texts))
     assert got == want
     assert all(r[4] for r in got)  # no false negatives, ever
+
+
+def test_exact_decontaminate_matches_python_model(spark, tmp_path):
+    """The exact (broadcast-set) decontamination path against the same
+    replay: per-doc overlapping-gram counts and flags."""
+    from cassandra_sstable_tools_spark.llm.curation import (
+        CONTAM_NGRAM,
+        EVAL_NIBBLE,
+        decontaminate_flags,
+    )
+
+    rng = random.Random(7)
+    texts = [
+        " ".join(rng.choice(WORDS) for _ in range(rng.randrange(4, 30)))
+        for _ in range(120)
+    ]
+    evals = [d for d in range(120)
+             if hashlib.md5(str(d).encode()).hexdigest()[0] == EVAL_NIBBLE]
+    for d in evals[:3]:
+        texts[(d + 1) % 120] = texts[d]
+    sf = _write_docs(tmp_path, "exact_decon", texts)
+
+    def doc_grams(t):
+        ws = t.strip().split()
+        return {
+            " ".join(ws[i:i + CONTAM_NGRAM])
+            for i in range(len(ws) - CONTAM_NGRAM + 1)
+        } if len(ws) >= CONTAM_NGRAM else set()
+
+    grams = {d: doc_grams(t) for d, t in enumerate(texts)}
+    eval_grams = set()
+    for d in evals:
+        eval_grams |= grams[d]
+    want = {}
+    for d, g in grams.items():
+        if d in evals:
+            continue
+        hits = len(g & eval_grams)
+        want[d] = (hits, int(hits > 0))
+    got = {
+        r["doc_id"]: (r["contaminated_ngrams"], r["contaminated"])
+        for r in decontaminate_flags(spark, sf).collect()
+    }
+    assert got == want
