@@ -24,10 +24,14 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 def regen() -> None:
     spark = get_spark(app_name="regen-golden", master="local[8]", shuffle_partitions=8)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for cmd in ["summary", "sstables", "pstats", "cfstats", "purge"]:
+    cases = [(c, [c]) for c in
+             ["summary", "sstables", "pstats", "cfstats", "purge"]]
+    # the generic escape hatch, pinned on a tiny deterministic query
+    cases.append(("query_funnel", ["query", "funnel_stages"]))
+    for cmd, argv in cases:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            rc = main([cmd, "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+            rc = main([*argv, "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
         assert rc == 0, f"{cmd} failed"
         path = os.path.join(GOLDEN_DIR, f"{cmd}.txt")
         with open(path, "w") as f:

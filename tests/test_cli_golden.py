@@ -24,12 +24,14 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
 @pytest.mark.parametrize(
-    "cmd", ["summary", "sstables", "pstats", "cfstats", "purge"]
+    "cmd,argv",
+    [(c, [c]) for c in ["summary", "sstables", "pstats", "cfstats", "purge"]]
+    + [("query_funnel", ["query", "funnel_stages"])],
 )
-def test_cli_golden_transcript(cmd, spark):
+def test_cli_golden_transcript(cmd, argv, spark):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        rc = main([cmd, "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+        rc = main([*argv, "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
     assert rc == 0
     with open(os.path.join(GOLDEN_DIR, f"{cmd}.txt")) as f:
         expected = f.read()
