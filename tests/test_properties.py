@@ -80,3 +80,33 @@ def test_full_partition_delete_reclaims_all_older(spark):
     ]
     out = purge_stats(spark.createDataFrame(rows, schema=COLS), gc_before=GC).collect()
     assert out[0]["reclaimable"] == 35  # everything reclaimed
+
+
+def test_top_n_per_group_matches_sorted_model(spark):
+    """T1 on random data incl. heavy metric ties: exactly the first N rows
+    of each group under the full deterministic ordering, ranks 1..N."""
+    import random
+
+    from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    rows = [
+        (rng.choice(["g1", "g2", "g3"]), f"k{i}", rng.randrange(4))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string, metric long")
+    got = {
+        (r["grp"], r["rank"]): (r["key"], r["metric"])
+        for r in top_n_per_group(
+            df, ["grp"], [F.desc("metric"), F.asc("key")], 5
+        ).collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (-r[2], r[1])
+        )
+        for rank, (_, k, m) in enumerate(members[:5], start=1):
+            want[(g, rank)] = (k, m)
+    assert got == want
