@@ -110,3 +110,36 @@ def test_top_n_per_group_matches_sorted_model(spark):
         for rank, (_, k, m) in enumerate(members[:5], start=1):
             want[(g, rank)] = (k, m)
     assert got == want
+
+
+def test_sessionize_gap_boundary_is_strict(spark, tmp_path):
+    """A gap of EXACTLY SESSION_GAP_SECONDS keeps the session open (the
+    break predicate is strict >); one second more splits it."""
+    import pandas as pd
+
+    from cassandra_sstable_tools_spark.queries.events import (
+        SESSION_GAP_SECONDS,
+        sessionize,
+    )
+
+    def write(name, gap):
+        sf = tmp_path / name
+        sf.mkdir()
+        ts = [1000, 1000 + gap]
+        pd.DataFrame(
+            {
+                "event_id": [0, 1],
+                "ts": pd.to_datetime(ts, unit="s"),
+                "user_id": [1, 1],
+                "event_type": ["click", "click"],
+                "value": [1.0, 1.0],
+                "props": ["{}", "{}"],
+            }
+        ).to_parquet(sf / "events.parquet")
+        return str(sf)
+
+    at_gap = sessionize(spark, write("at", SESSION_GAP_SECONDS)).collect()
+    assert len(at_gap) == 1 and at_gap[0]["events"] == 2
+
+    over_gap = sessionize(spark, write("over", SESSION_GAP_SECONDS + 1)).collect()
+    assert len(over_gap) == 2 and all(r["events"] == 1 for r in over_gap)
