@@ -1,10 +1,23 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Protocol (BASELINE.md): local[$SPARK_GRAFT_CPUS], AQE on, exact percentiles,
-results collected to driver. Per query: 1 warm-up run then median of 3 timed
-runs. Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <dir>}
+results collected to driver. Per query: 1 warm-up run then N_RUNS timed runs
+(default 5; $SPARK_GRAFT_BENCH_RUNS overrides). Prints ONE JSON line:
+  {"metric": "...", "value": <total of medians sec>, "unit": "sec",
+   "queries": {name: median sec, ...},
+   "spread": {name: {"min": s, "median": s, "max": s, "n": N}, ...},
+   "secondary": {name: median sec, ...}, "sf": <dir>}
+
+`spread` exists because a single median cannot distinguish a plan regression
+from box noise (r04: the driver's run measured 1.55x an idle-box run of the
+SAME code, with individual queries 5-6x their bars purely from load
+transients). min is the load-insensitive floor -- a plan regression moves
+min; a noisy box moves max while min stays put.
+
+`secondary` covers the expensive iterative/cold operators (connected
+components, pagerank, chunk dedup) that are deliberately kept out of the
+headline total but previously had no recorded perf trajectory at all; bars
+live in BASELINE.md alongside the headline bars.
 """
 
 from __future__ import annotations
@@ -43,6 +56,18 @@ HEADLINE = [
     "stream_dedup_events",
 ]
 
+# Expensive iterative / cold operators: not part of the headline total (their
+# cost is round-count-dominated, not plan-dominated) but benched so a
+# regression in an iterative operator is as visible as a headline one.
+SECONDARY = [
+    "chunk_dedup_stats",
+    "dedup_clusters_star",
+    "supplier_part_pagerank",
+]
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+SECONDARY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SECONDARY_RUNS", "3"))
+
 
 def main() -> None:
     from cassandra_sstable_tools_spark.queries import registry
@@ -64,7 +89,9 @@ def main() -> None:
             qs[name](spark, SF_DIR).collect()
         except Exception:  # noqa: BLE001 -- the timed loop reports it
             pass
-    for name in names:
+    spread: dict[str, dict] = {}
+
+    def run_one(name, n_runs):
         fn = qs[name]
         # Failure isolation: one broken query must not zero the whole
         # round's perf signal (r03: a sessionize warm-up crash left the
@@ -73,15 +100,29 @@ def main() -> None:
         try:
             fn(spark, SF_DIR).collect()  # warm-up (JIT, file listing, code cache)
             runs = []
-            for _ in range(3):
+            for _ in range(n_runs):
                 t0 = time.monotonic()
                 fn(spark, SF_DIR).collect()
                 runs.append(time.monotonic() - t0)
-            timings[name] = round(statistics.median(runs), 3)
+            spread[name] = {
+                "min": round(min(runs), 3),
+                "median": round(statistics.median(runs), 3),
+                "max": round(max(runs), 3),
+                "n": n_runs,
+            }
+            return spread[name]["median"]
         except Exception as exc:  # noqa: BLE001 -- deliberate: isolate any failure
-            timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            return None
+
+    for name in names:
+        timings[name] = run_one(name, N_RUNS)
+    secondary = {
+        name: run_one(name, SECONDARY_RUNS)
+        for name in SECONDARY
+        if name in qs
+    }
     measured = [t for t in timings.values() if t is not None]
     total = round(sum(measured), 3)
     out = {
@@ -89,6 +130,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "secondary": secondary,
         "sf": SF_DIR,
     }
     if errors:

@@ -15,7 +15,10 @@ Flag parity with the reference CLI (cli/PartitionSizeStatisticsCollector
 .java:35-59): `-n` top-N size, `-f` comma-separated Data.db filename
 restriction, `-t` snapshot name (accepted; a no-op by design -- parquet
 inputs are immutable, SURVEY.md §1.3/S6), `-b` batch mode (plain percent
-lines instead of the interactive block bar, ProgressBar.java:25/83-94).
+lines instead of the interactive block bar, ProgressBar.java:25/83-94),
+`--keyspace`/`--table` single-table scoping (the reference's
+`<keyspace> <table>` positionals, cli/ColumnFamilyStatisticsCollector
+.java:50 -- applied at the scan root so every derived frame inherits it).
 Progress (S8) renders on stderr from Spark's statusTracker task counts
 (report/progress.py); stdout carries only the report tables.
 
@@ -90,6 +93,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="snapshot name (accepted for parity; no-op on immutable parquet)",
     )
     p.add_argument(
+        "--keyspace", default=None,
+        help="restrict analysis to one keyspace (reference commands take "
+             "<keyspace> <table> positionals and analyze one table)",
+    )
+    p.add_argument(
+        "--table", default=None,
+        help="restrict analysis to one table (applied at the scan root, "
+             "so every derived frame inherits it)",
+    )
+    p.add_argument(
         "-b", "--batch", action="store_true",
         help="batch mode (accepted for parity; output is always non-interactive)",
     )
@@ -103,7 +116,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     args = p.parse_args(argv)
 
     from cassandra_sstable_tools_spark.session import get_spark
-    from cassandra_sstable_tools_spark.sources.tpch_adapter import filename_filter
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import (
+        filename_filter,
+        table_scope,
+    )
 
     owns_session = spark is None
     if owns_session:
@@ -119,7 +135,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # thread polls statusTracker until the context closes, and stopping the
     # context underneath it would race a dying SparkContext.
     try:
-        with filename_filter(names):
+        with filename_filter(names), table_scope(args.keyspace, args.table):
             with job_progress(spark, f"Analyzing {args.command}", interactive=interactive):
                 return _dispatch(spark, args, sf, out)
     finally:

@@ -288,7 +288,11 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("s"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sq"),
+        # squared terms accumulate in decimal(38,0): a BIGINT sum of squares
+        # wraps once a source exceeds ~9.2e18 total squared chars, exactly
+        # the regime the stated ~1e38 bound targets (DuckDB's sum over
+        # BIGINT widens to HUGEINT on its own)
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).alias("sq"),
     )
     # operands cast to decimal BEFORE multiplying: computing n*sq or s*s in
     # 64-bit first would silently wrap at ~3e9 total chars per source (well

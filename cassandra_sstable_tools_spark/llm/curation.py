@@ -204,9 +204,10 @@ BLOOM_K = 2            # hash functions = disjoint hex quadruplets
 
 
 def _bloom_positions(ngram_col):
-    """K bit positions per n-gram from disjoint md5 hex triplets --
-    deterministic, engine-portable (the oracle recomputes the same
-    quadruplets via strpos arithmetic)."""
+    """K bit positions per n-gram from disjoint md5 hex QUADRUPLETS
+    (substring length 4; weights 4096/256/16/1 -> 16-bit positions,
+    matching BLOOM_BITS=65536) -- deterministic, engine-portable (the
+    oracle recomputes the same quadruplets via strpos arithmetic)."""
     h = F.md5(ngram_col)
     return [
         F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("int")
@@ -297,7 +298,8 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# hex triplet -> int, oracle-side: strpos arithmetic over the hex alphabet
+# hex digit -> int, oracle-side: strpos arithmetic over the hex alphabet
+# (composed into 4-char quadruplets by _pos_sql, mirroring _bloom_positions)
 def _hexval_sql(expr: str) -> str:
     return f"(strpos('0123456789abcdef', {expr}) - 1)"
 

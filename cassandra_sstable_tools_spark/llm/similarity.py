@@ -174,37 +174,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-cosine-similar centroid (ties -> lowest centroid id); each query
     probes its NPROBE nearest centroids and scores only those inverted lists.
 
-    Scale posture: centroids broadcast (K rows); assignment is a linear scan
-    in whole-stage codegen; the candidate join shuffles on centroid_id --
-    i.e. the corpus is re-partitioned BY LIST, which is exactly the IVF index
-    layout. Per-query work drops from O(N) to O(N * NPROBE / K)."""
+    Scale posture: centroids are inlined as a K x D literal array, so
+    assignment is a single per-row argmax fold over ONE corpus scan (no
+    N x K row blowup, no corpus-sized ranking window); the candidate join
+    shuffles on centroid_id -- i.e. the corpus is re-partitioned BY LIST,
+    which is exactly the IVF index layout. Per-query work drops from O(N)
+    to O(N * NPROBE / K)."""
     emb = _quantized(spark, sf_dir)
-    cents = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("c_qv"),
-        F.col("norm").alias("c_norm"),
-    )
-    return _ivf_topk(emb, cents)
+    return _ivf_topk(emb, _first_k_cent_rows(emb))
 
 
-def _ivf_topk(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Shared IVF plan: assignment scan + probe selection + list-local
-    scoring, given any (centroid_id, c_qv, c_norm) centroid frame."""
-    csim = (
-        emb.join(broadcast(cents))
-        .withColumn("cdot", _dot(F.col("qv"), F.col("c_qv")))
-        .withColumn("csim", _sim(F.col("cdot"), F.col("norm"), F.col("c_norm")))
+def _first_k_cent_rows(emb: DataFrame, k: int = N_CENTROIDS):
+    """[(centroid_id, quantized vector)] for the deterministic first-K
+    centroids. A bounded K-row collect (corpus-size-independent), the same
+    driver-side footprint as the k-means init at kmeans_centroids_spark."""
+    rows = emb.where(F.col("vec_id") < k).select("vec_id", "qv").collect()
+    return [(int(r.vec_id), [int(v) for v in r.qv]) for r in rows]
+
+
+def _ivf_assign_probes(emb: DataFrame, cent_rows):
+    """Centroid assignment + query probe selection, each as ONE scan with
+    the K centroids inlined as literal arrays and a per-row sort/argmax
+    fold -- the r04 plan fix: the previous formulation materialized N x K
+    rows via emb.join(broadcast(cents)) and ranked them back to one row per
+    vector with a corpus-sized row_number window.
+
+    Scoring expression is bit-identical to the old plan and the DuckDB
+    oracle: score_j = dot(qv, C_j) / sqrt(cast(norm * c_norm_j as double)),
+    ties -> lowest centroid id (ascending (negated score, position) sort ==
+    ORDER BY csim DESC, centroid_id ASC; cent_rows are sorted by id so
+    position order IS id order).
+
+    Returns (assigned [vec_id, centroid_id], probes [query_id, centroid_id]).
+    """
+    cent_rows = sorted((int(cid), [int(v) for v in vec]) for cid, vec in cent_rows)
+    cq = F.array(*[
+        F.array(*[F.lit(v).cast("bigint") for v in vec]) for _, vec in cent_rows
+    ])
+    cn = F.array(*[
+        F.lit(sum(v * v for v in vec)).cast("bigint") for _, vec in cent_rows
+    ])
+    cids = F.array(*[F.lit(cid) for cid, _ in cent_rows])
+    ranked = F.array_sort(
+        F.transform(
+            cq,
+            lambda c, j: F.struct(
+                (
+                    -(
+                        _dot(F.col("qv"), c)
+                        / F.sqrt(
+                            (F.col("norm") * F.element_at(cn, j + 1)).cast("double")
+                        )
+                    )
+                ).alias("ns"),
+                j.alias("j"),
+            ),
+        )
     )
-    rank_w = top_n_per_group  # alias for readability below
-    assigned = rank_w(
-        csim, ["vec_id"], [F.desc("csim"), F.asc("centroid_id")], 1
-    ).select("vec_id", "centroid_id")
-    probes = rank_w(
-        csim.where(F.col("vec_id") < N_QUERIES),
-        ["vec_id"],
-        [F.desc("csim"), F.asc("centroid_id")],
-        NPROBE,
-    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    assigned = emb.select(
+        "vec_id",
+        F.element_at(cids, F.element_at(ranked, 1)["j"] + 1).alias("centroid_id"),
+    )
+    probes = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(ranked, 1, NPROBE)).alias("p"),
+        )
+        .select(
+            "query_id", F.element_at(cids, F.col("p")["j"] + 1).alias("centroid_id")
+        )
+    )
+    return assigned, probes
+
+
+def _ivf_topk(emb: DataFrame, cent_rows) -> DataFrame:
+    """Shared IVF plan: literal-argmax assignment scan + probe selection +
+    list-local scoring, given [(centroid_id, quantized vector)] rows."""
+    assigned, probes = _ivf_assign_probes(emb, cent_rows)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -366,10 +413,9 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry surface is ``ann_ivf_kmeans_check`` (recall-vs-bruteforce
     contract); determinism, recall and list-balance are additionally bounded
     in tests/test_similarity_kmeans.py. Identical plan shape to ann_ivf_topk:
-    only the broadcast centroid frame differs."""
+    only the inlined centroid literals differ."""
     emb = _quantized(spark, sf_dir)
-    cents = _cents_frame(spark, kmeans_centroids_spark(spark, sf_dir))
-    return _ivf_topk(emb, cents)
+    return _ivf_topk(emb, kmeans_centroids_spark(spark, sf_dir))
 
 
 # Macro recall floor for the kmeans-IVF contract row. Measured (deterministic
@@ -764,25 +810,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-codes partitioned BY LIST, a ~32x memory cut on top of IVF's
     compute cut. Exact integers end-to-end -> DuckDB-oracle-checkable."""
     emb = _quantized(spark, sf_dir)
-    cents = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("c_qv"),
-        F.col("norm").alias("c_norm"),
-    )
-    csim = (
-        emb.join(broadcast(cents))
-        .withColumn("cdot", _dot(F.col("qv"), F.col("c_qv")))
-        .withColumn("csim", _sim(F.col("cdot"), F.col("norm"), F.col("c_norm")))
-    )
-    assigned = top_n_per_group(
-        csim, ["vec_id"], [F.desc("csim"), F.asc("centroid_id")], 1
-    ).select("vec_id", "centroid_id")
-    probes = top_n_per_group(
-        csim.where(F.col("vec_id") < N_QUERIES),
-        ["vec_id"],
-        [F.desc("csim"), F.asc("centroid_id")],
-        NPROBE,
-    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    assigned, probes = _ivf_assign_probes(emb, _first_k_cent_rows(emb))
     cand = (
         assigned.join(broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))

@@ -139,8 +139,16 @@ def connected_components_star(
         )
 
     def checksum(e: DataFrame):
+        # Order-independent SET identity, not an arithmetic sum: summing
+        # xxhash64(a, b) makes any edge rewire change the checksum with
+        # overwhelming probability, whereas (count, sum(a+b)) could in
+        # principle survive a swap (e.g. {1-4, 2-3} -> {1-3, 2-4}) and
+        # terminate a round early with wrong labels.
         row = e.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.col("a") + F.col("b")).alias("s")
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a bigint sum of 64-bit hashes overflows
+            # (ANSI mode raises); decimal(38,0) is exact to ~1e19 edges
+            F.sum(F.xxhash64(F.col("a"), F.col("b")).cast("decimal(38,0)")).alias("s"),
         ).first()
         return (row["n"], row["s"])
 

@@ -66,6 +66,29 @@ def assert_no_sort_merge_join(df: DataFrame) -> None:
     assert "SortMergeJoin" not in plan, "plan degraded to sort-merge join"
 
 
+def tree_node_count(df: DataFrame, node: str) -> int:
+    """Occurrences of a physical operator in the plan TREE only (the
+    "formatted" detail blocks repeat every node name once more as a
+    header line starting with "("; those are excluded)."""
+    plan = formatted_plan(df)
+    return sum(node in l for l in plan.splitlines() if not l.startswith("("))
+
+
+def assert_max_window_nodes(df: DataFrame, n: int) -> None:
+    """At most ``n`` Window operators in the plan -- pins formulations that
+    replaced a per-row ranking window (e.g. the IVF literal-argmax
+    assignment) so a refactor can't silently reintroduce a corpus-sized
+    window + its Exchange."""
+    plan = formatted_plan(df)
+    # whole-word: WindowGroupLimit (the rank<=n pushdown) is not a Window
+    found = sum(
+        bool(re.search(r"\bWindow\b", l))
+        for l in plan.splitlines()
+        if not l.startswith("(")
+    )
+    assert found <= n, f"expected <= {n} Window nodes, found {found}"
+
+
 def partition_filters(plan: str) -> list[str]:
     """Every non-empty PartitionFilters entry across the plan's scans."""
     return [f for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if f]

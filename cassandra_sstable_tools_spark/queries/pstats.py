@@ -164,8 +164,10 @@ def pstats_summary_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certifies the documented SCALE PATH (A5 ``approx=True`` --
     bounded-memory percentile sketch instead of exact per-group buffering):
     runs BOTH modes and emits the exact percentiles plus one boolean per
-    percentile asserting the sketch landed within 2% (integer
-    cross-multiplication, same contract pattern as cardinality_estimates).
+    percentile asserting the sketch landed within APPROX_PCTL_TOL_PCT (10%;
+    see the constant's comment for why the discrete-vs-interpolated gap
+    needs that slack on small fixture groups) -- integer
+    cross-multiplication, same contract pattern as cardinality_estimates.
     The oracle is the exact percentiles + literal TRUEs, so a green driver
     row proves the approx flag's output quality, not just that it runs."""
     exact = pstats_summary(spark, sf_dir, approx=False)

@@ -66,10 +66,12 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     re-parse could not reconstruct the raw line); materializing the parse
     is the documented pattern, and is what a real ingest does anyway (parse
     once, split, write both sinks). Cache ownership stays with the caller:
-    unpersist the returned frames' source (``clean.unpersist()`` reaches the
-    same cached plan) once both sinks are written -- a long-lived ingest
-    loop that never releases it pins every parsed batch in storage."""
-    df = df.cache()
+    once both sinks are written, call ``unpersist()`` ON THE FRAME YOU
+    PASSED IN -- that is the exact plan this function cached. Unpersisting
+    a RETURNED frame does NOT release it (``clean`` is a derived filter;
+    unpersist only matches same-plan cache entries), so a long-lived ingest
+    loop releasing the wrong frame pins every parsed batch in storage."""
+    df.cache()
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, quarantine

@@ -94,6 +94,39 @@ def filename_filter(names: list[str] | None):
                 _evict(key)
 
 
+# Active keyspace/table scope (reference parity: every reference command
+# takes `<keyspace> <table>` positionals and analyzes ONE table --
+# cli/ColumnFamilyStatisticsCollector.java:50,
+# cli/PartitionSizeStatisticsCollector.java:47). Like `-f`, applied at the
+# ROOT of the derivation chain so every derived frame inherits it. In a
+# real deployment keyspace/table are directory levels of the SSTable layout,
+# so this filter would be partition pruning (never opening other tables'
+# files); on the lineitem-derived fixture Catalyst constant-folds the CASE
+# defining table_name into a direct predicate over the source scan
+# (pinned in tests/test_plan_audit.py).
+_TABLE_SCOPE: tuple[str | None, str | None] = (None, None)
+
+
+@contextmanager
+def table_scope(keyspace: str | None = None, table: str | None = None):
+    """Scope analysis to one keyspace and/or table, reference-style.
+
+    On exit, cache entries keyed by this scope are unpersisted and evicted
+    (same lifecycle as `filename_filter`: distinct scopes must not leak
+    persisted frames for the life of the session)."""
+    global _TABLE_SCOPE
+    prev = _TABLE_SCOPE
+    cur = (keyspace, table)
+    _TABLE_SCOPE = cur
+    try:
+        yield
+    finally:
+        _TABLE_SCOPE = prev
+        if cur != (None, None) and cur != prev:
+            for key in [k for k in _DERIVED_CACHE if k[4] == cur]:
+                _evict(key)
+
+
 # The derived frames stand in for tables that would be *materialized* in a
 # real deployment (they are the engine's inputs, not part of its queries).
 # Persisting them avoids re-deriving from lineitem inside every query plan
@@ -120,7 +153,7 @@ def _cached(
     build,
     part_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    key = (id(spark), sf_dir, name, _FILENAME_FILTER)
+    key = (id(spark), sf_dir, name, _FILENAME_FILTER, _TABLE_SCOPE)
     df = _DERIVED_CACHE.get(key)
     if df is None:
         while len(_DERIVED_CACHE) >= _DERIVED_CACHE_MAX:
@@ -276,6 +309,11 @@ def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _FILENAME_FILTER:
             fname = F.concat(F.lit("nb-"), F.col("sstable_id"), F.lit("-big-Data.db"))
             df = df.where(fname.isin(list(_FILENAME_FILTER)))
+        ks, tbl = _TABLE_SCOPE
+        if ks is not None:
+            df = df.where(F.col("keyspace") == ks)
+        if tbl is not None:
+            df = df.where(F.col("table_name") == tbl)
         return df
 
     return _cached(

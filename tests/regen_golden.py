@@ -28,6 +28,10 @@ def regen() -> None:
              ["summary", "sstables", "pstats", "cfstats", "purge"]]
     # the generic escape hatch, pinned on a tiny deterministic query
     cases.append(("query_funnel", ["query", "funnel_stages"]))
+    # reference-style single-table scoping (<keyspace> <table> positionals)
+    cases.append(
+        ("pstats_scoped", ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])
+    )
     for cmd, argv in cases:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

@@ -131,3 +131,32 @@ def test_cli_generic_query_command(spark, sf_dir, capsys):
     assert "| stage |" in out
 
     assert main(["query", "no_such_query", "--sf-dir", sf_dir], spark=spark) == 2
+
+
+def test_cli_table_scope(spark, sf_dir, capsys):
+    """--keyspace/--table (the reference's `<keyspace> <table>` positionals)
+    restrict every report section to the named table, and the scoped cache
+    entry does not leak into subsequent unscoped runs."""
+    assert main(
+        ["cfstats", "--sf-dir", sf_dir, "--keyspace", "ks1",
+         "--table", "tab_lcs"],
+        spark=spark,
+    ) == 0
+    sections = _tables(capsys.readouterr().out)
+    for title, rows in sections.items():
+        tables = {row[1] for row in rows}
+        assert tables == {"tab_lcs"}, f"{title}: {tables}"
+    # unscoped rerun sees all three tables (scope-keyed cache, no leakage)
+    assert main(["cfstats", "--sf-dir", sf_dir], spark=spark) == 0
+    sections = _tables(capsys.readouterr().out)
+    assert {row[1] for row in sections["Per-SSTable"]} == {
+        "tab_twcs", "tab_lcs", "tab_stcs"
+    }
+
+
+def test_cli_scope_nonexistent_table_is_empty(spark, sf_dir, capsys):
+    assert main(
+        ["cfstats", "--sf-dir", sf_dir, "--table", "nope"], spark=spark
+    ) == 0
+    sections = _tables(capsys.readouterr().out)
+    assert all(rows == [] for rows in sections.values()), sections

@@ -26,7 +26,9 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 @pytest.mark.parametrize(
     "cmd,argv",
     [(c, [c]) for c in ["summary", "sstables", "pstats", "cfstats", "purge"]]
-    + [("query_funnel", ["query", "funnel_stages"])],
+    + [("query_funnel", ["query", "funnel_stages"])]
+    + [("pstats_scoped",
+        ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])],
 )
 def test_cli_golden_transcript(cmd, argv, spark):
     buf = io.StringIO()

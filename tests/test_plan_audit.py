@@ -36,10 +36,25 @@ def test_q3_broadcasts_dimensions(spark, sf_dir):
 
 def test_ivf_probe_broadcast_no_smj(spark, sf_dir):
     from cassandra_sstable_tools_spark.llm.similarity import ann_ivf_topk
+    from cassandra_sstable_tools_spark.plans.audit import assert_max_window_nodes
 
     df = ann_ivf_topk(spark, sf_dir)
     assert_no_sort_merge_join(df)
-    assert_broadcast_join(df, min_count=2)  # centroids + probes (+ queries)
+    assert_broadcast_join(df, min_count=2)  # probes + queries
+    # The r04 weak-plan fix: centroid assignment is a literal-array argmax
+    # fold, NOT an N x K broadcast join ranked back down by a corpus-sized
+    # row_number window. Only the final candidate top-K may plan a Window.
+    assert_max_window_nodes(df, 1)
+
+
+def test_ivfpq_assignment_no_window(spark, sf_dir):
+    """ann_ivfpq_topk shares the literal-argmax assignment; same pin."""
+    from cassandra_sstable_tools_spark.llm.similarity import ann_ivfpq_topk
+    from cassandra_sstable_tools_spark.plans.audit import assert_max_window_nodes
+
+    df = ann_ivfpq_topk(spark, sf_dir)
+    assert_no_sort_merge_join(df)
+    assert_max_window_nodes(df, 1)
 
 
 def test_lsh_topk_broadcasts_query_side(spark, sf_dir):
@@ -333,3 +348,25 @@ def test_pagerank_no_cartesian_no_python(spark, sf_dir):
     df = supplier_part_pagerank(spark, sf_dir)
     assert_no_cartesian(df)
     assert_no_python_eval(df)
+
+
+def test_table_scope_filter_reaches_source_scan(spark, sf_dir):
+    """--table scoping applies at the cells ROOT: Catalyst constant-folds
+    the CASE defining table_name into a predicate over l_orderkey sitting
+    DIRECTLY on the lineitem parquet relation (in a real SSTable layout the
+    same filter is directory-level partition pruning)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_tools_spark.sources import tpch_adapter as A
+
+    df = A._cells_uncached(spark, sf_dir).where(F.col("table_name") == "tab_lcs")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    filt = [i for i, l in enumerate(lines) if "Filter" in l]
+    assert filt, f"no Filter node in scoped plan:\n{plan}"
+    i = filt[-1]
+    assert "l_orderkey" in lines[i], lines[i]  # folded to a SOURCE predicate
+    assert "table_name" not in lines[i], lines[i]
+    assert "Relation" in lines[i + 1] and "parquet" in lines[i + 1], (
+        "scope filter is not directly above the parquet relation"
+    )
