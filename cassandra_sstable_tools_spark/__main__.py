@@ -107,6 +107,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="batch mode (accepted for parity; output is always non-interactive)",
     )
     p.add_argument("--out", default=None, help="clean: write keep-list here")
+    p.add_argument(
+        "--bucketed", default=None, metavar="TABLE",
+        help="pstats/cfstats: serve per-partition stats from a bucketed "
+             "catalog table (materialized on first use; later runs and "
+             "every stats query aggregate with zero Exchange)",
+    )
     p.add_argument("--max-rows", type=int, default=50,
                    help="query: max rows to display (row count always shown)")
     p.add_argument(
@@ -141,6 +147,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     finally:
         if owns_session:
             spark.stop()
+
+
+def _bucketed_section(spark, args, sf: str, out: list[tuple[str, str]]) -> None:
+    """`--bucketed TABLE`: per-partition stats served from the bucketed
+    layout (sources/bucketed.py) -- the SSTable sort-order optimization.
+    Materializes the catalog table once; the aggregation then plans with
+    zero Exchange (pinned in tests/test_plan_audit.py)."""
+    if not args.bucketed:
+        return
+    from cassandra_sstable_tools_spark.sources.bucketed import (
+        bucketed_top_partitions,
+        ensure_bucketed_cells,
+    )
+
+    b = ensure_bucketed_cells(spark, sf, table=args.bucketed)
+    out.append(("Largest partitions (bucketed layout, exchange-free)", _render(
+        bucketed_top_partitions(b, args.n), {"size": "bytes"},
+        order=None,  # bounded top-N frame is already deterministically ranked
+    )))
 
 
 def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
@@ -188,6 +213,7 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         out.append(("Partitions in most sstables", _render(
             m.pstats_top_tables(spark, sf, args.n), {"size": "bytes"},
             order=["keyspace", "table_name", "rank"])))
+        _bucketed_section(spark, args, sf, out)
     elif args.command == "cfstats":
         from cassandra_sstable_tools_spark.queries import cfstats as m
 
@@ -212,6 +238,7 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             m.cfstats_most_deleted(spark, sf, args.n), order=by_rank)))
         out.append(("In most sstables", _render(
             m.cfstats_top_tables(spark, sf, args.n), order=by_rank)))
+        _bucketed_section(spark, args, sf, out)
     elif args.command == "purge":
         from cassandra_sstable_tools_spark.queries import purge as m
 

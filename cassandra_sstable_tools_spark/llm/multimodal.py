@@ -251,7 +251,7 @@ FROM documents
 
 QUERIES = {
     "media_metadata": media_metadata,
-    "frame_sample": frame_sample,  # rows-only check (explosion shape)
+    "frame_sample": frame_sample,  # hash-checked (oracle above, green r03)
     "image_resize": image_resize,
     "media_embed": media_embed,
     "media_dedup_exact": media_dedup_exact,

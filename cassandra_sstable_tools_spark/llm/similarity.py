@@ -78,12 +78,25 @@ def _lsh_bits(n: int) -> int:
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = F.transform("embedding", lambda x: F.floor(x * 1000).cast("bigint"))
-    norm = F.aggregate(
-        qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
-    )
-    return e.select("vec_id", "label", qv.alias("qv"), norm.alias("norm"))
+    """The quantized + pre-normed corpus, cached via the shared derived-frame
+    registry: every ANN/near-dup operator starts from this frame, and each
+    builds plans that scan it more than once (assignment + query side), so
+    re-deriving it from parquet per scan re-pays the 64-element quantization
+    fold each time. In a real deployment this IS the materialized vector
+    index input (quantize once at ingest, query many times); the cache
+    registry models that with the same lifecycle/eviction as `cells`."""
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        qv = F.transform("embedding", lambda x: F.floor(x * 1000).cast("bigint"))
+        norm = F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        )
+        return e.select("vec_id", "label", qv.alias("qv"), norm.alias("norm"))
+
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import _cached
+
+    return _cached(spark, sf_dir, "emb_quant", build)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -192,7 +205,7 @@ def _first_k_cent_rows(emb: DataFrame, k: int = N_CENTROIDS):
     return [(int(r.vec_id), [int(v) for v in r.qv]) for r in rows]
 
 
-def _ivf_assign_probes(emb: DataFrame, cent_rows):
+def _ivf_assign_probes(emb: DataFrame, cent_rows, carry: tuple = ()):
     """Centroid assignment + query probe selection, each as ONE scan with
     the K centroids inlined as literal arrays and a per-row sort/argmax
     fold -- the r04 plan fix: the previous formulation materialized N x K
@@ -205,16 +218,21 @@ def _ivf_assign_probes(emb: DataFrame, cent_rows):
     ORDER BY csim DESC, centroid_id ASC; cent_rows are sorted by id so
     position order IS id order).
 
-    Returns (assigned [vec_id, centroid_id], probes [query_id, centroid_id]).
+    Returns (assigned [vec_id, centroid_id, *carry],
+    probes [query_id, centroid_id]). ``carry`` columns ride the assignment
+    scan so list members arrive at scoring WITH their vectors -- no second
+    corpus scan + shuffle join to gather them back.
     """
     cent_rows = sorted((int(cid), [int(v) for v in vec]) for cid, vec in cent_rows)
-    cq = F.array(*[
-        F.array(*[F.lit(v).cast("bigint") for v in vec]) for _, vec in cent_rows
-    ])
-    cn = F.array(*[
-        F.lit(sum(v * v for v in vec)).cast("bigint") for _, vec in cent_rows
-    ])
-    cids = F.array(*[F.lit(cid) for cid, _ in cent_rows])
+    # ONE nested literal per constant, not K x D F.lit() calls: building the
+    # matrix element-wise costs thousands of py4j round trips at plan-build
+    # time -- measured ~2s of the query's wall-clock at K=16, D=64 -- while
+    # a single F.lit(list) ships one object and plans one Literal node.
+    cq = F.lit([vec for _, vec in cent_rows]).cast("array<array<bigint>>")
+    cn = F.lit([sum(v * v for v in vec) for _, vec in cent_rows]).cast(
+        "array<bigint>"
+    )
+    cids = F.lit([cid for cid, _ in cent_rows])
     ranked = F.array_sort(
         F.transform(
             cq,
@@ -234,6 +252,7 @@ def _ivf_assign_probes(emb: DataFrame, cent_rows):
     assigned = emb.select(
         "vec_id",
         F.element_at(cids, F.element_at(ranked, 1)["j"] + 1).alias("centroid_id"),
+        *carry,
     )
     probes = (
         emb.where(F.col("vec_id") < N_QUERIES)
@@ -250,8 +269,12 @@ def _ivf_assign_probes(emb: DataFrame, cent_rows):
 
 def _ivf_topk(emb: DataFrame, cent_rows) -> DataFrame:
     """Shared IVF plan: literal-argmax assignment scan + probe selection +
-    list-local scoring, given [(centroid_id, quantized vector)] rows."""
-    assigned, probes = _ivf_assign_probes(emb, cent_rows)
+    list-local scoring, given [(centroid_id, quantized vector)] rows.
+
+    The assignment scan CARRIES each vector (qv, norm) into its list row, so
+    probed candidates are scored directly off the scan output -- the corpus
+    is scanned once and never shuffle-joined back for vector gather."""
+    assigned, probes = _ivf_assign_probes(emb, cent_rows, carry=("qv", "norm"))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -263,11 +286,9 @@ def _ivf_topk(emb: DataFrame, cent_rows) -> DataFrame:
     cand = (
         assigned.join(broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
     )
     scored = (
-        cand.join(emb, "vec_id")
-        .join(broadcast(queries), "query_id")
+        cand.join(broadcast(queries), "query_id")
         .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
         .withColumn(
             "sim_ppm",
@@ -367,12 +388,13 @@ def kmeans_centroids_spark(spark: SparkSession, sf_dir: str,
         lambda x: F.floor(x * KMEANS_UNIT_SCALE / F.sqrt(F.col("norm").cast("double"))),
     )
     for _ in range(iters):
-        cq = F.array(*[
-            F.array(*[F.lit(v).cast("bigint") for v in vec]) for vec in cents
-        ])
-        cn = F.array(*[
-            F.lit(math.sqrt(sum(v * v for v in vec))) for vec in cents
-        ])
+        # single nested literals (not K x D F.lit calls): see
+        # _ivf_assign_probes -- element-wise construction costs thousands
+        # of py4j round trips per iteration at plan-build time
+        cq = F.lit([[int(v) for v in vec] for vec in cents]).cast(
+            "array<array<bigint>>"
+        )
+        cn = F.lit([math.sqrt(sum(v * v for v in vec)) for vec in cents])
         scores = F.transform(
             cq, lambda c, j: _dot(F.col("qv"), c) / F.element_at(cn, j + 1)
         )
@@ -475,19 +497,15 @@ def _pq_raw_codebook(emb: DataFrame):
 
 
 def _pq_literals(cb):
-    """(cb_lit, cbnorm_lit) literal expressions for a raw codebook."""
-    cb_lit = F.array(*[
-        F.array(*[
-            F.array(*[F.lit(v).cast("bigint") for v in sub]) for sub in per_m
-        ])
-        for per_m in cb
-    ])
-    cbnorm_lit = F.array(*[
-        F.array(*[
-            F.lit(sum(v * v for v in sub)).cast("bigint") for sub in per_m
-        ])
-        for per_m in cb
-    ])
+    """(cb_lit, cbnorm_lit) literal expressions for a raw codebook --
+    single nested literals (one py4j object each, one Literal node each),
+    not M x K x sub_d element-wise F.lit calls (see _ivf_assign_probes)."""
+    cb_lit = F.lit(
+        [[[int(v) for v in sub] for sub in per_m] for per_m in cb]
+    ).cast("array<array<array<bigint>>>")
+    cbnorm_lit = F.lit(
+        [[sum(v * v for v in sub) for sub in per_m] for per_m in cb]
+    ).cast("array<array<bigint>>")
     return cb_lit, cbnorm_lit
 
 
@@ -871,11 +889,9 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors: cosine >= threshold; banded-LSH candidates,
-    exact verify on candidates only."""
-    emb = _quantized(spark, sf_dir)
-    cand = neardup_candidate_pairs(spark, sf_dir)
+def _verify_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine verification over candidate (vec_a, vec_b) pairs only:
+    gather both vectors, one integer dot, keep sim >= NEARDUP_SIM_PPM."""
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("qv").alias("qv_a"),
@@ -897,6 +913,89 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim_ppm") >= NEARDUP_SIM_PPM)
         .select("vec_a", "vec_b", "sim_ppm")
     )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: cosine >= threshold; banded-LSH candidates,
+    exact verify on candidates only."""
+    emb = _quantized(spark, sf_dir)
+    return _verify_pairs(emb, neardup_candidate_pairs(spark, sf_dir))
+
+
+# Random-hyperplane projection bands: the 100 TB banding config the raw-dim
+# scheme cannot reach. Raw sign-banding slices the vector itself, capping
+# total bits at the dimensionality (4x16 needs 64 raw dims -- the whole
+# fixture); hyperplane projections decouple band bits from dims entirely:
+# 8 bands x 9 bits = 72 planes > 64 dims here, and a real 4x16-per-65536
+# occupancy config is just a constant change. Planes are +-1 vectors derived
+# from md5(seed:plane:dim) -- deterministic and embedded as LITERALS in both
+# the Spark expression and the oracle SQL, so the two engines use the
+# byte-identical matrix. Projected dots are exact integer sums, so the sign
+# bits agree bit-for-bit.
+PROJ_N_BANDS = 8
+PROJ_BAND_BITS = 9
+PROJ_DIMS = 64
+PROJ_SEED = "neardup-proj-v1"
+
+
+def _proj_hyperplanes(
+    n_planes: int = PROJ_N_BANDS * PROJ_BAND_BITS,
+    dims: int = PROJ_DIMS,
+    seed: str = PROJ_SEED,
+):
+    """[n_planes][dims] matrix of +-1, from md5 parity of (seed, j, d)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{j}:{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(dims)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def proj_band_keys_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_id, band_key) rows from projected sign bits: ONE scan
+    computes all plane dots via a literal-matrix transform (computed once
+    per row -- `pd` is a materialized column, not re-inlined per band),
+    then packs PROJ_BAND_BITS sign bits per band. Linear map-side work."""
+    H = _proj_hyperplanes()
+    # one nested literal, not n_planes x dims F.lit calls (py4j cost --
+    # see _ivf_assign_probes)
+    hlit = F.lit(H).cast("array<array<bigint>>")
+    pdots = F.transform(hlit, lambda h: _dot(F.col("qv"), h))
+    keys = []
+    for bnd in range(PROJ_N_BANDS):
+        terms = [
+            F.when(
+                F.element_at(F.col("pd"), bnd * PROJ_BAND_BITS + i + 1) >= 0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for i in range(PROJ_BAND_BITS)
+        ]
+        keys.append(reduce(lambda x, y: x + y, terms))
+    return emb.withColumn("pd", pdots).select(
+        "vec_id", F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+    )
+
+
+def embedding_neardup_pairs_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_neardup_pairs with PROJECTED bands: same AND-OR banding +
+    exact verify-on-candidates plan shape, but candidate generation hashes
+    random hyperplane sign bits instead of raw quantized dims -- the scheme
+    whose width is NOT capped by the embedding dimensionality."""
+    emb = _quantized(spark, sf_dir)
+    bands = proj_band_keys_frame(emb)
+    other = bands.select(F.col("vec_id").alias("vec_b"), "band_id", "band_key")
+    cand = (
+        bands.withColumnRenamed("vec_id", "vec_a")
+        .join(other, ["band_id", "band_key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    return _verify_pairs(emb, cand)
 
 
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,6 +1223,64 @@ SELECT CAST(count(*) AS BIGINT) AS truth_pairs, TRUE AS recall_ok
 FROM ({_BRUTEFORCE_SQL.strip()}) bf
 """
 
+
+def _proj_oracle_sql() -> str:
+    """Projected-band near-dup oracle: the SAME +-1 hyperplane matrix the
+    Spark expression inlines, embedded as array literals (both engines run
+    the byte-identical matrix; dots are exact integer sums either way)."""
+    H = _proj_hyperplanes()
+    rows = ",\n        ".join(
+        f"({j}, [{','.join(str(v) for v in row)}])" for j, row in enumerate(H)
+    )
+    return f"""
+WITH {_ELEMS_SQL.lstrip()},
+hplanes(plane, s) AS (
+    SELECT * FROM (VALUES
+        {rows}
+    )
+),
+hyper AS (
+    SELECT plane, i AS pos, s[i] AS sv
+    FROM hplanes, (SELECT unnest(range(1, {PROJ_DIMS} + 1)) AS i)
+),
+pdots AS (
+    SELECT e.vec_id, h.plane, CAST(sum(e.q * h.sv) AS BIGINT) AS pdot
+    FROM elems e JOIN hyper h ON h.pos = e.pos
+    GROUP BY 1, 2
+),
+band_keys AS (
+    SELECT vec_id, CAST(plane // {PROJ_BAND_BITS} AS INT) AS band_id,
+           CAST(sum(CASE WHEN pdot >= 0
+                         THEN 1 << CAST(plane % {PROJ_BAND_BITS} AS INT)
+                         ELSE 0 END) AS BIGINT) AS band_key
+    FROM pdots GROUP BY 1, 2
+),
+ncand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM band_keys a
+    JOIN band_keys b ON b.band_id = a.band_id AND b.band_key = a.band_key
+                    AND a.vec_id < b.vec_id
+),
+ndots AS (
+    SELECT c.vec_a, c.vec_b, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+    FROM ncand c
+    JOIN elems a ON a.vec_id = c.vec_a
+    JOIN elems b ON b.vec_id = c.vec_b AND b.pos = a.pos
+    GROUP BY 1, 2
+)
+SELECT d.vec_a, d.vec_b,
+       CAST(floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+            AS BIGINT) AS sim_ppm
+FROM ndots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE floor(d.dot / sqrt(CAST(na.norm * nb.norm AS DOUBLE)) * 1000000)
+      >= {NEARDUP_SIM_PPM}
+"""
+
+
+ORACLES["embedding_neardup_pairs_proj"] = _proj_oracle_sql()
+
 # Product quantization: codebook = first PQ_K vectors' sub-vectors; encode =
 # argmin-L2 per subspace (ties -> lowest code); ADC score from the
 # reconstruction. Same integers as the Spark plan -> identical ppm floors.
@@ -1277,5 +1434,6 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_pq_kmeans_check": ann_pq_kmeans_check,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_pairs_proj": embedding_neardup_pairs_proj,
     "embedding_dedup_clusters": embedding_dedup_clusters,
 }

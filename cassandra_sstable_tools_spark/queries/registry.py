@@ -115,7 +115,12 @@ def _ordered_names(base: dict[str, QuerieFn]) -> list[str]:
 
     def key(name: str):
         rounds = hist.get(name, [])
-        return (len(rounds), rounds[-1] if rounds else 0, base_index[name])
+        # Staleness first: a query last certified in r02 must re-enter the
+        # window BEFORE one freshly certified in r04, even if the r02 one
+        # has more lifetime greens (r04 certified 50 queries at once, which
+        # under a times-green-first key pushed the whole r02 cohort out of
+        # the next window). Never-green queries (last=0) still lead.
+        return (rounds[-1] if rounds else 0, len(rounds), base_index[name])
 
     return sorted(base, key=key)
 

@@ -63,3 +63,50 @@ def per_partition_stats_bucketed(bucketed: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("is_tombstone"), 1).otherwise(0)).alias("tombstones"),
         F.countDistinct("sstable_id").alias("sstable_count"),
     )
+
+
+def ensure_bucketed_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "cells_bucketed",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Materialize-once accessor: returns the catalog-backed bucketed cells
+    table, writing it only if absent -- the CLI's `--bucketed` entry point.
+    The shuffle is paid on the FIRST scoped invocation; every later run
+    (and every stats query inside one run) serves from the clustered
+    layout with zero Exchange.
+
+    The catalog table is keyed by NAME alone: runs under different
+    --keyspace/--table/-f scopes (or sf dirs) must use distinct table
+    names, exactly as distinct physical layouts would be distinct tables
+    in a lakehouse."""
+    if not spark.catalog.tableExists(table):
+        return materialize_bucketed_cells(spark, sf_dir, table, buckets)
+    return spark.table(table)
+
+
+def bucketed_top_partitions(bucketed: DataFrame, n: int = 10) -> DataFrame:
+    """Top-n partitions by size off the bucketed layout: the per-partition
+    aggregation satisfies its distribution straight from the bucketing (no
+    Exchange; asserted in tests) and the ranking is a bounded
+    TakeOrderedAndProject -- scan + local agg + heap, no shuffle at all."""
+    return per_partition_stats_bucketed(bucketed).orderBy(
+        F.desc("size"), F.asc("partition_key")
+    ).limit(n)
+
+
+def drop_bucketed_table(spark: SparkSession, table: str) -> None:
+    """DROP TABLE plus removal of any orphaned warehouse directory.
+
+    Catalog metadata is per-session (in-memory derby) but the warehouse
+    DIRECTORY persists on disk, so a table written by a previous process is
+    invisible to DROP TABLE yet still blocks saveAsTable with
+    LOCATION_ALREADY_EXISTS; clearing both makes re-materialization safe."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)

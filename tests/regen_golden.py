@@ -32,6 +32,15 @@ def regen() -> None:
     cases.append(
         ("pstats_scoped", ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])
     )
+    # bucketed zero-Exchange stats path; fresh table per regen
+    from cassandra_sstable_tools_spark.sources.bucketed import (
+        drop_bucketed_table,
+    )
+
+    drop_bucketed_table(spark, "golden_bucketed_cells")
+    cases.append(
+        ("pstats_bucketed", ["pstats", "--bucketed", "golden_bucketed_cells"])
+    )
     for cmd, argv in cases:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

@@ -28,9 +28,18 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
     [(c, [c]) for c in ["summary", "sstables", "pstats", "cfstats", "purge"]]
     + [("query_funnel", ["query", "funnel_stages"])]
     + [("pstats_scoped",
-        ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])],
+        ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])]
+    + [("pstats_bucketed", ["pstats", "--bucketed", "golden_bucketed_cells"])],
 )
 def test_cli_golden_transcript(cmd, argv, spark):
+    if cmd == "pstats_bucketed":
+        # stale catalog tables (another sf_dir, a previous code version)
+        # would otherwise be silently reused by the materialize-once path
+        from cassandra_sstable_tools_spark.sources.bucketed import (
+            drop_bucketed_table,
+        )
+
+        drop_bucketed_table(spark, "golden_bucketed_cells")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = main([*argv, "--sf-dir", GOLDEN_SF, "-b"], spark=spark)

@@ -370,3 +370,28 @@ def test_table_scope_filter_reaches_source_scan(spark, sf_dir):
     assert "Relation" in lines[i + 1] and "parquet" in lines[i + 1], (
         "scope filter is not directly above the parquet relation"
     )
+
+
+def test_cli_bucketed_top_partitions_no_exchange(spark, sf_dir):
+    """The --bucketed CLI path end-to-end: materialize-once accessor + the
+    rendered top-N frame plan scan + local agg + bounded heap with ZERO
+    Exchange anywhere."""
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+    from cassandra_sstable_tools_spark.sources.bucketed import (
+        bucketed_top_partitions,
+        drop_bucketed_table,
+        ensure_bucketed_cells,
+    )
+
+    drop_bucketed_table(spark, "t_cli_bucketed")
+    try:
+        b = ensure_bucketed_cells(spark, sf_dir, table="t_cli_bucketed")
+        df = bucketed_top_partitions(b, 5)
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan
+        assert "TakeOrderedAndProject" in plan
+        # second call must REUSE, not rewrite (materialize-once contract)
+        again = ensure_bucketed_cells(spark, sf_dir, table="t_cli_bucketed")
+        assert "Exchange" not in formatted_plan(bucketed_top_partitions(again, 5))
+    finally:
+        drop_bucketed_table(spark, "t_cli_bucketed")

@@ -27,11 +27,26 @@ def test_never_verified_queries_inside_driver_window():
     assert not missing, f"never-verified queries outside driver window: {missing}"
 
 
-def test_zero_green_sorts_before_any_green():
+def test_stalest_certificates_sort_first():
+    """Order is non-decreasing in last-green round (staleness-first), with
+    never-green queries (last=0) leading -- so every cohort rotates back
+    through the driver window instead of being starved by a later round
+    that certified many queries at once."""
     hist = registry._green_history()
     names = list(registry.queries())
-    greens = [len(hist.get(n, [])) for n in names]
-    assert greens == sorted(greens), "registry order must be non-decreasing in green count"
+    last = [hist[n][-1] if n in hist else 0 for n in names]
+    assert last == sorted(last), "registry order must be non-decreasing in last-green round"
+
+
+def test_oldest_certified_cohort_inside_driver_window():
+    """The concrete r05 contract (VERDICT r04 #4): the 25 queries whose
+    latest certificate is oldest must ALL fit the next 50-entry window."""
+    hist = registry._green_history()
+    names = list(registry.queries())
+    certified = [n for n in names if n in hist]
+    oldest25 = sorted(certified, key=lambda n: hist[n][-1])[:25]
+    outside = [n for n in oldest25 if names.index(n) >= DRIVER_WINDOW]
+    assert not outside, f"stale certificates outside driver window: {outside}"
 
 
 def test_queries_and_oracles_share_order():
