@@ -344,8 +344,29 @@ WHERE kind IN ('CELL', 'STATIC_CELL')
 GROUP BY 1, 2, 3
 """)
 
+def cfstats_global_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-style single-table scoping (`--keyspace/--table`, the
+    reference's `<keyspace> <table>` positionals --
+    cli/ColumnFamilyStatisticsCollector.java:50) certified through the
+    driver oracle, not just golden transcripts: cfstats_global under
+    ``table_scope('ks1', 'tab_lcs')``. The scope applies at the cells ROOT
+    (sources/tpch_adapter.table_scope), so the predicate constant-folds
+    onto the source scan and every derived frame inherits it -- the oracle
+    filters the SAME derivation, proving scoped == filtered-superset."""
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import table_scope
+
+    with table_scope("ks1", "tab_lcs"):
+        return cfstats_global(spark, sf_dir)
+
+
+ORACLE_CFSTATS_GLOBAL_SCOPED = f"""
+SELECT * FROM ({ORACLE_CFSTATS_GLOBAL.strip()})
+WHERE keyspace = 'ks1' AND table_name = 'tab_lcs'
+"""
+
 QUERIES = {
     "cfstats_global": cfstats_global,
+    "cfstats_global_scoped": cfstats_global_scoped,
     "cfstats_sstables": cfstats_sstables,
     "cfstats_ttl": cfstats_ttl,
     "cfstats_top_size": cfstats_top_size,
@@ -356,6 +377,7 @@ QUERIES = {
 }
 ORACLES = {
     "cfstats_global": ORACLE_CFSTATS_GLOBAL,
+    "cfstats_global_scoped": ORACLE_CFSTATS_GLOBAL_SCOPED,
     "cfstats_sstables": ORACLE_CFSTATS_SSTABLES,
     "cfstats_ttl": ORACLE_CFSTATS_TTL,
     "cfstats_top_size": _rank_sql(

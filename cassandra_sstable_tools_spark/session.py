@@ -48,6 +48,12 @@ def get_spark(
         # the loaded dtype (sources/tpch_adapter.ts_seconds_col). The conf
         # only affects NANOS columns; harmless otherwise.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Long sessions (bench loops, the embedded registry run) accumulate
+        # shuffle files / broadcast blocks whose cleanup piggybacks on
+        # driver GC; with a 24g heap, full GCs are rare and cleanup lags,
+        # showing up as multi-second jitter spikes on cache-heavy queries.
+        # A periodic context-cleaner GC bounds that lag.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # Quieter local runs.
         .config("spark.ui.showConsoleProgress", "false")
     )
