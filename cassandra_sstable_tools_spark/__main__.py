@@ -9,7 +9,7 @@ the engine's extension surface.
     python -m cassandra_sstable_tools_spark clean    [--sf-dir DIR] [--out DIR]
     python -m cassandra_sstable_tools_spark dedup    [--sf-dir DIR]
     python -m cassandra_sstable_tools_spark ann      [--sf-dir DIR] [-n N]
-    python -m cassandra_sstable_tools_spark query    [NAME] [--sf-dir DIR] [--max-rows N]
+    python -m cassandra_sstable_tools_spark query    [NAME] [--sf-dir DIR] [--max-rows N] [--explain]
 
 Flag parity with the reference CLI (cli/PartitionSizeStatisticsCollector
 .java:35-59): `-n` top-N size, `-f` comma-separated Data.db filename
@@ -119,6 +119,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--index", default="ivf", choices=["ivf", "ivfpq"],
         help="ann: index layout (ivf = inverted lists; ivfpq = lists + PQ codes)",
     )
+    p.add_argument(
+        "--approx", action="store_true",
+        help="pstats/cfstats: bounded-memory percentile sketch instead of "
+             "exact per-group buffering (the 100 TB path; within 10%% of "
+             "exact, driver-certified by pstats_summary_approx_check)",
+    )
+    p.add_argument(
+        "--explain", action="store_true",
+        help="query NAME: print the formatted physical plan instead of "
+             "running the query",
+    )
     args = p.parse_args(argv)
 
     from cassandra_sstable_tools_spark.session import get_spark
@@ -205,7 +216,7 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                     ["total_size", "min_size", "max_size", "avg_size",
                      "p50", "p75", "p90", "p95", "p99", "p999"]}
         out.append(("Partition size summary", _render(
-            m.pstats_summary(spark, sf), size_fmt,
+            m.pstats_summary(spark, sf, approx=args.approx), size_fmt,
             order=["keyspace", "table_name"])))
         out.append(("Largest partitions", _render(
             m.pstats_top_size(spark, sf, args.n), {"size": "bytes"},
@@ -219,7 +230,7 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
 
         by_table = ["keyspace", "table_name"]
         by_rank = ["keyspace", "table_name", "rank"]
-        out.append(("Totals", _render(m.cfstats_global(spark, sf),
+        out.append(("Totals", _render(m.cfstats_global(spark, sf, approx=args.approx),
                                       {"total_size": "bytes", "avg_partition_size": "bytes"},
                                       order=by_table)))
         out.append(("Per-SSTable", _render(m.cfstats_sstables(spark, sf),
@@ -287,6 +298,14 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             sys.stderr.write(f"unknown query {args.name!r} (run `query` with "
                              "no name to list)\n")
             return 2
+        if args.explain:
+            # plan inspection: the same .explain("formatted") text the plan
+            # audit tests pin -- lets a user check pushdown/broadcast/shuffle
+            # shape on THEIR data without running the query
+            from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+            sys.stdout.write(formatted_plan(qs[args.name](spark, sf)) + "\n")
+            return 0
         df = qs[args.name](spark, sf).persist()
         try:
             # persist => the query computes ONCE; the count materializes the

@@ -160,3 +160,28 @@ def test_cli_scope_nonexistent_table_is_empty(spark, sf_dir, capsys):
     ) == 0
     sections = _tables(capsys.readouterr().out)
     assert all(rows == [] for rows in sections.values()), sections
+
+
+def test_cli_query_explain(spark, sf_dir, capsys):
+    """--explain prints the formatted physical plan without running."""
+    assert main(
+        ["query", "tpch_q6", "--sf-dir", sf_dir, "--explain"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+    assert "rows)" not in out  # the query itself did not run/render
+
+
+def test_cli_approx_percentiles(spark, sf_dir, capsys):
+    """--approx swaps the sketch in: non-percentile totals must be identical
+    to the exact run (the sketch only affects p* columns)."""
+    assert main(["pstats", "--sf-dir", sf_dir, "-b"], spark=spark) == 0
+    exact = _tables(capsys.readouterr().out)["Partition size summary"]
+    assert main(
+        ["pstats", "--sf-dir", sf_dir, "-b", "--approx"], spark=spark
+    ) == 0
+    approx = _tables(capsys.readouterr().out)["Partition size summary"]
+    # columns: keyspace, table_name, partitions, total_size, min, max, avg, p*
+    for e_row, a_row in zip(exact, approx):
+        assert e_row[:7] == a_row[:7]
+    assert len(exact) == len(approx) == 3
