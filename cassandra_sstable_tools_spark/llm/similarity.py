@@ -197,12 +197,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(emb, _first_k_cent_rows(emb))
 
 
+# K-row centroid collects memoized per (session, corpus, k): the centroids
+# are part of the IVF index (deterministic function of the corpus), and
+# re-collecting them cost one full Spark job per query call. K x D ints --
+# no eviction needed.
+_FIRSTK_CACHE: dict[tuple, list] = {}
+
+
 def _first_k_cent_rows(emb: DataFrame, k: int = N_CENTROIDS):
     """[(centroid_id, quantized vector)] for the deterministic first-K
     centroids. A bounded K-row collect (corpus-size-independent), the same
-    driver-side footprint as the k-means init at kmeans_centroids_spark."""
-    rows = emb.where(F.col("vec_id") < k).select("vec_id", "qv").collect()
-    return [(int(r.vec_id), [int(v) for v in r.qv]) for r in rows]
+    driver-side footprint as the k-means init at kmeans_centroids_spark;
+    memoized because the result is an index constant for the corpus."""
+    key = (id(emb.sparkSession), emb.sparkSession.sparkContext.applicationId,
+           emb.semanticHash(), k)
+    if key not in _FIRSTK_CACHE:
+        rows = emb.where(F.col("vec_id") < k).select("vec_id", "qv").collect()
+        _FIRSTK_CACHE[key] = [
+            (int(r.vec_id), [int(v) for v in r.qv]) for r in rows
+        ]
+    return _FIRSTK_CACHE[key]
 
 
 def _ivf_assign_probes(emb: DataFrame, cent_rows, carry: tuple = ()):
