@@ -498,16 +498,22 @@ PQ_K = 16
 def _pq_raw_codebook(emb: DataFrame):
     """(cb, sub_d): the raw [M][K][sub_d] integer codebook -- the first PQ_K
     corpus vectors' sub-vectors (deterministic, oracle-expressible).
-    Collected once; K x D ints, bounded and corpus-size-independent."""
-    dims = len(emb.select("qv").first().qv)
-    sub_d = dims // PQ_M
-    cb_rows = emb.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
-    assert len(cb_rows) == PQ_K, "corpus smaller than PQ codebook"
-    cb = [
-        [[int(v) for v in r.qv[m * sub_d:(m + 1) * sub_d]] for r in cb_rows]
-        for m in range(PQ_M)
-    ]
-    return cb, sub_d
+    K x D ints, bounded and corpus-size-independent; memoized per
+    (session, corpus) like _first_k_cent_rows (index constants -- the two
+    driver jobs per call were pure fixed cost)."""
+    key = (id(emb.sparkSession), emb.sparkSession.sparkContext.applicationId,
+           emb.semanticHash(), "pq_codebook")
+    if key not in _FIRSTK_CACHE:
+        cb_rows = emb.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+        assert len(cb_rows) == PQ_K, "corpus smaller than PQ codebook"
+        dims = len(cb_rows[0].qv)
+        sub_d = dims // PQ_M
+        cb = [
+            [[int(v) for v in r.qv[m * sub_d:(m + 1) * sub_d]] for r in cb_rows]
+            for m in range(PQ_M)
+        ]
+        _FIRSTK_CACHE[key] = (cb, sub_d)
+    return _FIRSTK_CACHE[key]
 
 
 def _pq_literals(cb):
