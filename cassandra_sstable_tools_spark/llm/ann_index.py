@@ -1,0 +1,139 @@
+"""Durable IVF index: the inverted-file layout materialized to parquet,
+partitioned BY LIST (centroid_id) -- "build once, query many" as real files
+rather than a session cache.
+
+Why this layout matters at 100 TB: a probe touches NPROBE of K inverted
+lists, and because `centroid_id` is a hive PARTITION COLUMN the probe list
+becomes a directory listing -- Spark opens ONLY the probed lists' files
+(PartitionFilters in the scan, pinned in tests/test_plan_audit.py), never
+the other K-NPROBE/K of the index. That is the file-level analog of an ANN
+library loading only probed posting lists, and it composes with everything
+the scan-path IVF already does (literal-argmax probe selection, broadcast
+probe/query sides, bounded top-k).
+
+Staleness safety: the index directory name embeds a fingerprint of the
+source `embeddings.parquet` (mtime+size of every part file), so a
+regenerated corpus can never be served from a stale index -- the path
+changes and the index rebuilds.
+
+The registered query `ann_ivf_topk_indexed` must produce BIT-IDENTICAL
+results to `ann_ivf_topk` (same centroids, same probes, same scoring
+expression); the driver certifies it against the very same DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from cassandra_sstable_tools_spark.llm.similarity import (
+    _IVF_SQL,
+    N_QUERIES,
+    TOP_K,
+    _dot,
+    _first_k_cent_rows,
+    _ivf_assign_probes,
+    _quantized,
+    _sim,
+)
+from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
+
+INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_ANN_INDEX_DIR", "/tmp/spark_graft_ann_index"
+)
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """mtime+size digest of embeddings.parquet (file or directory of part
+    files): cheap (stat only), changes whenever the driver regenerates the
+    testdata, so index paths are self-invalidating."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}:{int(st.st_mtime)}:{st.st_size}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{int(st.st_mtime)}:{st.st_size}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:16]
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    slug = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(INDEX_ROOT, f"{slug}_{_source_fingerprint(sf_dir)}")
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """ONE assignment scan (the shared literal-argmax fold) written
+    list-partitioned with each vector's (qv, norm) stored IN its list row --
+    the query path reads probed lists only and never joins back to the
+    corpus. The ingest shuffle (partitionBy write) is the build cost,
+    amortized over every subsequent query -- the same trade the bucketed
+    cells layout makes for stats."""
+    emb = _quantized(spark, sf_dir)
+    assigned, _ = _ivf_assign_probes(
+        emb, _first_k_cent_rows(emb), carry=("qv", "norm")
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize-once accessor (fingerprinted path => stale-proof)."""
+    path = ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivf_index(spark, sf_dir, path)
+    return path
+
+
+def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk served from the DURABLE list-partitioned index.
+
+    The probe set (<= N_QUERIES * NPROBE centroid ids) is collected --
+    bounded, corpus-independent -- and applied as a LITERAL partition
+    predicate, so the index scan opens only the probed lists' files
+    (PartitionFilters, pinned in tests/test_plan_audit.py). Scoring and
+    ranking are expression-identical to the scan path; the oracle is the
+    same _IVF_SQL, so a green driver row proves index == scan."""
+    path = ensure_ivf_index(spark, sf_dir)
+    emb = _quantized(spark, sf_dir)
+    _, probes = _ivf_assign_probes(emb, _first_k_cent_rows(emb))
+    probe_rows = [(int(r.query_id), int(r.centroid_id)) for r in probes.collect()]
+    probed_ids = sorted({cid for _, cid in probe_rows})
+
+    index = spark.read.parquet(path).where(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    probes_df = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id int"
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        index.join(broadcast(probes_df), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(broadcast(queries), "query_id")
+        .withColumn("dot", _dot(F.col("q_qv"), F.col("qv")))
+        .withColumn(
+            "sim_ppm",
+            F.floor(_sim(F.col("dot"), F.col("q_norm"), F.col("norm")) * 1000000),
+        )
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("sim_ppm"), F.asc("vec_id")],
+        TOP_K,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
+
+
+QUERIES = {"ann_ivf_topk_indexed": ann_ivf_topk_indexed}
+ORACLES = {"ann_ivf_topk_indexed": _IVF_SQL}

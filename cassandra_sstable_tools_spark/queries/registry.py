@@ -12,10 +12,12 @@ is certified at least once every couple of rounds, iteration order is NOT
 module order: at import we scan the repo root for committed
 ``CORRECTNESS_r*.json`` files and sort keys by
 
-    (times_green ascending, last_green_round ascending, base order)
+    (last_green_round ascending, times_green ascending, base order)
 
-so never-verified queries always come first, and the least-recently-certified
-rotate into the window automatically as new rounds' results are committed.
+so never-verified queries always come first (last=0) and then the STALEST
+certificates: a cohort last certified in r02 re-enters the window before
+anything freshly certified, even when a later round certified 50 queries at
+once (the r04 failure mode of a times-green-first key).
 The ordering is a pure function of files already in the repo, hence
 deterministic for any given checkout, and identical between ``queries()``
 and ``oracle_sql()``.
@@ -47,6 +49,7 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 def _modules():
     from cassandra_sstable_tools_spark.llm import (
+        ann_index,
         corpus,
         curation,
         dedup,
@@ -72,7 +75,8 @@ def _modules():
 
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
-        text, packing, corpus, curation, dedup, similarity, pipeline, events,
+        text, packing, corpus, curation, dedup, similarity, ann_index,
+        pipeline, events,
         timeseries, multimodal, catalog, stateful, events_stream,
     ]
 

@@ -395,3 +395,19 @@ def test_cli_bucketed_top_partitions_no_exchange(spark, sf_dir):
         assert "Exchange" not in formatted_plan(bucketed_top_partitions(again, 5))
     finally:
         drop_bucketed_table(spark, "t_cli_bucketed")
+
+
+def test_ivf_index_partition_pruned(spark, sf_dir):
+    """The durable IVF index: the probe predicate must prune hive
+    partitions (PartitionFilters on centroid_id -- only probed lists'
+    FILES are opened), and the result must be bit-identical to the
+    scan-path ann_ivf_topk."""
+    from cassandra_sstable_tools_spark.llm.ann_index import ann_ivf_topk_indexed
+    from cassandra_sstable_tools_spark.llm.similarity import ann_ivf_topk
+    from cassandra_sstable_tools_spark.plans.audit import assert_partition_pruned
+
+    df = ann_ivf_topk_indexed(spark, sf_dir)
+    assert_partition_pruned(df, "centroid_id")
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, ann_ivf_topk(spark, sf_dir).collect()))
+    assert got == want, "indexed path diverged from scan path"
