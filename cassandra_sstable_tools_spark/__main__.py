@@ -116,8 +116,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--max-rows", type=int, default=50,
                    help="query: max rows to display (row count always shown)")
     p.add_argument(
-        "--index", default="ivf", choices=["ivf", "ivfpq"],
-        help="ann: index layout (ivf = inverted lists; ivfpq = lists + PQ codes)",
+        "--index", default="ivf", choices=["ivf", "ivfpq", "ivf-disk"],
+        help="ann: index layout (ivf = inverted lists; ivfpq = lists + PQ "
+             "codes; ivf-disk = durable list-partitioned parquet index, "
+             "built on first use, probes prune partitions at file level)",
     )
     p.add_argument(
         "--approx", action="store_true",
@@ -327,6 +329,14 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         if args.index == "ivfpq":
             out.append((f"IVF+PQ top-{args.n} neighbors (first 20 query vectors)",
                         _render(ann_ivfpq_topk(spark, sf).limit(200))))
+        elif args.index == "ivf-disk":
+            from cassandra_sstable_tools_spark.llm.ann_index import (
+                ann_ivf_topk_indexed,
+            )
+
+            out.append((f"IVF (durable index) top-{args.n} neighbors "
+                        "(first 20 query vectors)",
+                        _render(ann_ivf_topk_indexed(spark, sf).limit(200))))
         else:
             out.append((f"IVF top-{args.n} neighbors (first 20 query vectors)",
                         _render(ann_ivf_topk(spark, sf).limit(200))))
