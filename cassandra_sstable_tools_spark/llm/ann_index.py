@@ -32,10 +32,15 @@ from pyspark.sql.functions import broadcast
 from cassandra_sstable_tools_spark.llm.similarity import (
     _IVF_SQL,
     N_QUERIES,
+    ORACLES as _SIM_ORACLES,
     TOP_K,
     _dot,
     _first_k_cent_rows,
     _ivf_assign_probes,
+    _pq_encoded,
+    _pq_queries,
+    _pq_scored,
+    _pq_setup,
     _quantized,
     _sim,
 )
@@ -135,5 +140,74 @@ def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "sim_ppm", "rank")
 
 
-QUERIES = {"ann_ivf_topk_indexed": ann_ivf_topk_indexed}
-ORACLES = {"ann_ivf_topk_indexed": _IVF_SQL}
+def ivfpq_index_path(sf_dir: str) -> str:
+    slug = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(INDEX_ROOT, f"{slug}_pq_{_source_fingerprint(sf_dir)}")
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """IVF lists + PQ codes ON DISK: each list row holds exactly TWO
+    bigints (packed 4-bit codes + reconstruction norm) instead of the raw
+    vector -- the ~32x storage cut of PQ realized in the durable layout,
+    composed with file-level list pruning from partitionBy(centroid_id).
+    This is the standard billion-scale ANN disk format (coarse quantizer ->
+    posting lists -> PQ codes) expressed as plain partitioned parquet."""
+    emb = _quantized(spark, sf_dir)
+    assigned, _ = _ivf_assign_probes(emb, _first_k_cent_rows(emb))
+    cb_lit, cbnorm_lit, sub_d = _pq_setup(emb)
+    encoded = _pq_encoded(emb, cb_lit, cbnorm_lit, sub_d)
+    (
+        assigned.join(encoded, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    path = ivfpq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivfpq_index(spark, sf_dir, path)
+    return path
+
+
+def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivfpq_topk served from the durable codes-only index: probed
+    lists' FILES only (literal partition predicate), candidates scored with
+    M LUT reads off the broadcast query LUTs -- the corpus's raw vectors
+    are never read at query time at all. Same oracle as the scan path."""
+    path = ensure_ivfpq_index(spark, sf_dir)
+    emb = _quantized(spark, sf_dir)
+    _, probes = _ivf_assign_probes(emb, _first_k_cent_rows(emb))
+    probe_rows = [(int(r.query_id), int(r.centroid_id)) for r in probes.collect()]
+    probed_ids = sorted({cid for _, cid in probe_rows})
+
+    index = spark.read.parquet(path).where(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    probes_df = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id int"
+    )
+    cb_lit, _, sub_d = _pq_setup(emb)
+    queries = _pq_queries(emb, cb_lit, sub_d)
+    scored = _pq_scored(
+        index.join(broadcast(probes_df), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(broadcast(queries), "query_id")
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("simq_ppm"), F.asc("vec_id")],
+        TOP_K,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "simq_ppm", "rank")
+
+
+QUERIES = {
+    "ann_ivf_topk_indexed": ann_ivf_topk_indexed,
+    "ann_ivfpq_topk_indexed": ann_ivfpq_topk_indexed,
+}
+ORACLES = {
+    "ann_ivf_topk_indexed": _IVF_SQL,
+    "ann_ivfpq_topk_indexed": _SIM_ORACLES["ann_ivfpq_topk"],
+}

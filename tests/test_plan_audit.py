@@ -411,3 +411,40 @@ def test_ivf_index_partition_pruned(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, ann_ivf_topk(spark, sf_dir).collect()))
     assert got == want, "indexed path diverged from scan path"
+
+
+def test_ivfpq_index_partition_pruned_and_codes_only(spark, sf_dir):
+    """The durable IVF+PQ index: partition-pruned probes AND a codes-only
+    read -- the scan's ReadSchema must contain the two-bigint code columns
+    and must NOT read any raw vector column."""
+    import re
+
+    from cassandra_sstable_tools_spark.llm.ann_index import (
+        ann_ivfpq_topk_indexed,
+        ivfpq_index_path,
+    )
+    from cassandra_sstable_tools_spark.llm.similarity import ann_ivfpq_topk
+    from cassandra_sstable_tools_spark.plans.audit import (
+        assert_partition_pruned,
+        formatted_plan,
+    )
+
+    df = ann_ivfpq_topk_indexed(spark, sf_dir)
+    assert_partition_pruned(df, "centroid_id")
+    plan = formatted_plan(df)
+    idx_path = ivfpq_index_path(sf_dir)
+    idx_schemas = [
+        s for loc, s in re.findall(
+            r"Location:[^\n]*?([^\s,\]]+)[,\]][^\n]*\nReadSchema: struct<([^>]*)>",
+            plan,
+        )
+        if idx_path in loc
+    ] or re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("packed_codes" in s for s in idx_schemas)
+    assert not any("qv" in s.split("packed_codes")[0] and "array<bigint>" in s
+                   for s in idx_schemas if "packed_codes" in s), (
+        "index scan reads raw vectors alongside codes"
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, ann_ivfpq_topk(spark, sf_dir).collect()))
+    assert got == want, "indexed PQ path diverged from scan path"
