@@ -60,3 +60,45 @@ def salted_agg(
             for out, (kind, _col) in aggs.items()
         ]
     )
+
+
+def salted_returnflag_totals(spark, sf_dir: str) -> DataFrame:
+    """Driver-certified salted aggregation: lineitem totals by l_returnflag
+    (3 keys over the whole fact table -- exactly the hot-key shape salting
+    exists for) computed through the two-phase salted plan. The oracle is
+    the PLAIN one-phase GROUP BY, so a green row certifies the salted
+    decomposition is value-identical, not just that it runs. 100 TB: the
+    hot key's reducer cost drops B ways; the extra exchange moves only
+    B rows per key."""
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_int", F.floor("l_quantity").cast("bigint")
+    ).withColumn("price_cents", F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "total_qty": ("sum", "qty_int"),
+            "n_rows": ("count", "qty_int"),
+            "min_qty": ("min", "qty_int"),
+            "max_qty": ("max", "qty_int"),
+            "total_price_cents": ("sum", "price_cents"),
+        },
+    )
+
+
+QUERIES = {"salted_returnflag_totals": salted_returnflag_totals}
+ORACLES = {
+    "salted_returnflag_totals": """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       count(*) AS n_rows,
+       CAST(min(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(max(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS max_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_price_cents
+FROM lineitem
+GROUP BY 1
+"""
+}

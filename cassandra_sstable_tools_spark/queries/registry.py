@@ -59,6 +59,7 @@ def _modules():
         similarity,
         text,
     )
+    from cassandra_sstable_tools_spark.operators import salting
     from cassandra_sstable_tools_spark.streaming import events_stream, stateful
     from cassandra_sstable_tools_spark.queries import (
         catalog,
@@ -77,7 +78,7 @@ def _modules():
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
         text, packing, corpus, curation, dedup, similarity, ann_index,
         pipeline, events,
-        timeseries, multimodal, catalog, stateful, events_stream,
+        timeseries, multimodal, catalog, salting, stateful, events_stream,
     ]
 
 
