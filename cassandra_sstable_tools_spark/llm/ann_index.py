@@ -88,6 +88,20 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def append_vectors_to_ivf_index(
+    emb_subset: DataFrame, cent_rows, path: str
+) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors (same
+    literal-argmax scan, against the SAME frozen centroids the index was
+    built with -- the coarse quantizer is immutable once lists exist) and
+    append their rows to the existing list partitions. At 100 TB this is
+    the streaming-ingest path: each micro-batch pays one assignment scan +
+    a partitioned append; no existing list is rewritten. Equality with a
+    from-scratch build is pinned in tests/test_ann_index_incremental.py."""
+    assigned, _ = _ivf_assign_probes(emb_subset, cent_rows, carry=("qv", "norm"))
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize-once accessor (fingerprinted path => stale-proof)."""
     path = ivf_index_path(sf_dir)
