@@ -174,7 +174,23 @@ def _bucketed_section(spark, args, sf: str, out: list[tuple[str, str]]) -> None:
         ensure_bucketed_cells,
     )
 
-    b = ensure_bucketed_cells(spark, sf, table=args.bucketed)
+    # distinct scopes get distinct physical tables automatically: a table
+    # materialized unscoped must never serve a --keyspace/--table/-f run
+    # (and vice versa) -- the layout is scope-specific, like distinct
+    # tables in a lakehouse
+    scope_parts = [args.bucketed]
+    if args.keyspace:
+        scope_parts.append(f"ks_{args.keyspace}")
+    if args.table:
+        scope_parts.append(f"tb_{args.table}")
+    if args.filenames:
+        import hashlib
+
+        scope_parts.append(
+            "f_" + hashlib.md5(args.filenames.encode()).hexdigest()[:8]
+        )
+    table_name = "_".join(scope_parts)
+    b = ensure_bucketed_cells(spark, sf, table=table_name)
     out.append(("Largest partitions (bucketed layout, exchange-free)", _render(
         bucketed_top_partitions(b, args.n), {"size": "bytes"},
         order=None,  # bounded top-N frame is already deterministically ranked
@@ -326,20 +342,29 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             ann_ivfpq_topk,
         )
 
+        from cassandra_sstable_tools_spark.llm.similarity import (
+            N_QUERIES,
+            TOP_K,
+        )
+
+        # the ANN operators rank a FIXED top-K per query (registry/oracle
+        # contract); -n is a report-ranking knob, not an ANN parameter --
+        # the header states what actually ran instead of echoing -n
+        head = f"top-{TOP_K} neighbors (first {N_QUERIES} query vectors)"
+        limit = N_QUERIES * TOP_K
         if args.index == "ivfpq":
-            out.append((f"IVF+PQ top-{args.n} neighbors (first 20 query vectors)",
-                        _render(ann_ivfpq_topk(spark, sf).limit(200))))
+            out.append((f"IVF+PQ {head}",
+                        _render(ann_ivfpq_topk(spark, sf).limit(limit))))
         elif args.index == "ivf-disk":
             from cassandra_sstable_tools_spark.llm.ann_index import (
                 ann_ivf_topk_indexed,
             )
 
-            out.append((f"IVF (durable index) top-{args.n} neighbors "
-                        "(first 20 query vectors)",
-                        _render(ann_ivf_topk_indexed(spark, sf).limit(200))))
+            out.append((f"IVF (durable index) {head}",
+                        _render(ann_ivf_topk_indexed(spark, sf).limit(limit))))
         else:
-            out.append((f"IVF top-{args.n} neighbors (first 20 query vectors)",
-                        _render(ann_ivf_topk(spark, sf).limit(200))))
+            out.append((f"IVF {head}",
+                        _render(ann_ivf_topk(spark, sf).limit(limit))))
 
     for title, table in out:
         sys.stdout.write(f"{title}\n{table}\n")

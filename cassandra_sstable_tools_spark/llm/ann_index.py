@@ -51,27 +51,54 @@ INDEX_ROOT = os.environ.get(
 )
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """mtime+size digest of embeddings.parquet (file or directory of part
-    files): cheap (stat only), changes whenever the driver regenerates the
-    testdata, so index paths are self-invalidating."""
+# Bump when the on-disk layout or any index-defining expression changes
+# incompatibly (carry schema, quantization scale, packing, probe rule).
+_INDEX_LAYOUT_VERSION = "v2"
+
+
+def _source_fingerprint(sf_dir: str, config: str) -> str:
+    """Digest of (source data, index-defining config): nanosecond mtimes +
+    sizes of embeddings.parquet part files (cheap, stat only -- changes
+    whenever the driver regenerates the testdata) PLUS the layout version
+    and every constant that shapes the index (K, NPROBE, PQ dims...), so a
+    code change that alters index content also changes the path instead of
+    silently serving a stale index built by the old code."""
     import hashlib
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = []
+    parts = [_INDEX_LAYOUT_VERSION, config]
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
-            parts.append(f"{name}:{int(st.st_mtime)}:{st.st_size}")
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
     else:
         st = os.stat(src)
-        parts.append(f"{int(st.st_mtime)}:{st.st_size}")
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
     return hashlib.md5(";".join(parts).encode()).hexdigest()[:16]
 
 
-def ivf_index_path(sf_dir: str) -> str:
+def _index_path(sf_dir: str, kind: str, config: str) -> str:
+    """Fingerprinted index dir; superseded fingerprints for the same
+    (corpus slug, kind) are removed so /tmp does not accumulate one dead
+    index per regeneration."""
+    import shutil
+
     slug = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(INDEX_ROOT, f"{slug}_{_source_fingerprint(sf_dir)}")
+    prefix = f"{slug}_{kind}_"
+    current = prefix + _source_fingerprint(sf_dir, config)
+    if os.path.isdir(INDEX_ROOT):
+        for name in os.listdir(INDEX_ROOT):
+            if name.startswith(prefix) and name != current:
+                shutil.rmtree(os.path.join(INDEX_ROOT, name), ignore_errors=True)
+    return os.path.join(INDEX_ROOT, current)
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    from cassandra_sstable_tools_spark.llm.similarity import N_CENTROIDS, NPROBE
+
+    return _index_path(
+        sf_dir, "ivf", f"k={N_CENTROIDS};nprobe={NPROBE};q=1000"
+    )
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -97,7 +124,16 @@ def append_vectors_to_ivf_index(
     append their rows to the existing list partitions. At 100 TB this is
     the streaming-ingest path: each micro-batch pays one assignment scan +
     a partitioned append; no existing list is rewritten. Equality with a
-    from-scratch build is pinned in tests/test_ann_index_incremental.py."""
+    from-scratch build is pinned in tests/test_ann_index_incremental.py.
+
+    Production notes: (1) `path` is the caller's STABLE index location
+    managed by the ingest pipeline -- the fingerprinted `ensure_*` paths
+    are this repo's guard against the driver regenerating the fixture
+    corpus, not a production path-resolution scheme (a production corpus
+    mutates via this very append, it is not re-fingerprinted). (2) The
+    append is not idempotent: deliver batches exactly-once (e.g. a
+    Structured Streaming foreachBatch with checkpointing) or dedup on
+    vec_id downstream; a blind retry appends duplicates."""
     assigned, _ = _ivf_assign_probes(emb_subset, cent_rows, carry=("qv", "norm"))
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
@@ -155,8 +191,17 @@ def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivfpq_index_path(sf_dir: str) -> str:
-    slug = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(INDEX_ROOT, f"{slug}_pq_{_source_fingerprint(sf_dir)}")
+    from cassandra_sstable_tools_spark.llm.similarity import (
+        N_CENTROIDS,
+        NPROBE,
+        PQ_K,
+        PQ_M,
+    )
+
+    return _index_path(
+        sf_dir, "pq",
+        f"k={N_CENTROIDS};nprobe={NPROBE};m={PQ_M};pk={PQ_K};q=1000",
+    )
 
 
 def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:

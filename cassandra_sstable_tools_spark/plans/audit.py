@@ -67,25 +67,25 @@ def assert_no_sort_merge_join(df: DataFrame) -> None:
 
 
 def tree_node_count(df: DataFrame, node: str) -> int:
-    """Occurrences of a physical operator in the plan TREE only (the
-    "formatted" detail blocks repeat every node name once more as a
-    header line starting with "("; those are excluded)."""
+    """WHOLE-WORD occurrences of a physical operator in the plan TREE only
+    (the "formatted" detail blocks repeat every node name once more as a
+    header line starting with "("; those are excluded; word-boundary match
+    so e.g. "Window" does not count "WindowGroupLimit" nor "Exchange"
+    count "BroadcastExchange")."""
     plan = formatted_plan(df)
-    return sum(node in l for l in plan.splitlines() if not l.startswith("("))
+    pat = re.compile(rf"\b{re.escape(node)}\b")
+    return sum(
+        bool(pat.search(l)) for l in plan.splitlines() if not l.startswith("(")
+    )
 
 
 def assert_max_window_nodes(df: DataFrame, n: int) -> None:
     """At most ``n`` Window operators in the plan -- pins formulations that
     replaced a per-row ranking window (e.g. the IVF literal-argmax
     assignment) so a refactor can't silently reintroduce a corpus-sized
-    window + its Exchange."""
-    plan = formatted_plan(df)
-    # whole-word: WindowGroupLimit (the rank<=n pushdown) is not a Window
-    found = sum(
-        bool(re.search(r"\bWindow\b", l))
-        for l in plan.splitlines()
-        if not l.startswith("(")
-    )
+    window + its Exchange. (WindowGroupLimit, the rank<=n pushdown, is not
+    a Window -- whole-word matching excludes it.)"""
+    found = tree_node_count(df, "Window")
     assert found <= n, f"expected <= {n} Window nodes, found {found}"
 
 

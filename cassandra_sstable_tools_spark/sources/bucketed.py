@@ -80,8 +80,18 @@ def ensure_bucketed_cells(
     The catalog table is keyed by NAME alone: runs under different
     --keyspace/--table/-f scopes (or sf dirs) must use distinct table
     names, exactly as distinct physical layouts would be distinct tables
-    in a lakehouse."""
+    in a lakehouse (the CLI derives a scope-suffixed name automatically).
+
+    Cross-process note: the session catalog is in-memory, so a NEW process
+    cannot reuse a previous process's table metadata (bucketing info lives
+    in the metastore) -- but the warehouse DIRECTORY persists and blocks
+    CTAS. In that case the orphaned directory is cleared and the table
+    rebuilt; true cross-process reuse needs a persistent metastore (the
+    production lakehouse deployment)."""
     if not spark.catalog.tableExists(table):
+        # clear any orphaned warehouse dir from a previous process before
+        # re-materializing (saveAsTable refuses LOCATION_ALREADY_EXISTS)
+        drop_bucketed_table(spark, table)
         return materialize_bucketed_cells(spark, sf_dir, table, buckets)
     return spark.table(table)
 

@@ -173,28 +173,13 @@ def stream_sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_update_available_now(df: DataFrame, table_name: str) -> DataFrame:
     """Drain a stateful stream (update mode) into a memory sink; returns the
     materialized rows (all emits; single-batch availableNow emits each
-    (user, session) exactly once). State partition count scoped like
-    events_stream.run_available_now (a volume-sized deployment knob; the
-    per-state-partition provider/commit I/O is pure fixed cost locally)."""
+    (user, session) exactly once). Delegates to the shared drain helper
+    (state-partition scoping included)."""
     from cassandra_sstable_tools_spark.streaming.events_stream import (
-        STREAM_STATE_PARTITIONS,
+        run_available_now,
     )
 
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(table_name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(table_name)
+    return run_available_now(df, table_name, mode="update")
 
 
 # Oracle: the batch sessionize formulation (lag + running sum) -- the stateful
