@@ -377,3 +377,57 @@ LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN exact e USING (doc_id)
 """
 QUERIES["decontaminate_bloom"] = decontaminate_bloom
+
+
+# --- deterministic train/val/test split ------------------------------------
+# Split assignment is a pure function of doc_id (first md5 nibble), so any
+# re-run, retry, or cross-cluster execution assigns every document to the
+# same split -- the reproducibility property a training pipeline needs from
+# its split step. Fractions: train 12/16 (75%), val 2/16, test 2/16; the
+# test slice contains the EVAL_NIBBLE ('f') pseudo-benchmark slice used by
+# the decontamination passes, so "held out" is consistent across operators.
+SPLIT_TRAIN_NIBBLES = tuple("0123456789ab")
+SPLIT_VAL_NIBBLES = ("c", "d")
+
+
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, lang) audit of the deterministic hash split.
+
+    Scale shape: ONE codegen'd scan + one partial-aggregated groupBy on
+    (split, lang) -- no joins, no windows, no per-row Python. The min/max
+    doc_id columns make the certified row a content contract, not just a
+    count: a drifted hash function moves ids across splits and changes them.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*SPLIT_TRAIN_NIBBLES), "train")
+        .when(nib.isin(*SPLIT_VAL_NIBBLES), "val")
+        .otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_SPLIT_CASE_SQL = f"""CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+         {SPLIT_TRAIN_NIBBLES} THEN 'train'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+         {SPLIT_VAL_NIBBLES} THEN 'val'
+    ELSE 'test' END"""
+
+ORACLES["dataset_split_stats"] = f"""
+SELECT {_SPLIT_CASE_SQL} AS split,
+       lang,
+       count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1, 2
+"""
+QUERIES["dataset_split_stats"] = dataset_split_stats

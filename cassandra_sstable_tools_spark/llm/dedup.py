@@ -642,3 +642,74 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 QUERIES["dedup_clusters_star"] = dedup_clusters_star
+
+
+# --- cross-source duplicate overlap matrix ----------------------------------
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every (source_a, source_b) pair, how many distinct duplicated
+    passages (``CHUNK_WORDS``-word chunk hashes, the same grain as
+    ``chunk_dedup_stats``) appear in BOTH sources -- the provenance matrix
+    that tells a corpus owner which crawls mirror each other's boilerplate
+    (and therefore which dedup boundaries matter before mixture weighting).
+
+    Scale shape: chunks are built in-scan by the shared array-expression
+    chunker, then the corpus collapses to DISTINCT (chunk hash, source)
+    rows -- duplicated-passage grain, orders of magnitude smaller than the
+    corpus -- then a self-equi-join on the hash. Per-hash fanout is bounded
+    by (#sources choose 2), a deployment constant (tens), never N^2 in
+    documents: a chunk present in s sources contributes s*(s-1)/2 pairs
+    regardless of how many occurrences carry it. One shuffle for the
+    distinct, one co-partitioned hash join, one pair-grain groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    words = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
+    chunk_texts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+        ),
+    )
+    hs = (
+        d.select("source", F.explode(chunk_texts).alias("chunk"))
+        .select("source", F.md5("chunk").alias("h"))
+        .distinct()
+    )
+    return (
+        hs.alias("a")
+        .join(hs.alias("b"), "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+
+
+ORACLES["source_overlap_matrix"] = rf"""
+WITH n AS (
+    SELECT source, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+    FROM documents
+),
+w AS (SELECT source, string_split(norm, ' ') AS ws FROM n),
+idx AS (
+    SELECT source, ws,
+           unnest(generate_series(
+               0, CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS BIGINT) - 1)) AS i
+    FROM w
+),
+hs AS (
+    SELECT DISTINCT source,
+           md5(array_to_string(
+               list_slice(ws, i * {CHUNK_WORDS} + 1,
+                          i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')) AS h
+    FROM idx
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared_chunks
+FROM hs a JOIN hs b ON b.h = a.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+QUERIES["source_overlap_matrix"] = source_overlap_matrix

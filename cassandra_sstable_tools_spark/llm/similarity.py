@@ -1457,3 +1457,77 @@ QUERIES = {
     "embedding_neardup_pairs_proj": embedding_neardup_pairs_proj,
     "embedding_dedup_clusters": embedding_dedup_clusters,
 }
+
+
+# --- per-label centroid statistics ------------------------------------------
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class-centroid diagnostics over the quantized corpus: vector
+    count, mean per-vector squared norm, and the squared norm of the SUM
+    vector normalized by n^2 (= the mean embedding's squared norm, in
+    milliunit^2). A label whose mean-vector norm collapses toward 0 has
+    embeddings pointing in all directions (no class structure); one whose
+    mean norm approaches its per-vector norms is tightly clustered -- the
+    standard embedding-health check before using labels for retrieval.
+
+    Determinism/scale: ONE codegen scan of the cached quantized frame with
+    64 per-dimension integer sums fused into a single partial-aggregated
+    groupBy(label) -- no explode (a posexplode formulation would shuffle
+    N*64 rows), no window, no Python. The n^2 normalization keeps every
+    OUTPUT bounded (<= 64e6) regardless of corpus size, while intermediates
+    accumulate exactly in decimal(38,0); both engines truncate the final
+    all-positive divisions identically (`div` / `//`).
+    """
+    emb = _quantized(spark, sf_dir)
+    dims = 64  # fixture embedding width; mirrors the oracle's range(1, 65)
+    g = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("norm").cast("decimal(38,0)")).alias("_sn"),
+        *[
+            F.sum(F.element_at("qv", i + 1)).alias(f"_s{i}")
+            for i in range(dims)
+        ],
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sq = dec("_s0") * F.col("_s0")
+    for i in range(1, dims):
+        sq = sq + dec(f"_s{i}") * F.col(f"_s{i}")
+    return g.select(
+        "label",
+        "n_vecs",
+        F.expr("_sn div n_vecs").alias("mean_norm"),
+        sq.alias("_sq"),
+    ).selectExpr(
+        "label",
+        "n_vecs",
+        "mean_norm",
+        "_sq div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs)"
+        " AS mean_centroid_sq_norm",
+    )
+
+
+ORACLES["label_centroid_stats"] = f"""
+WITH lelems AS (
+    SELECT label, vec_id, i AS pos,
+           CAST(floor(embedding[i] * 1000) AS BIGINT) AS q
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+),
+pernorm AS (
+    SELECT label, vec_id, CAST(sum(q * q) AS BIGINT) AS norm
+    FROM lelems GROUP BY 1, 2
+),
+dims AS (
+    SELECT label, pos, sum(q)::HUGEINT AS s FROM lelems GROUP BY 1, 2
+),
+counts AS (
+    SELECT label, count(*) AS n_vecs, sum(norm)::HUGEINT AS sum_norm
+    FROM pernorm GROUP BY 1
+)
+SELECT d.label,
+       CAST(c.n_vecs AS BIGINT) AS n_vecs,
+       CAST(c.sum_norm // c.n_vecs AS BIGINT) AS mean_norm,
+       CAST(sum(d.s * d.s) // (c.n_vecs::HUGEINT * c.n_vecs) AS BIGINT)
+           AS mean_centroid_sq_norm
+FROM dims d JOIN counts c USING (label)
+GROUP BY 1, 2, 3, c.n_vecs
+"""
+QUERIES["label_centroid_stats"] = label_centroid_stats

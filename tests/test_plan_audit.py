@@ -448,3 +448,54 @@ def test_ivfpq_index_partition_pruned_and_codes_only(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, ann_ivfpq_topk(spark, sf_dir).collect()))
     assert got == want, "indexed PQ path diverged from scan path"
+
+
+def test_label_centroid_single_agg_no_explode(spark, sf_dir):
+    """The 64 per-dim sums must fuse into ONE groupBy(label) over the scan:
+    no Generate (a posexplode formulation would shuffle N*64 rows) and no
+    Window anywhere in the plan."""
+    from cassandra_sstable_tools_spark.llm.similarity import (
+        label_centroid_stats,
+    )
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(label_centroid_stats(spark, sf_dir))
+    assert "Generate" not in plan  # no explode of the qv array
+    assert "Window" not in plan
+
+
+def test_dataset_split_single_scan_no_join(spark, sf_dir):
+    """Split assignment is a pure per-row hash function: one scan, one
+    partial-aggregated groupBy, zero joins/windows."""
+    from cassandra_sstable_tools_spark.llm.curation import dataset_split_stats
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(dataset_split_stats(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_source_overlap_join_after_distinct(spark, sf_dir):
+    """The self-join must run on the DISTINCT (hash, source) frame (passage
+    grain), never on raw occurrences, and must be an equi-join."""
+    from cassandra_sstable_tools_spark.llm.dedup import source_overlap_matrix
+    from cassandra_sstable_tools_spark.plans.audit import (
+        assert_no_cartesian,
+        formatted_plan,
+    )
+
+    df = source_overlap_matrix(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    # the distinct's aggregate must appear on BOTH join inputs: two
+    # hash-partitioned pre-join aggregates (h, source grain) feed the join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_source_overlap_nontrivial(spark, sf_dir):
+    """Guard against trivial certification: the fixture DOES contain
+    cross-source duplicated passages, so the matrix must be non-empty
+    (an all-zero/empty result would certify nothing about the join)."""
+    from cassandra_sstable_tools_spark.llm.dedup import source_overlap_matrix
+
+    assert source_overlap_matrix(spark, sf_dir).count() > 0
