@@ -415,3 +415,53 @@ ORDER BY exact_cnt DESC, word ASC
 LIMIT {CMS_TOP_K}
 """
 QUERIES["heavy_hitters_cms"] = heavy_hitters_cms
+
+
+# --- exact per-source sample (salted top-k) ---------------------------------
+SAMPLE_TOP_K = 5
+
+
+def per_source_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``SAMPLE_TOP_K`` documents per source, selected by
+    deterministic md5 order -- the "pull k inspection samples from every
+    stratum" primitive (human eval, quality spot checks) where the selection
+    must be reproducible across re-runs AND exact-k (the hash-threshold
+    sampler ``stratified_sample_rates`` gives a rate, not a count).
+
+    Runs on ``top_n_per_group_salted``: ranking within (source, salt bucket)
+    first bounds every window partition at ~source/16, then re-ranks the
+    <= 16*k survivors -- no single task ever sorts a whole source (at 100 TB
+    a source is billions of rows; the plain per-group window is the
+    straggler this operator exists to avoid). Salt is a pure row hash, so
+    the result is bit-identical to the unsalted formulation the oracle
+    spells out.
+    """
+    from cassandra_sstable_tools_spark.operators.topn import (
+        top_n_per_group_salted,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("source"))
+        ).alias("sample_key"),
+    )
+    return top_n_per_group_salted(
+        keyed, ["source"], ["sample_key", "doc_id"], n=SAMPLE_TOP_K
+    )
+
+
+ORACLES["per_source_sample_topk"] = f"""
+SELECT doc_id, source, sample_key, rank FROM (
+    SELECT doc_id, source, sample_key,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY sample_key, doc_id) AS rank
+    FROM (SELECT doc_id, source,
+                 md5(concat(CAST(doc_id AS VARCHAR), '#', source))
+                     AS sample_key
+          FROM documents)
+) WHERE rank <= {SAMPLE_TOP_K}
+"""
+QUERIES["per_source_sample_topk"] = per_source_sample_topk

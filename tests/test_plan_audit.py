@@ -499,3 +499,18 @@ def test_source_overlap_nontrivial(spark, sf_dir):
     from cassandra_sstable_tools_spark.llm.dedup import source_overlap_matrix
 
     assert source_overlap_matrix(spark, sf_dir).count() > 0
+
+
+def test_per_source_sample_two_bounded_windows(spark, sf_dir):
+    """The salted sampler must plan TWO Window nodes -- the first partitioned
+    by (source, salt hash): the pmod(xxhash64) salt must appear in the plan,
+    proving no single window sorts a whole source."""
+    from cassandra_sstable_tools_spark.llm.corpus import per_source_sample_topk
+    from cassandra_sstable_tools_spark.plans.audit import (
+        formatted_plan,
+        tree_node_count,
+    )
+
+    df = per_source_sample_topk(spark, sf_dir)
+    assert tree_node_count(df, "Window") == 2
+    assert "pmod" in formatted_plan(df)

@@ -143,3 +143,35 @@ def test_sessionize_gap_boundary_is_strict(spark, tmp_path):
 
     over_gap = sessionize(spark, write("over", SESSION_GAP_SECONDS + 1)).collect()
     assert len(over_gap) == 2 and all(r["events"] == 1 for r in over_gap)
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """The salted two-phase top-k must be BIT-IDENTICAL to the single-window
+    formulation on random tie-heavy data, for several (n, buckets) configs
+    including buckets=1 (degenerates to two stacked windows) and n larger
+    than some groups (whole small groups survive)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_tools_spark.operators.topn import (
+        top_n_per_group,
+        top_n_per_group_salted,
+    )
+
+    rng = random.Random(20260814)
+    rows = [
+        (rng.choice(["g1", "g2", "g3", "g4"]), rng.randrange(7), f"k{i}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, metric long, key string")
+    for n, buckets in [(1, 16), (5, 16), (5, 1), (200, 4)]:
+        plain = top_n_per_group(
+            df, ["grp"], [F.col("metric").asc(), F.col("key").asc()], n=n
+        )
+        salted = top_n_per_group_salted(
+            df, ["grp"], ["metric", "key"], n=n, salt_buckets=buckets
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), f"diverged at n={n} buckets={buckets}"
