@@ -56,16 +56,18 @@ INDEX_ROOT = os.environ.get(
 _INDEX_LAYOUT_VERSION = "v2"
 
 
-def _source_fingerprint(sf_dir: str, config: str) -> str:
+def _source_fingerprint(
+    sf_dir: str, config: str, src_file: str = "embeddings.parquet"
+) -> str:
     """Digest of (source data, index-defining config): nanosecond mtimes +
-    sizes of embeddings.parquet part files (cheap, stat only -- changes
+    sizes of the source parquet's part files (cheap, stat only -- changes
     whenever the driver regenerates the testdata) PLUS the layout version
     and every constant that shapes the index (K, NPROBE, PQ dims...), so a
     code change that alters index content also changes the path instead of
     silently serving a stale index built by the old code."""
     import hashlib
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, src_file)
     parts = [_INDEX_LAYOUT_VERSION, config]
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
@@ -77,7 +79,9 @@ def _source_fingerprint(sf_dir: str, config: str) -> str:
     return hashlib.md5(";".join(parts).encode()).hexdigest()[:16]
 
 
-def _index_path(sf_dir: str, kind: str, config: str) -> str:
+def _index_path(
+    sf_dir: str, kind: str, config: str, src_file: str = "embeddings.parquet"
+) -> str:
     """Fingerprinted index dir; superseded fingerprints for the same
     (corpus slug, kind) are removed so /tmp does not accumulate one dead
     index per regeneration."""
@@ -85,7 +89,7 @@ def _index_path(sf_dir: str, kind: str, config: str) -> str:
 
     slug = sf_dir.strip("/").replace("/", "_")
     prefix = f"{slug}_{kind}_"
-    current = prefix + _source_fingerprint(sf_dir, config)
+    current = prefix + _source_fingerprint(sf_dir, config, src_file)
     if os.path.isdir(INDEX_ROOT):
         for name in os.listdir(INDEX_ROOT):
             if name.startswith(prefix) and name != current:

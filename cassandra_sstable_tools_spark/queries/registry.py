@@ -53,6 +53,7 @@ def _modules():
         corpus,
         curation,
         dedup,
+        dedup_index,
         multimodal,
         packing,
         pipeline,
@@ -76,7 +77,8 @@ def _modules():
 
     return [
         summary, sstables_listing, pstats, cfstats, purge, tpch, tpch_ext,
-        text, packing, corpus, curation, dedup, similarity, ann_index,
+        text, packing, corpus, curation, dedup, dedup_index, similarity,
+        ann_index,
         pipeline, events,
         timeseries, multimodal, catalog, salting, stateful, events_stream,
     ]
