@@ -58,3 +58,59 @@ def test_overlap_is_nontrivial(spark, sf_dir):
     share passages with the archive."""
     rows = DI.incremental_chunk_overlap(spark, sf_dir).collect()
     assert sum(r.seen_chunks for r in rows) > 0
+
+
+def test_streaming_ingest_foreachbatch(spark, sf_dir, tmp_path):
+    """The production ingest loop as real code: delta documents arrive as a
+    file STREAM (one file per micro-batch), each batch chunks itself,
+    anti-joins the durable index, and appends only new hashes via
+    foreachBatch + checkpoint. The final index must equal the from-scratch
+    build over archive+delta, and a checkpointed restart with no new input
+    must append nothing (the exactly-once delivery the append contract
+    requires)."""
+    docs = load_table(spark, sf_dir, "documents")
+    archive = docs.where(~DI._delta_flag(F.col("doc_id")))
+    delta = docs.where(DI._delta_flag(F.col("doc_id")))
+
+    idx_path = str(tmp_path / "chunk_index")
+    in_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    DI._chunk_occurrences(archive).select("h").distinct().write.parquet(
+        idx_path
+    )
+    # several arrival files -> several micro-batches
+    delta.repartition(3).write.parquet(in_dir)
+
+    def ingest(batch_df, _bid):
+        hashes = DI._chunk_occurrences(batch_df).select("h")
+        existing = batch_df.sparkSession.read.parquet(idx_path)
+        DI.append_chunks_to_index(
+            hashes.join(existing, "h", "left_anti"), idx_path
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got = {r.h for r in spark.read.parquet(idx_path).collect()}
+    want = {
+        r.h
+        for r in DI._chunk_occurrences(docs).select("h").distinct().collect()
+    }
+    assert got == want
+    n_rows = spark.read.parquet(idx_path).count()
+
+    run_once()  # restart, same checkpoint, no new files
+    assert spark.read.parquet(idx_path).count() == n_rows, (
+        "restart re-ingested a processed batch"
+    )
