@@ -1531,3 +1531,53 @@ FROM dims d JOIN counts c USING (label)
 GROUP BY 1, 2, 3, c.n_vecs
 """
 QUERIES["label_centroid_stats"] = label_centroid_stats
+
+
+# --- IVF recall vs exact ----------------------------------------------------
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@K of the IVF path against the exact brute-force
+    top-K -- the accuracy metric every ANN deployment tracks alongside its
+    latency, here CERTIFIED: both sides are deterministic, so the driver
+    hash pins the measured recall itself (a probe-selection or assignment
+    regression shows up as a changed recall row, not a silent quality drop).
+
+    Plan: both inputs are report-sized (N_QUERIES x TOP_K rows), so the
+    left join + per-query rollup is driver-trivial; all corpus-scale work
+    happens inside the two operators being compared. The denominator is the
+    EXACT list's actual length (== TOP_K here), so recall_ppm stays honest
+    if a tiny corpus returns short lists.
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("exact_k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+            F.floor(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                * 1000000
+                / F.count(F.lit(1))
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+ORACLES["ann_ivf_recall"] = f"""
+SELECT e.query_id,
+       count(*) AS exact_k,
+       CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS hits,
+       CAST(floor(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
+FROM ({_BRUTEFORCE_SQL}) e
+LEFT JOIN ({_IVF_SQL}) a
+       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY 1
+"""
+QUERIES["ann_ivf_recall"] = ann_ivf_recall
