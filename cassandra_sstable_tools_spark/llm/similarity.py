@@ -1581,3 +1581,44 @@ LEFT JOIN ({_IVF_SQL}) a
 GROUP BY 1
 """
 QUERIES["ann_ivf_recall"] = ann_ivf_recall
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@K of the banded sign-LSH path vs exact brute force
+    -- same certified-accuracy contract as ``ann_ivf_recall``, for the
+    second approximate path (band width self-tunes with corpus size, so
+    this row is the regression guard for that tuning rule)."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("exact_k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+            F.floor(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                * 1000000
+                / F.count(F.lit(1))
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+ORACLES["ann_lsh_recall"] = f"""
+SELECT e.query_id,
+       count(*) AS exact_k,
+       CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS hits,
+       CAST(floor(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
+FROM ({_BRUTEFORCE_SQL}) e
+LEFT JOIN ({_LSH_SQL}) a
+       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY 1
+"""
+QUERIES["ann_lsh_recall"] = ann_lsh_recall
