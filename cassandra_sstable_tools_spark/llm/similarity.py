@@ -1533,26 +1533,24 @@ GROUP BY 1, 2, 3, c.n_vecs
 QUERIES["label_centroid_stats"] = label_centroid_stats
 
 
-# --- IVF recall vs exact ----------------------------------------------------
-def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@K of the IVF path against the exact brute-force
-    top-K -- the accuracy metric every ANN deployment tracks alongside its
-    latency, here CERTIFIED: both sides are deterministic, so the driver
-    hash pins the measured recall itself (a probe-selection or assignment
-    regression shows up as a changed recall row, not a silent quality drop).
+# --- recall vs exact: the certified-accuracy contract for every
+# approximate path ------------------------------------------------------------
+def _recall_vs_exact(spark, sf_dir, approx: DataFrame) -> DataFrame:
+    """Per-query recall@K of an approximate top-k frame against the exact
+    brute-force top-K. Both sides are deterministic, so the driver hash
+    pins the MEASURED recall itself -- a probe-selection, assignment,
+    band-tuning, or quantization regression shows up as a changed recall
+    row, not a silent quality drop.
 
     Plan: both inputs are report-sized (N_QUERIES x TOP_K rows), so the
     left join + per-query rollup is driver-trivial; all corpus-scale work
     happens inside the two operators being compared. The denominator is the
     EXACT list's actual length (== TOP_K here), so recall_ppm stays honest
-    if a tiny corpus returns short lists.
-    """
+    if a tiny corpus returns short lists."""
     exact = ann_bruteforce_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    approx = ann_ivf_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    approx = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -1568,7 +1566,8 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["ann_ivf_recall"] = f"""
+def _recall_oracle(approx_sql: str) -> str:
+    return f"""
 SELECT e.query_id,
        count(*) AS exact_k,
        CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
@@ -1576,49 +1575,35 @@ SELECT e.query_id,
        CAST(floor(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
                   * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
 FROM ({_BRUTEFORCE_SQL}) e
-LEFT JOIN ({_IVF_SQL}) a
+LEFT JOIN ({approx_sql}) a
        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
 GROUP BY 1
 """
-QUERIES["ann_ivf_recall"] = ann_ivf_recall
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the IVF path (see ``_recall_vs_exact``): the regression
+    guard for probe selection and assignment."""
+    return _recall_vs_exact(spark, sf_dir, ann_ivf_topk(spark, sf_dir))
 
 
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@K of the banded sign-LSH path vs exact brute force
-    -- same certified-accuracy contract as ``ann_ivf_recall``, for the
-    second approximate path (band width self-tunes with corpus size, so
-    this row is the regression guard for that tuning rule)."""
-    exact = ann_bruteforce_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    approx = ann_lsh_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("exact_k"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
-            F.floor(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                * 1000000
-                / F.count(F.lit(1))
-            ).alias("recall_ppm"),
-        )
-    )
+    """Recall@K of the banded sign-LSH path: the regression guard for the
+    self-tuning band-width rule."""
+    return _recall_vs_exact(spark, sf_dir, ann_lsh_topk(spark, sf_dir))
 
 
-ORACLES["ann_lsh_recall"] = f"""
-SELECT e.query_id,
-       count(*) AS exact_k,
-       CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-           AS hits,
-       CAST(floor(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
-                  * 1000000.0 / count(*)) AS BIGINT) AS recall_ppm
-FROM ({_BRUTEFORCE_SQL}) e
-LEFT JOIN ({_LSH_SQL}) a
-       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-GROUP BY 1
-"""
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the composed IVF+PQ path: unlike IVF recall (probe
+    misses only), this row also prices the PQ reconstruction error -- the
+    compute+memory trade of the billion-scale layout expressed as a
+    certified accuracy number."""
+    return _recall_vs_exact(spark, sf_dir, ann_ivfpq_topk(spark, sf_dir))
+
+
+ORACLES["ann_ivf_recall"] = _recall_oracle(_IVF_SQL)
+ORACLES["ann_lsh_recall"] = _recall_oracle(_LSH_SQL)
+ORACLES["ann_ivfpq_recall"] = _recall_oracle(ORACLES["ann_ivfpq_topk"])
+QUERIES["ann_ivf_recall"] = ann_ivf_recall
 QUERIES["ann_lsh_recall"] = ann_lsh_recall
+QUERIES["ann_ivfpq_recall"] = ann_ivfpq_recall
