@@ -881,3 +881,122 @@ FROM pr{PR_ROUNDS}
 
 ORACLES["supplier_part_pagerank"] = _pagerank_oracle()
 QUERIES["supplier_part_pagerank"] = supplier_part_pagerank
+
+
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority analysis (q12 adapted: no l_shipmode /
+    l_commitdate / l_receiptdate in the fixtures, so l_linestatus stands in
+    for the mode grouping and "slow" = shipped more than 60 days after the
+    order date). Preserves q12's shape exactly: one orders<->lineitem equi
+    join, dual CASE-counting of priority classes per group. The join keys
+    both sides on orderkey (the only big shuffle); the priority test is a
+    map-side expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    slow = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return slow.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+ORACLES["tpch_q12_priority_shipping"] = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+QUERIES["tpch_q12_priority_shipping"] = tpch_q12_priority_shipping
+
+
+Q20_NAME_PREFIX = "blue"
+# A supplier "has excess availability" when its shipped share of a part
+# exceeds 1/Q20_SHARE_DENOM of that part's total. The fixture spreads every
+# part near-uniformly over ~10 suppliers, so the original q20 spirit
+# ("more than half of demand") selects nobody; above-average share (>1/10)
+# keeps the nested-aggregate shape AND a non-trivial certified result.
+Q20_SHARE_DENOM = 10
+
+
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion suppliers (q20 adapted: no partsupp table,
+    so the supply relation is the (partkey, suppkey) pairs actually traded
+    in lineitem -- same adaptation as q16 -- and "excess availability"
+    means the supplier's shipped share of a matching part exceeds
+    1/Q20_SHARE_DENOM of that part's total -- above-average for the
+    fixture's ~10-suppliers-per-part spread). Preserves q20's nested
+    semi-join chain: name-filtered
+    parts -> per-(part, supplier) quantity vs a per-part threshold ->
+    DISTINCT qualifying suppliers -> supplier/nation lookup.
+
+    Scale: the name filter broadcasts into the lineitem scan; quantities
+    aggregate at (part, supplier) grain (one shuffle on partkey); the
+    share test is an integer cross-multiplication (DENOM*supp > total,
+    no division); the final supplier join is a broadcast of the qualifying
+    supplier ids."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+    )
+    pair_qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
+    )
+    part_total = pair_qty.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    excess = (
+        pair_qty.join(part_total, "l_partkey")
+        .where(F.lit(Q20_SHARE_DENOM) * F.col("supp_qty") > F.col("total_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"), "l_partkey")
+    )
+    per_supp = excess.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("excess_parts")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(broadcast(per_supp), "s_suppkey")
+        .join(
+            broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", F.col("n_name").alias("nation"), "excess_parts")
+    )
+
+
+ORACLES["tpch_q20_excess_suppliers"] = f"""
+WITH pair_qty AS (
+    SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS supp_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+    GROUP BY 1, 2
+),
+part_total AS (
+    SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS total_qty
+    FROM pair_qty GROUP BY 1
+),
+per_supp AS (
+    SELECT p.l_suppkey AS s_suppkey, count(*) AS excess_parts
+    FROM pair_qty p JOIN part_total t USING (l_partkey)
+    WHERE {Q20_SHARE_DENOM} * p.supp_qty > t.total_qty
+    GROUP BY 1
+)
+SELECT s.s_name, n.n_name AS nation, e.excess_parts
+FROM supplier s
+JOIN per_supp e USING (s_suppkey)
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+QUERIES["tpch_q20_excess_suppliers"] = tpch_q20_excess_suppliers
