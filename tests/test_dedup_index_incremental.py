@@ -49,7 +49,11 @@ def test_overlap_query_reads_index_not_archive(spark, sf_dir):
 
     df = DI.incremental_chunk_overlap(spark, sf_dir)
     plan = formatted_plan(df)
-    assert "spark_graft_ann_index" in plan or "chunks" in plan
+    # the durable index's own directory (basename carries the fingerprint)
+    # must be one of the plan's scan locations
+    import os
+
+    assert os.path.basename(DI.chunk_index_path(sf_dir)) in plan
     assert tree_node_count(df, "Generate") == 1
 
 
