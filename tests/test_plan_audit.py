@@ -514,3 +514,37 @@ def test_per_source_sample_two_bounded_windows(spark, sf_dir):
     df = per_source_sample_topk(spark, sf_dir)
     assert tree_node_count(df, "Window") == 2
     assert "pmod" in formatted_plan(df)
+
+
+def test_q12_single_join_no_window(spark, sf_dir):
+    """q12's shape is one orders<->lineitem equi join + one fused agg: no
+    Window, no cartesian, and the date-lateness predicate must not force a
+    non-equi join strategy."""
+    from cassandra_sstable_tools_spark.queries.tpch_ext import (
+        tpch_q12_priority_shipping,
+    )
+    from cassandra_sstable_tools_spark.plans.audit import (
+        assert_no_cartesian,
+        formatted_plan,
+    )
+
+    df = tpch_q12_priority_shipping(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "Window" not in formatted_plan(df)
+
+
+def test_q20_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """q20's name-filtered part list, qualifying-supplier set, and nation
+    lookups are all broadcast (>= 3 broadcast joins); the only shuffles key
+    on partkey/suppkey."""
+    from cassandra_sstable_tools_spark.queries.tpch_ext import (
+        tpch_q20_excess_suppliers,
+    )
+    from cassandra_sstable_tools_spark.plans.audit import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    df = tpch_q20_excess_suppliers(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, min_count=3)
