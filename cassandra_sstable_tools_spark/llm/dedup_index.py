@@ -88,13 +88,22 @@ def build_chunk_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 def append_chunks_to_index(new_hashes: DataFrame, path: str) -> None:
-    """Incremental maintenance: append a batch's genuinely-new distinct
-    hashes. Same production caveats as the ANN append
-    (`ann_index.append_vectors_to_ivf_index`): the caller owns exactly-once
-    batch delivery; a blind retry appends duplicate hashes (harmless for
-    membership semantics here -- the join is on existence -- but it bloats
-    the index; dedup on write if retries are possible)."""
-    new_hashes.select("h").distinct().write.mode("append").parquet(path)
+    """Incremental maintenance: append a batch's genuinely-new hashes.
+
+    The index MUST stay hash-unique: the overlap query joins occurrences
+    against it, and a duplicated index hash would fan that join out and
+    overcount ``seen_chunks``. This function therefore anti-joins the
+    batch against the existing index itself (one hash-keyed join per
+    batch, same cost class as the overlap query), so uniqueness holds by
+    construction -- a retried batch appends nothing the second time.
+    Exactly-once delivery (foreachBatch + checkpoint, see the streaming
+    ingest test) remains the cheaper production path because it skips the
+    re-read entirely on replay."""
+    spark = new_hashes.sparkSession
+    fresh = new_hashes.select("h").distinct()
+    if os.path.exists(path):
+        fresh = fresh.join(spark.read.parquet(path), "h", "left_anti")
+    fresh.write.mode("append").parquet(path)
 
 
 def ensure_chunk_index(spark: SparkSession, sf_dir: str) -> str:

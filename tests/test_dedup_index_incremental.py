@@ -24,17 +24,18 @@ def test_appended_index_equals_full_build(spark, sf_dir, tmp_path):
     base.select("h").distinct().write.parquet(inc_path)
 
     batch = DI._chunk_occurrences(d.where(F.col("doc_id") >= split))
-    # production flow appends only genuinely-new hashes (anti-join the
-    # existing index); membership must still equal the full build
-    existing = spark.read.parquet(inc_path)
-    DI.append_chunks_to_index(
-        batch.select("h").join(existing, "h", "left_anti"), inc_path
-    )
+    # the append anti-joins the existing index internally, keeping the
+    # index hash-unique by construction
+    DI.append_chunks_to_index(batch, inc_path)
 
     got = {r.h for r in spark.read.parquet(inc_path).collect()}
     want = {r.h for r in DI._chunk_occurrences(d).select("h").distinct().collect()}
     assert got == want
-    # the anti-join append also kept the index hash-unique
+    assert spark.read.parquet(inc_path).count() == len(got)
+
+    # a blind retry of the same batch must append NOTHING (the uniqueness
+    # invariant the overlap query's join depends on)
+    DI.append_chunks_to_index(batch, inc_path)
     assert spark.read.parquet(inc_path).count() == len(got)
 
 
@@ -87,10 +88,8 @@ def test_streaming_ingest_foreachbatch(spark, sf_dir, tmp_path):
     delta.repartition(3).write.parquet(in_dir)
 
     def ingest(batch_df, _bid):
-        hashes = DI._chunk_occurrences(batch_df).select("h")
-        existing = batch_df.sparkSession.read.parquet(idx_path)
         DI.append_chunks_to_index(
-            hashes.join(existing, "h", "left_anti"), idx_path
+            DI._chunk_occurrences(batch_df).select("h"), idx_path
         )
 
     def run_once():
