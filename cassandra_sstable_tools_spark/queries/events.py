@@ -367,3 +367,39 @@ QUERIES = {
     "purchase_attribution": purchase_attribution,
     "clicks_near_purchases": clicks_near_purchases,
 }
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value percentiles -- the A5 percentile operator
+    (shared with pstats/cfstats) applied to the events surface: one fused
+    single-buffer ``percentile(col, array(...))`` aggregate per type plus
+    the count. Same scale contract as pstats: exact mode for the certified
+    gate, the ``approx=True`` flag of ``percentile_cols`` is the documented
+    bounded-memory path at 100 TB."""
+    from cassandra_sstable_tools_spark.operators.percentiles import (
+        percentile_cols,
+    )
+
+    ev = events_table(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        *percentile_cols("value"),
+    )
+
+
+def _events_pctl_oracle() -> str:
+    from cassandra_sstable_tools_spark.operators.percentiles import (
+        percentile_sql,
+    )
+
+    return f"""
+SELECT event_type,
+       count(*) AS events,
+       {percentile_sql("value")}
+FROM events
+GROUP BY 1
+"""
+
+
+ORACLES["events_value_percentiles"] = _events_pctl_oracle()
+QUERIES["events_value_percentiles"] = events_value_percentiles
