@@ -305,3 +305,72 @@ FROM scored
 
 ORACLES["doc_quality_scores"] = _quality_scores_oracle()
 QUERIES["doc_quality_scores"] = doc_quality_scores
+
+
+# --- one-row corpus health dashboard ----------------------------------------
+def corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first query a corpus owner runs: one row of corpus-level health
+    KPIs -- document/source/language counts, total characters, the
+    held-out-eval slice size, and the global duplicated-passage rate
+    (chunk-grain, from the same chunker every dedup operator shares).
+
+    Scale shape: each cardinality reduces at ITS OWN grain first (groupBy
+    source -> count of groups, etc. -- no countDistinct Expand over the
+    corpus scan), the chunk stats aggregate `chunk_dedup_stats`' per-doc
+    output, and the 1-row frames compose via broadcast crossJoins (the
+    established scalar-join pattern, never a corpus-side shuffle)."""
+    from cassandra_sstable_tools_spark.llm.curation import _is_eval
+    from cassandra_sstable_tools_spark.llm.dedup import chunk_dedup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(_is_eval(F.col("doc_id")).cast("long")).alias("eval_docs"),
+    )
+    sources = (
+        d.groupBy("source").agg(F.lit(1)).agg(F.count(F.lit(1)).alias("sources"))
+    )
+    langs = d.groupBy("lang").agg(F.lit(1)).agg(F.count(F.lit(1)).alias("langs"))
+    chunks = chunk_dedup_stats(spark, sf_dir).agg(
+        F.sum("n_chunks").alias("chunks"),
+        F.sum("dup_chunks").alias("dup_chunks"),
+    )
+    return (
+        base.crossJoin(sources)
+        .crossJoin(langs)
+        .crossJoin(chunks)
+        .withColumn(
+            "dup_chunk_ppm",
+            F.floor(F.col("dup_chunks") * 1000000 / F.col("chunks")),
+        )
+    )
+
+
+def _dashboard_oracle() -> str:
+    from cassandra_sstable_tools_spark.llm.curation import EVAL_NIBBLE
+    from cassandra_sstable_tools_spark.llm.dedup import ORACLES as _DORACLES
+
+    return f"""
+WITH chunk_stats AS ({_DORACLES["chunk_dedup_stats"]}),
+chunk_tot AS (
+    SELECT CAST(sum(n_chunks) AS BIGINT) AS chunks,
+           CAST(sum(dup_chunks) AS BIGINT) AS dup_chunks
+    FROM chunk_stats
+)
+SELECT (SELECT count(*) FROM documents) AS docs,
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS total_chars,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{EVAL_NIBBLE}')
+           AS eval_docs,
+       (SELECT count(DISTINCT source) FROM documents) AS sources,
+       (SELECT count(DISTINCT lang) FROM documents) AS langs,
+       chunks, dup_chunks,
+       CAST(floor(dup_chunks * 1000000.0 / chunks) AS BIGINT)
+           AS dup_chunk_ppm
+FROM chunk_tot
+"""
+
+
+ORACLES["corpus_dashboard"] = _dashboard_oracle()
+QUERIES["corpus_dashboard"] = corpus_dashboard
