@@ -324,3 +324,67 @@ QUERIES = {
     "stream_events_sliding": stream_events_sliding_agg,
     "stream_click_purchase_pairs": stream_click_purchase_pairs_drained,
 }
+
+
+def stream_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment -- the canonical dimension-join
+    pattern the other stream queries don't exercise: each streaming event
+    joins a small static dimension (per-type historical event totals,
+    computed once from the batch table) BEFORE the windowed aggregation, so
+    the dim column rides through into the hourly rollup.
+
+    Scale posture: the static side is dimension-sized and broadcast -- the
+    stream side never shuffles for the join (micro-batches join against the
+    executor-local copy); the only stateful exchange remains the windowed
+    aggregation's, exactly as in `stream_events_hourly`. This is how a
+    100 TB/day feed picks up slowly-changing reference data without a
+    per-batch shuffle."""
+    schema, ts_s = events_stream_spec(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("hist_events"))
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.timestamp_seconds(ts_s))
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    return (
+        enriched.withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "1 hour").alias("w"),
+            "event_type",
+            "hist_events",
+        )
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "hist_events",
+            "events",
+        )
+    )
+
+
+def stream_events_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: drain the enriched hourly stream to completion."""
+    _DRAIN_COUNTER[0] += 1
+    return run_available_now(
+        stream_events_enriched(spark, sf_dir),
+        f"t_reg_stream_enriched_{_DRAIN_COUNTER[0]}",
+    )
+
+
+ORACLES["stream_events_enriched"] = f"""
+WITH dim AS (SELECT event_type, count(*) AS hist_events FROM events GROUP BY 1)
+SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
+       e.event_type,
+       d.hist_events,
+       count(*) AS events
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1, 2, 3
+"""
+QUERIES["stream_events_enriched"] = stream_events_enriched_agg
