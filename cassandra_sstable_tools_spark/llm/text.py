@@ -324,3 +324,61 @@ ORACLES["lang_confusion"] = (
     "FROM li GROUP BY 1, 2"
 )
 QUERIES["lang_confusion"] = lang_confusion
+
+
+def source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation view of the ``text_quality`` signals: document
+    count, kept-document count/rate, and floored mean word count and
+    punctuation ppm -- the table a corpus owner reads to decide which crawl
+    sources to downweight (the per-source complement of the per-lang
+    ``mixture_budget`` and the global ``corpus_dashboard``).
+
+    Plan: the quality expressions re-evaluate IN the same scan that carries
+    `source` (one codegen pass + one groupBy(source) -- no corpus-grain
+    join back to documents, which a compose-from-text_quality formulation
+    would need since that frame drops the source column)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
+    wc = _word_count(F.col("text"))
+    punct_ppm = F.floor(punct * 1000000 / n)
+    keep = (
+        (n >= 100) & (wc >= 20) & (punct_ppm < 300000)
+    ).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(keep).alias("kept_docs"),
+        F.floor(F.sum(keep) * 1000000 / F.count(F.lit(1))).alias("keep_ppm"),
+        F.floor(F.sum(wc) / F.count(F.lit(1))).alias("mean_word_count"),
+        F.floor(F.sum(punct_ppm) / F.count(F.lit(1))).alias("mean_punct_ppm"),
+    )
+
+
+ORACLES["source_quality_matrix"] = rf"""
+WITH q AS (
+    SELECT source,
+           length(text) AS char_len,
+           floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+                 / length(text)) AS punct_ppm,
+           {_WC_SQL} AS word_count
+    FROM documents
+),
+flags AS (
+    SELECT source, punct_ppm, word_count,
+           CASE WHEN char_len >= 100 AND word_count >= 20
+                     AND punct_ppm < 300000
+                THEN 1 ELSE 0 END AS keep
+    FROM q
+)
+SELECT source,
+       count(*) AS docs,
+       CAST(sum(keep) AS BIGINT) AS kept_docs,
+       CAST(floor(sum(keep) * 1000000.0 / count(*)) AS BIGINT) AS keep_ppm,
+       CAST(floor(sum(word_count) * 1.0 / count(*)) AS BIGINT)
+           AS mean_word_count,
+       CAST(floor(sum(punct_ppm) * 1.0 / count(*)) AS BIGINT)
+           AS mean_punct_ppm
+FROM flags
+GROUP BY 1
+"""
+QUERIES["source_quality_matrix"] = source_quality_matrix
