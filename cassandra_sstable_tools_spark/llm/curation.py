@@ -35,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cassandra_sstable_tools_spark.llm.text import _TOKEN_RE, _word_count
+from cassandra_sstable_tools_spark.llm.text import (
+    KEEP_MAX_PUNCT_PPM,
+    KEEP_MIN_CHARS,
+    KEEP_MIN_WORDS,
+    _TOKEN_RE,
+    _word_count,
+)
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
 # Word-n-gram size for contamination matching. 8 is the common published
@@ -92,13 +98,14 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keep_flag(text_col):
-    """The text_quality composite keep flag (shared cutoff constants)."""
+    """The text_quality composite keep flag (cutoff constants shared with
+    llm.text so tightening the quality filter updates every consumer)."""
     n = F.length(text_col)
     punct = F.regexp_count(text_col, F.lit(r"[^A-Za-z0-9\s]"))
     return (
-        (n >= 100)
-        & (_word_count(text_col) >= 20)
-        & (F.floor(punct * 1000000 / n) < 300000)
+        (n >= KEEP_MIN_CHARS)
+        & (_word_count(text_col) >= KEEP_MIN_WORDS)
+        & (F.floor(punct * 1000000 / n) < KEEP_MAX_PUNCT_PPM)
     ).cast("int")
 
 
@@ -162,9 +169,9 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '{EVAL_NIBBLE}'
 WITH scored AS (
   SELECT lang, doc_id,
          len(regexp_extract_all(text, '{_TOKEN_RE}')) AS tokens,
-         CASE WHEN length(text) >= 100 AND ({_WC_SQL}) >= 20
+         CASE WHEN length(text) >= {KEEP_MIN_CHARS} AND ({_WC_SQL}) >= {KEEP_MIN_WORDS}
                    AND floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-                             * 1000000 / length(text)) < 300000
+                             * 1000000 / length(text)) < {KEEP_MAX_PUNCT_PPM}
               THEN 1 ELSE 0 END AS keep
   FROM documents
 ),

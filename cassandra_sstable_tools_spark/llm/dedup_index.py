@@ -41,8 +41,18 @@ from cassandra_sstable_tools_spark.llm.dedup import CHUNK_WORDS
 from cassandra_sstable_tools_spark.llm.ann_index import _index_path
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
-# Delta slice = the dataset_split_stats test split (md5 nibble e/f).
-DELTA_NIBBLES = ("e", "f")
+# Delta slice = the dataset_split_stats test split: the hex nibbles not
+# claimed by curation's train/val splits.  Derived (not restated) so editing
+# the split constants can never silently desynchronize this slice.
+from cassandra_sstable_tools_spark.llm.curation import (  # noqa: E402
+    SPLIT_TRAIN_NIBBLES,
+    SPLIT_VAL_NIBBLES,
+)
+
+DELTA_NIBBLES = tuple(
+    n for n in "0123456789abcdef"
+    if n not in SPLIT_TRAIN_NIBBLES and n not in SPLIT_VAL_NIBBLES
+)
 
 
 def _chunk_occurrences(d: DataFrame, *keep_cols: str) -> DataFrame:
@@ -98,7 +108,15 @@ def append_chunks_to_index(new_hashes: DataFrame, path: str) -> None:
     construction -- a retried batch appends nothing the second time.
     Exactly-once delivery (foreachBatch + checkpoint, see the streaming
     ingest test) remains the cheaper production path because it skips the
-    re-read entirely on replay."""
+    re-read entirely on replay.
+
+    SINGLE WRITER REQUIRED: the anti-join reads a snapshot of the index
+    and then appends to the same path, so two concurrent appends would
+    each anti-join against the pre-append snapshot and could both insert
+    a shared hash, breaking the uniqueness invariant above. Callers must
+    serialize appends externally (the streaming ingest path does this
+    naturally -- foreachBatch batches run one at a time per query); for
+    ad-hoc batch use, take a lock or route all appends through one job."""
     spark = new_hashes.sparkSession
     fresh = new_hashes.select("h").distinct()
     if os.path.exists(path):

@@ -273,16 +273,21 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_scores_oracle() -> str:
     from cassandra_sstable_tools_spark.llm.curation import _WC_SQL
-    from cassandra_sstable_tools_spark.llm.text import ORACLES as TEXT_ORACLES
+    from cassandra_sstable_tools_spark.llm.text import (
+        KEEP_MAX_PUNCT_PPM,
+        KEEP_MIN_CHARS,
+        KEEP_MIN_WORDS,
+        ORACLES as TEXT_ORACLES,
+    )
 
     return f"""
 WITH rep AS ({TEXT_ORACLES["doc_repetition"]}),
 li AS ({TEXT_ORACLES["lang_id"]}),
 k AS (
     SELECT doc_id,
-           CASE WHEN length(text) >= 100 AND ({_WC_SQL}) >= 20
+           CASE WHEN length(text) >= {KEEP_MIN_CHARS} AND ({_WC_SQL}) >= {KEEP_MIN_WORDS}
                      AND floor(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-                               * 1000000 / length(text)) < 300000
+                               * 1000000 / length(text)) < {KEEP_MAX_PUNCT_PPM}
                 THEN 1 ELSE 0 END AS keep
     FROM documents
 ),

@@ -70,6 +70,24 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Composite keep-predicate thresholds, shared by text_quality,
+# source_quality_matrix and their oracles -- tighten them in ONE place.
+KEEP_MIN_CHARS = 100
+KEEP_MIN_WORDS = 20
+KEEP_MAX_PUNCT_PPM = 300000
+
+
+def _keep_flag(char_len, word_count, punct_ppm):
+    """The composite keep predicate as a Column (nonempty text assumed:
+    punct_ppm divides by char_len, and char_len >= KEEP_MIN_CHARS already
+    excludes empty rows from ever keeping)."""
+    return (
+        (char_len >= KEEP_MIN_CHARS)
+        & (word_count >= KEEP_MIN_WORDS)
+        & (punct_ppm < KEEP_MAX_PUNCT_PPM)
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals as exact integer ppm of char_len; composite keep-flag."""
     d = load_table(spark, sf_dir, "documents")
@@ -90,10 +108,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "keep",
-        (
-            (F.col("char_len") >= 100)
-            & (F.col("word_count") >= 20)
-            & (F.col("punct_ppm") < 300000)
+        _keep_flag(
+            F.col("char_len"), F.col("word_count"), F.col("punct_ppm")
         ).cast("int"),
     )
 
@@ -221,9 +237,9 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))
            AS stopword_hits,
        {_WC_SQL} AS word_count,
-       CASE WHEN length(text) >= 100 AND ({_WC_SQL}) >= 20
+       CASE WHEN length(text) >= {KEEP_MIN_CHARS} AND ({_WC_SQL}) >= {KEEP_MIN_WORDS}
                  AND floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
-                           / length(text)) < 300000
+                           / length(text)) < {KEEP_MAX_PUNCT_PPM}
             THEN 1 ELSE 0 END AS keep
 FROM documents
 """,
@@ -342,9 +358,7 @@ def source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
     wc = _word_count(F.col("text"))
     punct_ppm = F.floor(punct * 1000000 / n)
-    keep = (
-        (n >= 100) & (wc >= 20) & (punct_ppm < 300000)
-    ).cast("long")
+    keep = _keep_flag(n, wc, punct_ppm).cast("long")
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(keep).alias("kept_docs"),
@@ -365,8 +379,8 @@ WITH q AS (
 ),
 flags AS (
     SELECT source, punct_ppm, word_count,
-           CASE WHEN char_len >= 100 AND word_count >= 20
-                     AND punct_ppm < 300000
+           CASE WHEN char_len >= {KEEP_MIN_CHARS} AND word_count >= {KEEP_MIN_WORDS}
+                     AND punct_ppm < {KEEP_MAX_PUNCT_PPM}
                 THEN 1 ELSE 0 END AS keep
     FROM q
 )

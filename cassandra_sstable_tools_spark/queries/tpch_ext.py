@@ -950,8 +950,10 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
         "l_partkey",
     )
+    # Sum first, cast the sum -- matches the oracle's CAST(sum(...)) order
+    # so the two stay hash-equal even on a fixture with fractional quantities.
     pair_qty = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
+        F.sum("l_quantity").cast("long").alias("supp_qty")
     )
     part_total = pair_qty.groupBy("l_partkey").agg(
         F.sum("supp_qty").alias("total_qty")
