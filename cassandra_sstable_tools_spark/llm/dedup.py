@@ -546,25 +546,7 @@ def chunk_dedup_over(n: DataFrame) -> DataFrame:
     occurrences = n.select(
         "doc_id", F.explode(chunk_texts).alias("chunk")
     ).select("doc_id", F.md5("chunk").alias("h"))
-    freq = occurrences.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
-    return (
-        occurrences.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias(
-                "dup_chunks"
-            ),
-        )
-        .select(
-            "doc_id",
-            "n_chunks",
-            "dup_chunks",
-            F.floor(F.col("dup_chunks") * 1000000 / F.col("n_chunks")).alias(
-                "dup_ppm"
-            ),
-        )
-    )
+    return _chunk_rollup(occurrences)
 
 
 ORACLES["chunk_dedup_stats"] = rf"""
@@ -598,6 +580,128 @@ GROUP BY 1
 """
 
 QUERIES["chunk_dedup_stats"] = chunk_dedup_stats
+
+
+# --- content-defined chunking (CDC) -----------------------------------------
+# Fixed-size chunking misses duplicated passages that don't align to the
+# CHUNK_WORDS grid: the same 30-word paragraph starting at word 3 of one doc
+# and word 7 of another lands in different fixed chunks and never collides.
+# Content-defined chunking places boundaries where the CONTENT says so
+# (rolling-fingerprint condition on the word itself), so a shifted copy of a
+# passage re-derives the identical boundaries and the identical chunk hashes
+# -- the word-grain analogue of Rabin-fingerprint CDC in dedup storage
+# systems (LBFS/Venti lineage). A word ends a chunk iff the first hex nibble
+# of md5(word) falls in CDC_BOUNDARY_NIBBLES (P = 1/8 -> geometric chunk
+# lengths, mean ~8 words) or it is the document's last word. No min/max
+# bounds: P(len > 64) < 0.1%, and the shared predicate stays one expression
+# in both engines.
+CDC_BOUNDARY_NIBBLES = ("0", "1")
+
+
+def chunk_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chunk_dedup_stats`` at content-defined chunk grain: per-document
+    duplicated-passage stats where chunk boundaries are shift-invariant.
+
+    Plan: identical shape to the fixed-size path -- boundaries, chunks and
+    hashes are all array expressions inside ONE corpus scan (filter over
+    word positions -> slice between consecutive boundaries -> md5), then
+    the same hash-grain groupBy + join-back + doc-grain rollup. Three
+    linear hash-keyed shuffles; per-row CPU is O(words); nothing quadratic,
+    so the 100 TB argument of chunk_dedup_stats carries over unchanged."""
+    return chunk_dedup_cdc_over(_normalized(spark, sf_dir))
+
+
+def chunk_dedup_cdc_over(n: DataFrame) -> DataFrame:
+    """Core over any (doc_id, norm) frame (differential-testable)."""
+    words = F.split(F.col("norm"), " ")
+    nw = F.size(words)
+    bpos = F.filter(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.substring(F.md5(F.element_at(words, i)), 1, 1).isin(
+            *CDC_BOUNDARY_NIBBLES
+        )
+        | (i == nw),
+    )
+    chunk_texts = F.transform(
+        bpos,
+        lambda e, j: F.array_join(
+            F.slice(
+                words,
+                F.when(j == 0, F.lit(1)).otherwise(F.element_at(bpos, j) + 1),
+                e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(bpos, j)),
+            ),
+            " ",
+        ),
+    )
+    occurrences = n.select(
+        "doc_id", F.explode(chunk_texts).alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    return _chunk_rollup(occurrences)
+
+
+def _chunk_rollup(occurrences: DataFrame) -> DataFrame:
+    """Shared tail of both chunk-dedup paths: corpus-wide copy counts per
+    hash, then per-document duplicated-chunk rollup."""
+    freq = occurrences.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
+    return (
+        occurrences.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.floor(F.col("dup_chunks") * 1000000 / F.col("n_chunks")).alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+_CDC_NIBS_SQL = ", ".join(f"'{c}'" for c in CDC_BOUNDARY_NIBBLES)
+
+ORACLES["chunk_dedup_cdc"] = rf"""
+WITH n AS (
+    SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+    FROM documents
+),
+w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+b AS (
+    SELECT doc_id, ws,
+           list_filter(generate_series(1, len(ws)),
+                       i -> substr(md5(ws[i]), 1, 1) IN ({_CDC_NIBS_SQL})
+                            OR i = len(ws)) AS bpos
+    FROM w
+),
+jx AS (
+    SELECT doc_id, ws, bpos,
+           unnest(generate_series(1, len(bpos))) AS j
+    FROM b
+),
+occ AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(ws,
+               CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END,
+               bpos[j]), ' ')) AS h
+    FROM jx
+),
+freq AS (SELECT h, count(*) AS copies FROM occ GROUP BY 1)
+SELECT occ.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN freq.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_chunks,
+       CAST(floor(sum(CASE WHEN freq.copies > 1 THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS dup_ppm
+FROM occ JOIN freq ON freq.h = occ.h
+GROUP BY 1
+"""
+
+QUERIES["chunk_dedup_cdc"] = chunk_dedup_cdc
 
 
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:

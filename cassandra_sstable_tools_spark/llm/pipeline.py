@@ -36,6 +36,9 @@ from cassandra_sstable_tools_spark.llm.dedup import (
     _shingles,
     _signatures,
 )
+import pandas as pd
+
+from cassandra_sstable_tools_spark.llm.curation import _WC_SQL
 from cassandra_sstable_tools_spark.llm.text import _TOKEN_RE, _word_count
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
@@ -310,6 +313,79 @@ FROM scored
 
 ORACLES["doc_quality_scores"] = _quality_scores_oracle()
 QUERIES["doc_quality_scores"] = doc_quality_scores
+
+
+# --- batched model-inference slot -------------------------------------------
+# doc_quality_scores' docstring promises "swap this scoring expression for a
+# model UDF; the plumbing is identical" -- this query IS that plumbing, kept
+# live so the pattern real users will copy (Arrow-batched pandas_udf over
+# JVM-extracted features) exists, runs, and is plan-audited. The "model" is
+# a deterministic integer two-layer stub (clip -> linear -> relu -> scale):
+# bit-reproducible, so the DuckDB oracle certifies the whole path end to
+# end. Swapping in a real classifier = replacing _stub_model_fn's body with
+# e.g. an ONNX session.run over the same feature batch; everything else
+# (feature extraction in codegen, Arrow transfer, batch shape) stays put.
+#
+# Scale shape: features (3 small ints/doc) are computed JVM-side in the
+# scan, so only ~24 bytes/doc cross the Arrow boundary -- NOT the text.
+# ArrowEvalPython vectorizes the python work per-batch (10k rows/batch by
+# default); the plan audit pins Arrow (vectorized) vs BatchEvalPython
+# (per-row pickling, the 10-100x-slower trap).
+
+
+def _stub_model_fn(char_len, word_count, punct_ppm):
+    """Deterministic integer 'forward pass' on numpy int64 arrays."""
+    h = (
+        char_len.clip(0, 2000) * 3
+        + word_count.clip(0, 500) * 7
+        - punct_ppm // 1000
+    )
+    return h.clip(lower=0) * 1000 // 7
+
+
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality score from a BATCHED python model UDF over
+    JVM-extracted integer features (the learned-classifier slot)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def model(char_len: pd.Series, word_count: pd.Series,
+              punct_ppm: pd.Series) -> pd.Series:
+        return _stub_model_fn(char_len, word_count, punct_ppm)
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    feats = d.select(
+        "doc_id",
+        n.alias("char_len"),
+        _word_count(F.col("text")).alias("word_count"),
+        F.floor(
+            F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1000000 / n
+        ).alias("punct_ppm"),
+    )
+    return feats.select(
+        "doc_id",
+        model("char_len", "word_count", "punct_ppm").alias("model_score"),
+    )
+
+
+ORACLES["quality_model_scores"] = rf"""
+WITH feats AS (
+    SELECT doc_id,
+           length(text) AS char_len,
+           {_WC_SQL} AS word_count,
+           CAST(floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+                      / length(text)) AS BIGINT) AS punct_ppm
+    FROM documents
+)
+SELECT doc_id,
+       CAST(greatest(least(char_len, 2000) * 3
+                     + least(word_count, 500) * 7
+                     - punct_ppm // 1000, 0) * 1000 // 7
+            AS BIGINT) AS model_score
+FROM feats
+"""
+QUERIES["quality_model_scores"] = quality_model_scores
 
 
 # --- one-row corpus health dashboard ----------------------------------------

@@ -50,3 +50,83 @@ def test_chunk_dedup_matches_sequential_model(spark):
             for r in chunk_dedup_over(frame).collect()
         }
         assert got == sequential_model(docs), f"trial {trial}"
+
+
+# --- content-defined chunking ------------------------------------------------
+
+import hashlib
+
+from cassandra_sstable_tools_spark.llm.dedup import (
+    CDC_BOUNDARY_NIBBLES,
+    chunk_dedup_cdc_over,
+)
+
+
+def cdc_chunks_of(norm: str) -> list[str]:
+    ws = norm.split(" ")
+    out, start = [], 0
+    for i, w in enumerate(ws):
+        last = i == len(ws) - 1
+        if last or hashlib.md5(w.encode()).hexdigest()[0] in CDC_BOUNDARY_NIBBLES:
+            out.append(" ".join(ws[start:i + 1]))
+            start = i + 1
+    return out
+
+
+def cdc_sequential_model(docs: dict[int, str]) -> dict[int, tuple[int, int, int]]:
+    freq = Counter(c for t in docs.values() for c in cdc_chunks_of(t))
+    out = {}
+    for doc_id, t in docs.items():
+        cs = cdc_chunks_of(t)
+        dup = sum(1 for c in cs if freq[c] > 1)
+        out[doc_id] = (len(cs), dup, dup * 1_000_000 // len(cs))
+    return out
+
+
+# vocabulary wide enough that boundary nibbles occur but runs of
+# non-boundary words exist too (md5 first nibble in ('0','1') has P=1/8)
+CDC_WORDS = [f"tok{i}" for i in range(40)]
+
+
+def test_cdc_chunk_dedup_matches_sequential_model(spark):
+    rng = random.Random(20260814)
+    for trial in range(3):
+        docs = {}
+        for doc_id in range(rng.choice([5, 15, 30])):
+            if docs and rng.random() < 0.25:
+                docs[doc_id] = docs[rng.choice(list(docs))]
+            else:
+                n = rng.choice([1, 3, 12, 45])
+                docs[doc_id] = " ".join(rng.choice(CDC_WORDS) for _ in range(n))
+        frame = spark.createDataFrame(
+            list(docs.items()), "doc_id long, norm string"
+        )
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_ppm"])
+            for r in chunk_dedup_cdc_over(frame).collect()
+        }
+        assert got == cdc_sequential_model(docs), f"trial {trial}"
+
+
+def test_cdc_catches_shifted_duplicates_fixed_grid_misses(spark):
+    """The reason CDC exists: the same passage planted at DIFFERENT word
+    offsets in two documents. Fixed-grid chunks never align, so
+    chunk_dedup_over sees zero duplicated chunks; CDC boundaries re-derive
+    from content, so every interior CDC chunk of the passage collides."""
+    rng = random.Random(7)
+    # passage long enough to contain interior CDC chunks with high
+    # probability (mean chunk ~8 words -> 60 words ≈ 7 chunks)
+    passage = " ".join(rng.choice(CDC_WORDS) for _ in range(60))
+    # distinct prefixes of CO-PRIME lengths so the fixed grid misaligns
+    pre_a = " ".join(rng.choice(CDC_WORDS) for _ in range(3))
+    pre_b = " ".join(rng.choice(CDC_WORDS) for _ in range(7))
+    docs = {0: f"{pre_a} {passage}", 1: f"{pre_b} {passage}"}
+    frame = spark.createDataFrame(list(docs.items()), "doc_id long, norm string")
+
+    fixed = {r["doc_id"]: r["dup_chunks"] for r in chunk_dedup_over(frame).collect()}
+    cdc = {r["doc_id"]: r["dup_chunks"] for r in chunk_dedup_cdc_over(frame).collect()}
+
+    assert fixed == {0: 0, 1: 0}, "fixed grid unexpectedly aligned"
+    assert cdc[0] >= 3 and cdc[1] >= 3, f"CDC missed the shifted passage: {cdc}"
+    # both sides still match their sequential models on this corpus
+    assert cdc == {k: v[1] for k, v in cdc_sequential_model(docs).items()}

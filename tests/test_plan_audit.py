@@ -548,3 +548,24 @@ def test_q20_broadcasts_dims_no_cartesian(spark, sf_dir):
     df = tpch_q20_excess_suppliers(spark, sf_dir)
     assert_no_cartesian(df)
     assert_broadcast_join(df, min_count=3)
+
+
+def test_quality_model_udf_is_arrow_batched(spark, sf_dir):
+    """The model-inference slot must plan ArrowEvalPython (vectorized
+    pandas_udf batches over Arrow) -- NEVER BatchEvalPython (row-at-a-time
+    pickling, the 10-100x-slower trap a drive-by refactor to F.udf would
+    introduce). Also pins that only the 3 integer FEATURES cross the
+    python boundary, not the text column: the scan's ReadSchema carries
+    text (features derive from it) but the ArrowEvalPython node's input
+    must not."""
+    from cassandra_sstable_tools_spark.llm.pipeline import quality_model_scores
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    df = quality_model_scores(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # feature extraction stays JVM-side: the python node consumes the
+    # 3 bigint features, so no Arrow row is wider than doc_id + 3 ints
+    arrow_lines = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert arrow_lines and all("text" not in ln for ln in arrow_lines), plan
