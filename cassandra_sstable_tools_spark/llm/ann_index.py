@@ -150,6 +150,58 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def compact_ivf_index(
+    spark: SparkSession, path: str, max_files_per_list: int = 4
+) -> int:
+    """OPTIMIZE pass: rewrite over-fragmented list partitions.
+
+    Every `append_vectors_to_ivf_index` leaves one new file in each touched
+    list partition, so a continuously-ingesting index degrades toward
+    one-file-per-batch-per-list -- probe latency then pays a file-open per
+    tiny file. Compaction is SELECTIVE, the way production table formats do
+    it: only partitions whose file count exceeds `max_files_per_list` are
+    rewritten (read that list's rows, write them back as one file, swap the
+    directory); healthy lists are not touched, so compaction cost tracks
+    fragmentation, not index size. Returns the number of lists rewritten.
+
+    Atomicity: the rewrite lands in a sibling temp dir first and replaces
+    the partition dir only after the write completes, so readers before the
+    swap see the old files and readers after see the new -- but the
+    rmtree/rename pair itself is not transactional. Run compaction from the
+    single writer that owns appends (same serialization requirement as
+    append itself); a transactional table format (Iceberg/Delta) is the
+    drop-in upgrade when multi-writer compaction is needed."""
+    import shutil
+
+    rewritten = 0
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("centroid_id="):
+            continue
+        pdir = os.path.join(path, name)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if len(files) <= max_files_per_list:
+            continue
+        rows = spark.read.parquet(pdir)  # partition col lives in the dirname
+        tmp = pdir + ".compacting"
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(pdir)
+        os.replace(tmp, pdir)
+        rewritten += 1
+    return rewritten
+
+
+def ivf_index_file_counts(path: str) -> dict[int, int]:
+    """parquet-file count per list partition (fragmentation metric)."""
+    out: dict[int, int] = {}
+    for name in os.listdir(path):
+        if name.startswith("centroid_id="):
+            pdir = os.path.join(path, name)
+            out[int(name.split("=", 1)[1])] = sum(
+                1 for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+    return out
+
+
 def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_ivf_topk served from the DURABLE list-partitioned index.
 
