@@ -28,6 +28,17 @@ def regen() -> None:
              ["summary", "sstables", "pstats", "cfstats", "purge"]]
     # the generic escape hatch, pinned on a tiny deterministic query
     cases.append(("query_funnel", ["query", "funnel_stages"]))
+    # r05/r06 report surfaces: split audit, provenance overlap, certified
+    # recall, the one-row dashboard, and the CDC dedup rollup (truncated
+    # display path) -- pins the presentation edge for each
+    cases += [
+        ("query_split_stats", ["query", "dataset_split_stats"]),
+        ("query_overlap_matrix", ["query", "source_overlap_matrix"]),
+        ("query_ivf_recall", ["query", "ann_ivf_recall"]),
+        ("query_dashboard", ["query", "corpus_dashboard"]),
+        ("query_quality_matrix", ["query", "source_quality_matrix"]),
+        ("query_chunk_cdc", ["query", "chunk_dedup_cdc", "--max-rows", "15"]),
+    ]
     # reference-style single-table scoping (<keyspace> <table> positionals)
     cases.append(
         ("pstats_scoped", ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])

@@ -27,6 +27,14 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
     "cmd,argv",
     [(c, [c]) for c in ["summary", "sstables", "pstats", "cfstats", "purge"]]
     + [("query_funnel", ["query", "funnel_stages"])]
+    + [
+        ("query_split_stats", ["query", "dataset_split_stats"]),
+        ("query_overlap_matrix", ["query", "source_overlap_matrix"]),
+        ("query_ivf_recall", ["query", "ann_ivf_recall"]),
+        ("query_dashboard", ["query", "corpus_dashboard"]),
+        ("query_quality_matrix", ["query", "source_quality_matrix"]),
+        ("query_chunk_cdc", ["query", "chunk_dedup_cdc", "--max-rows", "15"]),
+    ]
     + [("pstats_scoped",
         ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])]
     + [("pstats_bucketed", ["pstats", "--bucketed", "golden_bucketed_cells"])],
