@@ -17,10 +17,26 @@ from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    """The `.explain("formatted")` text (captured, not printed)."""
+    """The `.explain("formatted")` text (captured, not printed).
+
+    If the DataFrame has already been EXECUTED under AQE, the tree gains a
+    "== Final Plan ==" / "== Initial Plan ==" pair and every node appears
+    twice; the initial-plan tree slice is stripped so audits measure the
+    plan that actually runs. (Reusing an executed frame is normal here --
+    prepared-plan memos like ann_ivf_topk's hand audits the same object
+    the bench executes.)"""
     jvm = df.sparkSession._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)
+    text = df._jdf.queryExecution().explainString(mode)
+    if "== Initial Plan ==" not in text:
+        return text
+    lines = text.splitlines()
+    start = next(i for i, l in enumerate(lines) if "== Initial Plan ==" in l)
+    end = next(
+        (i for i in range(start, len(lines)) if not lines[i].strip()),
+        len(lines),
+    )
+    return "\n".join(lines[:start] + lines[end:])
 
 
 def pushed_filters(plan: str) -> list[str]:
@@ -51,19 +67,24 @@ def assert_columns_pruned(df: DataFrame, table_width: int) -> None:
 
 
 def assert_no_cartesian(df: DataFrame) -> None:
-    plan = formatted_plan(df)
-    assert "CartesianProduct" not in plan, "plan contains a cartesian product"
+    # tree-line count: a detail block of an AQE-replaced initial-plan node
+    # must not fail (or pass) the audit for the plan that actually runs
+    assert tree_node_count(df, "CartesianProduct") == 0, (
+        "plan contains a cartesian product"
+    )
 
 
 def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
-    plan = formatted_plan(df)
-    n = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    n = tree_node_count(df, "BroadcastHashJoin") + tree_node_count(
+        df, "BroadcastNestedLoopJoin"
+    )
     assert n >= min_count, f"expected >= {min_count} broadcast joins, found {n}"
 
 
 def assert_no_sort_merge_join(df: DataFrame) -> None:
-    plan = formatted_plan(df)
-    assert "SortMergeJoin" not in plan, "plan degraded to sort-merge join"
+    assert tree_node_count(df, "SortMergeJoin") == 0, (
+        "plan degraded to sort-merge join"
+    )
 
 
 def tree_node_count(df: DataFrame, node: str) -> int:
