@@ -132,6 +132,16 @@ def _ordered_names(base: dict[str, QuerieFn]) -> list[str]:
     return sorted(base, key=key)
 
 
+# NOTE on prepared plans: a registry-wide DataFrame memo was prototyped and
+# REVERTED. Re-serving a memoized frame looks like a harmless prepared
+# statement, but Spark also reuses the frame's shuffle map outputs, so
+# iterative queries (pagerank, star CC) collapse to result fetches
+# (~0.1s) -- the bench would stop measuring execution. ann_ivf_topk keeps a
+# per-corpus memo (llm/similarity.py) because an ANN index service
+# legitimately keeps its corpus resident and serves repeated queries; for
+# everything else the per-call plan build IS part of the honest cost.
+
+
 def queries() -> dict[str, QuerieFn]:
     base: dict[str, QuerieFn] = {}
     for mod in _modules():
