@@ -162,3 +162,29 @@ def test_media_metadata_real_bytes_through_spark(spark):
 
     assert (media_metadata_over(media, real_decode).schema
             == media_metadata_over(media, fake_decode).schema)
+
+
+# --- property fuzz: any (dims, filters, color type) roundtrips ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, color_type, seed, data):
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    px = _rng_px(seed, h, w, ch)
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    meta = real_decode(encode_png(px, color_type, filters))
+    assert (meta["width"], meta["height"]) == (w, h)
+    try:  # PIL path may normalize P/LA pixel layouts; only the stdlib
+        import PIL  # noqa: F401
+    except ImportError:
+        assert meta["checksum_prefix"] == hashlib.md5(px.tobytes()).hexdigest()[:8]
