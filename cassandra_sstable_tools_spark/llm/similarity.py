@@ -445,8 +445,8 @@ def kmeans_centroids_spark(spark: SparkSession, sf_dir: str,
     import math
 
     emb = _quantized(spark, sf_dir).select("vec_id", "qv", "norm")
-    dims = len(emb.select("qv").first().qv)
     init = emb.orderBy("vec_id").limit(k).collect()
+    dims = len(init[0].qv)  # the K-row init collect already carries dims
     cents = [[int(v) for v in r.qv] for r in init]
 
     unit_q = F.transform(
