@@ -251,6 +251,48 @@ def media_metadata_over(media: DataFrame, decode) -> DataFrame:
     return media.mapInPandas(extract, schema=MEDIA_SCHEMA)
 
 
+MEDIA_SAFE_SCHEMA = MEDIA_SCHEMA + ", decode_error string"
+
+
+def media_metadata_safe(media: DataFrame, decode) -> DataFrame:
+    """``media_metadata_over`` with per-row error QUARANTINE: a payload the
+    kernel cannot decode becomes a row with null dimensions and the error
+    message in ``decode_error`` instead of a failed Spark task.
+
+    This is the jsonl corrupt-record philosophy applied to binary media:
+    at 100 TB a crawl WILL contain truncated files, wrong-extension bytes
+    and exotic subformats, and one bad payload must not kill a
+    1000-executor stage -- bad rows become data (countable, quarantinable
+    with one predicate) while good rows flow through unchanged."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"width": [], "height": [], "checksum_prefix": [],
+                    "decode_error": []}
+            for p in pdf["payload"]:
+                try:
+                    d = decode(p)
+                    rows["width"].append(d["width"])
+                    rows["height"].append(d["height"])
+                    rows["checksum_prefix"].append(d["checksum_prefix"])
+                    rows["decode_error"].append(None)
+                except Exception as exc:  # noqa: BLE001 -- quarantine, don't kill the stage
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["checksum_prefix"].append(None)
+                    rows["decode_error"].append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "media_kind": pdf["media_kind"],
+                    **rows,
+                }
+            )
+
+    return media.mapInPandas(extract, schema=MEDIA_SAFE_SCHEMA)
+
+
 def frame_sample(spark: SparkSession, sf_dir: str, every_n_bytes: int = 100) -> DataFrame:
     """Frame sampling: explode each payload into deterministic 'frames'
     (one per `every_n_bytes` of content) -- the row-explosion shape a video

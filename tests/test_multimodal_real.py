@@ -188,3 +188,34 @@ def test_png_roundtrip_property(w, h, color_type, seed, data):
         import PIL  # noqa: F401
     except ImportError:
         assert meta["checksum_prefix"] == hashlib.md5(px.tobytes()).hexdigest()[:8]
+
+
+def test_media_metadata_safe_quarantines_bad_payloads(spark):
+    """Mixed batch: valid PNG + truncated PNG + garbage. The safe kernel
+    must decode the good row, quarantine the bad ones with their error
+    text, and never fail the task."""
+    from cassandra_sstable_tools_spark.llm.multimodal import (
+        media_metadata_safe,
+    )
+
+    px = _rng_px(5, 4, 6, 3)
+    good = encode_png(px, 2, [0, 2, 1, 4])
+    truncated = good[: len(good) // 2]
+    payloads = [
+        (0, good, "image"),
+        (1, truncated, "image"),
+        (2, b"\x00\x01 definitely not an image", "image"),
+    ]
+    media = spark.createDataFrame(
+        payloads, "doc_id long, payload binary, media_kind string"
+    )
+    out = {r["doc_id"]: r for r in media_metadata_safe(media, real_decode).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (6, 4)
+    assert out[0]["decode_error"] is None
+    assert out[1]["width"] is None and out[1]["decode_error"]
+    assert out[2]["width"] is None and "unrecognized" in out[2]["decode_error"]
+    # quarantine predicate: one filter splits good from bad
+    bad = media_metadata_safe(media, real_decode).where(
+        "decode_error IS NOT NULL"
+    )
+    assert bad.count() == 2
