@@ -55,19 +55,52 @@ DELTA_NIBBLES = tuple(
 )
 
 
-def _chunk_occurrences(d: DataFrame, *keep_cols: str) -> DataFrame:
-    """(keep_cols..., h) rows: one md5 per CHUNK_WORDS-word chunk, built
-    in-scan with array expressions (shared shape with chunk_dedup_stats --
-    no positional self-join, no Python)."""
+def _chunk_occurrences(d: DataFrame, *keep_cols: str, cdc: bool = False) -> DataFrame:
+    """(keep_cols..., h) rows: one md5 per chunk, built in-scan with array
+    expressions (shared shape with chunk_dedup_stats -- no positional
+    self-join, no Python).
+
+    ``cdc=True`` switches to CONTENT-DEFINED boundaries (the
+    chunk_dedup_cdc grain): shift-invariant chunking means a duplicated
+    passage arriving at a different word offset in a later batch still
+    collides with the archived hash -- the fixed grid misses exactly that
+    case, so a production index should prefer CDC grain. The two grains
+    produce disjoint hash universes; the index path fingerprint carries
+    the grain so they can never mix in one index."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     words = F.split(norm, " ")
-    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
-    chunk_texts = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
-        ),
-    )
+    if cdc:
+        from cassandra_sstable_tools_spark.llm.dedup import CDC_BOUNDARY_NIBBLES
+
+        nw = F.size(words)
+        bpos = F.filter(
+            F.sequence(F.lit(1), nw),
+            lambda i: F.substring(
+                F.md5(F.element_at(words, i)), 1, 1
+            ).isin(*CDC_BOUNDARY_NIBBLES)
+            | (i == nw),
+        )
+        chunk_texts = F.transform(
+            bpos,
+            lambda e, j: F.array_join(
+                F.slice(
+                    words,
+                    F.when(j == 0, F.lit(1)).otherwise(
+                        F.element_at(bpos, j) + 1
+                    ),
+                    e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(bpos, j)),
+                ),
+                " ",
+            ),
+        )
+    else:
+        n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
+        chunk_texts = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+            ),
+        )
     return d.select(*keep_cols, F.explode(chunk_texts).alias("chunk")).select(
         *keep_cols, F.md5("chunk").alias("h")
     )

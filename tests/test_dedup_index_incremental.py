@@ -117,3 +117,51 @@ def test_streaming_ingest_foreachbatch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(idx_path).count() == n_rows, (
         "restart re-ingested a processed batch"
     )
+
+
+def test_cdc_grain_index_catches_shifted_batch_duplicates(spark, tmp_path):
+    """Production grain choice made testable: a passage archived at one
+    word offset and re-arriving shifted in a later batch. The fixed-grid
+    index misses it entirely; a CDC-grain index (same build/append/overlap
+    machinery, cdc=True) catches the passage's interior chunks. Also pins
+    that append-equals-rebuild holds at CDC grain."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(200)]
+    passage = " ".join(rng.choice(vocab) for _ in range(100))
+    pre_a = " ".join(rng.choice(vocab) for _ in range(3))
+    pre_b = " ".join(rng.choice(vocab) for _ in range(7))
+    archive = spark.createDataFrame(
+        [(1, f"{pre_a} {passage}")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, f"{pre_b} {passage}")], "doc_id long, text string"
+    )
+
+    fixed_idx = str(tmp_path / "fixed_idx")
+    cdc_idx = str(tmp_path / "cdc_idx")
+    DI._chunk_occurrences(archive).select("h").distinct().write.parquet(fixed_idx)
+    DI._chunk_occurrences(archive, cdc=True).select("h").distinct().write.parquet(cdc_idx)
+
+    def seen(occ_df, idx_path):
+        idx = spark.read.parquet(idx_path)
+        return occ_df.join(idx, "h").count()
+
+    assert seen(DI._chunk_occurrences(batch), fixed_idx) == 0, (
+        "fixed grid unexpectedly aligned"
+    )
+    assert seen(DI._chunk_occurrences(batch, cdc=True), cdc_idx) >= 3
+
+    # append-equals-rebuild at CDC grain (the uniqueness-preserving append)
+    DI.append_chunks_to_index(
+        DI._chunk_occurrences(batch, cdc=True).select("h"), cdc_idx
+    )
+    both = archive.union(batch)
+    want = {
+        r.h
+        for r in DI._chunk_occurrences(both, cdc=True).select("h").distinct().collect()
+    }
+    got = {r.h for r in spark.read.parquet(cdc_idx).collect()}
+    assert got == want
+    assert spark.read.parquet(cdc_idx).count() == len(got)
