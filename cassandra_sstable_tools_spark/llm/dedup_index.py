@@ -110,11 +110,14 @@ def _delta_flag(doc_id):
     return F.substring(F.md5(doc_id.cast("string")), 1, 1).isin(*DELTA_NIBBLES)
 
 
-def chunk_index_path(sf_dir: str) -> str:
+def chunk_index_path(sf_dir: str, grain: str = "fixed") -> str:
+    """Fingerprinted index dir; ``grain`` ('fixed' | 'cdc') is part of the
+    config digest so the two chunkers' disjoint hash universes can never
+    be served from one index."""
     return _index_path(
         sf_dir,
         "chunks",
-        f"cw={CHUNK_WORDS};delta={''.join(DELTA_NIBBLES)}",
+        f"cw={CHUNK_WORDS};delta={''.join(DELTA_NIBBLES)};grain={grain}",
         src_file="documents.parquet",
     )
 
