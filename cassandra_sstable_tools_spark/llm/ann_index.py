@@ -182,7 +182,12 @@ def compact_ivf_index(
         if len(files) <= max_files_per_list:
             continue
         rows = spark.read.parquet(pdir)  # partition col lives in the dirname
-        tmp = pdir + ".compacting"
+        # dot-prefixed temp dir: Spark's file index ignores dot/underscore
+        # paths, so a reader listing the index root mid-compaction (or after
+        # a crash between write and swap) never sees a phantom partition
+        # value -- and the startswith("centroid_id=") scans here and in
+        # ivf_index_file_counts skip it too.
+        tmp = os.path.join(path, f".compacting.{name}")
         rows.coalesce(1).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(pdir)
         os.replace(tmp, pdir)

@@ -98,14 +98,16 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keep_flag(text_col):
-    """The text_quality composite keep flag (cutoff constants shared with
-    llm.text so tightening the quality filter updates every consumer)."""
+    """The text_quality composite keep flag over a raw text column:
+    computes the three feature columns and delegates the PREDICATE to
+    llm.text._keep_flag, so both the thresholds and the predicate's shape
+    have exactly one definition."""
+    from cassandra_sstable_tools_spark.llm.text import _keep_flag as _pred
+
     n = F.length(text_col)
     punct = F.regexp_count(text_col, F.lit(r"[^A-Za-z0-9\s]"))
-    return (
-        (n >= KEEP_MIN_CHARS)
-        & (_word_count(text_col) >= KEEP_MIN_WORDS)
-        & (F.floor(punct * 1000000 / n) < KEEP_MAX_PUNCT_PPM)
+    return _pred(
+        n, _word_count(text_col), F.floor(punct * 1000000 / n)
     ).cast("int")
 
 

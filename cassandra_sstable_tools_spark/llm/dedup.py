@@ -613,30 +613,64 @@ def chunk_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def chunk_dedup_cdc_over(n: DataFrame) -> DataFrame:
     """Core over any (doc_id, norm) frame (differential-testable)."""
-    words = F.split(F.col("norm"), " ")
-    nw = F.size(words)
-    bpos = F.filter(
-        F.sequence(F.lit(1), nw),
-        lambda i: F.substring(F.md5(F.element_at(words, i)), 1, 1).isin(
-            *CDC_BOUNDARY_NIBBLES
-        )
-        | (i == nw),
-    )
-    chunk_texts = F.transform(
-        bpos,
-        lambda e, j: F.array_join(
-            F.slice(
-                words,
-                F.when(j == 0, F.lit(1)).otherwise(F.element_at(bpos, j) + 1),
-                e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(bpos, j)),
-            ),
-            " ",
-        ),
-    )
-    occurrences = n.select(
-        "doc_id", F.explode(chunk_texts).alias("chunk")
-    ).select("doc_id", F.md5("chunk").alias("h"))
+    occurrences = _cdc_occurrences(n, "doc_id")
     return _chunk_rollup(occurrences)
+
+
+def _cdc_occurrences(n: DataFrame, *keep_cols: str) -> DataFrame:
+    """(keep_cols..., h) rows at CDC grain over a frame carrying
+    (doc_id, norm). Chunking is ROW-GRAIN, deliberately:
+
+    posexplode(words) -> per-word boundary flag (plain codegen md5) ->
+    chunk_id = windowed cumsum of PRECEDING boundary flags per doc ->
+    groupBy (doc, chunk_id) rebuilds each chunk's text in pos order.
+
+    An array-expression formulation (filter boundary positions, then
+    transform+slice chunks -- the fixed-grid chunker's shape) is QUADRATIC
+    per document here, twice over: higher-order-function lambdas are
+    interpreted (CodegenFallback) and re-evaluate any non-lambda-variable
+    subexpression (the split, the boundary-position array) once per
+    element, and CollapseProject + InferFiltersFromGenerate inline those
+    arrays into the lambdas/pushed filters no matter how they are staged
+    into columns. Measured: 42s for ONE 1,000-word doc, >300s at 2,000.
+    The row-grain plan keeps every per-word expression in whole-stage
+    codegen: one Generate, one window shuffle on doc_id (sort by pos), a
+    doc_id-co-partitioned groupBy, O(words) total -- measured linear to
+    128k-word docs. The cost vs the fixed grid is the word-grain exchange,
+    which is the honest price of content-defined boundaries."""
+    from pyspark.sql import Window
+
+    wordrows = n.select(
+        "doc_id",
+        *[c for c in keep_cols if c != "doc_id"],
+        F.posexplode(F.split(F.col("norm"), " ")).alias("pos", "w"),
+    )
+    flagged = wordrows.withColumn(
+        "b",
+        F.when(
+            F.substring(F.md5("w"), 1, 1).isin(*CDC_BOUNDARY_NIBBLES), 1
+        ).otherwise(0),
+    )
+    preceding = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = F.coalesce(F.sum("b").over(preceding), F.lit(0))
+    chunks = (
+        flagged.withColumn("cid", cid)
+        .groupBy("doc_id", *[c for c in keep_cols if c != "doc_id"], "cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    return chunks.select(*keep_cols, F.md5("chunk").alias("h"))
 
 
 def _chunk_rollup(occurrences: DataFrame) -> DataFrame:

@@ -68,39 +68,26 @@ def _chunk_occurrences(d: DataFrame, *keep_cols: str, cdc: bool = False) -> Data
     produce disjoint hash universes; the index path fingerprint carries
     the grain so they can never mix in one index."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    words = F.split(norm, " ")
     if cdc:
-        from cassandra_sstable_tools_spark.llm.dedup import CDC_BOUNDARY_NIBBLES
+        from cassandra_sstable_tools_spark.llm.dedup import _cdc_occurrences
 
-        nw = F.size(words)
-        bpos = F.filter(
-            F.sequence(F.lit(1), nw),
-            lambda i: F.substring(
-                F.md5(F.element_at(words, i)), 1, 1
-            ).isin(*CDC_BOUNDARY_NIBBLES)
-            | (i == nw),
+        normed = d.select(
+            "doc_id",
+            *[c for c in keep_cols if c != "doc_id"],
+            norm.alias("norm"),
         )
-        chunk_texts = F.transform(
-            bpos,
-            lambda e, j: F.array_join(
-                F.slice(
-                    words,
-                    F.when(j == 0, F.lit(1)).otherwise(
-                        F.element_at(bpos, j) + 1
-                    ),
-                    e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(bpos, j)),
-                ),
-                " ",
-            ),
-        )
-    else:
-        n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
-        chunk_texts = F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(
-                F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
-            ),
-        )
+        occ = _cdc_occurrences(normed, "doc_id", *[
+            c for c in keep_cols if c != "doc_id"
+        ])
+        return occ.select(*keep_cols, "h") if keep_cols else occ.select("h")
+    words = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
+    chunk_texts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+        ),
+    )
     return d.select(*keep_cols, F.explode(chunk_texts).alias("chunk")).select(
         *keep_cols, F.md5("chunk").alias("h")
     )

@@ -64,9 +64,19 @@ def real_decode(payload: bytes) -> dict:
         }
     except ImportError:
         pass
+    except Exception:  # noqa: BLE001 -- PIL raises UnidentifiedImageError /
+        # OSError on unrecognized or truncated bytes; fall through to the
+        # stdlib sniffers so the documented ValueError contract holds with
+        # or without Pillow installed.
+        pass
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h, mode, px = _png_decode(payload)
+        try:
+            w, h, mode, px = _png_decode(payload)
+        except ValueError:
+            raise
+        except Exception as exc:  # zlib.error / reshape on truncated bytes
+            raise ValueError(f"corrupt PNG: {exc}") from exc
         return {
             "width": w,
             "height": h,

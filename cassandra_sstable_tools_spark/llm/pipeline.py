@@ -39,12 +39,14 @@ from cassandra_sstable_tools_spark.llm.dedup import (
 import pandas as pd
 
 from cassandra_sstable_tools_spark.llm.curation import _WC_SQL
-from cassandra_sstable_tools_spark.llm.text import _TOKEN_RE, _word_count
+from cassandra_sstable_tools_spark.llm.text import (
+    KEEP_MAX_PUNCT_PPM as MAX_PUNCT_PPM,
+    KEEP_MIN_CHARS as MIN_CHARS,
+    KEEP_MIN_WORDS as MIN_WORDS,
+    _TOKEN_RE,
+    _word_count,
+)
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
-
-MIN_CHARS = 100
-MIN_WORDS = 20
-MAX_PUNCT_PPM = 300_000
 
 
 def _exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,11 +136,6 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return totals.crossJoin(q).crossJoin(e).crossJoin(k)
 
-
-_WC_SQL = (
-    "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
-)
 
 _QUALITY_PRED = (
     f"length(text) >= {MIN_CHARS} AND ({_WC_SQL}) >= {MIN_WORDS} "
@@ -275,7 +272,6 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_scores_oracle() -> str:
-    from cassandra_sstable_tools_spark.llm.curation import _WC_SQL
     from cassandra_sstable_tools_spark.llm.text import (
         KEEP_MAX_PUNCT_PPM,
         KEEP_MIN_CHARS,

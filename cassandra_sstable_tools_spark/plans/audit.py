@@ -28,15 +28,19 @@ def formatted_plan(df: DataFrame) -> str:
     jvm = df.sparkSession._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     text = df._jdf.queryExecution().explainString(mode)
-    if "== Initial Plan ==" not in text:
-        return text
-    lines = text.splitlines()
-    start = next(i for i, l in enumerate(lines) if "== Initial Plan ==" in l)
-    end = next(
-        (i for i in range(start, len(lines)) if not lines[i].strip()),
-        len(lines),
-    )
-    return "\n".join(lines[:start] + lines[end:])
+    # Strip EVERY initial-plan tree slice: adaptively-executed subqueries
+    # print their own Final/Initial pair, so a single pass is not enough.
+    while "== Initial Plan ==" in text:
+        lines = text.splitlines()
+        start = next(
+            i for i, l in enumerate(lines) if "== Initial Plan ==" in l
+        )
+        end = next(
+            (i for i in range(start, len(lines)) if not lines[i].strip()),
+            len(lines),
+        )
+        text = "\n".join(lines[:start] + lines[end:])
+    return text
 
 
 def pushed_filters(plan: str) -> list[str]:

@@ -130,3 +130,26 @@ def test_cdc_catches_shifted_duplicates_fixed_grid_misses(spark):
     assert cdc[0] >= 3 and cdc[1] >= 3, f"CDC missed the shifted passage: {cdc}"
     # both sides still match their sequential models on this corpus
     assert cdc == {k: v[1] for k, v in cdc_sequential_model(docs).items()}
+
+
+def test_cdc_long_document_linear(spark):
+    """Scale tripwire for the CDC chunker: ONE 20k-word document must
+    chunk correctly and promptly. The array-lambda formulation this
+    replaced was O(words^2) per document -- interpreted HOF lambdas
+    re-evaluate inlined subexpressions per element -- and took >300s at
+    2,000 words; the row-grain plan handles 128k words in under a second.
+    A correct-but-quadratic refactor fails this test by wall-clock (the
+    suite-level timeout), and the value assertions pin exactness."""
+    rng = random.Random(99)
+    docs = {0: " ".join(rng.choice(CDC_WORDS) for _ in range(20000))}
+    frame = spark.createDataFrame(list(docs.items()), "doc_id long, norm string")
+    import time
+
+    t0 = time.monotonic()
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_ppm"])
+        for r in chunk_dedup_cdc_over(frame).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert got == cdc_sequential_model(docs)
+    assert elapsed < 60, f"CDC chunker took {elapsed:.0f}s on one 20k-word doc"

@@ -10,11 +10,20 @@ plan reading alone can miss.
 The sf1 corpus is synthesized OUTSIDE the read-only testdata tree
 (default /tmp/spark_graft_sf1): each fact table is 10 disjoint key-shifted
 copies of its sf0.1 original (all FK columns shifted by the same stride, so
-join cardinalities scale linearly and no cross-copy joins appear);
+FK join cardinalities scale linearly and no cross-copy FK joins appear);
 dimension tables (nation/region) stay single-copy, exactly how a real 10x
 corpus shares its dimensions. pyarrow does the copy so physical parquet
 types are preserved byte-for-byte (the events timestamp type tripwire
 stays honest).
+
+CAVEAT -- content-hash workloads: only KEYS are shifted, so the corpus
+holds 10 verbatim copies of every document text and embedding. Queries
+that join on content hashes (exact/chunk dedup, minhash-LSH shingles,
+embedding near-dup) therefore face a workload that grows MORE than 10x
+(each LSH duplicate group of c members becomes 10c -> candidate pairs grow
+~100x). Read their ratios as an ADVERSARIAL upper bound: a sub-10x
+wall-clock on a super-10x workload is a stronger linearity statement, not
+a clean linear measurement. FK-join and scan/agg queries are unaffected.
 
 Run:  python tools/scale_bench.py            # build if missing + bench
       python tools/scale_bench.py --rebuild  # force re-synthesis
