@@ -519,34 +519,84 @@ CHUNK_WORDS = 10
 def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-passage stats over corpus-wide chunk hashes.
 
-    Plan: one scan builds every chunk via array expressions (sequence +
-    transform + slice -- no positional self-join, no Python); a groupBy on
-    the chunk hash counts corpus-wide copies (linear, hash-partitioned); a
-    join back on the hash marks each occurrence duplicated/unique; a final
-    groupBy(doc_id) rolls up. Three linear shuffles, nothing quadratic --
-    the shape survives 100 TB because chunk volume is ~words/CHUNK_WORDS and
-    every exchange is keyed on a high-cardinality hash. (The duplicated-hash
-    side is usually small enough to broadcast instead; the shuffle join is
-    kept because "most of the corpus is duplicated" is exactly the
-    adversarial case this query exists to detect.)"""
+    Plan: the shared ROW-GRAIN chunker (see chunk_occurrences -- the
+    array-expression formulation was quadratic per document) emits chunk
+    hashes; a groupBy on the chunk hash counts corpus-wide copies (linear,
+    hash-partitioned); a join back on the hash marks each occurrence
+    duplicated/unique; a final groupBy(doc_id) rolls up. Linear shuffles
+    only, nothing quadratic -- the shape survives 100 TB because chunk
+    volume is ~words/CHUNK_WORDS and every exchange is keyed on a
+    high-cardinality hash. (The duplicated-hash side is usually small
+    enough to broadcast instead; the shuffle join is kept because "most of
+    the corpus is duplicated" is exactly the adversarial case this query
+    exists to detect.)"""
     return chunk_dedup_over(_normalized(spark, sf_dir))
 
 
 def chunk_dedup_over(n: DataFrame) -> DataFrame:
     """Core over any (doc_id, norm) frame -- split out so the randomized
     differential test can drive it with generated corpora."""
-    words = F.split(F.col("norm"), " ")
-    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
-    chunk_texts = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
-        ),
+    return _chunk_rollup(chunk_occurrences(n, "fixed", "doc_id"))
+
+
+def chunk_occurrences(n: DataFrame, grain: str, *keep_cols: str) -> DataFrame:
+    """(keep_cols..., h) chunk-hash occurrence rows over a (doc_id, norm,
+    ...) frame, at ``grain`` 'fixed' (CHUNK_WORDS grid) or 'cdc'
+    (content-defined boundaries). THE shared chunker -- every chunk-grain
+    consumer (dedup stats, overlap matrix, durable index) routes here.
+
+    Chunking is ROW-GRAIN on purpose: posexplode to (pos, word) rows, a
+    codegen chunk-id per word (fixed: pos div C; cdc: windowed cumsum of
+    preceding boundary flags), then a doc-co-partitioned groupBy rebuilds
+    each chunk's text in pos order. The array-expression alternative
+    (transform+slice over the words array -- this module's original shape)
+    is QUADRATIC per document for BOTH grains: higher-order-function
+    lambdas are interpreted and re-evaluate the inlined split() once per
+    chunk element (fixed grain measured 7s/one 32k-word doc, timeout at
+    64k; cdc measured 42s at 1k). Fixture-sized docs hid it; real corpora
+    have 10k+-word documents. The row-grain plan keeps every per-word
+    expression in whole-stage codegen and is measured linear to 128k-word
+    docs, at the price of one word-grain exchange (fixed grain: the
+    groupBy; cdc: the window, whose doc_id partitioning the groupBy then
+    reuses)."""
+    from pyspark.sql import Window
+
+    extra = [c for c in keep_cols if c != "doc_id"]
+    wordrows = n.select(
+        "doc_id", *extra,
+        F.posexplode(F.split(F.col("norm"), " ")).alias("pos", "w"),
     )
-    occurrences = n.select(
-        "doc_id", F.explode(chunk_texts).alias("chunk")
-    ).select("doc_id", F.md5("chunk").alias("h"))
-    return _chunk_rollup(occurrences)
+    if grain == "fixed":
+        with_cid = wordrows.withColumn(
+            "cid", F.floor(F.col("pos") / CHUNK_WORDS)
+        )
+    elif grain == "cdc":
+        flagged = wordrows.withColumn(
+            "b",
+            F.when(
+                F.substring(F.md5("w"), 1, 1).isin(*CDC_BOUNDARY_NIBBLES), 1
+            ).otherwise(0),
+        )
+        preceding = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        with_cid = flagged.withColumn(
+            "cid", F.coalesce(F.sum("b").over(preceding), F.lit(0))
+        )
+    else:
+        raise ValueError(f"unknown chunk grain {grain!r}")
+    chunks = with_cid.groupBy("doc_id", *extra, "cid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("chunk")
+    )
+    return chunks.select(*keep_cols, F.md5("chunk").alias("h"))
 
 
 ORACLES["chunk_dedup_stats"] = rf"""
@@ -618,59 +668,8 @@ def chunk_dedup_cdc_over(n: DataFrame) -> DataFrame:
 
 
 def _cdc_occurrences(n: DataFrame, *keep_cols: str) -> DataFrame:
-    """(keep_cols..., h) rows at CDC grain over a frame carrying
-    (doc_id, norm). Chunking is ROW-GRAIN, deliberately:
-
-    posexplode(words) -> per-word boundary flag (plain codegen md5) ->
-    chunk_id = windowed cumsum of PRECEDING boundary flags per doc ->
-    groupBy (doc, chunk_id) rebuilds each chunk's text in pos order.
-
-    An array-expression formulation (filter boundary positions, then
-    transform+slice chunks -- the fixed-grid chunker's shape) is QUADRATIC
-    per document here, twice over: higher-order-function lambdas are
-    interpreted (CodegenFallback) and re-evaluate any non-lambda-variable
-    subexpression (the split, the boundary-position array) once per
-    element, and CollapseProject + InferFiltersFromGenerate inline those
-    arrays into the lambdas/pushed filters no matter how they are staged
-    into columns. Measured: 42s for ONE 1,000-word doc, >300s at 2,000.
-    The row-grain plan keeps every per-word expression in whole-stage
-    codegen: one Generate, one window shuffle on doc_id (sort by pos), a
-    doc_id-co-partitioned groupBy, O(words) total -- measured linear to
-    128k-word docs. The cost vs the fixed grid is the word-grain exchange,
-    which is the honest price of content-defined boundaries."""
-    from pyspark.sql import Window
-
-    wordrows = n.select(
-        "doc_id",
-        *[c for c in keep_cols if c != "doc_id"],
-        F.posexplode(F.split(F.col("norm"), " ")).alias("pos", "w"),
-    )
-    flagged = wordrows.withColumn(
-        "b",
-        F.when(
-            F.substring(F.md5("w"), 1, 1).isin(*CDC_BOUNDARY_NIBBLES), 1
-        ).otherwise(0),
-    )
-    preceding = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cid = F.coalesce(F.sum("b").over(preceding), F.lit(0))
-    chunks = (
-        flagged.withColumn("cid", cid)
-        .groupBy("doc_id", *[c for c in keep_cols if c != "doc_id"], "cid")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("chunk")
-        )
-    )
-    return chunks.select(*keep_cols, F.md5("chunk").alias("h"))
+    """(keep_cols..., h) rows at CDC grain (see chunk_occurrences)."""
+    return chunk_occurrences(n, "cdc", *keep_cols)
 
 
 def _chunk_rollup(occurrences: DataFrame) -> DataFrame:
@@ -801,19 +800,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    words = F.split(norm, " ")
-    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
-    chunk_texts = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
-        ),
-    )
-    hs = (
-        d.select("source", F.explode(chunk_texts).alias("chunk"))
-        .select("source", F.md5("chunk").alias("h"))
-        .distinct()
-    )
+    normed = d.select("doc_id", "source", norm.alias("norm"))
+    hs = chunk_occurrences(normed, "fixed", "source").distinct()
     return (
         hs.alias("a")
         .join(hs.alias("b"), "h")

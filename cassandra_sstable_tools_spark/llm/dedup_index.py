@@ -67,30 +67,19 @@ def _chunk_occurrences(d: DataFrame, *keep_cols: str, cdc: bool = False) -> Data
     case, so a production index should prefer CDC grain. The two grains
     produce disjoint hash universes; the index path fingerprint carries
     the grain so they can never mix in one index."""
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    if cdc:
-        from cassandra_sstable_tools_spark.llm.dedup import _cdc_occurrences
+    from cassandra_sstable_tools_spark.llm.dedup import chunk_occurrences
 
-        normed = d.select(
-            "doc_id",
-            *[c for c in keep_cols if c != "doc_id"],
-            norm.alias("norm"),
-        )
-        occ = _cdc_occurrences(normed, "doc_id", *[
-            c for c in keep_cols if c != "doc_id"
-        ])
-        return occ.select(*keep_cols, "h") if keep_cols else occ.select("h")
-    words = F.split(norm, " ")
-    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
-    chunk_texts = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
-        ),
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    normed = d.select(
+        "doc_id",
+        *[c for c in keep_cols if c != "doc_id"],
+        norm.alias("norm"),
     )
-    return d.select(*keep_cols, F.explode(chunk_texts).alias("chunk")).select(
-        *keep_cols, F.md5("chunk").alias("h")
+    grain = "cdc" if cdc else "fixed"
+    occ = chunk_occurrences(
+        normed, grain, "doc_id", *[c for c in keep_cols if c != "doc_id"]
     )
+    return occ.select(*keep_cols, "h") if keep_cols else occ.select("h")
 
 
 def _delta_flag(doc_id):

@@ -153,3 +153,14 @@ def test_cdc_long_document_linear(spark):
     elapsed = time.monotonic() - t0
     assert got == cdc_sequential_model(docs)
     assert elapsed < 60, f"CDC chunker took {elapsed:.0f}s on one 20k-word doc"
+
+    # same tripwire for the FIXED grain (its array formulation was also
+    # quadratic, factor ~1/CHUNK_WORDS: 7s at 32k words, timeout at 64k)
+    t0 = time.monotonic()
+    got_fixed = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_ppm"])
+        for r in chunk_dedup_over(frame).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert got_fixed == sequential_model(docs)
+    assert elapsed < 60, f"fixed chunker took {elapsed:.0f}s on one 20k-word doc"
