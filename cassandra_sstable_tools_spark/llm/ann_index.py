@@ -35,6 +35,7 @@ from cassandra_sstable_tools_spark.llm.similarity import (
     ORACLES as _SIM_ORACLES,
     TOP_K,
     _dot,
+    _empty_topk,
     _first_k_cent_rows,
     _ivf_assign_probes,
     _pq_encoded,
@@ -113,9 +114,14 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     amortized over every subsequent query -- the same trade the bucketed
     cells layout makes for stats."""
     emb = _quantized(spark, sf_dir)
-    assigned, _ = _ivf_assign_probes(
-        emb, _first_k_cent_rows(emb), carry=("qv", "norm")
-    )
+    cents = _first_k_cent_rows(emb)
+    if not cents:
+        # Fail loud: a partitioned write of zero rows leaves a directory
+        # Spark cannot re-read (no schema footer). Query paths degrade to
+        # empty results BEFORE calling ensure_*; direct builders get a
+        # clear error instead of a poisoned index location.
+        raise ValueError("cannot build IVF index over an empty corpus")
+    assigned, _ = _ivf_assign_probes(emb, cents, carry=("qv", "norm"))
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
@@ -216,9 +222,12 @@ def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters, pinned in tests/test_plan_audit.py). Scoring and
     ranking are expression-identical to the scan path; the oracle is the
     same _IVF_SQL, so a green driver row proves index == scan."""
-    path = ensure_ivf_index(spark, sf_dir)
     emb = _quantized(spark, sf_dir)
-    _, probes = _ivf_assign_probes(emb, _first_k_cent_rows(emb))
+    cents = _first_k_cent_rows(emb)
+    if not cents:  # empty corpus slice: nothing to index (degrade)
+        return _empty_topk(spark)
+    path = ensure_ivf_index(spark, sf_dir)
+    _, probes = _ivf_assign_probes(emb, cents)
     probe_rows = [(int(r.query_id), int(r.centroid_id)) for r in probes.collect()]
     probed_ids = sorted({cid for _, cid in probe_rows})
 
@@ -273,7 +282,10 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     This is the standard billion-scale ANN disk format (coarse quantizer ->
     posting lists -> PQ codes) expressed as plain partitioned parquet."""
     emb = _quantized(spark, sf_dir)
-    assigned, _ = _ivf_assign_probes(emb, _first_k_cent_rows(emb))
+    cents = _first_k_cent_rows(emb)
+    if not cents:
+        raise ValueError("cannot build IVF+PQ index over an empty corpus")
+    assigned, _ = _ivf_assign_probes(emb, cents)
     cb_lit, cbnorm_lit, sub_d = _pq_setup(emb)
     encoded = _pq_encoded(emb, cb_lit, cbnorm_lit, sub_d)
     (
@@ -296,9 +308,12 @@ def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists' FILES only (literal partition predicate), candidates scored with
     M LUT reads off the broadcast query LUTs -- the corpus's raw vectors
     are never read at query time at all. Same oracle as the scan path."""
-    path = ensure_ivfpq_index(spark, sf_dir)
     emb = _quantized(spark, sf_dir)
-    _, probes = _ivf_assign_probes(emb, _first_k_cent_rows(emb))
+    cents = _first_k_cent_rows(emb)
+    if not cents:  # empty corpus slice: nothing to index (degrade)
+        return _empty_topk(spark, "simq_ppm")
+    path = ensure_ivfpq_index(spark, sf_dir)
+    _, probes = _ivf_assign_probes(emb, cents)
     probe_rows = [(int(r.query_id), int(r.centroid_id)) for r in probes.collect()]
     probed_ids = sorted({cid for _, cid in probe_rows})
 

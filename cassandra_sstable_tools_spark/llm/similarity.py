@@ -128,6 +128,20 @@ def _sim(dot: Column, na: Column, nb: Column) -> Column:
     return dot / F.sqrt((na * nb).cast("double"))
 
 
+def _empty_topk(spark: SparkSession, sim_col: str = "sim_ppm") -> DataFrame:
+    """Zero-row top-k frame with the shared ANN result schema.
+
+    The degenerate-corpus guard for every trained-model path (IVF / PQ /
+    k-means): a corpus slice with no vectors cannot seed centroids or
+    codebooks, and at 100 TB an empty slice (new source, pre-ingest date
+    range) must degrade to an empty result -- not crash a pipeline on a
+    driver-side collect of zero seed rows. Schema matches the non-degenerate
+    plans so downstream writers and the recall rollups see stable columns."""
+    return spark.createDataFrame(
+        [], f"query_id bigint, neighbor_id bigint, {sim_col} bigint, rank int"
+    )
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-K: query set broadcast against the full corpus."""
     emb = _quantized(spark, sf_dir)
@@ -224,7 +238,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         emb = _quantized(spark, sf_dir)
-        return _ivf_topk(emb, _first_k_cent_rows(emb))
+        cents = _first_k_cent_rows(emb)
+        if not cents:  # empty corpus slice: no centroids to seed (degrade)
+            return _empty_topk(spark)
+        return _ivf_topk(emb, cents)
 
     return _memo_plan(spark, sf_dir, "ann_ivf_topk", build)
 
@@ -446,6 +463,8 @@ def kmeans_centroids_spark(spark: SparkSession, sf_dir: str,
 
     emb = _quantized(spark, sf_dir).select("vec_id", "qv", "norm")
     init = emb.orderBy("vec_id").limit(k).collect()
+    if not init:  # empty corpus slice: nothing to train on (degrade)
+        return []
     dims = len(init[0].qv)  # the K-row init collect already carries dims
     cents = [[int(v) for v in r.qv] for r in init]
 
@@ -501,7 +520,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity_kmeans.py. Identical plan shape to ann_ivf_topk:
     only the inlined centroid literals differ."""
     emb = _quantized(spark, sf_dir)
-    return _ivf_topk(emb, kmeans_centroids_spark(spark, sf_dir))
+    cents = kmeans_centroids_spark(spark, sf_dir)
+    if not cents:  # empty corpus slice: no trained centroids (degrade)
+        return _empty_topk(spark)
+    return _ivf_topk(emb, cents)
 
 
 # Macro recall floor for the kmeans-IVF contract row. Measured (deterministic
@@ -555,14 +577,27 @@ def _pq_raw_codebook(emb: DataFrame):
            emb.semanticHash(), "pq_codebook")
     if key not in _FIRSTK_CACHE:
         cb_rows = emb.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
-        assert len(cb_rows) == PQ_K, "corpus smaller than PQ codebook"
-        dims = len(cb_rows[0].qv)
-        sub_d = dims // PQ_M
-        cb = [
-            [[int(v) for v in r.qv[m * sub_d:(m + 1) * sub_d]] for r in cb_rows]
-            for m in range(PQ_M)
-        ]
-        _FIRSTK_CACHE[key] = (cb, sub_d)
+        if not cb_rows:
+            # Empty corpus slice: no vectors to seed codes from; callers
+            # degrade to an empty result frame (see _empty_topk).
+            _FIRSTK_CACHE[key] = ([], 0)
+        else:
+            # 1 <= n < PQ_K seed rows: pad by repeating the last row so every
+            # downstream shape (argmin fold bounds, 4-bit packing, the flat
+            # [M*PQ_K] LUT indexed as m*PQ_K + code) keeps its static PQ_K
+            # size. Strict-< argmin keeps the FIRST minimum, so a duplicate
+            # padding code can never displace the original index -- the
+            # padded codebook scores bit-identically to an n-code one, and
+            # n >= PQ_K corpora (every fixture) are untouched.
+            while len(cb_rows) < PQ_K:
+                cb_rows.append(cb_rows[-1])
+            dims = len(cb_rows[0].qv)
+            sub_d = dims // PQ_M
+            cb = [
+                [[int(v) for v in r.qv[m * sub_d:(m + 1) * sub_d]] for r in cb_rows]
+                for m in range(PQ_M)
+            ]
+            _FIRSTK_CACHE[key] = (cb, sub_d)
     return _FIRSTK_CACHE[key]
 
 
@@ -752,7 +787,10 @@ def _pq_quant_error(emb: DataFrame, cb, sub_d: int) -> int:
         )
 
     total = reduce(lambda a, b: a + b, [min_d2(m) for m in range(PQ_M)])
-    return int(emb.select(F.sum(total).alias("e")).first().e)
+    # coalesce: sum over an empty corpus slice is NULL, not 0
+    return int(
+        emb.select(F.coalesce(F.sum(total), F.lit(0)).alias("e")).first().e
+    )
 
 
 def pq_train_codebooks(spark: SparkSession, sf_dir: str,
@@ -774,6 +812,8 @@ def pq_train_codebooks(spark: SparkSession, sf_dir: str,
     Returns (best_cb, best_err, init_err)."""
     emb = _quantized(spark, sf_dir).select("qv")
     cb, sub_d = _pq_raw_codebook(_quantized(spark, sf_dir))
+    if sub_d == 0:  # empty corpus slice: nothing to train on (degrade)
+        return [], 0, 0
     init_err = _pq_quant_error(emb, cb, sub_d)
     best_cb = [[list(sub) for sub in per_m] for per_m in cb]
     best_err = init_err
@@ -868,6 +908,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically from the same integers."""
     emb = _quantized(spark, sf_dir)
     cb_lit, cbnorm_lit, sub_d = _pq_setup(emb)
+    if sub_d == 0:  # empty corpus slice: no codebook to seed (degrade)
+        return _empty_topk(spark, "simq_ppm")
     encoded = _pq_index(spark, sf_dir, emb, cb_lit, cbnorm_lit, sub_d)
     queries = _pq_queries(emb, cb_lit, sub_d)
     scored = _pq_scored(
@@ -895,7 +937,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-codes partitioned BY LIST, a ~32x memory cut on top of IVF's
     compute cut. Exact integers end-to-end -> DuckDB-oracle-checkable."""
     emb = _quantized(spark, sf_dir)
-    assigned, probes = _ivf_assign_probes(emb, _first_k_cent_rows(emb))
+    cents = _first_k_cent_rows(emb)
+    if not cents:  # empty corpus slice: no centroids/codebook (degrade)
+        return _empty_topk(spark, "simq_ppm")
+    assigned, probes = _ivf_assign_probes(emb, cents)
     cand = (
         assigned.join(broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))
