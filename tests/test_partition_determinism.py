@@ -1,0 +1,50 @@
+"""Bit-determinism under re-partitioning: the distributed-correctness
+property behind every certified hash.
+
+A 1000-executor cluster never sums rows in the same order twice: shuffle
+partition counts, AQE coalescing, speculative retries all reorder the
+reduction tree. Every operator here claims order-independence (integer
+fixed-point sums, floor-before-compare, deterministic tie-breaks); this
+sweep PROVES it by executing the same query under shuffle.partitions=3 and
+=8 and requiring exactly equal result sets. A query that passes its DuckDB
+oracle but fails here would certify green on one cluster layout and flake
+on another -- the worst kind of regression, so it gets its own gate.
+
+Scope: the bench headline + secondary lists (the queries with recorded perf
+bars -- i.e. the hot paths) plus the full adapted TPC-H set, whose revenue
+aggregates are the classic float-associativity trap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_sstable_tools_spark.queries import registry
+import bench
+
+_QUERIES = registry.queries()
+_NAMES = sorted(
+    {n for n in bench.HEADLINE + bench.SECONDARY if n in _QUERIES}
+    | {n for n in _QUERIES if n.startswith("tpch_")}
+)
+
+
+def _rows(spark, name, sf_dir, partitions):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = _QUERIES[name](spark, sf_dir)
+        return sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_bit_equal_across_partitionings(name, spark, sf_dir):
+    a = _rows(spark, name, sf_dir, 3)
+    b = _rows(spark, name, sf_dir, 8)
+    assert a == b, (
+        f"{name}: result depends on shuffle partitioning "
+        f"({len(a)} vs {len(b)} rows; first diff: "
+        f"{next((x for x, y in zip(a, b) if x != y), None)})"
+    )
