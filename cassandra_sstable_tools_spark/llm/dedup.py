@@ -14,8 +14,9 @@ oracle -- no opaque library calls, no Python in the hot path:
 - ngram_jaccard_pairs: exact Jaccard for pairs sharing >= 1 shingle (smaller
   corpora / ground-truth for LSH recall).
 - simhash_signature: 16-bit SimHash demo signature (string form);
-  simhash_neardup_pairs runs 32-bit signatures with 4x8-bit pigeonhole
-  banding, melted into one (band_id, band_value) self-join.
+  simhash_neardup_pairs runs 64-bit signatures (two 32-bit halves) with
+  4x16-bit pigeonhole banding, melted into one (band_id, band_value)
+  self-join.
 
 Determinism notes: md5 is identical everywhere; lexicographic MIN over hex
 strings is engine-independent; all ratios are integer ppm.
@@ -47,10 +48,11 @@ NGRAM_MAX_DF = 250
 # buckets at or under the cap emit all pairs (bit-identical to the uncapped
 # join); bigger buckets emit star edges to the bucket-min doc, bounding the
 # join at cap^2 rows per bucket at ANY duplication level. Measured fixture
-# occupancy maxima: minhash 12 (sf0.1); simhash 343 (sf0.01) but 3253 at
-# sf0.1 -- 8-bit bands concentrate real text, so the simhash cap WILL
-# engage beyond certification scale, which is the point (5.3M candidate
-# pairs out of one sf0.1 bucket is the quadratic the cap exists to stop).
+# occupancy maxima: minhash 12 (sf0.1); simhash 404 (sf0.1, with the
+# 64-bit/16-bit-band config -- the earlier 32-bit/8-bit-band config packed
+# 3253 docs into one sf0.1 bucket, which is what motivated both the wider
+# bands and the cap). Caps sit above every fixture occupancy, so they are
+# pure mass-duplication safety valves at certification scale.
 MINHASH_MAX_BUCKET = 256
 SIMHASH_MAX_BUCKET = 1024
 
@@ -232,82 +234,111 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hex chars whose nibble has the TOP bit set (value & 8) / the SECOND bit
+# set (value & 4): each md5 hex char yields two independent vote directions,
+# giving 64 simhash bits from one 32-char digest.
+_HEX_TOP = tuple("89abcdef")
+_HEX_SECOND = tuple("4567cdef")
+
+
 def _simhash_val(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash as an integer (bit i = sign of vote i over the i-th
-    md5 nibble). 32 bits (vs the 16-bit signature demo in
-    simhash_signature) keeps the hamming<=3 ball selective: at 16 bits a
-    5k-doc corpus produced 3.3M "near-dup" pairs (27% of all pairs --
-    quadratic blowup); at 32 bits only genuinely similar docs collide."""
+    """64-bit SimHash as two 32-bit integer halves (sim_lo, sim_hi).
+
+    Bit i of sim_lo = sign of the vote over md5-char i's TOP nibble bit;
+    bit i of sim_hi = the same char's SECOND nibble bit -- 64 independent
+    hyperplanes from one digest, all 64 votes in ONE fused groupBy scan.
+    Two halves instead of one 64-bit value keep every bit operation in
+    unambiguous positive-BIGINT territory in both engines (bit 63 of a
+    single value would be the sign bit). 64 bits is the Manku WWW'07
+    production width: it buys 4 x 16-bit pigeonhole bands (65536 buckets
+    per band -- measured max occupancy 404 at sf0.1, vs 3253 with the old
+    32-bit/8-bit-band config) AND a selective hamming<=3 ball (the 32-bit
+    config certified 4411 "pairs" at sf0.01, mostly short-doc noise; the
+    64-bit one certifies 36 genuinely-similar ones)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
     ).withColumn("h", F.md5("word"))
-    votes = [
-        F.sum(
-            F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(32)
-    ]
-    agg = words.groupBy("doc_id").agg(*votes)
-    val = None
+    votes = []
     for i in range(32):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        val = bit if val is None else (val + bit)
-    return agg.select("doc_id", val.cast("bigint").alias("simhash"))
+        ch = F.substring("h", i + 1, 1)
+        votes.append(
+            F.sum(F.when(ch.isin(*_HEX_TOP), 1).otherwise(-1)).alias(f"v{i}")
+        )
+        votes.append(
+            F.sum(F.when(ch.isin(*_HEX_SECOND), 1).otherwise(-1)).alias(f"w{i}")
+        )
+    agg = words.groupBy("doc_id").agg(*votes)
+    lo, hi = None, None
+    for i in range(32):
+        lob = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        hib = F.when(F.col(f"w{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        lo = lob if lo is None else (lo + lob)
+        hi = hib if hi is None else (hi + hib)
+    return agg.select(
+        "doc_id",
+        lo.cast("bigint").alias("sim_lo"),
+        hi.cast("bigint").alias("sim_hi"),
+    )
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by SimHash: hamming(a, b) <= 3 over 32-bit
-    signatures. EXACT via pigeonhole banding: 4 bands x 8 bits -- any pair
-    within hamming 3 differs in at most 3 bands, so at least one band matches;
-    candidates from ONE melted (band_id, band_value) self-join, verified with
-    bit_count(xor). Same melt pattern as minhash `_band_candidates`: one
-    exchange of 4x rows instead of 4 exchanges + union.
+    """Near-duplicate pairs by SimHash: hamming(a, b) <= 3 over 64-bit
+    signatures. EXACT via pigeonhole banding: 4 bands x 16 bits -- any pair
+    within hamming 3 differs in at most 3 bands, so at least one band
+    matches; candidates from ONE melted (band_id, band_value) self-join,
+    verified with bit_count(xor) over both halves.
 
-    Scale posture: shuffles only (band_id, band_value) keys -- the standard
-    simhash index layout (Manku et al., WWW'07 pattern); never N^2. The
-    band join is bucket-capped at SIMHASH_MAX_BUCKET (operators/banding.py):
-    8-bit bands concentrate real text hard enough that sf0.1 already holds
-    a 3253-doc bucket, so the cap is what keeps candidate volume linear as
-    the corpus grows -- over-cap members pair with the bucket representative
-    (pigeonhole exactness inside over-cap buckets is the documented trade)."""
+    Scale posture: shuffles only (band_id, band_value) keys -- the Manku
+    WWW'07 production layout at its production width: 16-bit bands give
+    65536 buckets per band, so bucket occupancy STAYS small as the corpus
+    grows (the previous 32-bit/8-bit-band config concentrated 3253 docs
+    into one sf0.1 bucket = 5.3M candidate pairs; this config's max is
+    404). The join is still bucket-capped at SIMHASH_MAX_BUCKET
+    (operators/banding.py) as the mass-duplication safety valve -- above
+    it, members pair with the bucket representative (pigeonhole exactness
+    inside over-cap buckets is the documented trade)."""
     from cassandra_sstable_tools_spark.operators.banding import (
         capped_band_pairs,
     )
 
     # cached: the words-explode vote aggregation is the expensive stage and
-    # the plan references sig four times (band melt via the capped join's
-    # stats/star/anti branches + the two candidate-grain value gathers)
+    # the plan references sig several times (band melt via the capped
+    # join's stats/left branches + the two candidate-grain value gathers)
     sig = _simhash_val(spark, sf_dir).cache()
+    halves = [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
     long = sig.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    F.shiftright(F.col("simhash"), 8 * b)
-                    .bitwiseAND(F.lit(255))
+                    F.shiftright(F.col(col), sh)
+                    .bitwiseAND(F.lit(65535))
                     .alias("bk"),
                 )
-                for b in range(4)
+                for b, (col, sh) in enumerate(halves)
             ])
         ).alias("e"),
     ).select("doc_id", "e.band_id", "e.bk")
     cands = capped_band_pairs(long, "doc_id", "doc_a", "doc_b", SIMHASH_MAX_BUCKET)
+    a_sig = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_lo").alias("lo_a"), F.col("sim_hi").alias("hi_a"),
+    )
+    b_sig = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_lo").alias("lo_b"), F.col("sim_hi").alias("hi_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("bigint")
     return (
-        cands.join(
-            sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")),
-            "doc_b",
-        )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
-        )
+        cands.join(a_sig, "doc_a")
+        .join(b_sig, "doc_b")
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -379,6 +410,9 @@ _CAND_SQL = (
     + capped_band_pairs_sql("blong", "doc_id", "doc_a", "doc_b", MINHASH_MAX_BUCKET)
 )
 
+# 64-bit simhash as (sim_lo, sim_hi) halves -- char i's top nibble bit
+# votes bit i of lo, its second nibble bit votes bit i of hi (the same
+# rule as _simhash_val, same integers).
 _SIMHASH_VAL_SQL = (
     "words AS (\n"
     "    SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h\n"
@@ -386,12 +420,16 @@ _SIMHASH_VAL_SQL = (
     "),\nvotes AS (\n    SELECT doc_id,\n           "
     + ",\n           ".join(
         f"sum(CASE WHEN substr(h, {i + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{i}"
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{i},\n           "
+        f"sum(CASE WHEN substr(h, {i + 1}, 1) IN "
+        f"('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS w{i}"
         for i in range(32)
     )
     + "\n    FROM words GROUP BY 1\n),\nsig AS (\n    SELECT doc_id, CAST("
     + " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
-    + " AS BIGINT) AS simhash\n    FROM votes\n)"
+    + " AS BIGINT) AS sim_lo, CAST("
+    + " + ".join(f"CASE WHEN w{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    + " AS BIGINT) AS sim_hi\n    FROM votes\n)"
 )
 
 # Shared CTE chain ending in `verified_pairs` (the minhash-LSH verified
@@ -447,21 +485,23 @@ WHERE floor(i.inter * 1000000 / (za.n_shingles + zb.n_shingles - i.inter))
     "simhash_neardup_pairs": f"""
 WITH {_SIMHASH_VAL_SQL},
 blong AS (
-    SELECT doc_id, 0 AS band_id, (simhash >> 0) & 255 AS bk FROM sig
+    SELECT doc_id, 0 AS band_id, (sim_lo >> 0) & 65535 AS bk FROM sig
     UNION ALL
-    SELECT doc_id, 1, (simhash >> 8) & 255 FROM sig
+    SELECT doc_id, 1, (sim_lo >> 16) & 65535 FROM sig
     UNION ALL
-    SELECT doc_id, 2, (simhash >> 16) & 255 FROM sig
+    SELECT doc_id, 2, (sim_hi >> 0) & 65535 FROM sig
     UNION ALL
-    SELECT doc_id, 3, (simhash >> 24) & 255 FROM sig
+    SELECT doc_id, 3, (sim_hi >> 16) & 65535 FROM sig
 ),
 {capped_band_pairs_sql("blong", "doc_id", "doc_a", "doc_b", SIMHASH_MAX_BUCKET)}
 SELECT c.doc_a, c.doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+            + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
 FROM cands c
 JOIN sig a ON a.doc_id = c.doc_a
 JOIN sig b ON b.doc_id = c.doc_b
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+      + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
 """,
     "dedup_exact": r"""
 SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,

@@ -78,17 +78,19 @@ def test_minhash_finds_injected_neardup(spark, tmp_path):
 
 @settings(max_examples=300, deadline=None)
 @given(
-    sig=st.integers(min_value=0, max_value=0xFFFFFFFF),
-    flips=st.sets(st.integers(min_value=0, max_value=31), max_size=3),
+    sig=st.integers(min_value=0, max_value=0xFFFFFFFFFFFFFFFF),
+    flips=st.sets(st.integers(min_value=0, max_value=63), max_size=3),
 )
 def test_simhash_pigeonhole_guarantee(sig, flips):
-    """Any pair within hamming distance 3 of 32-bit signatures shares at
-    least one 8-bit band -- the exactness claim of simhash_neardup_pairs."""
+    """Any pair within hamming distance 3 of 64-bit signatures shares at
+    least one 16-bit band -- the exactness claim of simhash_neardup_pairs
+    (bands 0/1 = low half's 16-bit words, 2/3 = high half's, exactly the
+    melt in simhash_neardup_pairs)."""
     other = sig
     for b in flips:
         other ^= 1 << b
     shared = any(
-        (sig >> (8 * band)) & 255 == (other >> (8 * band)) & 255
+        (sig >> (16 * band)) & 0xFFFF == (other >> (16 * band)) & 0xFFFF
         for band in range(4)
     )
     assert shared
