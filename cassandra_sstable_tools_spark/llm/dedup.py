@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cassandra_sstable_tools_spark.operators.banding import capped_band_pairs_sql
+from cassandra_sstable_tools_spark.operators.banding import (
+    capped_band_pairs,
+    capped_band_pairs_sql,
+)
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
 # MinHash+LSH tuning. N_HASHES signatures banded as N_BANDS x BAND_SIZE;
@@ -130,10 +133,6 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
     page at 100 TB puts f near-identical docs in one bucket, and an
     uncapped join plans f^2 rows; above MINHASH_MAX_BUCKET members pair
     with the bucket representative instead."""
-    from cassandra_sstable_tools_spark.operators.banding import (
-        capped_band_pairs,
-    )
-
     n_bands = len([c for c in sig.columns if c.startswith("band")])
     long = sig.select(
         "doc_id",
@@ -299,14 +298,16 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/banding.py) as the mass-duplication safety valve -- above
     it, members pair with the bucket representative (pigeonhole exactness
     inside over-cap buckets is the documented trade)."""
-    from cassandra_sstable_tools_spark.operators.banding import (
-        capped_band_pairs,
-    )
+    # cached via the shared derived-frame registry (built once per corpus,
+    # evicted/unpersisted with the other derived frames): the words-explode
+    # 64-vote aggregation is the expensive stage and the plan references
+    # sig several times (band melt via the capped join's stats/left
+    # branches + the two candidate-grain value gathers)
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import _cached
 
-    # cached: the words-explode vote aggregation is the expensive stage and
-    # the plan references sig several times (band melt via the capped
-    # join's stats/left branches + the two candidate-grain value gathers)
-    sig = _simhash_val(spark, sf_dir).cache()
+    sig = _cached(
+        spark, sf_dir, "simhash_sig", lambda: _simhash_val(spark, sf_dir)
+    )
     halves = [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
     long = sig.select(
         "doc_id",

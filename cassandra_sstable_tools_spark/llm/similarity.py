@@ -45,7 +45,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from cassandra_sstable_tools_spark.operators.banding import capped_band_pairs_sql
+from cassandra_sstable_tools_spark.operators.banding import (
+    capped_band_pairs,
+    capped_band_pairs_sql,
+)
 from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
@@ -996,10 +999,6 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a pair agreeing in several bands must verify once, not k times).
     Bucket-capped at NEARDUP_MAX_BUCKET (operators/banding.py) so f
     identical embeddings cost f - 1 star edges, not f^2 pair rows."""
-    from cassandra_sstable_tools_spark.operators.banding import (
-        capped_band_pairs,
-    )
-
     emb = _quantized(spark, sf_dir)
     bands = emb.select(
         "vec_id", F.posexplode(_band_keys(F.col("qv"))).alias("band_id", "band_key")
@@ -1105,10 +1104,6 @@ def embedding_neardup_pairs_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify-on-candidates plan shape, but candidate generation hashes
     random hyperplane sign bits instead of raw quantized dims -- the scheme
     whose width is NOT capped by the embedding dimensionality."""
-    from cassandra_sstable_tools_spark.operators.banding import (
-        capped_band_pairs,
-    )
-
     emb = _quantized(spark, sf_dir)
     bands = proj_band_keys_frame(emb)
     cand = capped_band_pairs(

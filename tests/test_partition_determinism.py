@@ -34,7 +34,10 @@ def _rows(spark, name, sf_dir, partitions):
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         df = _QUERIES[name](spark, sf_dir)
-        return sorted(tuple(r) for r in df.collect())
+        # repr-keyed sort: None is not orderable against ints/strs, and a
+        # NULL-bearing column must yield a determinism VERDICT, not a
+        # TypeError from sorted()
+        return sorted((tuple(r) for r in df.collect()), key=repr)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
