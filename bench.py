@@ -63,6 +63,11 @@ SECONDARY = [
     "chunk_dedup_stats",
     "dedup_clusters_star",
     "supplier_part_pagerank",
+    # r06 additions: the two heaviest banded near-dup operators, tracked
+    # since the bucket-capped band join + 64-bit simhash landed. Bars in
+    # BASELINE.md §r06.
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs_proj",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
