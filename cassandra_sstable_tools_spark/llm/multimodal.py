@@ -218,7 +218,11 @@ def fake_decode(payload: bytes) -> dict:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload table synthesized from documents (utf-8 payloads stand
     in for image bytes; schema matches a real media lake: id + binary + kind)."""
-    d = load_table(spark, sf_dir, "documents")
+    # A media-lake row without bytes is not a media row: NULL text (the
+    # payload source here) is dropped at the source, the same contract a
+    # real ingest enforces -- downstream Arrow kernels (md5, len) operate
+    # on bytes, not Optional[bytes]. No-op on the fixtures (no NULLs).
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return d.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
@@ -417,6 +421,7 @@ SELECT md5(text) AS checksum,
                            WHEN doc_id % 3 = 1 THEN 'audio'
                            ELSE 'video' END) AS kinds
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY 1
 """,
     "image_resize": f"""
@@ -428,7 +433,7 @@ SELECT doc_id, 'image' AS media_kind,
        CAST(({_H_SQL}) * {TARGET_DIM} // greatest({_W_SQL}, {_H_SQL}) AS INT)
            AS new_h
 FROM documents
-WHERE doc_id % 3 = 0
+WHERE text IS NOT NULL AND doc_id % 3 = 0
 """,
     "media_embed": f"""
 SELECT doc_id,
@@ -436,6 +441,7 @@ SELECT doc_id,
                         FOR i IN range(1, {EMBED_DIMS} + 1)], ',')
            AS embedding_csv
 FROM documents
+WHERE text IS NOT NULL
 """,
     # n_frames counts BYTES (octet_length of the utf-8 payload) while
     # frame_bytes slices CHARS (binary->string cast then substring) --
@@ -447,7 +453,7 @@ SELECT doc_id,
 FROM documents,
      LATERAL (SELECT unnest(range(0,
          greatest(1, octet_length(encode(text)) // 100))) AS i)
-WHERE doc_id % 3 = 2
+WHERE text IS NOT NULL AND doc_id % 3 = 2
 """,
     "media_metadata": """
 SELECT doc_id,
@@ -461,6 +467,7 @@ SELECT doc_id,
            AS height,
        substr(md5(text), 1, 8) AS checksum_prefix
 FROM documents
+WHERE text IS NOT NULL
 """,
 }
 

@@ -99,7 +99,13 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry models that with the same lifecycle/eviction as `cells`."""
 
     def build() -> DataFrame:
-        e = load_table(spark, sf_dir, "embeddings")
+        # NULL embeddings (upstream embed failure, unbackfilled row) carry
+        # no vector signal and would crash the bounded seed collects
+        # (len(row.qv) on None) -- a vector-less row simply isn't part of
+        # the vector corpus. No-op on the fixtures (no NULLs).
+        e = load_table(spark, sf_dir, "embeddings").where(
+            F.col("embedding").isNotNull()
+        )
         qv = F.transform("embedding", lambda x: F.floor(x * 1000).cast("bigint"))
         norm = F.aggregate(
             qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
@@ -1134,6 +1140,7 @@ elems AS (
     SELECT vec_id, i AS pos,
            CAST(floor(embedding[i] * 1000) AS BIGINT) AS q
     FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    WHERE embedding IS NOT NULL
 ),
 norms AS (
     SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS norm FROM elems GROUP BY 1
@@ -1175,7 +1182,7 @@ params AS (
            CAST(floor(log2(greatest(
                count(*) * {LSH_N_BANDS}.0 / {LSH_TARGET_CANDIDATES}, 2.0)))
            AS INT))) AS bits
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 band_keys AS (
     SELECT vec_id,
@@ -1598,6 +1605,7 @@ WITH lelems AS (
     SELECT label, vec_id, i AS pos,
            CAST(floor(embedding[i] * 1000) AS BIGINT) AS q
     FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    WHERE embedding IS NOT NULL
 ),
 pernorm AS (
     SELECT label, vec_id, CAST(sum(q * q) AS BIGINT) AS norm

@@ -71,3 +71,46 @@ def test_query_survives_two_row_tables(name, spark, tiny_dir):
     df = _QUERIES[name](spark, tiny_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+# Key-ish columns a real ingest pipeline enforces NOT NULL on (join keys,
+# event time for watermarks); every other column goes NULL in the sweep.
+_KEEP_NON_NULL = {
+    "doc_id", "vec_id", "event_id", "ts", "user_id",
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "o_orderkey", "o_custkey", "c_custkey", "c_nationkey",
+    "s_suppkey", "s_nationkey", "p_partkey",
+    "n_nationkey", "n_regionkey", "r_regionkey", "ps_partkey",
+}
+
+
+@pytest.fixture(scope="session")
+def nulls_dir(tmp_path_factory):
+    """Two real rows per table plus one row whose every non-key column is
+    NULL -- the dirty-data regime: a decode failure upstream, a missing
+    embedding, an unset lang tag. Queries must propagate/skip NULLs, not
+    crash (the classic failure is a driver-side seed collect doing
+    len(row.embedding) on None)."""
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for t in TPCH_TABLES:
+        tbl = pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+        head = tbl.slice(0, 2)
+        third = tbl.slice(2, 1) if tbl.num_rows > 2 else tbl.slice(0, 1)
+        cols = []
+        for i, f in enumerate(third.schema):
+            if f.name in _KEEP_NON_NULL:
+                cols.append(third.column(i))
+            else:
+                cols.append(pa.array([None], type=f.type))
+        nulled = pa.table(dict(zip(third.schema.names, cols)))
+        pq.write_table(
+            pa.concat_tables([head, nulled]), str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_survives_null_rows(name, spark, nulls_dir):
+    df = _QUERIES[name](spark, nulls_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
