@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cassandra_sstable_tools_spark.operators.topn import ranked_global_topk
 from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
 NGRAM_TOP_K = 20
@@ -52,9 +53,9 @@ def ngram_topk(spark: SparkSession, sf_dir: str, k: int = NGRAM_TOP_K) -> DataFr
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("occurrences"))
     )
-    topk = counts.orderBy(F.desc("occurrences"), F.asc("ngram")).limit(k)
-    w = Window.orderBy(F.desc("occurrences"), F.asc("ngram"))
-    return topk.withColumn("rank", F.row_number().over(w))
+    return ranked_global_topk(
+        counts, [F.desc("occurrences"), F.asc("ngram")], k
+    )
 
 
 def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +69,11 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         email.alias("email_hits"),
         long_digit.alias("long_digit_hits"),
         url.alias("url_hits"),
-        ((email + long_digit) > 0).cast("int").alias("needs_redaction"),
+        # coalesce: NULL text makes every regexp_count NULL; the oracle's
+        # CASE ... ELSE 0 says a text-less doc needs no redaction
+        F.coalesce(((email + long_digit) > 0).cast("int"), F.lit(0)).alias(
+            "needs_redaction"
+        ),
     )
 
 
@@ -92,7 +97,11 @@ def _keep(doc_id, source):
 def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit of the deterministic 25% subsample per source stratum."""
     d = load_table(spark, sf_dir, "documents")
-    kept = _keep(F.col("doc_id"), F.col("source")).cast("int")
+    # coalesce: a NULL source makes the md5 keep-hash NULL; the oracle's
+    # CASE ... ELSE 0 treats that stratum as never-kept, not NULL-kept
+    kept = F.coalesce(
+        _keep(F.col("doc_id"), F.col("source")).cast("int"), F.lit(0)
+    )
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.sum(kept).alias("kept_docs"),
@@ -126,9 +135,9 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = BPE_TOP_K) -> Dat
         "freq",
     )
     counts = pairs.groupBy("pair").agg(F.sum("freq").alias("occurrences"))
-    topk = counts.orderBy(F.desc("occurrences"), F.asc("pair")).limit(k)
-    w = Window.orderBy(F.desc("occurrences"), F.asc("pair"))
-    return topk.withColumn("rank", F.row_number().over(w))
+    return ranked_global_topk(
+        counts, [F.desc("occurrences"), F.asc("pair")], k
+    )
 
 
 def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFrame:
@@ -151,18 +160,17 @@ def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFr
         F.sum("cnt").alias("occurrences"),
         F.count(F.lit(1)).alias("doc_freq"),
     )
-    topk = (
+    enriched = (
         agg.crossJoin(F.broadcast(n_docs))
         .withColumn(
             "idf_ppm",
             F.floor(F.col("n_docs") * 1000000 / F.col("doc_freq")).cast("bigint"),
         )
         .drop("n_docs")
-        .orderBy(F.desc("doc_freq"), F.asc("word"))
-        .limit(k)
     )
-    w = Window.orderBy(F.desc("doc_freq"), F.asc("word"))
-    return topk.withColumn("rank", F.row_number().over(w))
+    return ranked_global_topk(
+        enriched, [F.desc("doc_freq"), F.asc("word")], k
+    )
 
 
 _BIGRAMS_SQL = r"""

@@ -82,3 +82,21 @@ def top_n_per_group_salted(
         survivors.withColumn(rank_col, F.row_number().over(w2))
         .where(F.col(rank_col) <= n)
     )
+
+
+def ranked_global_topk(
+    df: DataFrame, order_by: list[Column], k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Global top-k with a 1..k rank column, ONE ordering definition.
+
+    orderBy().limit(k) plans TakeOrderedAndProject (bounded per-task heap);
+    the k-row survivor set is then ranked by a window over the SAME
+    ordering expressions -- sharing the list is what keeps the limit and
+    the rank consistent (a drifted copy of the ordering between the two
+    steps would silently mis-rank ties)."""
+    w = Window.orderBy(*order_by)
+    return (
+        df.orderBy(*order_by)
+        .limit(k)
+        .withColumn(rank_col, F.row_number().over(w))
+    )

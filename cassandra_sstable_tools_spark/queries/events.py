@@ -53,7 +53,15 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven equal to F.window sliding semantics in the streaming tests."""
     e = events_table(spark, sf_dir)
     w1 = (F.expr("ts_s div 3600") * 3600).alias("window_start")
-    w2 = (F.expr("(ts_s - 1800) div 3600") * 3600 + 1800).alias("window_start")
+    # floor((ts_s - 1800) / 3600) via the shift trick: `div` truncates
+    # toward zero, so the raw (ts_s - 1800) div 3600 would round the
+    # ts_s < 1800 events UP (window starting after the event) while the
+    # flooring oracle and F.window both round DOWN; adding one period
+    # before the div keeps the operand non-negative (ts_s >= 0), where
+    # div == floor.
+    w2 = (F.expr("(ts_s + 1800) div 3600") * 3600 - 3600 + 1800).alias(
+        "window_start"
+    )
     both = e.select(w1).unionByName(e.select(w2))
     return both.groupBy("window_start").agg(F.count(F.lit(1)).alias("events"))
 

@@ -298,7 +298,9 @@ def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         key_cols=["event_type"],
         aggs={
-            "events": ("count", "event_type"),
+            # count over a NON-NULL column: count(event_type) would skip a
+            # NULL-typed dirty row while the oracle's count(*) counts it
+            "events": ("count", "ts_s"),
             "value_cents": ("sum", "value_cents"),
             "first_ts_s": ("min", "ts_s"),
             "last_ts_s": ("max", "ts_s"),
@@ -475,11 +477,16 @@ def events_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("hour_start", stack).where(F.col("events") > 0)
 
 
+# The pivot's declared-values list IS a filter: a row whose type is NULL
+# or outside EVENT_TYPES is structurally unproducible by stack() over the
+# five pivoted columns, so the oracle restricts to the same set (no-op on
+# the fixtures, whose types are exactly EVENT_TYPES).
 ORACLES["events_pivot_roundtrip"] = f"""
 SELECT ({_TS_S_SQL} // 3600) * 3600 AS hour_start,
        event_type,
        count(*) AS events
 FROM events
+WHERE event_type IN ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
 GROUP BY 1, 2
 """
 QUERIES["events_pivot_roundtrip"] = events_pivot_roundtrip

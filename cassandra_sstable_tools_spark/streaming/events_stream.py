@@ -21,6 +21,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+# the ONE attribution-window definition (queries/events.clicks_near_purchases):
+# the stream-stream join interval and its oracle literal are both rendered
+# from it, so tuning it cannot desynchronize the three encodings
+from cassandra_sstable_tools_spark.queries.events import ATTRIBUTION_WINDOW_S
 from cassandra_sstable_tools_spark.sources.tpch_adapter import (
     _enable_nanos_as_long,
     ts_seconds_col,
@@ -41,6 +45,28 @@ def events_stream_spec(spark: SparkSession, sf_dir: str) -> tuple[StructType, Co
     return batch.schema, ts_seconds_col(batch)
 
 
+def events_stream_source(
+    spark: SparkSession, sf_dir: str, with_event_time: bool = True
+):
+    """The ONE events file-stream source (returns (stream, ts_s Column)).
+
+    Every streaming query reads events through this helper so the
+    invariants the batch-equivalence oracles rely on -- introspected
+    schema, the single-file glob filter, and the `event_time` column
+    watermarks key on -- have exactly one definition instead of a copy per
+    query. ``with_event_time=False`` for callers that derive their own
+    time columns (the stream-stream join sides, the stateful kernel)."""
+    schema, ts_s = events_stream_spec(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if with_event_time:
+        stream = stream.withColumn("event_time", F.timestamp_seconds(ts_s))
+    return stream, ts_s
+
+
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling 1-hour aggregation with watermark; returns the
     (unstarted) streaming DataFrame. Uses the real event-time `F.window`
@@ -48,13 +74,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests)."""
     # File stream sources require a directory; select the single events
     # parquet via glob filter.
-    schema, ts_s = events_stream_spec(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_seconds(ts_s))
-    )
+    stream, ts_s = events_stream_source(spark, sf_dir)
     return (
         stream.withWatermark("event_time", "2 hours")
         .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
@@ -79,13 +99,7 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence oracle is the two-offset union formulation that
     queries/events.events_sliding already proves equal to sliding-window
     semantics."""
-    schema, ts_s = events_stream_spec(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_seconds(ts_s))
-    )
+    stream, ts_s = events_stream_source(spark, sf_dir)
     return (
         stream.withWatermark("event_time", "2 hours")
         .groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
@@ -95,9 +109,6 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events",
         )
     )
-
-
-ATTRIBUTION_WINDOW_S = 1800  # mirrors queries/events.clicks_near_purchases
 
 
 def stream_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,13 +123,10 @@ def stream_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(stream history). The emitted pair set is deterministic (inner
     join, no late-data dropping under availableNow), so the batch oracle is
     the naive pair list."""
-    schema, ts_s = events_stream_spec(spark, sf_dir)
-
     def _side(event_type: str, prefix: str):
+        side, ts_s = events_stream_source(spark, sf_dir, with_event_time=False)
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            side
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_event_id"),
@@ -135,7 +143,9 @@ def stream_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks,
         on=(
             (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_time") >= F.col("p_time") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_time")
+               >= F.col("p_time")
+               - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS"))
             & (F.col("c_time") <= F.col("p_time"))
         ),
         how="inner",
@@ -240,13 +250,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(stream history) -- the property that makes streaming dedup viable on
     an unbounded 100 TB/day feed. State is hash-partitioned on event_id by
     the streaming aggregation exchange; no skew (keys are unique)."""
-    schema, ts_s = events_stream_spec(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_seconds(ts_s))
-    )
+    stream, ts_s = events_stream_source(spark, sf_dir)
     doubled = stream.withColumn(
         "copy", F.explode(F.array(F.lit(1), F.lit(2)))
     ).drop("copy")
@@ -301,7 +305,7 @@ c AS (
 SELECT p.purchase_event_id, c.click_event_id, p.user_id,
        p.purchase_ts_s, c.click_ts_s
 FROM p JOIN c ON c.user_id = p.user_id
-           AND c.click_ts_s >= p.purchase_ts_s - 1800
+           AND c.click_ts_s >= p.purchase_ts_s - {ATTRIBUTION_WINDOW_S}
            AND c.click_ts_s <= p.purchase_ts_s
 """,
     # sliding(1h, 30min) == union of the two tumbling offsets (the batch

@@ -33,9 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
-from cassandra_sstable_tools_spark.streaming.events_stream import events_stream_spec
-
-SESSION_GAP_SECONDS = 1800
+# the ONE session-gap definition: this kernel is certified against the
+# batch sessionize oracle rendered from queries/events.py, so the gap must
+# be the same object, not a numerically-equal copy
+from cassandra_sstable_tools_spark.queries.events import SESSION_GAP_SECONDS
+from cassandra_sstable_tools_spark.streaming.events_stream import events_stream_source
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -92,7 +94,10 @@ def _sessionize_group(
 
     pdf = pdf.sort_values(["ts_s", "event_id"])
     ts = pdf["ts_s"].to_numpy(np.int64)
-    cents = pdf["value_cents"].to_numpy(np.int64)
+    # fillna first: a NULL value (dirty row) arrives as NaN, and a bare
+    # to_numpy(int64) cast turns NaN into INT64_MIN garbage; SQL SUM
+    # null-skipping == summing 0, matching the batch sessionize oracle
+    cents = pdf["value_cents"].fillna(0).to_numpy(np.int64)
     prev = np.empty_like(ts)
     prev[1:] = ts[:-1]
     prev[0] = last_ts0 if last_ts0 is not None else ts[0]
@@ -134,12 +139,7 @@ def _sessionize_group(
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-sessionization; returns the (unstarted) stateful stream."""
-    schema, ts_s = events_stream_spec(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream, ts_s = events_stream_source(spark, sf_dir, with_event_time=False)
     prepared = stream.select(
         "user_id",
         "event_id",
