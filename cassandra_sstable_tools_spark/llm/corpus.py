@@ -452,8 +452,11 @@ def per_source_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id",
         "source",
+        # concat_ws, not concat: Spark concat NULLs out on any NULL arg
+        # while DuckDB concat skips NULLs -- concat_ws skips NULL args in
+        # BOTH engines, so a NULL-source dirty row keys identically
         F.md5(
-            F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("source"))
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("source"))
         ).alias("sample_key"),
     )
     return top_n_per_group_salted(
@@ -467,7 +470,7 @@ SELECT doc_id, source, sample_key, rank FROM (
            row_number() OVER (PARTITION BY source
                               ORDER BY sample_key, doc_id) AS rank
     FROM (SELECT doc_id, source,
-                 md5(concat(CAST(doc_id AS VARCHAR), '#', source))
+                 md5(concat_ws('#', CAST(doc_id AS VARCHAR), source))
                      AS sample_key
           FROM documents)
 ) WHERE rank <= {SAMPLE_TOP_K}

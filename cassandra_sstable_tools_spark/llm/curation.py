@@ -127,7 +127,11 @@ def mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("lang").agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.sum("tokens").alias("total_tokens"),
-        F.sum(sel.cast("int")).cast("bigint").alias("selected_docs"),
+        # coalesce: NULL cum_tokens (dirty text) selects nothing, like the
+        # oracle's CASE ... ELSE 0
+        F.sum(F.coalesce(sel.cast("int"), F.lit(0)))
+        .cast("bigint")
+        .alias("selected_docs"),
         F.sum(F.when(sel, F.col("tokens")).otherwise(0)).alias("selected_tokens"),
     )
 

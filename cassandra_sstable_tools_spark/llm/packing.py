@@ -81,8 +81,19 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("tokens").over(w_docs), F.lit(0)) + F.col("bucket_start")
+    # eqNullSafe on lang: the oracle's PARTITION BY lang treats NULL as a
+    # group, but a plain equi-join would silently DROP every NULL-lang
+    # dirty row (NULL never equals NULL)
+    off = offsets.withColumnRenamed("lang", "_lang").withColumnRenamed(
+        "bucket", "_bucket"
+    )
     return (
-        scored.join(F.broadcast(offsets), ["lang", "bucket"])
+        scored.join(
+            F.broadcast(off),
+            F.col("lang").eqNullSafe(F.col("_lang"))
+            & (F.col("bucket") == F.col("_bucket")),
+        )
+        .drop("_lang", "_bucket")
         .withColumn("start", start)
         .select(
             "doc_id",

@@ -250,9 +250,12 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = lang_id(spark, sf_dir).select(
         "doc_id",
-        (F.col("guessed_lang") == F.col("labeled_lang")).cast("int").alias(
-            "lang_match"
-        ),
+        # coalesce: a NULL label (dirty row) matches nothing -- the
+        # oracle's CASE WHEN guessed = labeled THEN 1 ELSE 0
+        F.coalesce(
+            (F.col("guessed_lang") == F.col("labeled_lang")).cast("int"),
+            F.lit(0),
+        ).alias("lang_match"),
     )
     score = (
         F.col("keep") * QS_W_KEEP
@@ -351,12 +354,18 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     n = F.length("text")
+    # features coalesced to 0 JVM-side: NULL text must reach the model as
+    # zero-signal features, not as NaN through the Arrow boundary (the
+    # oracle coalesces identically)
     feats = d.select(
         "doc_id",
-        n.alias("char_len"),
-        _word_count(F.col("text")).alias("word_count"),
-        F.floor(
-            F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1000000 / n
+        F.coalesce(n, F.lit(0)).alias("char_len"),
+        F.coalesce(_word_count(F.col("text")), F.lit(0)).alias("word_count"),
+        F.coalesce(
+            F.floor(
+                F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")) * 1000000 / n
+            ),
+            F.lit(0),
         ).alias("punct_ppm"),
     )
     return feats.select(
@@ -368,10 +377,11 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["quality_model_scores"] = rf"""
 WITH feats AS (
     SELECT doc_id,
-           length(text) AS char_len,
-           {_WC_SQL} AS word_count,
-           CAST(floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
-                      / length(text)) AS BIGINT) AS punct_ppm
+           coalesce(length(text), 0) AS char_len,
+           coalesce({_WC_SQL}, 0) AS word_count,
+           CAST(coalesce(floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                               * 1000000 / length(text)), 0)
+                AS BIGINT) AS punct_ppm
     FROM documents
 )
 SELECT doc_id,
@@ -405,10 +415,20 @@ def corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(_is_eval(F.col("doc_id")).cast("long")).alias("eval_docs"),
     )
+    # isNotNull first: the oracle's count(DISTINCT col) excludes NULL per
+    # SQL semantics, but a groupBy would count the NULL group as a value
     sources = (
-        d.groupBy("source").agg(F.lit(1)).agg(F.count(F.lit(1)).alias("sources"))
+        d.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.lit(1))
+        .agg(F.count(F.lit(1)).alias("sources"))
     )
-    langs = d.groupBy("lang").agg(F.lit(1)).agg(F.count(F.lit(1)).alias("langs"))
+    langs = (
+        d.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.lit(1))
+        .agg(F.count(F.lit(1)).alias("langs"))
+    )
     chunks = chunk_dedup_stats(spark, sf_dir).agg(
         F.sum("n_chunks").alias("chunks"),
         F.sum("dup_chunks").alias("dup_chunks"),

@@ -80,11 +80,14 @@ KEEP_MAX_PUNCT_PPM = 300000
 def _keep_flag(char_len, word_count, punct_ppm):
     """The composite keep predicate as a Column (nonempty text assumed:
     punct_ppm divides by char_len, and char_len >= KEEP_MIN_CHARS already
-    excludes empty rows from ever keeping)."""
-    return (
+    excludes empty rows from ever keeping). Coalesced to false so a NULL
+    text (dirty row -> every signal NULL -> three-valued predicate NULL)
+    is DROPPED, matching every oracle's CASE ... ELSE 0."""
+    return F.coalesce(
         (char_len >= KEEP_MIN_CHARS)
         & (word_count >= KEEP_MIN_WORDS)
-        & (punct_ppm < KEEP_MAX_PUNCT_PPM)
+        & (punct_ppm < KEEP_MAX_PUNCT_PPM),
+        F.lit(False),
     )
 
 

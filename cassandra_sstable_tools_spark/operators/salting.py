@@ -80,7 +80,9 @@ def salted_returnflag_totals(spark, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         {
             "total_qty": ("sum", "qty_int"),
-            "n_rows": ("count", "qty_int"),
+            # count over the non-null join key: count(qty_int) would skip a
+            # NULL-quantity dirty row while the oracle's count(*) counts it
+            "n_rows": ("count", "l_orderkey"),
             "min_qty": ("min", "qty_int"),
             "max_qty": ("max", "qty_int"),
             "total_price_cents": ("sum", "price_cents"),

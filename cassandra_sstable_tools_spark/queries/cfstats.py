@@ -66,13 +66,21 @@ def _flags(c: DataFrame) -> DataFrame:
         (F.col("kind") == "ROW_DELETE").cast("int").alias("f_rowdel"),
         (F.col("kind") == "RANGE_TOMBSTONE_MARKER").cast("int").alias("f_rtm"),
         (F.col("kind") == "PARTITION_DELETE").cast("int").alias("f_partdel"),
-        F.col("is_tombstone").cast("int").alias("f_tomb"),
-        (F.col("is_tombstone") & (F.col("local_deletion_time") < GC_BEFORE))
-        .cast("int")
-        .alias("f_droppable"),
-        (is_cell & ~F.col("is_tombstone") & ~expired).cast("int").alias("f_live"),
-        F.col("is_expiring").cast("int").alias("f_expiring"),
-        F.col("is_counter").cast("int").alias("f_counter"),
+        # coalesce(flag, 0): classification inputs can be NULL on dirty rows
+        # (unbackfilled cell attributes); the oracle's CASE ... ELSE 0 says a
+        # cell whose class is unknowable belongs to NO class, and a bare
+        # cast would sum NULL instead
+        F.coalesce(F.col("is_tombstone").cast("int"), F.lit(0)).alias("f_tomb"),
+        F.coalesce(
+            (F.col("is_tombstone") & (F.col("local_deletion_time") < GC_BEFORE))
+            .cast("int"),
+            F.lit(0),
+        ).alias("f_droppable"),
+        F.coalesce(
+            (is_cell & ~F.col("is_tombstone") & ~expired).cast("int"), F.lit(0)
+        ).alias("f_live"),
+        F.coalesce(F.col("is_expiring").cast("int"), F.lit(0)).alias("f_expiring"),
+        F.coalesce(F.col("is_counter").cast("int"), F.lit(0)).alias("f_counter"),
     )
 
 

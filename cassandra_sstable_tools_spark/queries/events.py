@@ -122,8 +122,10 @@ def events_top_types(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     counts = e.groupBy(
         (F.expr("ts_s div 3600") * 3600).alias("hour_start"), "event_type"
     ).agg(F.count(F.lit(1)).alias("events"))
+    # asc_nulls_last: Spark's ASC default is NULLS FIRST, DuckDB's is NULLS
+    # LAST -- a NULL-typed dirty group must rank identically in both
     w = Window.partitionBy("hour_start").orderBy(
-        F.desc("events"), F.asc("event_type")
+        F.desc("events"), F.asc_nulls_last("event_type")
     )
     return (
         counts.withColumn("rank", F.row_number().over(w))

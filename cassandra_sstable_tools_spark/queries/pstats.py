@@ -178,9 +178,14 @@ def pstats_summary_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = exact.join(apx, ["keyspace", "table_name"])
     checks = [
-        (
+        # NULL-safe: a group with no measurable sizes (dirty rows) yields
+        # NULL from BOTH modes -- the sketch agrees with exact, so the
+        # check holds (oracle emits literal TRUE); NULL from only one mode
+        # is a genuine failure
+        F.coalesce(
             F.abs(F.col(f"a_{c}") - F.col(c)) * 100
-            <= F.col(c) * APPROX_PCTL_TOL_PCT
+            <= F.col(c) * APPROX_PCTL_TOL_PCT,
+            F.col(f"a_{c}").isNull() & F.col(c).isNull(),
         ).alias(f"{c}_within_tol")
         for c in ("p50", "p75", "p90", "p95", "p99", "p999")
     ]

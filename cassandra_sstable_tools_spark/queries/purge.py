@@ -97,7 +97,11 @@ def compaction_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = enriched.groupBy("keyspace", "table_name", cls).agg(
         F.count(F.lit(1)).alias("rows_pre"),
         F.sum("cell_size").alias("bytes_pre"),
-        F.sum(survives.cast("int")).cast("bigint").alias("rows_merged"),
+        # coalesce per row: a NULL survives-verdict (dirty cell attributes)
+        # is "not kept", matching the oracle's CASE ... ELSE 0
+        F.sum(F.coalesce(survives.cast("int"), F.lit(0)))
+        .cast("bigint")
+        .alias("rows_merged"),
         F.sum(F.when(survives, F.col("cell_size")).otherwise(F.lit(0))).alias(
             "bytes_merged_raw"
         ),

@@ -114,3 +114,37 @@ def test_query_survives_null_rows(name, spark, nulls_dir):
     df = _QUERIES[name](spark, nulls_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+@pytest.fixture(scope="session")
+def nulls_ddb(nulls_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(nulls_dir, t)}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle_on_null_rows(name, spark, nulls_dir, nulls_ddb):
+    """Dirty-data CERTIFICATION, not just crash-freedom: Spark and DuckDB
+    must agree on NULL-bearing tables too. SQL NULL semantics (three-valued
+    predicates, null-skipping aggregates, NULL grouping keys) are exactly
+    where two hand-mirrored formulations drift apart silently -- a review
+    pass found six such divergences that the fixtures' NULL-free data had
+    been masking; this sweep makes that class mechanical."""
+    from conftest import assert_matches_oracle
+
+    from cassandra_sstable_tools_spark.queries import registry as _reg
+
+    oracles = _reg.oracle_sql()
+    df = _QUERIES[name](spark, nulls_dir)
+    if name not in oracles:
+        assert df.count() >= 0
+        return
+    assert_matches_oracle(df, oracles[name], nulls_ddb)
