@@ -413,7 +413,9 @@ def corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.sum(_is_eval(F.col("doc_id")).cast("long")).alias("eval_docs"),
+        # count(when), not sum(flag): sum over an empty corpus is NULL
+        # while the oracle's count yields 0
+        F.count(F.when(_is_eval(F.col("doc_id")), F.lit(1))).alias("eval_docs"),
     )
     # isNotNull first: the oracle's count(DISTINCT col) excludes NULL per
     # SQL semantics, but a groupBy would count the NULL group as a value

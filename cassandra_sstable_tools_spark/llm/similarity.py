@@ -569,7 +569,10 @@ def ann_ivf_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.count(F.lit(1)).alias("truth_pairs"),
         (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1_000_000
+            # outer coalesce: an EMPTY truth set (zero-row corpus) means
+            # 0 >= 0 -- vacuously ok, like the oracle's literal TRUE
+            F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0))
+            * 1_000_000
             >= F.count(F.lit(1)) * KMEANS_RECALL_MIN_PPM
         ).alias("recall_ok"),
     )
@@ -1518,7 +1521,8 @@ dists AS (
 mind AS (
     SELECT vec_id, m, min(d2) AS min_d2 FROM dists GROUP BY 1, 2
 )
-SELECT CAST(sum(min_d2) AS BIGINT) AS init_err_total, TRUE AS improved
+SELECT CAST(coalesce(sum(min_d2), 0) AS BIGINT) AS init_err_total,
+       TRUE AS improved
 FROM mind
 """
 

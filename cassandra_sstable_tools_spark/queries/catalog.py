@@ -115,6 +115,10 @@ SELECT coalesce(keyspace, '<all>') AS keyspace,
        CAST(sum(uncompressed_length) AS BIGINT) AS data_size
 FROM sstables_meta
 GROUP BY ROLLUP (keyspace, table_name)
+-- HAVING pins the shared empty-relation contract: Spark grouping sets over
+-- zero rows emit NO rows (not even the grand total), DuckDB emits the
+-- all-NULL total row; no-op on any non-empty input
+HAVING count(*) > 0
 """),
     # The approx VALUE is engine-specific (HLL++ registers), so the checkable
     # surface is exact count + tolerance boolean; Spark's sketch is

@@ -347,6 +347,10 @@ SELECT event_type, dow,
        count(*) AS events
 FROM e
 GROUP BY CUBE (event_type, dow)
+-- HAVING pins the shared empty-relation contract: Spark grouping sets over
+-- zero rows emit NO rows (not even the grand total), DuckDB emits the
+-- all-NULL total row; no-op on any non-empty input
+HAVING count(*) > 0
 """
 
 QUERIES["events_type_stats_salted"] = events_type_stats_salted
