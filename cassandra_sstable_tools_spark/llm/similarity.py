@@ -1113,8 +1113,17 @@ def embedding_neardup_pairs_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify-on-candidates plan shape, but candidate generation hashes
     random hyperplane sign bits instead of raw quantized dims -- the scheme
     whose width is NOT capped by the embedding dimensionality."""
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import _cached
+
     emb = _quantized(spark, sf_dir)
-    bands = proj_band_keys_frame(emb)
+    # cached via the derived-frame registry: the 72-hyperplane projection
+    # (72 x 64 integer dots per vector) is the expensive melt, and the
+    # capped band join references the frame three times (bucket stats +
+    # both join sides) -- band keys are an index artifact, built once
+    bands = _cached(
+        spark, sf_dir, "proj_band_keys",
+        lambda: proj_band_keys_frame(emb),
+    )
     cand = capped_band_pairs(
         bands, "vec_id", "vec_a", "vec_b", NEARDUP_MAX_BUCKET, key_col="band_key"
     )
