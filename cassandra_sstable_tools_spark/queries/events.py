@@ -91,6 +91,93 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucket width for the hierarchical sessionize: one day. Window partitions
+# are then bounded by a user's events PER DAY, not per lifetime.
+SESSIONIZE_BUCKET_S = 86400
+
+
+def sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sessionize`` with BOUNDED window partitions -- the 100 TB
+    formulation, bit-equal to the single-window one (same oracle certifies
+    both; the differential test pins byte equality).
+
+    The plain formulation's lag + running-sum windows partition by user
+    over the user's WHOLE history: a bot account with 10^8 events becomes
+    one straggler task. Hierarchical two-level prefix sum (the pack_chunks
+    pattern) fixes it exactly:
+
+      level 1: lag + break flags within (user, day-bucket) -- partitions
+        bounded by a user's daily volume; the bucket is a pure function of
+        ts, and (bucket, ts, event_id) order == (ts, event_id) order, so
+        no session logic crosses a bucket except at its first event;
+      summaries: per (user, bucket) internal break count + first/last ts
+        (one co-partitioned groupBy, no new exchange);
+      level 2: boundary breaks + running break offsets over the SUMMARY
+        frame (per-user partitions of #active-days rows -- time-bounded,
+        corpus-size-independent);
+      final: session_seq = bucket offset + in-bucket running sum, with the
+        bucket-first event's break flag taken from the boundary check.
+
+    session_seq is a sum of the SAME indicator set as the single window's,
+    so results are identical by construction, not approximately."""
+    e = events_table(spark, sf_dir).select(
+        "user_id", "event_id", "ts_s",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    ).withColumn("bucket", F.expr(f"ts_s div {SESSIONIZE_BUCKET_S}"))
+
+    w_ub = Window.partitionBy("user_id", "bucket").orderBy("ts_s", "event_id")
+    local = e.withColumn("prev_local", F.lag("ts_s").over(w_ub)).withColumn(
+        "is_new_local",
+        F.when(
+            F.col("ts_s") - F.col("prev_local") > SESSION_GAP_SECONDS, 1
+        ).otherwise(F.lit(0)),
+    )
+
+    summ = local.groupBy("user_id", "bucket").agg(
+        F.sum("is_new_local").alias("internal_breaks"),
+        F.min("ts_s").alias("first_ts"),
+        F.max("ts_s").alias("last_ts"),
+    )
+    w_b = Window.partitionBy("user_id").orderBy("bucket")
+    with_boundary = summ.withColumn(
+        "boundary_break",
+        F.when(
+            F.col("first_ts") - F.lag("last_ts").over(w_b)
+            > SESSION_GAP_SECONDS,
+            1,
+        ).otherwise(F.lit(0)),  # user's first bucket: lag NULL -> 0, like
+        # the single window's first-event is_new
+    )
+    offs = with_boundary.withColumn(
+        "bucket_offset",
+        F.coalesce(
+            F.sum(F.col("internal_breaks") + F.col("boundary_break")).over(
+                w_b.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("user_id", "bucket", "boundary_break", "bucket_offset")
+
+    ev = local.join(offs, ["user_id", "bucket"])
+    is_new_eff = F.when(
+        F.col("prev_local").isNull(), F.col("boundary_break")
+    ).otherwise(F.col("is_new_local"))
+    seq = F.col("bucket_offset") + F.sum(is_new_eff).over(
+        w_ub.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_seq", seq)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.min("ts_s").alias("session_start"),
+            F.max("ts_s").alias("session_end"),
+            (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week; for each
     (cohort_week, activity_week) the count of cohort members active that
@@ -367,10 +454,15 @@ GROUP BY 1
 """,
 }
 
+# sessionize_bucketed is certified against the SAME single-window oracle:
+# bit-equal results are the contract, only the plan shape differs
+ORACLES["sessionize_bucketed"] = ORACLES["sessionize"]
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
     "sessionize": sessionize,
+    "sessionize_bucketed": sessionize_bucketed,
     "user_activity": user_activity,
     "cohort_retention": cohort_retention,
     "events_top_types": events_top_types,
