@@ -26,6 +26,9 @@ _QUERIES = registry.queries()
 _NAMES = sorted(
     {n for n in bench.HEADLINE + bench.SECONDARY if n in _QUERIES}
     | {n for n in _QUERIES if n.startswith("tpch_")}
+    # the hierarchical prefix-sum's bit-stability under partitioning IS its
+    # core claim -- pin it here even though it is not benched
+    | {"sessionize_bucketed"}
 )
 
 
