@@ -215,7 +215,10 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(deg, "src").persist()
+    # hash-partition the (big) edge side on the join key ONCE -- every
+    # round's join then reuses this cached distribution and only the
+    # node-grain ranks frame moves (on a cluster: |nodes| << |edges|)
+    e_deg = e.join(deg, "src").repartition("src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -241,10 +244,14 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             .cast("bigint")
             .alias("rank"),
         )
-    # materialize the final ranks off the caches, then release them --
+        # eager per-round checkpoint: each round is one shallow job over
+        # the node-grain frame instead of one rounds-deep mega-plan at the
+        # end (which re-optimizes and re-shuffles every prior round inside
+        # a single job -- the source of multi-second run-to-run variance)
+        ranks = ranks.localCheckpoint(eager=True)
+    # the final ranks are already materialized off the caches -- release them;
     # otherwise every invocation leaks two pinned frames for the session
     # lifetime (evicting genuinely shared caches like the adapter's cells)
-    ranks = ranks.localCheckpoint(eager=True)
     e_deg.unpersist()
     nodes.unpersist()
     return ranks
