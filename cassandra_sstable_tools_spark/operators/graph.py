@@ -154,8 +154,12 @@ def connected_components_star(
 
     prev = checksum(und)
     for _ in range(max_iters):
-        und = _star_round(both_dirs(und), large=True).localCheckpoint(eager=True)
-        und = _star_round(both_dirs(und), large=False).localCheckpoint(eager=True)
+        # fuse the large-star and small-star passes into ONE materialized
+        # job per iteration: the intermediate edge set is never needed by
+        # name, so checkpointing it only doubled the per-round job count
+        und = _star_round(
+            both_dirs(_star_round(both_dirs(und), large=True)), large=False
+        ).localCheckpoint(eager=True)
         cur = checksum(und)
         if cur == prev:
             break
