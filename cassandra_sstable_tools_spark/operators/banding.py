@@ -57,6 +57,17 @@ def capped_band_pairs(
     ``long`` holds one row per (item, band): (id_col, band_id, key_col).
     Returns (out_a, out_b) with out_a < out_b.
 
+    PRECONDITION (load-bearing): ``long`` must contain EXACTLY ONE row per
+    (item, band). Bucket size ``_bsz`` is a raw row count on that grain; a
+    caller that emits duplicate (id, band_id, key) rows inflates ``_bsz``,
+    spuriously flips buckets into the star-edge branch, and silently drops
+    true pairs. All in-repo callers melt signatures with one posexplode /
+    one row per band (enforced by tests/test_banding_cap.py); if a new
+    caller cannot guarantee this, it must ``.distinct()`` its melted frame
+    first (an extra exchange -- which is why the operator does not pay it
+    unconditionally, and a countDistinct here would likewise force a
+    per-bucket distinct aggregation on the hot path).
+
     Plan shape -- ONE band self-join, same exchange count as the uncapped
     join. Bucket stats come from a partially-aggregated groupBy on the
     same (band_id, key) grain, so its exchange is the self-join's own

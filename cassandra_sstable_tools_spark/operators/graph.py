@@ -199,8 +199,37 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact ratio
 PR_BASE = PR_INIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*init
 
 
+def _free_checkpoint_blocks(sc, rdd_ids) -> None:
+    """Best-effort eager release of localCheckpoint block storage.
+
+    ``DataFrame.localCheckpoint`` persists an internal RDD that the public
+    Dataset API gives no handle to; its blocks are otherwise freed only
+    lazily when the ContextCleaner GCs the plan -- across a many-round
+    iteration that lets dead per-round checkpoints pile up (r06 ADVICE).
+    We diff ``JavaSparkContext.getPersistentRDDs`` ids around the
+    checkpoint call and unpersist the previous round's ids explicitly.
+    Wrapped defensively: failure here only defers cleanup to the
+    ContextCleaner, never affects results.
+    """
+    try:
+        m = sc._jsc.getPersistentRDDs()
+        for rid in rdd_ids:
+            jrdd = m.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:
+        pass
+
+
+def _persistent_rdd_ids(sc) -> set:
+    try:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:
+        return set()
+
+
 def pagerank(edges: DataFrame, src: str, dst: str,
-             rounds: int = PR_ROUNDS) -> DataFrame:
+             rounds: int = PR_ROUNDS, reliable: bool = False) -> DataFrame:
     """Fixed-round PageRank over a DIRECTED edge list, entirely in integer
     arithmetic: per round every node's rank becomes
     ``PR_BASE + sum(floor(r(u) * 85 / (100 * outdeg(u))))`` over in-edges.
@@ -213,6 +242,15 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     partitioning) + ONE groupBy(dst): the standard distributed PageRank
     shape, linear in |E| per round, no N^2 anywhere. Dangling mass is
     dropped (nodes keep the base term) -- documented, matches the oracle.
+
+    Checkpointing: each round eagerly checkpoints the node-grain ranks so
+    every round is one shallow job (not one rounds-deep mega-plan), and the
+    PREVIOUS round's checkpoint blocks are freed immediately rather than
+    lazily by the ContextCleaner. Default ``localCheckpoint`` stores blocks
+    unreplicated on executors -- fine for a bench/single box, but a single
+    executor loss mid-run kills a long cluster job (lineage is truncated);
+    pass ``reliable=True`` (requires ``sc.setCheckpointDir``) to write
+    per-round checkpoints to reliable storage instead.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -229,7 +267,9 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         .distinct()
         .persist()
     )
+    sc = edges.sparkSession.sparkContext
     ranks = nodes.withColumn("rank", F.lit(PR_INIT).cast("bigint"))
+    prev_ckpt_ids: set = set()
     for _ in range(rounds):
         contrib = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -252,7 +292,15 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         # the node-grain frame instead of one rounds-deep mega-plan at the
         # end (which re-optimizes and re-shuffles every prior round inside
         # a single job -- the source of multi-second run-to-run variance)
-        ranks = ranks.localCheckpoint(eager=True)
+        if reliable:
+            ranks = ranks.checkpoint(eager=True)
+        else:
+            before = _persistent_rdd_ids(sc)
+            ranks = ranks.localCheckpoint(eager=True)
+            # previous round's checkpoint is now dead -- free its blocks
+            # instead of waiting for the ContextCleaner (r06 ADVICE)
+            _free_checkpoint_blocks(sc, prev_ckpt_ids)
+            prev_ckpt_ids = _persistent_rdd_ids(sc) - before
     # the final ranks are already materialized off the caches -- release them;
     # otherwise every invocation leaks two pinned frames for the session
     # lifetime (evicting genuinely shared caches like the adapter's cells)

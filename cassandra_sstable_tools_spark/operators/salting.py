@@ -23,10 +23,15 @@ from pyspark.sql import functions as F
 
 DEFAULT_SALT_BUCKETS = 16
 
-# (pyspark aggregate fn, re-combine fn) per decomposable aggregate kind
+# (pyspark aggregate fn, re-combine fn) per decomposable aggregate kind.
+# count_star ignores its input column and counts rows (phase 1
+# count(lit(1)), phase 2 sum) -- use it wherever the oracle says count(*);
+# a "count" over a proxy column silently undercounts if a dirty feed NULLs
+# that column (r06 ADVICE).
 _COMBINE = {
     "sum": (F.sum, F.sum),
     "count": (F.count, F.sum),
+    "count_star": (lambda _col: F.count(F.lit(1)), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
@@ -80,9 +85,8 @@ def salted_returnflag_totals(spark, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         {
             "total_qty": ("sum", "qty_int"),
-            # count over the non-null join key: count(qty_int) would skip a
-            # NULL-quantity dirty row while the oracle's count(*) counts it
-            "n_rows": ("count", "l_orderkey"),
+            # true count(*): counts the row regardless of any NULL column
+            "n_rows": ("count_star", "*"),
             "min_qty": ("min", "qty_int"),
             "max_qty": ("max", "qty_int"),
             "total_price_cents": ("sum", "price_cents"),

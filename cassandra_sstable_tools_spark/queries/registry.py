@@ -61,6 +61,7 @@ def _modules():
         text,
     )
     from cassandra_sstable_tools_spark.operators import salting
+    from cassandra_sstable_tools_spark.sources import sstable_binary
     from cassandra_sstable_tools_spark.streaming import events_stream, stateful
     from cassandra_sstable_tools_spark.queries import (
         catalog,
@@ -81,6 +82,7 @@ def _modules():
         ann_index,
         pipeline, events,
         timeseries, multimodal, catalog, salting, stateful, events_stream,
+        sstable_binary,
     ]
 
 

@@ -298,9 +298,8 @@ def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         key_cols=["event_type"],
         aggs={
-            # count over a NON-NULL column: count(event_type) would skip a
-            # NULL-typed dirty row while the oracle's count(*) counts it
-            "events": ("count", "ts_s"),
+            # true count(*) kind: counts rows even if every column is NULL
+            "events": ("count_star", "*"),
             "value_cents": ("sum", "value_cents"),
             "first_ts_s": ("min", "ts_s"),
             "last_ts_s": ("max", "ts_s"),

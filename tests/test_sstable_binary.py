@@ -1,0 +1,118 @@
+"""Binary Index.db source: vint codec, three version regimes, corruption
+loudness, and end-to-end identity with the parquet-path index_entries.
+
+The encoder is the in-repo fixture writer; to keep the round-trip honest the
+vint tests check EXACT expected byte patterns derived independently from the
+public VIntCoding spec (leading-ones count = extra bytes), not just
+encode(parse(x)) == x.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from cassandra_sstable_tools_spark.sources.sstable_binary import (
+    binary_index_entries,
+    encode_index_db,
+    materialize_index_files,
+    parse_index_db,
+    read_unsigned_vint,
+    write_unsigned_vint,
+)
+
+
+def test_vint_known_patterns():
+    # spec-derived expectations: N leading ones on byte 0 = N extra bytes,
+    # value big-endian in the remaining bits
+    assert write_unsigned_vint(0) == b"\x00"
+    assert write_unsigned_vint(127) == b"\x7f"
+    assert write_unsigned_vint(128) == b"\x80\x80"
+    assert write_unsigned_vint(16383) == b"\xbf\xff"
+    assert write_unsigned_vint(16384) == b"\xc0\x40\x00"
+    assert write_unsigned_vint((1 << 21) - 1) == b"\xdf\xff\xff"
+
+
+def test_vint_roundtrip_fuzz():
+    rng = random.Random(0xC0FFEE)
+    values = [0, 1, 127, 128, 16383, 16384, (1 << 35) + 12345, (1 << 56) - 1]
+    values += [rng.getrandbits(rng.randint(1, 56)) for _ in range(500)]
+    buf = b"".join(write_unsigned_vint(v) for v in values)
+    off = 0
+    for v in values:
+        got, off = read_unsigned_vint(buf, off)
+        assert got == v
+    assert off == len(buf)
+
+
+@pytest.mark.parametrize("version", ["jb", "ma", "nb"])
+def test_encode_parse_roundtrip_all_versions(version):
+    rng = random.Random(7)
+    entries = []
+    pos = 0
+    for i in range(200):
+        key = bytes(rng.getrandbits(8) for _ in range(rng.randint(1, 40)))
+        entries.append((key, pos))
+        pos += rng.randint(1, 1 << 20)
+    blob = encode_index_db(entries, version=version)
+    assert parse_index_db(blob, version=version) == entries
+    # promoted-index bytes must actually be present and skipped
+    bare = encode_index_db(entries, version=version, promoted=False)
+    assert len(blob) > len(bare)
+    assert parse_index_db(bare, version=version) == entries
+
+
+def test_version_regimes_differ_on_wire():
+    e = [(b"k1", 300), (b"k2", 70000)]
+    jb, ma, nb = (encode_index_db(e, version=v, promoted=False) for v in ("jb", "ma", "nb"))
+    # jb: 8-byte position + 4-byte promoted size; ma: 8-byte position + vint
+    # size; nb: vint position + vint size
+    assert len(jb) > len(ma) > len(nb)
+    # cross-version parse must NOT agree (proves the regimes are real)
+    assert parse_index_db(jb, version="jb") == e
+    with pytest.raises(ValueError):
+        parse_index_db(nb, version="jb")
+
+
+def test_truncated_file_fails_loud():
+    blob = encode_index_db([(b"abcdef", 12345)], version="nb")
+    with pytest.raises(ValueError, match="corrupt Index.db"):
+        parse_index_db(blob[:-3], version="nb")
+    with pytest.raises(ValueError, match="corrupt Index.db"):
+        parse_index_db(blob + b"\x00\xff", version="nb")  # dangling key stub
+
+
+def test_binary_entries_match_parquet_path(spark, sf_dir, tmp_path):
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    root = materialize_index_files(spark, sf_dir, root=str(tmp_path / "cas"))
+    got = {
+        (r.keyspace, r.table_name, r.sstable_id, r.partition_key, r.position)
+        for r in binary_index_entries(spark, root).collect()
+    }
+    exp = {
+        (r.keyspace, r.table_name, r.sstable_id, r.partition_key, r.position)
+        for r in tpch_adapter.index_entries(spark, sf_dir).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_pstats_summary_binary_equals_parquet(spark, sf_dir):
+    from cassandra_sstable_tools_spark.queries.pstats import pstats_summary
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        pstats_summary_binary,
+    )
+
+    key = lambda r: (r.keyspace, r.table_name)
+    got = sorted(pstats_summary_binary(spark, sf_dir).collect(), key=key)
+    exp = sorted(pstats_summary(spark, sf_dir).collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_materialize_rejects_active_scope(spark, sf_dir, tmp_path):
+    from cassandra_sstable_tools_spark.sources.tpch_adapter import table_scope
+
+    with table_scope(table="tab_stcs"):
+        with pytest.raises(RuntimeError, match="unscoped"):
+            materialize_index_files(spark, sf_dir, root=str(tmp_path / "x"))
