@@ -412,7 +412,274 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- perceptual-hash near-dup (aHash) ---------------------------------------
+# media_dedup_exact only catches byte-identical payloads; a re-encoded image
+# (same pixels, different PNG filter choices / compressor settings) escapes
+# it. aHash closes that: downsample to an 8x8 grid, threshold each cell at
+# the grid mean -> 64-bit signature; near-dups = small hamming distance.
+# The signature is carried as TWO 32-bit halves in bigints (ph_hi, ph_lo):
+# bit arithmetic stays overflow-free in BOTH engines (DuckDB errors on
+# 1<<63; Spark silently wraps -- dual-engine hashing must avoid the sign
+# bit entirely).
+PHASH_GRID = 8  # 8x8 = 64 cells
+PHASH_MAX_HAMMING = 12
+PHASH_MAX_BUCKET = 256
+# 8 bands x 8 bits: pigeonhole-EXACT recall for hamming <= 7 (any such pair
+# shares at least one whole band); for 8..PHASH_MAX_HAMMING recall is
+# probabilistic, the standard pHash-dedup trade (the oracle mirrors the
+# banding bit-exactly, so the certificate covers the machinery, and the
+# planted-image tests pin the recall cases that matter: re-encode -> dist 0,
+# small jitter -> dist <= 7).
+_PHASH_BANDS = 8
+
+
+def ahash_halves(cells) -> tuple[int, int]:
+    """64 gray cells (row-major) -> (hi, lo) 32-bit aHash halves.
+
+    Bit j of the combined 64-bit hash (MSB first) is set iff
+    cells[j] * 64 > sum(cells) -- the strict-mean threshold, kept integer
+    so both engines and both kernels agree bit-for-bit."""
+    s = sum(int(c) for c in cells)
+    bits = [1 if int(c) * 64 > s else 0 for c in cells]
+    hi = lo = 0
+    for b in bits[:32]:
+        hi = hi * 2 + b
+    for b in bits[32:]:
+        lo = lo * 2 + b
+    return hi, lo
+
+
+def gray_cells_from_pixels(w: int, h: int, mode: str, px) -> list[int]:
+    """Real kernel: decoded pixel array -> 64 block-mean gray cells.
+
+    ``px`` is the (h, w*channels) uint8 array ``_png_decode`` / PIL emit.
+    Luma via the integer BT.601 weights (r*299 + g*587 + b*114) // 1000;
+    block means are floor-integer over pixel blocks [r_i, r_{i+1}) x
+    [c_j, c_{j+1}) with boundaries k*dim // 8 -- deterministic, no float."""
+    import numpy as np
+
+    ch = {"L": 1, "P": 1, "LA": 2, "RGB": 3, "RGBA": 4}.get(mode)
+    if ch is None:
+        raise ValueError(f"no gray kernel for mode {mode!r}")
+    a = np.asarray(px, dtype=np.uint32).reshape(h, w, ch)
+    if ch >= 3:
+        gray = (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) // 1000
+    else:
+        gray = a[:, :, 0]
+    cells = []
+    g = PHASH_GRID
+    for i in range(g):
+        r0, r1 = i * h // g, max((i + 1) * h // g, i * h // g + 1)
+        for j in range(g):
+            c0, c1 = j * w // g, max((j + 1) * w // g, j * w // g + 1)
+            block = gray[r0:r1, c0:c1]
+            cells.append(int(block.sum()) // block.size)
+    return cells
+
+
+def media_phash_real(media: DataFrame) -> DataFrame:
+    """(doc_id, ph_hi, ph_lo) over REAL encoded image payloads: full pixel
+    decode (PIL or the stdlib PNG path) -> block-mean grid -> aHash, all
+    inside one Arrow-batched mapInPandas. Payloads without a pixel-decode
+    path (JPEG/GIF/BMP header-only) are quarantined as null-hash rows, the
+    media_metadata_safe philosophy."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_ids, out_hi, out_lo, out_err = [], [], [], []
+        for pdf in batches:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, mode, px = _decode_pixels(bytes(p))
+                    hi, lo = ahash_halves(gray_cells_from_pixels(w, h, mode, px))
+                    err = None
+                except Exception as exc:  # noqa: BLE001 -- quarantine
+                    hi = lo = None
+                    err = f"{type(exc).__name__}: {exc}"[:200]
+                out_ids.append(doc_id)
+                out_hi.append(hi)
+                out_lo.append(lo)
+                out_err.append(err)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "ph_hi": out_hi, "ph_lo": out_lo,
+                 "decode_error": out_err}
+            )
+            out_ids, out_hi, out_lo, out_err = [], [], [], []
+
+    return media.mapInPandas(
+        kernel,
+        schema="doc_id long, ph_hi long, ph_lo long, decode_error string",
+    )
+
+
+def _decode_pixels(payload: bytes):
+    """(w, h, mode, pixel array) with a real pixel decode, or ValueError."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 -- optional accelerator
+
+        img = Image.open(io.BytesIO(payload))
+        import numpy as np
+
+        a = np.asarray(img, dtype=np.uint8)
+        return img.width, img.height, img.mode, a
+    except ImportError:
+        pass
+    except Exception:
+        pass
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(payload)
+    raise ValueError("no pixel decode path for this payload")
+
+
+def phash_neardup_pairs_over(ph: DataFrame) -> DataFrame:
+    """Shared banding + verify over any (doc_id, ph_hi, ph_lo) frame --
+    the registered fake-grid query and the real-pixel test path both route
+    here, so the planted-image differentials certify the exact machinery
+    the driver hashes. Plan: one melt to 8 rows/doc, ONE bucket-capped
+    self-join (operators/banding.py -- one row per (doc, band) by
+    construction), two doc-grain value gathers, codegen bit_count verify.
+    Shuffles move only (band_id, 8-bit key) and the 16-byte signatures;
+    nothing quadratic at any duplication level (cap absorbs mass dupes)."""
+    from cassandra_sstable_tools_spark.operators.banding import capped_band_pairs
+
+    sig = ph.where(F.col("ph_hi").isNotNull()).select("doc_id", "ph_hi", "ph_lo")
+    bands = [
+        ("ph_hi", (3 - b) * 8) if b < 4 else ("ph_lo", (7 - b) * 8)
+        for b in range(_PHASH_BANDS)
+    ]
+    long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col(col), sh)
+                    .bitwiseAND(F.lit(255))
+                    .alias("bk"),
+                )
+                for b, (col, sh) in enumerate(bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band_id", "e.bk")
+    cands = capped_band_pairs(long, "doc_id", "doc_a", "doc_b", PHASH_MAX_BUCKET)
+    a_sig = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ph_hi").alias("hi_a"), F.col("ph_lo").alias("lo_a"),
+    )
+    b_sig = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ph_hi").alias("hi_b"), F.col("ph_lo").alias("lo_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("bigint")
+    return (
+        cands.join(a_sig, "doc_a")
+        .join(b_sig, "doc_b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the media table.
+
+    The fixture's payloads are utf-8 text, so the registered query derives
+    its 8x8 "gray grid" from the payload's WORD sequence (cell j = md5
+    nibble of the word at position j*n/64 -- a deterministic stand-in for
+    pixel downsampling that is exactly SQL-mirrorable); everything after
+    the grid -- aHash halves, 8x8-bit banding, capped join, hamming verify
+    -- is the REAL operator, shared with the real-pixel path
+    (``media_phash_real`` -> ``phash_neardup_pairs_over``) that the planted
+    PNG re-encode differential drives in tests. All JVM-side: the grid is
+    one transform over a materialized words array (bound column, NOT an
+    inlined split -- the r06 chunker-quadratic lesson), the fold to halves
+    is an integer Horner aggregate; no Python in the registered path."""
+    m = media_table(spark, sf_dir)
+    ws = m.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.decode("payload", "UTF-8")), r"\s+", " "),
+            " ",
+        ).alias("ws"),
+    ).withColumn("nw", F.size("ws"))
+    cells = ws.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63), j -> cast(conv(substr(md5("
+            "element_at(ws, cast((j * nw) div 64 as int) + 1)), 1, 1), 16, 10)"
+            " as int))"
+        ).alias("cs"),
+    ).withColumn("s", F.expr("aggregate(cs, 0, (a, x) -> a + x)"))
+    ph = cells.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L, (acc, j) -> acc * 2 + "
+            "if(element_at(cs, j + 1) * 64 > s, 1L, 0L))"
+        ).alias("ph_hi"),
+        F.expr(
+            "aggregate(sequence(32, 63), 0L, (acc, j) -> acc * 2 + "
+            "if(element_at(cs, j + 1) * 64 > s, 1L, 0L))"
+        ).alias("ph_lo"),
+    )
+    return phash_neardup_pairs_over(ph)
+
+
+def _phash_oracle() -> str:
+    from cassandra_sstable_tools_spark.operators.banding import (
+        capped_band_pairs_sql,
+    )
+
+    band_cte = capped_band_pairs_sql(
+        "bands", "doc_id", "doc_a", "doc_b", PHASH_MAX_BUCKET
+    )
+    return rf"""
+WITH n AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+cells AS (
+    SELECT doc_id,
+           [strpos('0123456789abcdef',
+                   substr(md5(ws[((j * len(ws)) // 64) + 1]), 1, 1)) - 1
+            FOR j IN range(0, 64)] AS cs
+    FROM n
+),
+ph AS (
+    SELECT doc_id,
+           list_sum([CASE WHEN cs[j + 1] * 64 > list_sum(cs)
+                          THEN (1::BIGINT << (31 - j)) ELSE 0 END
+                     FOR j IN range(0, 32)]) AS ph_hi,
+           list_sum([CASE WHEN cs[j + 1] * 64 > list_sum(cs)
+                          THEN (1::BIGINT << (63 - j)) ELSE 0 END
+                     FOR j IN range(32, 64)]) AS ph_lo
+    FROM cells
+),
+bands AS (
+    SELECT doc_id, b.band_id,
+           CASE WHEN b.band_id < 4
+                THEN (ph_hi >> ((3 - b.band_id) * 8)) & 255
+                ELSE (ph_lo >> ((7 - b.band_id) * 8)) & 255 END AS bk
+    FROM ph, LATERAL (SELECT unnest(range(0, 8)) AS band_id) b
+),
+{band_cte}
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(pa.ph_hi, pb.ph_hi))
+           + bit_count(xor(pa.ph_lo, pb.ph_lo)) AS hamming
+FROM cands c
+JOIN ph pa ON pa.doc_id = c.doc_a
+JOIN ph pb ON pb.doc_id = c.doc_b
+WHERE bit_count(xor(pa.ph_hi, pb.ph_hi))
+          + bit_count(xor(pa.ph_lo, pb.ph_lo)) <= {PHASH_MAX_HAMMING}
+"""
+
+
 ORACLES = {
+    "media_neardup_pairs": _phash_oracle(),
     "media_dedup_exact": """
 SELECT md5(text) AS checksum,
        count(*) AS copies,
@@ -477,4 +744,5 @@ QUERIES = {
     "image_resize": image_resize,
     "media_embed": media_embed,
     "media_dedup_exact": media_dedup_exact,
+    "media_neardup_pairs": media_neardup_pairs,
 }
