@@ -210,6 +210,11 @@ def _free_checkpoint_blocks(sc, rdd_ids) -> None:
     checkpoint call and unpersist the previous round's ids explicitly.
     Wrapped defensively: failure here only defers cleanup to the
     ContextCleaner, never affects results.
+
+    Spark logs "locally checkpointed ... cannot be recomputed after
+    unpersisting" at WARN for each freed RDD -- expected: the freed rounds
+    are dead by construction (the NEXT round is already eagerly
+    materialized), so non-recomputability is exactly the point.
     """
     try:
         m = sc._jsc.getPersistentRDDs()
