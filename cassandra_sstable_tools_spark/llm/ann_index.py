@@ -143,9 +143,17 @@ def append_vectors_to_ivf_index(
     mutates via this very append, it is not re-fingerprinted). (2) The
     append is not idempotent: deliver batches exactly-once (e.g. a
     Structured Streaming foreachBatch with checkpointing) or dedup on
-    vec_id downstream; a blind retry appends duplicates."""
+    vec_id downstream; a blind retry appends duplicates. (3) Appends are
+    single-writer, MECHANICALLY enforced (r06 VERDICT #6): a concurrent
+    appender raises ``ConcurrentWriterError`` (sources/write_lock.py)
+    instead of interleaving partition writes."""
+    from cassandra_sstable_tools_spark.sources.write_lock import (
+        index_writer_lock,
+    )
+
     assigned, _ = _ivf_assign_probes(emb_subset, cent_rows, carry=("qv", "norm"))
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    with index_writer_lock(path):
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
@@ -173,10 +181,20 @@ def compact_ivf_index(
     Atomicity: the rewrite lands in a sibling temp dir first and replaces
     the partition dir only after the write completes, so readers before the
     swap see the old files and readers after see the new -- but the
-    rmtree/rename pair itself is not transactional. Run compaction from the
-    single writer that owns appends (same serialization requirement as
-    append itself); a transactional table format (Iceberg/Delta) is the
-    drop-in upgrade when multi-writer compaction is needed."""
+    rmtree/rename pair itself is not transactional. Compaction takes the
+    SAME writer lock as appends (sources/write_lock.py), so an append
+    racing a compaction fails loud rather than landing files in a
+    partition dir mid-swap; a transactional table format (Iceberg/Delta)
+    is the drop-in upgrade when multi-writer compaction is needed."""
+    from cassandra_sstable_tools_spark.sources.write_lock import (
+        index_writer_lock,
+    )
+
+    with index_writer_lock(path):
+        return _compact_locked(spark, path, max_files_per_list)
+
+
+def _compact_locked(spark, path: str, max_files_per_list: int) -> int:
     import shutil
 
     rewritten = 0

@@ -122,18 +122,25 @@ def append_chunks_to_index(new_hashes: DataFrame, path: str) -> None:
     ingest test) remains the cheaper production path because it skips the
     re-read entirely on replay.
 
-    SINGLE WRITER REQUIRED: the anti-join reads a snapshot of the index
-    and then appends to the same path, so two concurrent appends would
-    each anti-join against the pre-append snapshot and could both insert
-    a shared hash, breaking the uniqueness invariant above. Callers must
-    serialize appends externally (the streaming ingest path does this
-    naturally -- foreachBatch batches run one at a time per query); for
-    ad-hoc batch use, take a lock or route all appends through one job."""
+    SINGLE WRITER, MECHANICALLY ENFORCED (r06 VERDICT #6): the anti-join
+    reads a snapshot of the index and then appends to the same path, so
+    two concurrent appends could each anti-join against the pre-append
+    snapshot and both insert a shared hash, breaking the uniqueness
+    invariant above. An exclusive lock file
+    (sources/write_lock.py) makes the second appender raise
+    ``ConcurrentWriterError`` instead; the streaming ingest path
+    (foreachBatch, one batch at a time) acquires and releases it per
+    batch with no contention."""
+    from cassandra_sstable_tools_spark.sources.write_lock import (
+        index_writer_lock,
+    )
+
     spark = new_hashes.sparkSession
-    fresh = new_hashes.select("h").distinct()
-    if os.path.exists(path):
-        fresh = fresh.join(spark.read.parquet(path), "h", "left_anti")
-    fresh.write.mode("append").parquet(path)
+    with index_writer_lock(path):
+        fresh = new_hashes.select("h").distinct()
+        if os.path.exists(path):
+            fresh = fresh.join(spark.read.parquet(path), "h", "left_anti")
+        fresh.write.mode("append").parquet(path)
 
 
 def ensure_chunk_index(spark: SparkSession, sf_dir: str) -> str:
