@@ -1,0 +1,206 @@
+"""BPE tokenizer: iterative merge TRAINING and merge APPLICATION.
+
+``bpe_pair_counts`` (llm/corpus.py) computes the counting statistic of one
+merge round; until r07 the engine could not TRAIN a merge list or APPLY
+one -- token counts elsewhere are regex/whitespace proxies (r06 VERDICT
+#7). This module closes that: a bounded-round trainer whose per-round
+plan is the certified iterative-operator shape (vocabulary-grain
+aggregation + 1-row argmax collect + a codegen string rewrite), and an
+encoder that applies a trained merge list to any text column.
+
+Semantics (standard BPE, Sennrich et al. 2016 -- public knowledge):
+- a word starts as its character sequence, carried as a SPACE-JOINED
+  token string ("hello" -> "h e l l o"); merged tokens contain no spaces,
+  so the representation is unambiguous;
+- training round r: count adjacent token pairs across the vocabulary
+  weighted by word frequency, pick the most frequent (ties: pair ASC,
+  deterministic), merge every non-overlapping occurrence left-to-right;
+- applying merge (l, r) IS ``replace(s, 'l r', 'lr')``: both Spark's
+  UTF8String.replace and DuckDB's replace scan left-to-right over
+  non-overlapping occurrences -- verified identical, which is what makes
+  the oracle an exact sequential replay of the merges rather than an
+  approximation.
+
+Scale posture: everything runs at the VOCABULARY grain (sublinear in
+corpus size; the corpus scan collapses to (word, freq) once, with
+map-side combine). Per round: one pair-explode aggregation (rows =
+total tokens across vocab, shrinking every round), one 1-row argmax
+collect (a K-row seed in the k-means sense, not a driver loop over
+data), and one whole-stage-codegen replace. Rounds are a fixed budget
+(BPE_MERGE_ROUNDS), like pagerank's -- the result is bit-exact and
+SQL-unrollable. Encoding with a trained list is a pure per-row
+expression chain (R nested replaces) -- no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
+
+BPE_MERGE_ROUNDS = 8
+
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, s) with s = space-joined character tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).where(F.length("word") >= 1)
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("s", F.array_join(F.split(F.col("word"), ""), " "))
+    )
+
+
+def train_bpe_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_MERGE_ROUNDS
+) -> list[tuple[int, str, int, int]]:
+    """Train ``rounds`` merges; returns [(rank, pair, occurrences,
+    corpus_tokens_after)] where ``pair`` is the space-joined token pair
+    chosen at that rank, ``occurrences`` its (overlap-counted) frequency
+    at selection time, and ``corpus_tokens_after`` the freq-weighted total
+    token count across the corpus AFTER applying merges 1..rank -- a
+    cumulative certificate: rank r's count is only right if every earlier
+    replace was."""
+    vocab = _vocab(spark, sf_dir).persist()
+    out: list[tuple[int, str, int, int]] = []
+    cur = vocab
+    try:
+        for rank in range(1, rounds + 1):
+            # single-token words first: sequence(1, 0) would DESCEND and
+            # element_at(_, 0) errors under ANSI -- filter, don't guard
+            pairs = (
+                cur.where(F.size(F.split(F.col("s"), " ")) >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(split(s, ' ')) - 1), "
+                            "i -> concat(element_at(split(s, ' '), i), ' ', "
+                            "element_at(split(s, ' '), i + 1)))"
+                        )
+                    ).alias("pair"),
+                    "freq",
+                )
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("occ"))
+                .orderBy(F.desc("occ"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, occ = best[0]["pair"], int(best[0]["occ"])
+            merged = pair.replace(" ", "")
+            cur = cur.withColumn(
+                "s", F.replace(F.col("s"), F.lit(pair), F.lit(merged))
+            ).localCheckpoint(eager=True)
+            tokens_after = int(
+                cur.agg(
+                    F.sum(F.col("freq") * F.size(F.split(F.col("s"), " ")))
+                ).first()[0]
+            )
+            out.append((rank, pair, occ, tokens_after))
+    finally:
+        vocab.unpersist()
+    return out
+
+
+def bpe_apply_expr(col: Column, merges: list[str]) -> Column:
+    """Token string after applying a trained merge list to a word column:
+    chars joined by space, then each merge's replace IN RANK ORDER -- one
+    nested codegen expression, no shuffle, no Python. ``merges`` holds the
+    space-joined pairs from ``train_bpe_merges``."""
+    s = F.array_join(F.split(col, ""), " ")
+    for pair in merges:
+        s = F.replace(s, F.lit(pair), F.lit(pair.replace(" ", "")))
+    return s
+
+
+def bpe_token_count_expr(col: Column, merges: list[str]) -> Column:
+    """BPE token count of a whitespace-tokenized TEXT column under a
+    trained merge list: per word, tokens = chars - merges applied;
+    summed via the same split/transform shape as the trainer. Used by
+    sequence packing's opt-in BPE counter."""
+    word_counts = F.transform(
+        F.split(F.trim(col), r"\s+"),
+        lambda w: F.size(F.split(bpe_apply_expr(w, merges), " ")),
+    )
+    return F.aggregate(
+        word_counts, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered training+application certificate: one row per merge
+    rank with the chosen pair, its selection-time frequency, and the
+    corpus token count after applying merges 1..rank. The DuckDB oracle
+    replays the identical sequential recurrence as chained CTEs (argmax
+    scalar subqueries + the same left-to-right replace), so a hash match
+    proves the distributed trainer equals the sequential definition --
+    the pagerank-unrolled-SQL pattern applied to tokenizer training."""
+    rows = train_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "rank int, pair string, occurrences bigint, corpus_tokens bigint"
+    )
+
+
+def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and v{r}
+    # references BOTH v{r-1} and best{r} (which re-derives v{r-1} via
+    # p{r}), so un-materialized expansion is exponential in rounds --
+    # the sf0.001 oracle ran past 300s at rounds=8.  Materialized, each
+    # CTE evaluates once and the replay is linear.
+    parts = [
+        r"""v0 AS MATERIALIZED (
+    SELECT word, count(*) AS freq,
+           array_to_string(string_split(word, ''), ' ') AS s
+    FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ) w
+    WHERE length(word) >= 1
+    GROUP BY 1
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+    SELECT pr.pair, CAST(sum(freq) AS BIGINT) AS occ
+    FROM v{r - 1} v,
+         LATERAL (
+             SELECT ws[i] || ' ' || ws[i + 1] AS pair
+             FROM (SELECT string_split(v.s, ' ') AS ws) t,
+                  LATERAL (SELECT unnest(range(1, len(ws))) AS i) u
+         ) pr
+    GROUP BY 1
+),
+best{r} AS MATERIALIZED (SELECT pair, occ FROM p{r} ORDER BY occ DESC, pair ASC LIMIT 1),
+v{r} AS MATERIALIZED (
+    SELECT word, freq,
+           replace(s, (SELECT pair FROM best{r}),
+                   replace((SELECT pair FROM best{r}), ' ', '')) AS s
+    FROM v{r - 1}
+)""")
+    selects = [
+        f"""SELECT {r} AS rank,
+       (SELECT pair FROM best{r}) AS pair,
+       (SELECT occ FROM best{r}) AS occurrences,
+       (SELECT CAST(sum(freq * len(string_split(s, ' '))) AS BIGINT)
+        FROM v{r}) AS corpus_tokens"""
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY rank"
+    )
+
+
+QUERIES = {"bpe_encode_stats": bpe_encode_stats}
+ORACLES = {"bpe_encode_stats": _bpe_oracle()}

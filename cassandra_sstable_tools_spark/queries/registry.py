@@ -50,6 +50,7 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 def _modules():
     from cassandra_sstable_tools_spark.llm import (
         ann_index,
+        bpe,
         corpus,
         curation,
         dedup,
@@ -82,7 +83,7 @@ def _modules():
         ann_index,
         pipeline, events,
         timeseries, multimodal, catalog, salting, stateful, events_stream,
-        sstable_binary,
+        sstable_binary, bpe,
     ]
 
 

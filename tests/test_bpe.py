@@ -1,0 +1,107 @@
+"""BPE trainer differentials: the distributed trainer must equal (a) its
+DuckDB chained-CTE oracle on the fixture corpus and (b) a plain-Python
+sequential replay of the textbook algorithm (Sennrich et al. 2016) on a
+synthesized corpus -- a third implementation independent of both engines.
+Also pins the encoder: applying the trained merge list via
+``bpe_apply_expr`` must reproduce the trainer's final corpus token count.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.llm import bpe
+from tests.conftest import assert_matches_oracle
+
+
+def _write_docs(tmp_path, name, texts):
+    sf = tmp_path / name
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(sf / "documents.parquet")
+    return str(sf)
+
+
+def python_bpe(texts, rounds):
+    """Sequential textbook BPE over space-joined token strings.  Pair
+    counts are overlap-counted (adjacent positions), merges apply via
+    str.replace -- left-to-right non-overlapping, the exact semantics
+    both Spark's UTF8String.replace and DuckDB's replace implement."""
+    vocab = Counter(w for t in texts for w in t.strip().split() if w)
+    state = {w: " ".join(w) for w in vocab}
+    out = []
+    for rank in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for w, freq in vocab.items():
+            toks = state[w].split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pairs[f"{a} {b}"] += freq
+        if not pairs:
+            break
+        # max by (occ DESC, pair ASC) -- the trainer's deterministic tie rule
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, occ = best
+        merged = pair.replace(" ", "")
+        state = {w: s.replace(pair, merged) for w, s in state.items()}
+        total = sum(freq * len(state[w].split(" ")) for w, freq in vocab.items())
+        out.append((rank, pair, occ, total))
+    return out
+
+
+def test_bpe_matches_oracle_on_fixture(spark, sf_dir, ddb):
+    assert_matches_oracle(
+        bpe.bpe_encode_stats(spark, sf_dir),
+        bpe.ORACLES["bpe_encode_stats"],
+        ddb,
+    )
+
+
+def test_bpe_matches_python_replay(spark, tmp_path):
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "lower lowest low slower slowest slow",
+        "newer newest new wider widest wide",
+        "aaaa aaab aaba abaa baaa aaaa",  # overlap-counting stressor
+        "the the the lower newer",
+    ] * 3
+    sf = _write_docs(tmp_path, "bpe_sf", texts)
+    got = bpe.train_bpe_merges(spark, sf, rounds=6)
+    exp = python_bpe(texts, rounds=6)
+    assert got == exp
+
+
+def test_bpe_apply_reproduces_trained_state(spark, tmp_path):
+    """Encoding with the trained merge list must land on exactly the
+    trainer's final corpus_tokens -- the encoder and trainer share one
+    definition of 'apply a merge'."""
+    texts = ["banana bandana ban and sand banana", "and sand band banana"] * 4
+    sf = _write_docs(tmp_path, "bpe_apply_sf", texts)
+    rows = bpe.train_bpe_merges(spark, sf, rounds=5)
+    assert rows, "trainer produced no merges"
+    merges = [pair for _, pair, _, _ in rows]
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    total = df.select(
+        F.sum(bpe.bpe_token_count_expr(F.col("text"), merges)).alias("n")
+    ).first()["n"]
+    assert int(total) == rows[-1][3]
+
+
+def test_bpe_single_char_words_do_not_crash(spark, tmp_path):
+    """Single-token words contribute no pairs but must stay in the corpus
+    count (the sequence(1, 0) ANSI trap the trainer filters around)."""
+    texts = ["a b c d e f", "a a b b", "ab ab"]
+    sf = _write_docs(tmp_path, "bpe_one_sf", texts)
+    got = bpe.train_bpe_merges(spark, sf, rounds=3)
+    exp = python_bpe(texts, rounds=3)
+    assert got == exp
