@@ -124,10 +124,17 @@ def bpe_apply_expr(col: Column, merges: list[str]) -> Column:
 def bpe_token_count_expr(col: Column, merges: list[str]) -> Column:
     """BPE token count of a whitespace-tokenized TEXT column under a
     trained merge list: per word, tokens = chars - merges applied;
-    summed via the same split/transform shape as the trainer. Used by
-    sequence packing's opt-in BPE counter."""
+    summed via the same split/transform shape as the trainer.  Empty
+    words are filtered exactly like the trainer's vocab (so all-space
+    text counts 0, and NULL text stays NULL -- every HOF propagates the
+    NULL array).  Per-element work depends only on the lambda variable,
+    so the r06 inlined-subexpression quadratic cannot apply.  Used by
+    sequence packing's opt-in BPE counter (`pack_chunks_bpe`)."""
+    words = F.filter(
+        F.split(F.trim(col), r"\s+"), lambda w: F.length(w) >= 1
+    )
     word_counts = F.transform(
-        F.split(F.trim(col), r"\s+"),
+        words,
         lambda w: F.size(F.split(bpe_apply_expr(w, merges), " ")),
     )
     return F.aggregate(
@@ -149,12 +156,17 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
-    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and v{r}
-    # references BOTH v{r-1} and best{r} (which re-derives v{r-1} via
-    # p{r}), so un-materialized expansion is exponential in rounds --
-    # the sf0.001 oracle ran past 300s at rounds=8.  Materialized, each
-    # CTE evaluates once and the replay is linear.
+def _oracle_ctes(rounds: int) -> str:
+    """The WITH-clause body replaying training rounds 1..``rounds``:
+    v0 (vocab), then per round p{r} (pair counts), best{r} (argmax),
+    v{r} (state after the merge).  Shared by the stats oracle and the
+    packing oracle so the training replay has ONE SQL definition.
+
+    MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and v{r}
+    references BOTH v{r-1} and best{r} (which re-derives v{r-1} via
+    p{r}), so un-materialized expansion is exponential in rounds --
+    the sf0.001 oracle ran past 300s at rounds=8.  Materialized, each
+    CTE evaluates once and the replay is linear."""
     parts = [
         r"""v0 AS MATERIALIZED (
     SELECT word, count(*) AS freq,
@@ -185,22 +197,84 @@ v{r} AS MATERIALIZED (
                    replace((SELECT pair FROM best{r}), ' ', '')) AS s
     FROM v{r - 1}
 )""")
+    return ",\n".join(parts)
+
+
+def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
     selects = [
+        # EXISTS guard = the trainer's break: an empty pair frame ends
+        # training (and stays empty in every later round, so per-branch
+        # guards equal a stop-at-first-empty)
         f"""SELECT {r} AS rank,
        (SELECT pair FROM best{r}) AS pair,
        (SELECT occ FROM best{r}) AS occurrences,
        (SELECT CAST(sum(freq * len(string_split(s, ' '))) AS BIGINT)
-        FROM v{r}) AS corpus_tokens"""
+        FROM v{r}) AS corpus_tokens
+WHERE EXISTS (SELECT 1 FROM best{r})"""
         for r in range(1, rounds + 1)
     ]
     return (
         "WITH "
-        + ",\n".join(parts)
+        + _oracle_ctes(rounds)
         + "\n"
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY rank"
     )
 
 
-QUERIES = {"bpe_encode_stats": bpe_encode_stats}
-ORACLES = {"bpe_encode_stats": _bpe_oracle()}
+def pack_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with a TRAINED tokenizer: train the merge list on
+    the corpus, then pack with ``bpe_token_count_expr`` in place of the
+    regex proxy -- the full train->tokenize->pack pipeline as one
+    certified query.  The packing plan (hierarchical prefix sum) is
+    byte-identical to ``pack_chunks``; only the scan-level token
+    expression changes, so the 100 TB argument carries over unchanged.
+    Training cost is vocabulary-grain and amortizes over the corpus
+    scan it saves nothing to skip (a real pipeline trains once and
+    reuses; the query retrains so the certificate covers training)."""
+    from cassandra_sstable_tools_spark.llm.packing import pack_chunks
+
+    merges = [pair for _, pair, _, _ in train_bpe_merges(spark, sf_dir)]
+    return pack_chunks(
+        spark, sf_dir, token_expr=lambda c: bpe_token_count_expr(c, merges)
+    )
+
+
+def _pack_bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Training replay CTEs + a per-ROW list-lambda token counter (no
+    doc_id grouping, mirroring Spark's pure-expression counter exactly --
+    a groupBy-based oracle would merge NULL-doc_id dirty rows) + the
+    shared packing window tail."""
+    from cassandra_sstable_tools_spark.llm.packing import PACK_ORACLE_TAIL
+
+    # replace chain over an outer-column pair list: r_i(x) = replace(x,
+    # p_i, strip(p_i)); bests is a 1-row frame cross-joined to documents.
+    chain = "array_to_string(string_split(w, ''), ' ')"
+    for r in range(1, rounds + 1):
+        chain = f"replace({chain}, p{r}, replace(p{r}, ' ', ''))"
+    bests = ", ".join(
+        f"(SELECT pair FROM best{r}) AS p{r}" for r in range(1, rounds + 1)
+    )
+    return f"""WITH {_oracle_ctes(rounds)},
+bests AS MATERIALIZED (SELECT {bests}),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(CAST(list_sum(list_transform(
+                  list_filter(string_split_regex(trim(d.text), '\\s+'),
+                              w -> length(w) >= 1),
+                  w -> len(string_split({chain}, ' '))
+              )) AS BIGINT), 0) END AS tokens
+  FROM documents d CROSS JOIN bests
+),
+{PACK_ORACLE_TAIL}"""
+
+
+QUERIES = {
+    "bpe_encode_stats": bpe_encode_stats,
+    "pack_chunks_bpe": pack_chunks_bpe,
+}
+ORACLES = {
+    "bpe_encode_stats": _bpe_oracle(),
+    "pack_chunks_bpe": _pack_bpe_oracle(),
+}

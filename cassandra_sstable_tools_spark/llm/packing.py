@@ -46,13 +46,24 @@ PACK_CHUNK_TOKENS = 4096
 PACK_BUCKET_DOCS = 64
 
 
-def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, tokens, chunk_id, chunk_offset) for every document."""
+def pack_chunks(spark: SparkSession, sf_dir: str, token_expr=None) -> DataFrame:
+    """(doc_id, lang, tokens, chunk_id, chunk_offset) for every document.
+
+    ``token_expr``: optional Column-builder ``text_col -> token_count``
+    swapping the default regex proxy counter for a real tokenizer --
+    `pack_chunks_bpe` (llm/bpe.py) passes a trained BPE merge list here.
+    The packing plan is identical either way; only the one scan-level
+    expression changes."""
     d = load_table(spark, sf_dir, "documents")
+    tokens = (
+        token_expr(F.col("text"))
+        if token_expr is not None
+        else F.regexp_count("text", F.lit(_TOKEN_RE))
+    )
     scored = d.select(
         "doc_id",
         "lang",
-        F.regexp_count("text", F.lit(_TOKEN_RE)).cast("bigint").alias("tokens"),
+        tokens.cast("bigint").alias("tokens"),
         F.expr(f"doc_id div {PACK_BUCKET_DOCS}").alias("bucket"),
     )
     # Level 1: per-(lang, bucket) totals -- partial-aggregated map-side.
@@ -105,15 +116,11 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES = {
-    # Naive single-window formulation: the semantics spec.
-    "pack_chunks": f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-         CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS tokens
-  FROM documents
-),
-cum AS (
+# Naive single-window formulation: the semantics spec.  Shared by every
+# packing oracle -- callers prepend a `scored(doc_id, lang, tokens)` CTE
+# holding their token counter and append this tail, so the packing
+# recurrence has exactly ONE SQL definition.
+PACK_ORACLE_TAIL = f"""cum AS (
   SELECT doc_id, lang, tokens,
          coalesce(sum(tokens) OVER (
              PARTITION BY lang ORDER BY doc_id
@@ -124,7 +131,16 @@ SELECT doc_id, lang, tokens,
        CAST(start // {PACK_CHUNK_TOKENS} AS BIGINT) AS chunk_id,
        CAST(start % {PACK_CHUNK_TOKENS} AS BIGINT) AS chunk_offset
 FROM cum
-""",
+"""
+
+ORACLES = {
+    "pack_chunks": f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS tokens
+  FROM documents
+),
+{PACK_ORACLE_TAIL}""",
 }
 
 QUERIES = {

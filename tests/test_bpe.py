@@ -97,6 +97,25 @@ def test_bpe_apply_reproduces_trained_state(spark, tmp_path):
     assert int(total) == rows[-1][3]
 
 
+def test_pack_chunks_bpe_matches_oracle_and_differs_from_regex(
+    spark, sf_dir, ddb
+):
+    """The BPE-counted packing matches its train-replay oracle AND is
+    non-trivially different from the regex-proxy packing (same schema,
+    different token integers) -- the flag really swaps the counter."""
+    got = bpe.pack_chunks_bpe(spark, sf_dir)
+    assert_matches_oracle(got, bpe.ORACLES["pack_chunks_bpe"], ddb)
+    from cassandra_sstable_tools_spark.llm.packing import pack_chunks
+
+    n_diff = (
+        got.alias("b")
+        .join(pack_chunks(spark, sf_dir).alias("r"), "doc_id")
+        .where(F.col("b.tokens") != F.col("r.tokens"))
+        .count()
+    )
+    assert n_diff > 0, "BPE token counts identical to regex proxy -- vacuous flag"
+
+
 def test_bpe_single_char_words_do_not_crash(spark, tmp_path):
     """Single-token words contribute no pairs but must stay in the corpus
     count (the sequence(1, 0) ANSI trap the trainer filters around)."""
