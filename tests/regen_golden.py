@@ -39,6 +39,14 @@ def regen() -> None:
         ("query_quality_matrix", ["query", "source_quality_matrix"]),
         ("query_chunk_cdc", ["query", "chunk_dedup_cdc", "--max-rows", "15"]),
     ]
+    # r07 report surfaces: binary Index.db ingestion, media perceptual
+    # near-dup, BPE training certificate
+    cases += [
+        ("query_index_binary",
+         ["query", "index_binary_entries", "--max-rows", "15"]),
+        ("query_media_neardup", ["query", "media_neardup_pairs"]),
+        ("query_bpe", ["query", "bpe_encode_stats"]),
+    ]
     # reference-style single-table scoping (<keyspace> <table> positionals)
     cases.append(
         ("pstats_scoped", ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])

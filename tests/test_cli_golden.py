@@ -34,6 +34,10 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
         ("query_dashboard", ["query", "corpus_dashboard"]),
         ("query_quality_matrix", ["query", "source_quality_matrix"]),
         ("query_chunk_cdc", ["query", "chunk_dedup_cdc", "--max-rows", "15"]),
+        ("query_index_binary",
+         ["query", "index_binary_entries", "--max-rows", "15"]),
+        ("query_media_neardup", ["query", "media_neardup_pairs"]),
+        ("query_bpe", ["query", "bpe_encode_stats"]),
     ]
     + [("pstats_scoped",
         ["pstats", "--keyspace", "ks1", "--table", "tab_lcs"])]
