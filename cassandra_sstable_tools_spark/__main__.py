@@ -122,6 +122,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "built on first use, probes prune partitions at file level)",
     )
     p.add_argument(
+        "--cassandra-dir", default=None, metavar="DIR",
+        help="pstats: read a REAL Cassandra data directory "
+             "(<dir>/<keyspace>/<table>/*-Index.db + *-Data.db) instead of "
+             "the parquet fixtures -- sizes from index position deltas, "
+             "tails closed by Data.db byte lengths; no parquet anywhere",
+    )
+    p.add_argument(
         "--approx", action="store_true",
         help="pstats/cfstats: bounded-memory percentile sketch instead of "
              "exact per-group buffering (the 100 TB path; within 10%% of "
@@ -233,14 +240,37 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         size_fmt = {k: "bytes" for k in
                     ["total_size", "min_size", "max_size", "avg_size",
                      "p50", "p75", "p90", "p95", "p99", "p999"]}
+        if args.cassandra_dir:
+            # directory-only mode: the whole report off real binary files
+            # (Index.db entries + Data.db byte lengths), zero parquet --
+            # one persisted collate feeds all three sections, same as the
+            # fixture path
+            from cassandra_sstable_tools_spark.operators.window_sizes import (
+                index_partition_sizes,
+            )
+            from cassandra_sstable_tools_spark.sources.sstable_binary import (
+                binary_index_entries,
+                data_file_lengths,
+            )
+
+            c = m.collate_sizes(index_partition_sizes(
+                binary_index_entries(spark, args.cassandra_dir),
+                data_file_lengths(spark, args.cassandra_dir),
+            )).persist()
+            summary = m.summary_from_collated(c, approx=args.approx)
+            top_size = m.top_size_from_collated(c, args.n)
+            top_tables = m.top_tables_from_collated(c, args.n)
+        else:
+            summary = m.pstats_summary(spark, sf, approx=args.approx)
+            top_size = m.pstats_top_size(spark, sf, args.n)
+            top_tables = m.pstats_top_tables(spark, sf, args.n)
         out.append(("Partition size summary", _render(
-            m.pstats_summary(spark, sf, approx=args.approx), size_fmt,
-            order=["keyspace", "table_name"])))
+            summary, size_fmt, order=["keyspace", "table_name"])))
         out.append(("Largest partitions", _render(
-            m.pstats_top_size(spark, sf, args.n), {"size": "bytes"},
+            top_size, {"size": "bytes"},
             order=["keyspace", "table_name", "rank"])))
         out.append(("Partitions in most sstables", _render(
-            m.pstats_top_tables(spark, sf, args.n), {"size": "bytes"},
+            top_tables, {"size": "bytes"},
             order=["keyspace", "table_name", "rank"])))
         _bucketed_section(spark, args, sf, out)
     elif args.command == "cfstats":

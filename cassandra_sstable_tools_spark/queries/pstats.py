@@ -34,28 +34,37 @@ from cassandra_sstable_tools_spark.oracles import with_adapter
 from cassandra_sstable_tools_spark.sources import tpch_adapter
 
 
-def _collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+def collate_sizes(sizes: DataFrame) -> DataFrame:
     """Per-partition (across sstables): total size + sstable count (J1).
-    Persisted via the adapter's cache registry so the summary and both
-    top-N reports reuse ONE collate pass -- the Spark analog of the
-    reference's single stream feeding 2 heaps + 2 histograms."""
+    Takes ANY (keyspace, table_name, sstable_id, partition_key, size)
+    frame -- the parquet adapter's, or the binary Index.db path's -- so
+    every pstats report shares one collate definition."""
+    return sizes.groupBy("keyspace", "table_name", "partition_key").agg(
+        F.sum("size").alias("size"),
+        F.count(F.lit(1)).alias("tables"),
+    )
+
+
+def _collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-path collate, persisted via the adapter's cache registry so
+    the summary and both top-N reports reuse ONE collate pass -- the Spark
+    analog of the reference's single stream feeding 2 heaps + 2
+    histograms."""
 
     def build() -> DataFrame:
-        sizes = index_partition_sizes(
-            tpch_adapter.index_entries(spark, sf_dir),
-            tpch_adapter.sstables(spark, sf_dir),
-        )
-        return sizes.groupBy("keyspace", "table_name", "partition_key").agg(
-            F.sum("size").alias("size"),
-            F.count(F.lit(1)).alias("tables"),
+        return collate_sizes(
+            index_partition_sizes(
+                tpch_adapter.index_entries(spark, sf_dir),
+                tpch_adapter.sstables(spark, sf_dir),
+            )
         )
 
     return tpch_adapter._cached(spark, sf_dir, "pstats_collated", build)
 
 
-def pstats_summary(spark: SparkSession, sf_dir: str, approx: bool = False) -> DataFrame:
+def summary_from_collated(c: DataFrame, approx: bool = False) -> DataFrame:
     """One row per table: count / total / min / max / avg + size percentiles."""
-    return _collated(spark, sf_dir).groupBy("keyspace", "table_name").agg(
+    return c.groupBy("keyspace", "table_name").agg(
         F.count(F.lit(1)).alias("partitions"),
         F.sum("size").alias("total_size"),
         F.min("size").alias("min_size"),
@@ -66,9 +75,8 @@ def pstats_summary(spark: SparkSession, sf_dir: str, approx: bool = False) -> Da
     )
 
 
-def pstats_top_size(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) -> DataFrame:
+def top_size_from_collated(c: DataFrame, n: int = DEFAULT_TOP_N) -> DataFrame:
     """Top-N largest partitions per table (SIZE_COMPARATOR + key tiebreak)."""
-    c = _collated(spark, sf_dir)
     return top_n_per_group(
         c,
         ["keyspace", "table_name"],
@@ -77,15 +85,32 @@ def pstats_top_size(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) ->
     ).select("keyspace", "table_name", "partition_key", "size", "tables", "rank")
 
 
-def pstats_top_tables(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) -> DataFrame:
+def top_tables_from_collated(c: DataFrame, n: int = DEFAULT_TOP_N) -> DataFrame:
     """Top-N partitions by #sstables containing them (collate tableCount)."""
-    c = _collated(spark, sf_dir)
     return top_n_per_group(
         c,
         ["keyspace", "table_name"],
         [F.desc("tables"), F.desc("size"), F.asc("partition_key")],
         n,
     ).select("keyspace", "table_name", "partition_key", "tables", "size", "rank")
+
+
+def pstats_summary(spark: SparkSession, sf_dir: str, approx: bool = False) -> DataFrame:
+    """One row per table: count / total / min / max / avg + size percentiles
+    off the cached parquet-path collate."""
+    return summary_from_collated(_collated(spark, sf_dir), approx=approx)
+
+
+def pstats_top_size(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) -> DataFrame:
+    """Top-N largest partitions per table off the cached parquet-path
+    collate (SIZE_COMPARATOR + key tiebreak)."""
+    return top_size_from_collated(_collated(spark, sf_dir), n)
+
+
+def pstats_top_tables(spark: SparkSession, sf_dir: str, n: int = DEFAULT_TOP_N) -> DataFrame:
+    """Top-N partitions by #sstables containing them off the cached
+    parquet-path collate."""
+    return top_tables_from_collated(_collated(spark, sf_dir), n)
 
 
 _COLLATED_CTE = """

@@ -65,6 +65,7 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # --------------------------------------------------------------------------
 # Cassandra unsigned vint (VIntCoding) -- pure Python, both directions
@@ -250,6 +251,38 @@ def binary_index_entries(spark: SparkSession, root: str) -> DataFrame:
     return bf.mapInPandas(parse_files, INDEX_ENTRIES_SCHEMA)
 
 
+def data_file_lengths(spark: SparkSession, root: str) -> DataFrame:
+    """(keyspace, table_name, sstable_id, uncompressed_length) from the
+    BYTE LENGTH of each Data.db file -- the directory-only replacement for
+    the parquet metadata table's length column (the reference closes the
+    tail partition with dataLength the same way, IndexReader.java:96-98).
+
+    Only ``binaryFile``'s (path, length) metadata columns are selected, so
+    the reader never materializes Data.db contents (column pruning on the
+    binary source -- plan-audited); the frame is 1 row per SSTable and
+    always broadcast-able. Identity is parsed from the path JVM-side:
+    <root>/<keyspace>/<table_name>/<version>-<id>-big-Data.db, mirroring
+    ``_parse_filename``."""
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-Data.db")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path", "length")
+    )
+    fname = "element_at(split(path, '/'), -1)"
+    pieces = f"split({fname}, '-')"
+    return bf.select(
+        F.expr("element_at(split(path, '/'), -3)").alias("keyspace"),
+        F.expr("element_at(split(path, '/'), -2)").alias("table_name"),
+        # id = pieces[2 .. n-2] re-joined (version-<id...>-big-Data.db)
+        F.expr(
+            f"array_join(slice({pieces}, 2, size({pieces}) - 3), '-')"
+        ).alias("sstable_id"),
+        F.col("length").alias("uncompressed_length"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Fixture materialization: parquet-derived index_entries -> real .db files
 # --------------------------------------------------------------------------
@@ -286,8 +319,10 @@ def materialize_index_files(
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
     if root is None:
+        # ":v2" salt: v2 fixtures also carry sparse Data.db files (the
+        # directory-only pstats path); v1 dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            os.path.abspath(sf_dir).encode()
+            (os.path.abspath(sf_dir) + ":v2").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -299,6 +334,21 @@ def materialize_index_files(
         .select("keyspace", "table_name", "sstable_id", "partition_key", "position")
         .collect()
     )
+    # NULL length (possible on dirty metadata: every partition's psize
+    # NULL) is physically unrepresentable -- a file HAS a byte length --
+    # so no Data.db is written for it; the Index.db still is, keeping the
+    # index-only queries complete. pstats_summary_cassdir's oracle
+    # mirrors the absent-file rule (see _oracles).
+    lengths = {
+        (r["keyspace"], r["table_name"], r["sstable_id"]): (
+            None
+            if r["uncompressed_length"] is None
+            else int(r["uncompressed_length"])
+        )
+        for r in tpch_adapter.sstables(spark, sf_dir)
+        .select("keyspace", "table_name", "sstable_id", "uncompressed_length")
+        .collect()
+    }
     by_sstable: dict[tuple[str, str, str], list[tuple[bytes, int]]] = {}
     for r in rows:
         by_sstable.setdefault(
@@ -308,6 +358,7 @@ def materialize_index_files(
     tmp = root + ".tmp"
     if os.path.exists(tmp):
         __import__("shutil").rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)  # zero-sstable corpora still need a dir
     for (ks, tb, ss), entries in by_sstable.items():
         entries.sort(key=lambda kp: kp[1])  # file order = ascending position
         d = os.path.join(tmp, ks, tb)
@@ -316,6 +367,14 @@ def materialize_index_files(
             os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Index.db"), "wb"
         ) as f:
             f.write(encode_index_db(entries))
+        # sparse Data.db sized to the metadata length: the directory-only
+        # path reads ONLY the file length (never contents), so a hole-file
+        # is byte-length-faithful at zero disk cost
+        if lengths.get((ks, tb, ss)) is not None:
+            dpath = os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Data.db")
+            with open(dpath, "wb"):
+                pass
+            os.truncate(dpath, lengths[(ks, tb, ss)])
     os.makedirs(_FIXTURE_ROOT, exist_ok=True)
     if os.path.exists(root):
         __import__("shutil").rmtree(root)
@@ -341,36 +400,57 @@ def index_binary_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_index_entries(spark, root)
 
 
+def _pstats_rollup(sizes: DataFrame) -> DataFrame:
+    """Collate + summary tail: the pstats module's own definitions, so the
+    binary variants can never drift from the parquet report."""
+    from cassandra_sstable_tools_spark.queries.pstats import (
+        collate_sizes,
+        summary_from_collated,
+    )
+
+    return summary_from_collated(collate_sizes(sizes))
+
+
 def pstats_summary_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`pstats summary` end-to-end over REAL binary Index.db files: binary
     scan -> W1 position-delta window -> collate -> summary, sharing every
     downstream operator with the parquet path. Oracle = the identical
     pstats summary SQL; a hash match proves a user pointing the engine at
-    real files gets bit-identical analytics (r06 VERDICT next-round #2)."""
-    from pyspark.sql import functions as F
-
-    from cassandra_sstable_tools_spark.operators.percentiles import percentile_cols
+    real files gets bit-identical analytics (r06 VERDICT next-round #2).
+    File lengths still come from the parquet metadata table; see
+    ``pstats_summary_cassdir`` for the directory-only composition."""
     from cassandra_sstable_tools_spark.operators.window_sizes import (
         index_partition_sizes,
     )
     from cassandra_sstable_tools_spark.sources import tpch_adapter
 
     root = materialize_index_files(spark, sf_dir)
-    sizes = index_partition_sizes(
-        binary_index_entries(spark, root),
-        tpch_adapter.sstables(spark, sf_dir),
+    return _pstats_rollup(
+        index_partition_sizes(
+            binary_index_entries(spark, root),
+            tpch_adapter.sstables(spark, sf_dir),
+        )
     )
-    collated = sizes.groupBy("keyspace", "table_name", "partition_key").agg(
-        F.sum("size").alias("size"),
-        F.count(F.lit(1)).alias("tables"),
+
+
+def pstats_summary_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pstats summary` from a Cassandra data DIRECTORY and nothing else:
+    Index.db entries from the binary parse, tail-closing file lengths from
+    the Data.db files' byte lengths (``data_file_lengths`` -- binaryFile
+    metadata only, contents never read). Zero parquet inputs anywhere in
+    the plan -- the composition behind the CLI's ``--cassandra-dir``.
+    Same oracle as the other pstats variants: a hash match proves the
+    directory-only path is bit-identical to the metadata-table path."""
+    from cassandra_sstable_tools_spark.operators.window_sizes import (
+        index_partition_sizes,
     )
-    return collated.groupBy("keyspace", "table_name").agg(
-        F.count(F.lit(1)).alias("partitions"),
-        F.sum("size").alias("total_size"),
-        F.min("size").alias("min_size"),
-        F.max("size").alias("max_size"),
-        F.floor(F.sum("size") / F.count(F.lit(1))).alias("avg_size"),
-        *percentile_cols("size", approx=False),
+
+    root = materialize_index_files(spark, sf_dir)
+    return _pstats_rollup(
+        index_partition_sizes(
+            binary_index_entries(spark, root),
+            data_file_lengths(spark, root),
+        )
     )
 
 
@@ -384,11 +464,25 @@ def _oracles():
             "FROM index_entries"
         ),
         "pstats_summary_binary": ORACLE_PSTATS_SUMMARY,
+        "pstats_summary_cassdir": _physical_oracle(ORACLE_PSTATS_SUMMARY),
     }
+
+
+def _physical_oracle(oracle: str) -> str:
+    """The directory-only oracle: identical SQL, except sstables whose
+    uncompressed_length is NULL are ABSENT (no Data.db can be written for
+    them -- a file has a byte length), so their index entries drop out of
+    the length join exactly as the missing file drops them in Spark."""
+    anchor = "JOIN sstables_meta s USING (keyspace, table_name, sstable_id)"
+    assert anchor in oracle, "pstats oracle join shape changed"
+    return oracle.replace(
+        anchor, anchor + "\n    WHERE s.uncompressed_length IS NOT NULL", 1
+    )
 
 
 QUERIES = {
     "index_binary_entries": index_binary_entries,
     "pstats_summary_binary": pstats_summary_binary,
+    "pstats_summary_cassdir": pstats_summary_cassdir,
 }
 ORACLES = _oracles()

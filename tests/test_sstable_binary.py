@@ -116,3 +116,78 @@ def test_materialize_rejects_active_scope(spark, sf_dir, tmp_path):
     with table_scope(table="tab_stcs"):
         with pytest.raises(RuntimeError, match="unscoped"):
             materialize_index_files(spark, sf_dir, root=str(tmp_path / "x"))
+
+
+def test_data_file_lengths_match_metadata(spark, sf_dir):
+    """Sparse Data.db byte lengths must equal the metadata table's
+    uncompressed_length exactly -- the directory-only path's tail-closing
+    input is the filesystem, and it must be length-faithful."""
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        data_file_lengths,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    key = lambda r: (r.keyspace, r.table_name, r.sstable_id)
+    got = {key(r): r.uncompressed_length
+           for r in data_file_lengths(spark, root).collect()}
+    exp = {key(r): r.uncompressed_length
+           for r in tpch_adapter.sstables(spark, sf_dir)
+           .select("keyspace", "table_name", "sstable_id",
+                   "uncompressed_length").collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_pstats_summary_cassdir_equals_parquet(spark, sf_dir):
+    """Directory-only composition (binary index + Data.db byte lengths,
+    zero parquet inputs) is bit-identical to the parquet report."""
+    from cassandra_sstable_tools_spark.queries.pstats import pstats_summary
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        pstats_summary_cassdir,
+    )
+
+    key = lambda r: (r.keyspace, r.table_name)
+    got = sorted(pstats_summary_cassdir(spark, sf_dir).collect(), key=key)
+    exp = sorted(pstats_summary(spark, sf_dir).collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_cli_cassandra_dir_matches_parquet_golden(spark, sf_dir):
+    """`pstats --cassandra-dir <dir>` must produce the byte-identical
+    report the parquet path produces at the same data -- the strongest
+    statement the CLI flag can make: a user switching from fixtures to a
+    real directory sees the same analytics to the last formatted byte."""
+    import contextlib
+    import io
+    import os
+
+    from cassandra_sstable_tools_spark.__main__ import main
+
+    root = materialize_index_files(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["pstats", "--cassandra-dir", root,
+                   "--sf-dir", sf_dir, "-b"], spark=spark)
+    assert rc == 0
+    golden = os.path.join(os.path.dirname(__file__), "golden", "pstats.txt")
+    if os.path.abspath(sf_dir) == "/root/testdata/sf0.001":
+        with open(golden) as f:
+            assert buf.getvalue() == f.read()
+    else:  # non-golden sf_dir: still require a non-empty 3-section report
+        assert buf.getvalue().count("+----") >= 6
+
+
+def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
+    """The Data.db scan must read ONLY (path, length) -- file contents
+    never enter the plan (a content read would ship every data byte
+    through the executor for a length lookup)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        data_file_lengths,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    plan = (
+        data_file_lengths(spark, root)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "content" not in plan
