@@ -186,15 +186,17 @@ def parse_index_db(
     return entries
 
 
-def _parse_filename(path: str) -> tuple[str, str, str, str]:
-    """<root>/<keyspace>/<table_name>/<version>-<sstable_id>-big-Index.db
+def _parse_filename(
+    path: str, component: str = "Index.db"
+) -> tuple[str, str, str, str]:
+    """<root>/<keyspace>/<table_name>/<version>-<sstable_id>-big-<component>
     -> (keyspace, table_name, sstable_id, version). Mirrors the real
     Cassandra directory layout keyspace/table/component."""
     parts = path.rstrip("/").split("/")
     fname = parts[-1]
     pieces = fname.split("-")
-    if len(pieces) < 4 or pieces[-1] != "Index.db":
-        raise ValueError(f"not an Index.db component: {path}")
+    if len(pieces) < 4 or pieces[-1] != component:
+        raise ValueError(f"not an {component} component: {path}")
     version = pieces[0]
     sstable_id = "-".join(pieces[1:-2])
     if len(parts) < 3:
@@ -251,11 +253,153 @@ def binary_index_entries(spark: SparkSession, root: str) -> DataFrame:
     return bf.mapInPandas(parse_files, INDEX_ENTRIES_SCHEMA)
 
 
-def data_file_lengths(spark: SparkSession, root: str) -> DataFrame:
+# --------------------------------------------------------------------------
+# CompressionInfo.db: dataLength header of compressed sstables
+# --------------------------------------------------------------------------
+#
+# On a real cluster Data.db is almost always chunk-compressed (LZ4 by
+# default), so its byte length is the COMPRESSED size; the uncompressed
+# data length lives in the CompressionInfo.db header. The reference gets it
+# through Cassandra's own SSTableReader.uncompressedLength()
+# (ColumnFamilyBackend.java:119,144), which reads exactly this header.
+#
+# Header layout (public knowledge: Apache Cassandra CompressionMetadata /
+# CompressionParams serializers, "big" format; Java DataOutput primitives,
+# all big-endian; writeUTF = u16 length + modified-UTF8 bytes -- compressor
+# class names are ASCII so plain UTF-8 round-trips identically):
+#
+#     writeUTF(compressor class simple name)      e.g. "LZ4Compressor"
+#     writeInt(option count)                      then per option:
+#         writeUTF(key), writeUTF(value)
+#     writeInt(chunkLength)
+#     writeInt(maxCompressedLength)               only version >= "na" (4.0+)
+#     writeLong(dataLength)                       <-- the value we need
+#     writeInt(chunkCount)
+#     chunkCount * writeLong(chunk offset)
+#
+# We parse up to dataLength and stop: chunk offsets are only needed to
+# actually decompress, which the size analytics never do.
+
+
+def _read_java_utf(buf: bytes, off: int, source: str) -> tuple[str, int]:
+    if off + 2 > len(buf):
+        raise ValueError(f"UTF length prefix past EOF in {source}")
+    n = int.from_bytes(buf[off : off + 2], "big")
+    off += 2
+    if off + n > len(buf):
+        raise ValueError(f"UTF string past EOF in {source}")
+    return buf[off : off + n].decode("utf-8"), off + n
+
+
+def _write_java_utf(s: str) -> bytes:
+    b = s.encode("utf-8")
+    if len(b) > 0xFFFF:
+        raise ValueError("UTF string exceeds u16 length prefix")
+    return len(b).to_bytes(2, "big") + b
+
+
+def encode_compression_info(
+    data_length: int,
+    version: str = _DEFAULT_VERSION,
+    chunk_length: int = 65536,
+    compressor: str = "LZ4Compressor",
+    options: dict[str, str] | None = None,
+) -> bytes:
+    """Encode a full CompressionInfo.db (header + synthetic chunk offsets)
+    so fixtures are structurally complete files, not just the prefix the
+    parser happens to read."""
+    out = bytearray()
+    out += _write_java_utf(compressor)
+    opts = options or {}
+    out += len(opts).to_bytes(4, "big")
+    for k, v in sorted(opts.items()):
+        out += _write_java_utf(k)
+        out += _write_java_utf(v)
+    out += chunk_length.to_bytes(4, "big")
+    if version >= "na":
+        out += chunk_length.to_bytes(4, "big")  # maxCompressedLength
+    out += data_length.to_bytes(8, "big")
+    n_chunks = (data_length + chunk_length - 1) // chunk_length
+    out += n_chunks.to_bytes(4, "big")
+    off = 0
+    for i in range(n_chunks):
+        out += off.to_bytes(8, "big")
+        off += 5 + (data_length + i * 131) % chunk_length  # fake monotonic
+    return bytes(out)
+
+
+def parse_compression_info(
+    content: bytes, version: str = _DEFAULT_VERSION, source: str = "<bytes>"
+) -> int:
+    """Parse a CompressionInfo.db header -> uncompressed dataLength."""
+    try:
+        off = 0
+        _, off = _read_java_utf(content, off, source)  # compressor name
+        n_opts = int.from_bytes(content[off : off + 4], "big")
+        off += 4
+        if n_opts > 1000:
+            raise ValueError(f"implausible option count {n_opts}")
+        for _ in range(n_opts):
+            _, off = _read_java_utf(content, off, source)
+            _, off = _read_java_utf(content, off, source)
+        off += 4  # chunkLength
+        if version >= "na":
+            off += 4  # maxCompressedLength (4.0+ formats only)
+        if off + 8 > len(content):
+            raise ValueError("dataLength past EOF")
+        return int.from_bytes(content[off : off + 8], "big")
+    except (ValueError, IndexError) as e:
+        raise ValueError(f"corrupt CompressionInfo.db {source}: {e}") from None
+
+
+def compression_data_lengths(spark: SparkSession, root: str) -> DataFrame:
     """(keyspace, table_name, sstable_id, uncompressed_length) from the
-    BYTE LENGTH of each Data.db file -- the directory-only replacement for
-    the parquet metadata table's length column (the reference closes the
-    tail partition with dataLength the same way, IndexReader.java:96-98).
+    CompressionInfo.db headers under ``root`` -- one row per COMPRESSED
+    sstable. Contents ARE read (unlike the Data.db scan) but the component
+    is a few KB of header + chunk offsets per sstable, so the scan cost is
+    directory-listing-shaped, never data-shaped."""
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-CompressionInfo.db")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path", "content")
+    )
+
+    def parse_files(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ks_l, tb_l, ss_l, len_l = [], [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                ks, tb, ss, ver = _parse_filename(
+                    path, component="CompressionInfo.db"
+                )
+                ks_l.append(ks)
+                tb_l.append(tb)
+                ss_l.append(ss)
+                len_l.append(
+                    parse_compression_info(bytes(content), ver, source=path)
+                )
+            yield pd.DataFrame(
+                {
+                    "keyspace": ks_l,
+                    "table_name": tb_l,
+                    "sstable_id": ss_l,
+                    "uncompressed_length": pd.Series(len_l, dtype="int64"),
+                }
+            )
+
+    return bf.mapInPandas(
+        parse_files,
+        "keyspace string, table_name string, sstable_id string, "
+        "uncompressed_length bigint",
+    )
+
+
+def _data_db_byte_lengths(spark: SparkSession, root: str) -> DataFrame:
+    """(keyspace, table_name, sstable_id, uncompressed_length) from the
+    BYTE LENGTH of each Data.db file -- correct for UNcompressed sstables.
 
     Only ``binaryFile``'s (path, length) metadata columns are selected, so
     the reader never materializes Data.db contents (column pruning on the
@@ -283,6 +427,33 @@ def data_file_lengths(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def data_file_lengths(spark: SparkSession, root: str) -> DataFrame:
+    """Uncompressed data length per sstable, resolved the way Cassandra's
+    SSTableReader.uncompressedLength() resolves it: the CompressionInfo.db
+    header's dataLength when the sstable is compressed, else the Data.db
+    byte length (the reference closes the tail partition with this value,
+    IndexReader.java:96-98). The directory-only replacement for the
+    parquet metadata table's length column.
+
+    Both sides are 1 row/sstable; the compression frame is explicitly
+    broadcast so the resolve never shuffles the (already tiny) length
+    frame."""
+    data = _data_db_byte_lengths(spark, root)
+    comp = compression_data_lengths(spark, root).withColumnRenamed(
+        "uncompressed_length", "_comp_length"
+    )
+    return data.join(
+        F.broadcast(comp), ["keyspace", "table_name", "sstable_id"], "left"
+    ).select(
+        "keyspace",
+        "table_name",
+        "sstable_id",
+        F.coalesce("_comp_length", "uncompressed_length").alias(
+            "uncompressed_length"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Fixture materialization: parquet-derived index_entries -> real .db files
 # --------------------------------------------------------------------------
@@ -291,6 +462,13 @@ _FIXTURE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".binfixtures",
 )
+
+
+def _is_compressed_fixture(ks: str, tb: str, ss: str) -> bool:
+    """Deterministic ~half of fixture sstables are planted as compressed
+    (md5 parity, stable across runs/processes -- never hash())."""
+    h = __import__("hashlib").md5(f"{ks}/{tb}/{ss}".encode()).digest()
+    return h[0] % 2 == 0
 
 
 def materialize_index_files(
@@ -319,10 +497,11 @@ def materialize_index_files(
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
     if root is None:
-        # ":v2" salt: v2 fixtures also carry sparse Data.db files (the
-        # directory-only pstats path); v1 dirs are stale and orphaned
+        # ":v3" salt: v2 added sparse Data.db files (directory-only pstats),
+        # v3 makes alternate sstables "compressed" (short Data.db +
+        # CompressionInfo.db header); older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v2").encode()
+            (os.path.abspath(sf_dir) + ":v3").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -369,12 +548,31 @@ def materialize_index_files(
             f.write(encode_index_db(entries))
         # sparse Data.db sized to the metadata length: the directory-only
         # path reads ONLY the file length (never contents), so a hole-file
-        # is byte-length-faithful at zero disk cost
+        # is byte-length-faithful at zero disk cost. Alternate sstables are
+        # made "COMPRESSED": Data.db deliberately SHORTER than the real
+        # data length (as a compressed file is) + a CompressionInfo.db
+        # whose header carries the true dataLength -- so any code path
+        # that falls back to the byte length for a compressed sstable
+        # produces wrong sizes and fails the (unchanged) oracle.
         if lengths.get((ks, tb, ss)) is not None:
+            true_len = lengths[(ks, tb, ss)]
+            compressed = _is_compressed_fixture(ks, tb, ss)
             dpath = os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Data.db")
             with open(dpath, "wb"):
                 pass
-            os.truncate(dpath, lengths[(ks, tb, ss)])
+            os.truncate(dpath, true_len * 3 // 5 if compressed else true_len)
+            if compressed:
+                cpath = os.path.join(
+                    d, f"{_DEFAULT_VERSION}-{ss}-big-CompressionInfo.db"
+                )
+                with open(cpath, "wb") as f:
+                    f.write(
+                        encode_compression_info(
+                            true_len,
+                            version=_DEFAULT_VERSION,
+                            options={"lz4_high_compressor_level": "3"},
+                        )
+                    )
     os.makedirs(_FIXTURE_ROOT, exist_ok=True)
     if os.path.exists(root):
         __import__("shutil").rmtree(root)

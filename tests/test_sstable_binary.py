@@ -180,14 +180,85 @@ def test_cli_cassandra_dir_matches_parquet_golden(spark, sf_dir):
 def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
     """The Data.db scan must read ONLY (path, length) -- file contents
     never enter the plan (a content read would ship every data byte
-    through the executor for a length lookup)."""
+    through the executor for a length lookup). The combined resolve may
+    read content ONLY from the (tiny) CompressionInfo.db scan."""
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        _data_db_byte_lengths,
         data_file_lengths,
     )
 
     root = materialize_index_files(spark, sf_dir)
     plan = (
-        data_file_lengths(spark, root)
+        _data_db_byte_lengths(spark, root)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "content" not in plan
+    combined = (
+        data_file_lengths(spark, root)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one content-reading file scan (the CompressionInfo headers);
+    # the Data.db scan stays pruned to (path, length)
+    scans = [l for l in combined.splitlines() if "FileScan binaryFile" in l]
+    assert len(scans) == 2
+    assert sum("content:binary" in s for s in scans) == 1
+
+
+def test_compression_info_roundtrip():
+    """dataLength survives encode->parse across all three version regimes
+    (pre-4.0 formats lack the maxCompressedLength int)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        encode_compression_info,
+        parse_compression_info,
+    )
+
+    for version in ("jb", "ma", "nb"):
+        for n in (0, 1, 65535, 65536, 10_000_000_007):
+            blob = encode_compression_info(
+                n, version=version, options={"a": "1", "bb": "22"}
+            )
+            assert parse_compression_info(blob, version=version) == n
+    # version regime actually changes the bytes (the 4.0 extra int)
+    assert encode_compression_info(7, version="ma") != encode_compression_info(
+        7, version="nb"
+    )
+
+
+def test_compression_info_corrupt_is_loud():
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        encode_compression_info,
+        parse_compression_info,
+    )
+
+    blob = encode_compression_info(123456, version="nb")
+    with pytest.raises(ValueError, match="corrupt CompressionInfo"):
+        parse_compression_info(blob[:10], version="nb", source="t")
+    # wrong-regime read lands 4 bytes off the dataLength field
+    assert parse_compression_info(blob, version="ma") != 123456
+
+
+def test_compressed_fixture_subset_is_differential(spark, sf_dir):
+    """The planted-compressed subset must be non-trivial AND its Data.db
+    byte lengths must DIFFER from the true lengths -- otherwise a code
+    path that ignores CompressionInfo.db would pass every test above."""
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        _data_db_byte_lengths,
+        compression_data_lengths,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    key = lambda r: (r.keyspace, r.table_name, r.sstable_id)
+    comp = {key(r): r.uncompressed_length
+            for r in compression_data_lengths(spark, root).collect()}
+    raw = {key(r): r.uncompressed_length
+           for r in _data_db_byte_lengths(spark, root).collect()}
+    exp = {key(r): r.uncompressed_length
+           for r in tpch_adapter.sstables(spark, sf_dir)
+           .select("keyspace", "table_name", "sstable_id",
+                   "uncompressed_length").collect()}
+    assert len(comp) > 0 and len(comp) < len(raw)  # a strict subset
+    for k, n in comp.items():
+        assert n == exp[k]  # header carries the TRUE length
+        if exp[k] >= 3:
+            assert raw[k] != exp[k]  # byte length is compressed => differs
