@@ -631,30 +631,62 @@ def pstats_summary_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pstats_summary_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`pstats summary` from a Cassandra data DIRECTORY and nothing else:
-    Index.db entries from the binary parse, tail-closing file lengths from
-    the Data.db files' byte lengths (``data_file_lengths`` -- binaryFile
-    metadata only, contents never read). Zero parquet inputs anywhere in
-    the plan -- the composition behind the CLI's ``--cassandra-dir``.
-    Same oracle as the other pstats variants: a hash match proves the
-    directory-only path is bit-identical to the metadata-table path."""
+def _cassdir_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-only partition sizes: Index.db entries from the binary
+    parse, tail-closing lengths resolved from CompressionInfo.db /
+    Data.db byte lengths (``data_file_lengths``). Zero parquet inputs
+    anywhere in the plan."""
     from cassandra_sstable_tools_spark.operators.window_sizes import (
         index_partition_sizes,
     )
 
     root = materialize_index_files(spark, sf_dir)
-    return _pstats_rollup(
-        index_partition_sizes(
-            binary_index_entries(spark, root),
-            data_file_lengths(spark, root),
-        )
+    return index_partition_sizes(
+        binary_index_entries(spark, root),
+        data_file_lengths(spark, root),
     )
+
+
+def pstats_summary_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pstats summary` from a Cassandra data DIRECTORY and nothing else
+    -- the composition behind the CLI's ``--cassandra-dir``. Same oracle
+    as the other pstats variants: a hash match proves the directory-only
+    path is bit-identical to the metadata-table path."""
+    return _pstats_rollup(_cassdir_sizes(spark, sf_dir))
+
+
+def pstats_top_size_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pstats` largest-partitions section, directory-only -- certifies
+    the per-partition grain of the binary path (the summary certificate
+    aggregates it away) through the same T1 bounded top-N operator."""
+    from cassandra_sstable_tools_spark.queries.pstats import (
+        collate_sizes,
+        top_size_from_collated,
+    )
+
+    return top_size_from_collated(collate_sizes(_cassdir_sizes(spark, sf_dir)))
+
+
+def pstats_top_tables_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pstats` most-sstables section, directory-only: the collate's
+    sstable COUNT depends on every Index.db file being parsed, so this
+    certificate catches a dropped/misattributed file that total-size
+    aggregates could mask."""
+    from cassandra_sstable_tools_spark.queries.pstats import (
+        collate_sizes,
+        top_tables_from_collated,
+    )
+
+    return top_tables_from_collated(collate_sizes(_cassdir_sizes(spark, sf_dir)))
 
 
 def _oracles():
     from cassandra_sstable_tools_spark.oracles import with_adapter
-    from cassandra_sstable_tools_spark.queries.pstats import ORACLE_PSTATS_SUMMARY
+    from cassandra_sstable_tools_spark.queries.pstats import (
+        ORACLE_PSTATS_SUMMARY,
+        ORACLE_PSTATS_TOP_SIZE,
+        ORACLE_PSTATS_TOP_TABLES,
+    )
 
     return {
         "index_binary_entries": with_adapter(
@@ -663,6 +695,8 @@ def _oracles():
         ),
         "pstats_summary_binary": ORACLE_PSTATS_SUMMARY,
         "pstats_summary_cassdir": _physical_oracle(ORACLE_PSTATS_SUMMARY),
+        "pstats_top_size_cassdir": _physical_oracle(ORACLE_PSTATS_TOP_SIZE),
+        "pstats_top_tables_cassdir": _physical_oracle(ORACLE_PSTATS_TOP_TABLES),
     }
 
 
@@ -682,5 +716,7 @@ QUERIES = {
     "index_binary_entries": index_binary_entries,
     "pstats_summary_binary": pstats_summary_binary,
     "pstats_summary_cassdir": pstats_summary_cassdir,
+    "pstats_top_size_cassdir": pstats_top_size_cassdir,
+    "pstats_top_tables_cassdir": pstats_top_tables_cassdir,
 }
 ORACLES = _oracles()
