@@ -151,39 +151,122 @@ def encode_index_db(
     return bytes(out)
 
 
+def _try_vint(buf: bytes, off: int, n: int) -> tuple[int, int] | None:
+    """read_unsigned_vint, but None when the buffer ends mid-vint (the
+    streaming parser's 'incomplete, need more bytes' signal)."""
+    if off >= n:
+        return None
+    first = buf[off]
+    if first < 0x80:
+        return first, off + 1
+    extra = 0
+    while extra < 8 and first & (0x80 >> extra):
+        extra += 1
+    if off + 1 + extra > n:
+        return None
+    return read_unsigned_vint(buf, off)
+
+
+def _parse_entries(
+    buf: bytes, version: str, at_eof: bool, source: str, base: int = 0
+) -> tuple[list[tuple[bytes, int]], int]:
+    """Greedily parse whole entries from ``buf`` -> (entries, consumed).
+
+    ``consumed`` is the offset where the first INCOMPLETE entry starts; with
+    ``at_eof`` any incomplete tail is corruption (loud), otherwise the
+    caller carries ``buf[consumed:]`` into the next chunk. ``base`` = file
+    offset of buf[0], only for error messages."""
+    entries: list[tuple[bytes, int]] = []
+    off, n = 0, len(buf)
+    while off < n:
+        start = off
+        if off + 2 > n:
+            break
+        klen = int.from_bytes(buf[off : off + 2], "big")
+        off += 2
+        if off + klen > n:
+            break
+        key = buf[off : off + klen]
+        off += klen
+        if version > "ma":
+            got = _try_vint(buf, off, n)
+            if got is None:
+                break
+            position, off = got
+        else:
+            if off + 8 > n:
+                break
+            position = int.from_bytes(buf[off : off + 8], "big")
+            off += 8
+        if version >= "ma":
+            got = _try_vint(buf, off, n)
+            if got is None:
+                break
+            psize, off = got
+        else:
+            if off + 4 > n:
+                break
+            psize = int.from_bytes(buf[off : off + 4], "big")
+            off += 4
+        if off + psize > n:
+            break
+        off += psize  # skipData(): promoted index is opaque to stats
+        entries.append((key, position))
+    else:
+        start = n
+    if start < n and at_eof:
+        raise ValueError(
+            f"corrupt Index.db {source}: truncated entry at byte {base + start}"
+        )
+    return entries, start
+
+
 def parse_index_db(
     content: bytes, version: str = _DEFAULT_VERSION, source: str = "<bytes>"
 ) -> list[tuple[bytes, int]]:
     """Parse Index.db bytes -> [(key, position)]; loud on corruption."""
-    entries: list[tuple[bytes, int]] = []
-    off, n = 0, len(content)
-    try:
-        while off < n:
-            klen = int.from_bytes(content[off : off + 2], "big")
-            off += 2
-            if off + klen > n:
-                raise ValueError("key runs past EOF")
-            key = content[off : off + klen]
-            off += klen
-            if version > "ma":
-                position, off = read_unsigned_vint(content, off)
-            else:
-                position = int.from_bytes(content[off : off + 8], "big")
-                off += 8
-            if version >= "ma":
-                psize, off = read_unsigned_vint(content, off)
-            else:
-                psize = int.from_bytes(content[off : off + 4], "big")
-                off += 4
-            if off + psize > n:
-                raise ValueError("promoted index runs past EOF")
-            off += psize  # skipData(): promoted index is opaque to stats
-            entries.append((key, position))
-    except (ValueError, IndexError) as e:
-        raise ValueError(
-            f"corrupt Index.db {source} at byte {off}: {e}"
-        ) from None
+    entries, _ = _parse_entries(content, version, at_eof=True, source=source)
     return entries
+
+
+# one logical entry (u16 key + vints + promoted columns index) larger than
+# this is corruption, not data -- stops a bogus promoted-size vint from
+# growing the streaming carry-over buffer until the file ends
+_MAX_ENTRY_BYTES = 1 << 28
+
+
+def stream_parse_index_db(
+    fobj,
+    version: str = _DEFAULT_VERSION,
+    source: str = "<stream>",
+    chunk_bytes: int = 8 << 20,
+) -> Iterator[tuple[bytes, int]]:
+    """Parse Index.db from a file object in bounded memory.
+
+    The whole-file path (``parse_index_db``) holds one file in RAM, which
+    inherits binaryFile's 2 GB content ceiling and makes a 100 GB Data.db's
+    multi-GB index a task OOM; this variant keeps only ``chunk_bytes`` plus
+    one partial entry resident, so index size never bounds what a task can
+    read. Same grammar, same loud-corruption contract."""
+    buf = b""
+    base = 0  # file offset of buf[0]
+    while True:
+        data = fobj.read(chunk_bytes)
+        at_eof = not data
+        buf += data
+        entries, consumed = _parse_entries(
+            buf, version, at_eof=at_eof, source=source, base=base
+        )
+        yield from entries
+        buf = buf[consumed:]
+        base += consumed
+        if at_eof:
+            return
+        if len(buf) > _MAX_ENTRY_BYTES:
+            raise ValueError(
+                f"corrupt Index.db {source}: entry at byte {base} exceeds "
+                f"{_MAX_ENTRY_BYTES} bytes"
+            )
 
 
 def _parse_filename(
@@ -210,13 +293,74 @@ INDEX_ENTRIES_SCHEMA = (
 )
 
 
+def _is_local_root(root: str) -> bool:
+    """POSIX-visible root: a bare absolute path or an explicit file: URI."""
+    return root.startswith(("/", "file:"))
+
+
+def _local_path(path: str) -> str:
+    """file:/x, file:///x -> /x (binaryFile emits file: URIs)."""
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
 def binary_index_entries(spark: SparkSession, root: str) -> DataFrame:
     """Distributed Index.db scan: one task per file, Arrow-batched parse.
 
     Emits the same frame as ``tpch_adapter.index_entries`` so the whole
-    pstats family runs unchanged on real binary files. Content column is
-    pruned to (path, content) before the Python stage.
+    pstats family runs unchanged on real binary files.
+
+    Two physical strategies, same grammar and same loud-corruption
+    contract:
+    - POSIX-visible roots (a real Cassandra data dir is always one): the
+      scan reads ONLY (path, length) metadata and each task stream-parses
+      its file in 8 MB chunks (``stream_parse_index_db``) -- task memory
+      is bounded by the chunk, not the index size, and binaryFile's 2 GB
+      content ceiling never applies.
+    - non-POSIX roots (hdfs://, s3a://...): fall back to binaryFile
+      content rows + whole-buffer parse; the documented bound is one
+      index file per task in memory.
     """
+    if _is_local_root(root):
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*-Index.db")
+            .option("recursiveFileLookup", "true")
+            .load(root)
+            .select("path")
+        )
+
+        def parse_local(batches) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                ks_l, tb_l, ss_l, pk_l, pos_l = [], [], [], [], []
+                for path in pdf["path"]:
+                    ks, tb, ss, ver = _parse_filename(path)
+                    with open(_local_path(path), "rb") as f:
+                        for key, position in stream_parse_index_db(
+                            f, version=ver, source=path
+                        ):
+                            ks_l.append(ks)
+                            tb_l.append(tb)
+                            ss_l.append(ss)
+                            pk_l.append(key.decode("utf-8"))
+                            pos_l.append(position)
+                yield pd.DataFrame(
+                    {
+                        "keyspace": ks_l,
+                        "table_name": tb_l,
+                        "sstable_id": ss_l,
+                        "partition_key": pk_l,
+                        "position": pd.Series(pos_l, dtype="int64"),
+                    }
+                )
+
+        return files.mapInPandas(parse_local, INDEX_ENTRIES_SCHEMA)
+
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*-Index.db")

@@ -204,6 +204,69 @@ def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
     assert sum("content:binary" in s for s in scans) == 1
 
 
+def test_stream_parse_matches_whole_buffer():
+    """Chunked streaming parse == whole-buffer parse for every version
+    regime, at a chunk size small enough that nearly every entry straddles
+    a chunk boundary (the carry-over path)."""
+    import io
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        encode_index_db,
+        parse_index_db,
+        stream_parse_index_db,
+    )
+
+    entries = [
+        (f"key-{i:04d}".encode() * (1 + i % 3), 17 * i * i) for i in range(200)
+    ]
+    for version in ("jb", "ma", "nb"):
+        blob = encode_index_db(entries, version=version)
+        for chunk in (7, 64, len(blob), len(blob) + 99):
+            got = list(
+                stream_parse_index_db(
+                    io.BytesIO(blob), version=version, chunk_bytes=chunk
+                )
+            )
+            assert got == parse_index_db(blob, version=version)
+    assert list(stream_parse_index_db(io.BytesIO(b""))) == []
+
+
+def test_stream_parse_truncation_is_loud():
+    import io
+
+    import pytest as _pytest
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        encode_index_db,
+        stream_parse_index_db,
+    )
+
+    blob = encode_index_db([(b"aaa", 0), (b"bbb", 999)])
+    with _pytest.raises(ValueError, match="truncated entry"):
+        list(
+            stream_parse_index_db(
+                io.BytesIO(blob[:-2]), source="t", chunk_bytes=5
+            )
+        )
+
+
+def test_content_fallback_matches_streaming(spark, sf_dir, monkeypatch):
+    """The non-POSIX (binaryFile content) strategy must produce the exact
+    frame the streaming strategy produces -- forced by monkeypatching the
+    root classifier, since tests only have local paths."""
+    from cassandra_sstable_tools_spark.sources import sstable_binary as sb
+
+    root = materialize_index_files(spark, sf_dir)
+    streamed = sorted(
+        tuple(r) for r in sb.binary_index_entries(spark, root).collect()
+    )
+    monkeypatch.setattr(sb, "_is_local_root", lambda _root: False)
+    content = sorted(
+        tuple(r) for r in sb.binary_index_entries(spark, root).collect()
+    )
+    assert streamed == content and len(streamed) > 0
+
+
 def test_compression_info_roundtrip():
     """dataLength survives encode->parse across all three version regimes
     (pre-4.0 formats lack the maxCompressedLength int)."""
