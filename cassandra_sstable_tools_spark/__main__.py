@@ -242,9 +242,14 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                      "p50", "p75", "p90", "p95", "p99", "p999"]}
         if args.cassandra_dir:
             # directory-only mode: the whole report off real binary files
-            # (Index.db entries + Data.db byte lengths), zero parquet --
-            # one persisted collate feeds all three sections, same as the
-            # fixture path
+            # (Index.db entries + CompressionInfo/Data.db lengths), zero
+            # parquet -- one persisted collate feeds all three sections,
+            # same as the fixture path. --keyspace/--table narrow the scan
+            # ROOT (whole directories never listed); -f prunes at the file
+            # listing before any parse -- the same skip grain as the
+            # reference's reader.
+            import os as _os
+
             from cassandra_sstable_tools_spark.operators.window_sizes import (
                 index_partition_sizes,
             )
@@ -253,9 +258,19 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                 data_file_lengths,
             )
 
+            names = args.filenames.split(",") if args.filenames else None
+            root = args.cassandra_dir
+            if args.keyspace:
+                root = _os.path.join(root, args.keyspace)
+                if args.table:
+                    root = _os.path.join(root, args.table)
+            entries = binary_index_entries(spark, root, filenames=names)
+            lengths = data_file_lengths(spark, root, filenames=names)
+            if args.table and not args.keyspace:
+                entries = entries.where(entries.table_name == args.table)
+                lengths = lengths.where(lengths.table_name == args.table)
             c = m.collate_sizes(index_partition_sizes(
-                binary_index_entries(spark, args.cassandra_dir),
-                data_file_lengths(spark, args.cassandra_dir),
+                entries, lengths,
             )).persist()
             summary = m.summary_from_collated(c, approx=args.approx)
             top_size = m.top_size_from_collated(c, args.n)

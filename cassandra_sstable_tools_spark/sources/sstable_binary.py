@@ -298,6 +298,19 @@ def _is_local_root(root: str) -> bool:
     return root.startswith(("/", "file:"))
 
 
+def _filter_files(files: DataFrame, filenames, component: str) -> DataFrame:
+    """Apply the reference's `-f` semantics (a set of Data.db FILENAMES,
+    `cli/PartitionSizeStatisticsCollector.java:35-59`) to a (path, ...)
+    listing of some component: map each basename to its sibling Data.db
+    name and keep members. File-grain pruning BEFORE any parse -- whole
+    excluded sstables are never opened, like the reference's reader skip."""
+    if not filenames:
+        return files
+    fn = F.element_at(F.split(F.col("path"), "/"), -1)
+    data_fn = F.regexp_replace(fn, component.replace(".", r"\.") + "$", "Data.db")
+    return files.where(data_fn.isin(list(filenames)))
+
+
 def _local_path(path: str) -> str:
     """file:/x, file:///x -> /x (binaryFile emits file: URIs)."""
     if path.startswith("file:"):
@@ -307,7 +320,9 @@ def _local_path(path: str) -> str:
     return path
 
 
-def binary_index_entries(spark: SparkSession, root: str) -> DataFrame:
+def binary_index_entries(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
     """Distributed Index.db scan: one task per file, Arrow-batched parse.
 
     Emits the same frame as ``tpch_adapter.index_entries`` so the whole
@@ -325,12 +340,14 @@ def binary_index_entries(spark: SparkSession, root: str) -> DataFrame:
       index file per task in memory.
     """
     if _is_local_root(root):
-        files = (
+        files = _filter_files(
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*-Index.db")
             .option("recursiveFileLookup", "true")
             .load(root)
-            .select("path")
+            .select("path"),
+            filenames,
+            "Index.db",
         )
 
         def parse_local(batches) -> Iterator:
@@ -361,12 +378,14 @@ def binary_index_entries(spark: SparkSession, root: str) -> DataFrame:
 
         return files.mapInPandas(parse_local, INDEX_ENTRIES_SCHEMA)
 
-    bf = (
+    bf = _filter_files(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*-Index.db")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select("path", "content")
+        .select("path", "content"),
+        filenames,
+        "Index.db",
     )
 
     def parse_files(batches) -> Iterator:
@@ -496,18 +515,22 @@ def parse_compression_info(
         raise ValueError(f"corrupt CompressionInfo.db {source}: {e}") from None
 
 
-def compression_data_lengths(spark: SparkSession, root: str) -> DataFrame:
+def compression_data_lengths(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
     """(keyspace, table_name, sstable_id, uncompressed_length) from the
     CompressionInfo.db headers under ``root`` -- one row per COMPRESSED
     sstable. Contents ARE read (unlike the Data.db scan) but the component
     is a few KB of header + chunk offsets per sstable, so the scan cost is
     directory-listing-shaped, never data-shaped."""
-    bf = (
+    bf = _filter_files(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*-CompressionInfo.db")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select("path", "content")
+        .select("path", "content"),
+        filenames,
+        "CompressionInfo.db",
     )
 
     def parse_files(batches) -> Iterator:
@@ -541,7 +564,9 @@ def compression_data_lengths(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def _data_db_byte_lengths(spark: SparkSession, root: str) -> DataFrame:
+def _data_db_byte_lengths(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
     """(keyspace, table_name, sstable_id, uncompressed_length) from the
     BYTE LENGTH of each Data.db file -- correct for UNcompressed sstables.
 
@@ -551,12 +576,14 @@ def _data_db_byte_lengths(spark: SparkSession, root: str) -> DataFrame:
     always broadcast-able. Identity is parsed from the path JVM-side:
     <root>/<keyspace>/<table_name>/<version>-<id>-big-Data.db, mirroring
     ``_parse_filename``."""
-    bf = (
+    bf = _filter_files(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*-Data.db")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select("path", "length")
+        .select("path", "length"),
+        filenames,
+        "Data.db",
     )
     fname = "element_at(split(path, '/'), -1)"
     pieces = f"split({fname}, '-')"
@@ -571,7 +598,9 @@ def _data_db_byte_lengths(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def data_file_lengths(spark: SparkSession, root: str) -> DataFrame:
+def data_file_lengths(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
     """Uncompressed data length per sstable, resolved the way Cassandra's
     SSTableReader.uncompressedLength() resolves it: the CompressionInfo.db
     header's dataLength when the sstable is compressed, else the Data.db
@@ -582,8 +611,8 @@ def data_file_lengths(spark: SparkSession, root: str) -> DataFrame:
     Both sides are 1 row/sstable; the compression frame is explicitly
     broadcast so the resolve never shuffles the (already tiny) length
     frame."""
-    data = _data_db_byte_lengths(spark, root)
-    comp = compression_data_lengths(spark, root).withColumnRenamed(
+    data = _data_db_byte_lengths(spark, root, filenames)
+    comp = compression_data_lengths(spark, root, filenames).withColumnRenamed(
         "uncompressed_length", "_comp_length"
     )
     return data.join(

@@ -177,6 +177,60 @@ def test_cli_cassandra_dir_matches_parquet_golden(spark, sf_dir):
         assert buf.getvalue().count("+----") >= 6
 
 
+def _cli_report(spark, argv) -> str:
+    import contextlib
+    import io
+
+    from cassandra_sstable_tools_spark.__main__ import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(argv, spark=spark) == 0
+    return buf.getvalue()
+
+
+def test_cli_cassandra_dir_honors_filename_filter(spark, sf_dir):
+    """`-f` with --cassandra-dir must prune at the file listing and yield
+    the byte-identical report the parquet path yields under the same
+    filter -- previously the flag was silently ignored in directory
+    mode."""
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    root = materialize_index_files(spark, sf_dir)
+    ids = sorted(
+        r.sstable_id
+        for r in tpch_adapter.sstables(spark, sf_dir)
+        .select("sstable_id").distinct().collect()
+    )
+    keep = ",".join(f"nb-{s}-big-Data.db" for s in ids[: len(ids) // 2])
+    got = _cli_report(spark, ["pstats", "--cassandra-dir", root,
+                              "--sf-dir", sf_dir, "-f", keep, "-b"])
+    exp = _cli_report(spark, ["pstats", "--sf-dir", sf_dir, "-f", keep, "-b"])
+    full = _cli_report(spark, ["pstats", "--cassandra-dir", root,
+                               "--sf-dir", sf_dir, "-b"])
+    assert got == exp
+    assert got != full  # the filter actually restricted something
+
+
+def test_cli_cassandra_dir_honors_table_scope(spark, sf_dir):
+    """--keyspace/--table with --cassandra-dir narrows the scan root and
+    matches the parquet path's scoped report byte-for-byte."""
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    root = materialize_index_files(spark, sf_dir)
+    ks, tb = (
+        tpch_adapter.sstables(spark, sf_dir)
+        .select("keyspace", "table_name").distinct()
+        .orderBy("keyspace", "table_name").first()
+    )
+    for scope in (["--keyspace", ks, "--table", tb], ["--table", tb]):
+        got = _cli_report(spark, ["pstats", "--cassandra-dir", root,
+                                  "--sf-dir", sf_dir, "-b", *scope])
+        exp = _cli_report(spark, ["pstats", "--sf-dir", sf_dir, "-b", *scope])
+        assert got == exp
+        assert tb in got
+
+
 def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
     """The Data.db scan must read ONLY (path, length) -- file contents
     never enter the plan (a content read would ship every data byte
