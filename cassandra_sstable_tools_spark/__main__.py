@@ -123,7 +123,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     p.add_argument(
         "--cassandra-dir", default=None, metavar="DIR",
-        help="pstats: read a REAL Cassandra data directory "
+        help="pstats/sstables: read a REAL Cassandra data directory "
              "(<dir>/<keyspace>/<table>/*-Index.db + *-Data.db) instead of "
              "the parquet fixtures -- sizes from index position deltas, "
              "tails closed by Data.db byte lengths; no parquet anywhere",
@@ -223,6 +223,46 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
     elif args.command == "sstables":
         from cassandra_sstable_tools_spark.queries.sstables_listing import sstables_listing
 
+        if args.cassandra_dir:
+            # directory-only listing: the columns derivable from
+            # Index/Data/CompressionInfo components alone. Timestamps,
+            # level and repair state live in Statistics.db (documented
+            # residual gap), so this is the honest subset, not a stub.
+            from cassandra_sstable_tools_spark.sources.sstable_binary import (
+                binary_index_entries,
+                compression_data_lengths,
+                data_file_lengths,
+                _data_db_byte_lengths,
+            )
+            from pyspark.sql import functions as _F
+
+            root = args.cassandra_dir
+            names = args.filenames.split(",") if args.filenames else None
+            counts = (
+                binary_index_entries(spark, root, filenames=names)
+                .groupBy("keyspace", "table_name", "sstable_id")
+                .agg(_F.count(_F.lit(1)).alias("partitions"))
+            )
+            disk = _data_db_byte_lengths(spark, root, names).withColumnRenamed(
+                "uncompressed_length", "disk_length")
+            comp = compression_data_lengths(spark, root, names).withColumnRenamed(
+                "uncompressed_length", "_cl")
+            keys = ["keyspace", "table_name", "sstable_id"]
+            listing = (
+                counts.join(_F.broadcast(disk), keys)
+                .join(_F.broadcast(comp), keys, "left")
+                .select(*keys, "partitions", "disk_length",
+                        _F.coalesce("_cl", "disk_length")
+                        .alias("uncompressed_length"),
+                        _F.col("_cl").isNotNull().alias("compressed"))
+            )
+            out.append(("SSTables (directory-derived)", _render(
+                listing,
+                {"disk_length": "bytes", "uncompressed_length": "bytes"},
+                order=["keyspace", "table_name", "sstable_id"])))
+            for title, table in out:
+                sys.stdout.write(f"{title}\n{table}\n")
+            return 0
         out.append(("SSTables", _render(
             sstables_listing(spark, sf),
             {

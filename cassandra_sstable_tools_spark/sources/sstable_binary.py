@@ -853,6 +853,67 @@ def pstats_top_tables_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tables_from_collated(collate_sizes(_cassdir_sizes(spark, sf_dir)))
 
 
+def sstables_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sstable listing from a Cassandra data DIRECTORY: the columns
+    derivable without Statistics.db (which holds timestamps/level/repair
+    state -- documented residual gap). Reference parity: `sstables`'s
+    "Disk Size" vs "Total Size" columns (SSTableMetadataCollector.java:41-42)
+    -- disk = Data.db byte length, total = CompressionInfo-resolved data
+    length; `compressed` certifies the header-vs-file-length distinction at
+    the per-sstable grain the pstats certificates aggregate away.
+    Three 1-row-per-sstable frames + one index-count agg; every join is
+    broadcast-able."""
+    root = materialize_index_files(spark, sf_dir)
+    counts = (
+        binary_index_entries(spark, root)
+        .groupBy("keyspace", "table_name", "sstable_id")
+        .agg(F.count(F.lit(1)).alias("partitions"))
+    )
+    disk = _data_db_byte_lengths(spark, root).withColumnRenamed(
+        "uncompressed_length", "disk_length"
+    )
+    comp = compression_data_lengths(spark, root).withColumnRenamed(
+        "uncompressed_length", "_comp_length"
+    )
+    keys = ["keyspace", "table_name", "sstable_id"]
+    return (
+        counts.join(F.broadcast(disk), keys)
+        .join(F.broadcast(comp), keys, "left")
+        .select(
+            *keys,
+            "partitions",
+            "disk_length",
+            F.coalesce("_comp_length", "disk_length").alias(
+                "uncompressed_length"
+            ),
+            F.col("_comp_length").isNotNull().alias("compressed"),
+        )
+    )
+
+
+# The fixture's compressed subset is md5-parity-chosen (_is_compressed_fixture:
+# digest byte 0 even <=> second hex digit even), with Data.db truncated to
+# (len*3)//5 -- both DuckDB-expressible, so the oracle reproduces the planted
+# directory exactly from the metadata table.
+_ORACLE_SSTABLES_CASSDIR_TAIL = """
+SELECT i.keyspace, i.table_name, i.sstable_id,
+       count(*) AS partitions,
+       CASE WHEN (strpos('0123456789abcdef',
+                  substr(md5(i.keyspace || '/' || i.table_name || '/' ||
+                             i.sstable_id), 2, 1)) - 1) % 2 = 0
+            THEN (s.uncompressed_length * 3) // 5
+            ELSE s.uncompressed_length END AS disk_length,
+       s.uncompressed_length AS uncompressed_length,
+       (strpos('0123456789abcdef',
+               substr(md5(i.keyspace || '/' || i.table_name || '/' ||
+                          i.sstable_id), 2, 1)) - 1) % 2 = 0 AS compressed
+FROM index_entries i
+JOIN sstables_meta s USING (keyspace, table_name, sstable_id)
+WHERE s.uncompressed_length IS NOT NULL
+GROUP BY i.keyspace, i.table_name, i.sstable_id, s.uncompressed_length
+"""
+
+
 def _oracles():
     from cassandra_sstable_tools_spark.oracles import with_adapter
     from cassandra_sstable_tools_spark.queries.pstats import (
@@ -870,6 +931,7 @@ def _oracles():
         "pstats_summary_cassdir": _physical_oracle(ORACLE_PSTATS_SUMMARY),
         "pstats_top_size_cassdir": _physical_oracle(ORACLE_PSTATS_TOP_SIZE),
         "pstats_top_tables_cassdir": _physical_oracle(ORACLE_PSTATS_TOP_TABLES),
+        "sstables_cassdir": with_adapter(_ORACLE_SSTABLES_CASSDIR_TAIL),
     }
 
 
@@ -891,5 +953,6 @@ QUERIES = {
     "pstats_summary_cassdir": pstats_summary_cassdir,
     "pstats_top_size_cassdir": pstats_top_size_cassdir,
     "pstats_top_tables_cassdir": pstats_top_tables_cassdir,
+    "sstables_cassdir": sstables_cassdir,
 }
 ORACLES = _oracles()

@@ -231,6 +231,45 @@ def test_cli_cassandra_dir_honors_table_scope(spark, sf_dir):
         assert tb in got
 
 
+def test_sstables_cassdir_matches_metadata(spark, sf_dir):
+    """Directory-derived per-sstable listing: partitions from Index.db,
+    disk vs uncompressed from Data.db/CompressionInfo.db -- checked
+    against the adapter's metadata + the planted compression rule."""
+    from cassandra_sstable_tools_spark.sources import sstable_binary as sb
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    rows = {(r.keyspace, r.table_name, r.sstable_id): r
+            for r in sb.sstables_cassdir(spark, sf_dir).collect()}
+    meta = {(r.keyspace, r.table_name, r.sstable_id): r.uncompressed_length
+            for r in tpch_adapter.sstables(spark, sf_dir)
+            .select("keyspace", "table_name", "sstable_id",
+                    "uncompressed_length").collect()
+            if r.uncompressed_length is not None}
+    assert set(rows) == set(meta)
+    n_comp = 0
+    for k, r in rows.items():
+        assert r.uncompressed_length == meta[k]
+        if r.compressed:
+            n_comp += 1
+            assert r.disk_length == meta[k] * 3 // 5
+        else:
+            assert r.disk_length == meta[k]
+        assert r.partitions > 0
+    assert 0 < n_comp < len(rows)
+
+
+def test_cli_sstables_cassandra_dir(spark, sf_dir):
+    from cassandra_sstable_tools_spark.sources import sstable_binary as sb
+
+    root = materialize_index_files(spark, sf_dir)
+    txt = _cli_report(spark, ["sstables", "--cassandra-dir", root,
+                              "--sf-dir", sf_dir, "-b"])
+    assert "SSTables (directory-derived)" in txt
+    n = sb.sstables_cassdir(spark, sf_dir).count()
+    # one data row per sstable between the header and footer rules
+    assert txt.count("\n|") - 1 == n
+
+
 def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
     """The Data.db scan must read ONLY (path, length) -- file contents
     never enter the plan (a content read would ship every data byte
