@@ -60,6 +60,16 @@ def regen() -> None:
     cases.append(
         ("pstats_bucketed", ["pstats", "--bucketed", "golden_bucketed_cells"])
     )
+    # r07: directory-derived sstables listing off the planted binary dir
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    cases.append(
+        ("sstables_cassdir",
+         ["sstables", "--cassandra-dir",
+          materialize_index_files(spark, GOLDEN_SF)])
+    )
     for cmd, argv in cases:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

@@ -62,3 +62,23 @@ def test_cli_golden_transcript(cmd, argv, spark):
         f"{cmd} transcript drifted from tests/golden/{cmd}.txt "
         "(regenerate with python -m tests.regen_golden if intentional)"
     )
+
+
+def test_cli_golden_sstables_cassdir(spark):
+    """Directory-derived sstables listing (dynamic root, so not in the
+    static parametrize above)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["sstables", "--cassandra-dir", root,
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, "sstables_cassdir.txt")) as f:
+        assert buf.getvalue() == f.read(), (
+            "sstables_cassdir transcript drifted from "
+            "tests/golden/sstables_cassdir.txt"
+        )
