@@ -147,6 +147,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         table_scope,
     )
 
+    if args.cassandra_dir:
+        # fail BEFORE a session spins up: a typo'd path or an unsupported
+        # subcommand should not surface as a deep AnalysisException
+        import os as _os
+
+        if args.command not in ("pstats", "sstables"):
+            sys.stderr.write(
+                "--cassandra-dir supports pstats and sstables only "
+                "(cfstats/purge/summary need Data.db cell parsing, which "
+                "requires Statistics.db serialization headers -- "
+                "documented gap, SURVEY.md S3 row)\n"
+            )
+            return 2
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            _local_path,
+        )
+
+        if "://" not in args.cassandra_dir and not _os.path.isdir(
+            _local_path(args.cassandra_dir)
+        ):
+            sys.stderr.write(
+                f"--cassandra-dir: not a directory: {args.cassandra_dir}\n"
+            )
+            return 2
+
     owns_session = spark is None
     if owns_session:
         spark = get_spark(app_name=f"sstable-tools-{args.command}")

@@ -270,6 +270,20 @@ def test_cli_sstables_cassandra_dir(spark, sf_dir):
     assert txt.count("\n|") - 1 == n
 
 
+def test_cli_cassandra_dir_misuse_is_loud(spark, sf_dir, capsys):
+    """A typo'd path or an unsupported subcommand must fail with a clear
+    message and rc=2, never a deep AnalysisException stack."""
+    from cassandra_sstable_tools_spark.__main__ import main
+
+    root = materialize_index_files(spark, sf_dir)
+    assert main(["pstats", "--cassandra-dir", "/no/such/dir",
+                 "--sf-dir", sf_dir, "-b"], spark=spark) == 2
+    assert "not a directory" in capsys.readouterr().err
+    assert main(["cfstats", "--cassandra-dir", root,
+                 "--sf-dir", sf_dir, "-b"], spark=spark) == 2
+    assert "pstats and sstables only" in capsys.readouterr().err
+
+
 def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
     """The Data.db scan must read ONLY (path, length) -- file contents
     never enter the plan (a content read would ship every data byte
