@@ -670,11 +670,12 @@ def materialize_index_files(
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
     if root is None:
-        # ":v3" salt: v2 added sparse Data.db files (directory-only pstats),
-        # v3 makes alternate sstables "compressed" (short Data.db +
-        # CompressionInfo.db header); older dirs are stale and orphaned
+        # ":v4" salt: v2 added sparse Data.db files (directory-only pstats),
+        # v3 made alternate sstables "compressed" (short Data.db +
+        # CompressionInfo.db header), v4 adds real Statistics.db components;
+        # older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v3").encode()
+            (os.path.abspath(sf_dir) + ":v4").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -706,6 +707,12 @@ def materialize_index_files(
         by_sstable.setdefault(
             (r["keyspace"], r["table_name"], r["sstable_id"]), []
         ).append((r["partition_key"].encode("utf-8"), int(r["position"])))
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        encode_statistics_db,
+        fixture_stats,
+    )
+
+    stats_map = fixture_stats(spark, sf_dir)
 
     tmp = root + ".tmp"
     if os.path.exists(tmp):
@@ -719,6 +726,18 @@ def materialize_index_files(
             os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Index.db"), "wb"
         ) as f:
             f.write(encode_index_db(entries))
+        # real Statistics.db (StatsMetadata + ValidationMetadata), absent
+        # for all-NULL-timestamp sstables (see statistics_db.fixture_stats)
+        if (ks, tb, ss) in stats_map:
+            with open(
+                os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Statistics.db"),
+                "wb",
+            ) as f:
+                f.write(
+                    encode_statistics_db(
+                        stats_map[(ks, tb, ss)], version=_DEFAULT_VERSION
+                    )
+                )
         # sparse Data.db sized to the metadata length: the directory-only
         # path reads ONLY the file length (never contents), so a hole-file
         # is byte-length-faithful at zero disk cost. Alternate sstables are
