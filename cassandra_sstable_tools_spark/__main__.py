@@ -249,20 +249,46 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         from cassandra_sstable_tools_spark.queries.sstables_listing import sstables_listing
 
         if args.cassandra_dir:
-            # directory-only listing: the columns derivable from
-            # Index/Data/CompressionInfo components alone. Timestamps,
-            # level and repair state live in Statistics.db (documented
-            # residual gap), so this is the honest subset, not a stub.
+            # directory-only listing. When Statistics.db components are
+            # present (every healthy Cassandra directory), render the
+            # reference's FULL metadata listing
+            # (cli/SSTableMetadataCollector.java:40-90) straight off the
+            # binary components; otherwise fall back to the columns
+            # derivable from Index/Data/CompressionInfo alone.
             from cassandra_sstable_tools_spark.sources.sstable_binary import (
                 binary_index_entries,
                 compression_data_lengths,
                 data_file_lengths,
                 _data_db_byte_lengths,
             )
+            from cassandra_sstable_tools_spark.sources.statistics_db import (
+                directory_sstables_listing,
+                has_statistics_files,
+            )
             from pyspark.sql import functions as _F
 
             root = args.cassandra_dir
             names = args.filenames.split(",") if args.filenames else None
+            if has_statistics_files(spark, root):
+                listing = directory_sstables_listing(
+                    spark, root, filenames=names, file_timestamp=True
+                )
+                out.append(("SSTables (directory-derived)", _render(
+                    listing,
+                    {
+                        "min_timestamp": "ts_us", "max_timestamp": "ts_us",
+                        "file_timestamp": "ts_ms", "repaired_at": "ts_ms",
+                        "min_local_deletion_time": "ldt",
+                        "max_local_deletion_time": "ldt",
+                        "disk_length": "bytes",
+                        "uncompressed_length": "bytes",
+                        "mean_partition_size": "bytes",
+                        "max_partition_size": "bytes",
+                    },
+                    order=["keyspace", "table_name", "sstable_id"])))
+                for title, table in out:
+                    sys.stdout.write(f"{title}\n{table}\n")
+                return 0
             counts = (
                 binary_index_entries(spark, root, filenames=names)
                 .groupBy("keyspace", "table_name", "sstable_id")

@@ -85,7 +85,6 @@ round-trip, planted differentials).
 from __future__ import annotations
 
 import math
-import os
 import struct
 import zlib
 from collections.abc import Iterator
@@ -731,34 +730,73 @@ def statistics_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return statistics_metadata(spark, root)
 
 
-def sstable_metadata_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+def directory_sstables_listing(
+    spark: SparkSession,
+    root: str,
+    filenames=None,
+    file_timestamp: bool = False,
+) -> DataFrame:
     """The reference's FULL `sstables` listing from a Cassandra data
     directory and nothing else (cli/SSTableMetadataCollector.java:40-90):
     Statistics.db metadata joined with exact Index.db partition counts
     (`keys` -- exact where the reference estimates, documented
     improvement) and CompressionInfo/Data.db-resolved lengths (Disk Size
-    vs Total Size). All sides are 1 row per sstable; the joins broadcast."""
+    vs Total Size). All sides are 1 row per sstable; the joins broadcast.
+
+    Inner joins by design: an sstable missing its Data.db or
+    Statistics.db component is broken, and a row of fabricated blanks
+    would hide that; the CLI falls back to the reduced
+    Index/Data/CompressionInfo listing when a directory has NO
+    Statistics.db at all.
+
+    ``file_timestamp=True`` adds the reference's File Timestamp column
+    from the Data.db modification time (binaryFile metadata -- contents
+    still never read). CLI-only: mtimes are not derivable from the
+    fixture tables, so the certified query below omits it."""
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
         _data_db_byte_lengths,
         binary_index_entries,
         compression_data_lengths,
-        materialize_index_files,
     )
 
-    root = materialize_index_files(spark, sf_dir)
     keys = ["keyspace", "table_name", "sstable_id"]
     counts = (
-        binary_index_entries(spark, root)
+        binary_index_entries(spark, root, filenames=filenames)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("partitions"))
     )
-    disk = _data_db_byte_lengths(spark, root).withColumnRenamed(
+    disk = _data_db_byte_lengths(spark, root, filenames).withColumnRenamed(
         "uncompressed_length", "disk_length"
     )
-    comp = compression_data_lengths(spark, root).withColumnRenamed(
+    comp = compression_data_lengths(spark, root, filenames).withColumnRenamed(
         "uncompressed_length", "_comp_length"
     )
-    stats = statistics_metadata(spark, root)
+    stats = statistics_metadata(spark, root, filenames)
+    ts_cols = []
+    if file_timestamp:
+        mtimes = (
+            _filter_files(
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*-Data.db")
+                .option("recursiveFileLookup", "true")
+                .load(root)
+                .select("path", "modificationTime"),
+                filenames,
+                "Data.db",
+            )
+            .select(
+                F.expr("element_at(split(path, '/'), -3)").alias("keyspace"),
+                F.expr("element_at(split(path, '/'), -2)").alias("table_name"),
+                F.expr(
+                    "array_join(slice(split(element_at(split(path, '/'), -1),"
+                    " '-'), 2, size(split(element_at(split(path, '/'), -1),"
+                    " '-')) - 3), '-')"
+                ).alias("sstable_id"),
+                F.unix_millis("modificationTime").alias("file_timestamp"),
+            )
+        )
+        counts = counts.join(F.broadcast(mtimes), keys)
+        ts_cols = ["file_timestamp"]
     return (
         counts.join(F.broadcast(disk), keys)
         .join(F.broadcast(comp), keys, "left")
@@ -773,6 +811,7 @@ def sstable_metadata_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_comp_length").isNotNull().alias("compressed"),
             "min_timestamp",
             "max_timestamp",
+            *ts_cols,
             "min_local_deletion_time",
             "max_local_deletion_time",
             "min_ttl",
@@ -787,6 +826,31 @@ def sstable_metadata_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
             "droppable_tombstones",
         )
     )
+
+
+def has_statistics_files(spark: SparkSession, root: str) -> bool:
+    """True when any *-Statistics.db exists under ``root`` -- a pure file
+    LISTING job (path column only), no contents read."""
+    return bool(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-Statistics.db")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path")
+        .limit(1)
+        .count()
+    )
+
+
+def sstable_metadata_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified wrapper: the full directory listing over the planted
+    fixture tree (minus the mtime column, which no oracle can predict)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    return directory_sstables_listing(spark, root)
 
 
 # md5-parity expression shared with _ORACLE_SSTABLES_CASSDIR_TAIL

@@ -60,16 +60,35 @@ def regen() -> None:
     cases.append(
         ("pstats_bucketed", ["pstats", "--bucketed", "golden_bucketed_cells"])
     )
-    # r07: directory-derived sstables listing off the planted binary dir
+    # r07: directory-derived sstables listings off the planted binary dir.
+    # Data.db mtimes feed the File Timestamp column, so pin them (the
+    # golden test pins them the same way); the second case strips
+    # Statistics.db to exercise the reduced-columns fallback.
+    import shutil
+    import tempfile
+
+    from cassandra_sstable_tools_spark.constants import NOW_SECONDS
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
         materialize_index_files,
     )
 
-    cases.append(
-        ("sstables_cassdir",
-         ["sstables", "--cassandra-dir",
-          materialize_index_files(spark, GOLDEN_SF)])
-    )
+    root = materialize_index_files(spark, GOLDEN_SF)
+    for dirpath, _, files in os.walk(root):
+        for fname in files:
+            if fname.endswith("-Data.db"):
+                os.utime(os.path.join(dirpath, fname),
+                         (NOW_SECONDS, NOW_SECONDS))
+    nostats = os.path.join(tempfile.mkdtemp(prefix="golden_nostats"), "tree")
+    shutil.copytree(root, nostats)
+    for dirpath, _, files in os.walk(nostats):
+        for fname in files:
+            if fname.endswith("-Statistics.db"):
+                os.remove(os.path.join(dirpath, fname))
+    cases += [
+        ("sstables_cassdir", ["sstables", "--cassandra-dir", root]),
+        ("sstables_cassdir_nostats",
+         ["sstables", "--cassandra-dir", nostats]),
+    ]
     for cmd, argv in cases:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

@@ -65,13 +65,20 @@ def test_cli_golden_transcript(cmd, argv, spark):
 
 
 def test_cli_golden_sstables_cassdir(spark):
-    """Directory-derived sstables listing (dynamic root, so not in the
-    static parametrize above)."""
+    """Directory-derived FULL sstables listing (dynamic root, so not in
+    the static parametrize above). Data.db mtimes feed the File Timestamp
+    column and are pinned to the engine's NOW_SECONDS, same as regen."""
+    from cassandra_sstable_tools_spark.constants import NOW_SECONDS
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
         materialize_index_files,
     )
 
     root = materialize_index_files(spark, GOLDEN_SF)
+    for dirpath, _, files in os.walk(root):
+        for fname in files:
+            if fname.endswith("-Data.db"):
+                os.utime(os.path.join(dirpath, fname),
+                         (NOW_SECONDS, NOW_SECONDS))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = main(["sstables", "--cassandra-dir", root,
@@ -81,4 +88,33 @@ def test_cli_golden_sstables_cassdir(spark):
         assert buf.getvalue() == f.read(), (
             "sstables_cassdir transcript drifted from "
             "tests/golden/sstables_cassdir.txt"
+        )
+
+
+def test_cli_golden_sstables_cassdir_nostats(spark, tmp_path):
+    """A directory with NO Statistics.db still lists the reduced column
+    set (the honest Index/Data/CompressionInfo subset) instead of
+    failing -- the pre-r07 transcript, byte-for-byte."""
+    import shutil
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    nostats = str(tmp_path / "tree")
+    shutil.copytree(root, nostats)
+    for dirpath, _, files in os.walk(nostats):
+        for fname in files:
+            if fname.endswith("-Statistics.db"):
+                os.remove(os.path.join(dirpath, fname))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["sstables", "--cassandra-dir", nostats,
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, "sstables_cassdir_nostats.txt")) as f:
+        assert buf.getvalue() == f.read(), (
+            "sstables_cassdir_nostats transcript drifted from "
+            "tests/golden/sstables_cassdir_nostats.txt"
         )
