@@ -152,11 +152,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # subcommand should not surface as a deep AnalysisException
         import os as _os
 
-        if args.command not in ("pstats", "sstables"):
+        if args.command not in ("pstats", "sstables", "summary"):
             sys.stderr.write(
-                "--cassandra-dir supports pstats and sstables only "
-                "(cfstats/purge/summary need Data.db cell parsing, which "
-                "requires Statistics.db serialization headers -- "
+                "--cassandra-dir supports pstats, sstables and summary only "
+                "(cfstats/purge need Data.db CELL decoding, which needs the "
+                "SerializationHeader's schema-dependent cell codec -- "
                 "documented gap, SURVEY.md S3 row)\n"
             )
             return 2
@@ -240,8 +240,19 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
     if args.command == "summary":
         from cassandra_sstable_tools_spark.queries.summary import summary
 
+        if args.cassandra_dir:
+            # directory-only summary: lengths from Data/CompressionInfo,
+            # repair state from Statistics.db -- zero parquet in the plan
+            from cassandra_sstable_tools_spark.sources.statistics_db import (
+                directory_summary,
+            )
+
+            names = args.filenames.split(",") if args.filenames else None
+            frame = directory_summary(spark, args.cassandra_dir, names)
+        else:
+            frame = summary(spark, sf)
         out.append(("Summary", _render(
-            summary(spark, sf),
+            frame,
             {"disk_size": "bytes", "data_size": "bytes", "last_repaired": "ts_ms"},
             order=["keyspace", "table_name"],
         )))

@@ -853,6 +853,77 @@ def sstable_metadata_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directory_sstables_listing(spark, root)
 
 
+def directory_summary(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
+    """The reference's `summary` report (cli/SummaryCollector.java:23-72)
+    from a Cassandra data directory and nothing else: per-table sstable
+    counts, disk vs data sizes (CompressionInfo-resolved), last-repaired
+    and the X5 integer-floor repair %. Statistics.db made this possible --
+    repair state lives nowhere else. Same column names and formulas as the
+    parquet-path `summary` (queries/summary.py), so reports are
+    interchangeable; inputs are 1-row-per-sstable frames, one tiny
+    groupBy."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        _data_db_byte_lengths,
+        compression_data_lengths,
+    )
+
+    keys = ["keyspace", "table_name", "sstable_id"]
+    disk = _data_db_byte_lengths(spark, root, filenames).withColumnRenamed(
+        "uncompressed_length", "disk_length"
+    )
+    comp = compression_data_lengths(spark, root, filenames).withColumnRenamed(
+        "uncompressed_length", "_comp_length"
+    )
+    stats = statistics_metadata(spark, root, filenames).select(
+        *keys, "is_repaired", "repaired_at"
+    )
+    per_sstable = (
+        disk.join(F.broadcast(comp), keys, "left")
+        .join(F.broadcast(stats), keys)
+        .select(
+            "keyspace",
+            "table_name",
+            "disk_length",
+            F.coalesce("_comp_length", "disk_length").alias(
+                "uncompressed_length"
+            ),
+            "is_repaired",
+            "repaired_at",
+        )
+    )
+    return per_sstable.groupBy("keyspace", "table_name").agg(
+        F.count(F.lit(1)).alias("sstable_count"),
+        F.sum("disk_length").alias("disk_size"),
+        F.sum("uncompressed_length").alias("data_size"),
+        F.max(F.when(F.col("is_repaired"), F.col("repaired_at"))).alias(
+            "last_repaired"
+        ),
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("is_repaired"), F.col("uncompressed_length")
+                ).otherwise(0)
+            )
+            * 100
+            / F.sum("uncompressed_length")
+        ).alias("repair_pct"),
+    )
+
+
+def summary_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified wrapper: the directory-only summary over the planted
+    fixture tree; oracle = the parquet summary SQL restricted to the
+    sstables that physically exist in the tree."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    return directory_summary(spark, root)
+
+
 # md5-parity expression shared with _ORACLE_SSTABLES_CASSDIR_TAIL
 # (sstable_binary.py): digest byte 0 even <=> second hex digit even.
 _PARITY = (
@@ -939,6 +1010,26 @@ WHERE s.min_timestamp IS NOT NULL
 """
 
 
+# planted disk_length (the fixture truncates "compressed" Data.db files to
+# 3/5 of the data length) aggregated per table; restricted to sstables that
+# physically exist in the tree (non-null length AND non-null min_timestamp)
+_ORACLE_SUMMARY_TAIL = """
+SELECT s.keyspace, s.table_name,
+       count(*) AS sstable_count,
+       CAST(sum(CASE WHEN {PARITY} THEN (s.uncompressed_length * 3) // 5
+                     ELSE s.uncompressed_length END) AS BIGINT) AS disk_size,
+       CAST(sum(s.uncompressed_length) AS BIGINT) AS data_size,
+       max(CASE WHEN s.is_repaired THEN s.repaired_at END) AS last_repaired,
+       CAST(floor(sum(CASE WHEN s.is_repaired THEN s.uncompressed_length
+                           ELSE 0 END) * 100
+                  / sum(s.uncompressed_length)) AS BIGINT) AS repair_pct
+FROM sstables_meta s
+WHERE s.min_timestamp IS NOT NULL
+  AND s.uncompressed_length IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def _oracles() -> dict[str, str]:
     from cassandra_sstable_tools_spark.constants import GC_BEFORE
     from cassandra_sstable_tools_spark.oracles import with_adapter
@@ -955,11 +1046,15 @@ def _oracles() -> dict[str, str]:
                 PARITY=_PARITY, CELL_AGG=cell_agg, HIST_AGG=_HIST_AGG_SUB
             )
         ),
+        "summary_cassdir": with_adapter(
+            _ORACLE_SUMMARY_TAIL.format(PARITY=_PARITY)
+        ),
     }
 
 
 QUERIES = {
     "statistics_cassdir": statistics_cassdir,
     "sstable_metadata_cassdir": sstable_metadata_cassdir,
+    "summary_cassdir": summary_cassdir,
 }
 ORACLES = _oracles()

@@ -88,6 +88,7 @@ def regen() -> None:
         ("sstables_cassdir", ["sstables", "--cassandra-dir", root]),
         ("sstables_cassdir_nostats",
          ["sstables", "--cassandra-dir", nostats]),
+        ("summary_cassdir", ["summary", "--cassandra-dir", root]),
     ]
     for cmd, argv in cases:
         buf = io.StringIO()

@@ -91,6 +91,26 @@ def test_cli_golden_sstables_cassdir(spark):
         )
 
 
+def test_cli_golden_summary_cassdir(spark):
+    """Directory-only summary report (r07: repair state from
+    Statistics.db made this command possible in --cassandra-dir mode)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["summary", "--cassandra-dir", root,
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, "summary_cassdir.txt")) as f:
+        assert buf.getvalue() == f.read(), (
+            "summary_cassdir transcript drifted from "
+            "tests/golden/summary_cassdir.txt"
+        )
+
+
 def test_cli_golden_sstables_cassdir_nostats(spark, tmp_path):
     """A directory with NO Statistics.db still lists the reduced column
     set (the honest Index/Data/CompressionInfo subset) instead of

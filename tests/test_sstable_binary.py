@@ -281,7 +281,7 @@ def test_cli_cassandra_dir_misuse_is_loud(spark, sf_dir, capsys):
     assert "not a directory" in capsys.readouterr().err
     assert main(["cfstats", "--cassandra-dir", root,
                  "--sf-dir", sf_dir, "-b"], spark=spark) == 2
-    assert "pstats and sstables only" in capsys.readouterr().err
+    assert "pstats, sstables and summary only" in capsys.readouterr().err
 
 
 def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
