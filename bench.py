@@ -76,6 +76,10 @@ SECONDARY = [
     # cost shape than every parquet scan above. Fixture materialization is
     # marker-cached, so the warm-up run absorbs the one-time encode.
     "pstats_summary_cassdir",
+    # r07 session 3: the full directory listing (Statistics.db StatsMetadata
+    # parse joined with Index.db counts + length resolve) -- tracks the
+    # Statistics.db parse + 3-way broadcast-join shape.
+    "sstable_metadata_cassdir",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))

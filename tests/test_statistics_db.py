@@ -309,3 +309,45 @@ def test_compression_ratio_marks_planted_compressed_subset(spark, sf_dir):
         )
         expect = 0.6 if path in have_comp else -1.0
         assert r["compression_ratio"] == expect, (path, r["compression_ratio"])
+
+
+def test_full_listing_data_scan_stays_metadata_only(spark, sf_dir):
+    """The full directory listing reads Data.db METADATA only (length +
+    modificationTime); Data.db contents must never enter the plan -- a
+    content read would ship every data byte through an executor to look
+    up a timestamp. Content-reading scans in the plan are exactly the
+    tiny-component ones (CompressionInfo.db + Statistics.db)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        directory_sstables_listing,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    plan = (
+        directory_sstables_listing(spark, root, file_timestamp=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "content" in line and "Data.db" in line:
+            raise AssertionError(f"Data.db content entered the plan: {line}")
+
+
+def test_has_statistics_files_detection(spark, sf_dir, tmp_path):
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        has_statistics_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    assert has_statistics_files(spark, root)
+    nostats = str(tmp_path / "tree")
+    shutil.copytree(root, nostats)
+    for dp, _, fs in os.walk(nostats):
+        for f in fs:
+            if f.endswith("-Statistics.db"):
+                os.remove(os.path.join(dp, f))
+    assert not has_statistics_files(spark, nostats)
