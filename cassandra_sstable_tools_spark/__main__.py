@@ -229,6 +229,30 @@ def _bucketed_section(spark, args, sf: str, out: list[tuple[str, str]]) -> None:
     )))
 
 
+def _scoped_cassdir_root(args) -> str:
+    """--keyspace/--table narrow the --cassandra-dir scan ROOT (the real
+    directory layout is <root>/<keyspace>/<table>), so out-of-scope
+    directories are never even listed -- the same skip grain as the
+    reference opening one ColumnFamilyStore. A --table WITHOUT --keyspace
+    can't narrow the root (the keyspace level is unknown); callers apply a
+    table_name predicate for that case."""
+    import os as _os
+
+    root = args.cassandra_dir
+    if args.keyspace:
+        root = _os.path.join(root, args.keyspace)
+        if args.table:
+            root = _os.path.join(root, args.table)
+    return root
+
+
+def _table_scope_filter(frame, args):
+    """The --table-without---keyspace residual predicate (see above)."""
+    if args.table and not args.keyspace:
+        return frame.where(frame.table_name == args.table)
+    return frame
+
+
 def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
     if args.name and args.command != "query":
         # the positional exists only for `query NAME`; silently ignoring it
@@ -248,7 +272,10 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             )
 
             names = args.filenames.split(",") if args.filenames else None
-            frame = directory_summary(spark, args.cassandra_dir, names)
+            frame = _table_scope_filter(
+                directory_summary(spark, _scoped_cassdir_root(args), names),
+                args,
+            )
         else:
             frame = summary(spark, sf)
         out.append(("Summary", _render(
@@ -278,11 +305,14 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             )
             from pyspark.sql import functions as _F
 
-            root = args.cassandra_dir
+            root = _scoped_cassdir_root(args)
             names = args.filenames.split(",") if args.filenames else None
             if has_statistics_files(spark, root):
-                listing = directory_sstables_listing(
-                    spark, root, filenames=names, file_timestamp=True
+                listing = _table_scope_filter(
+                    directory_sstables_listing(
+                        spark, root, filenames=names, file_timestamp=True
+                    ),
+                    args,
                 )
                 out.append(("SSTables (directory-derived)", _render(
                     listing,
@@ -310,13 +340,14 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             comp = compression_data_lengths(spark, root, names).withColumnRenamed(
                 "uncompressed_length", "_cl")
             keys = ["keyspace", "table_name", "sstable_id"]
-            listing = (
+            listing = _table_scope_filter(
                 counts.join(_F.broadcast(disk), keys)
                 .join(_F.broadcast(comp), keys, "left")
                 .select(*keys, "partitions", "disk_length",
                         _F.coalesce("_cl", "disk_length")
                         .alias("uncompressed_length"),
-                        _F.col("_cl").isNotNull().alias("compressed"))
+                        _F.col("_cl").isNotNull().alias("compressed")),
+                args,
             )
             out.append(("SSTables (directory-derived)", _render(
                 listing,
@@ -350,8 +381,6 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             # ROOT (whole directories never listed); -f prunes at the file
             # listing before any parse -- the same skip grain as the
             # reference's reader.
-            import os as _os
-
             from cassandra_sstable_tools_spark.operators.window_sizes import (
                 index_partition_sizes,
             )
@@ -361,16 +390,13 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             )
 
             names = args.filenames.split(",") if args.filenames else None
-            root = args.cassandra_dir
-            if args.keyspace:
-                root = _os.path.join(root, args.keyspace)
-                if args.table:
-                    root = _os.path.join(root, args.table)
-            entries = binary_index_entries(spark, root, filenames=names)
-            lengths = data_file_lengths(spark, root, filenames=names)
-            if args.table and not args.keyspace:
-                entries = entries.where(entries.table_name == args.table)
-                lengths = lengths.where(lengths.table_name == args.table)
+            root = _scoped_cassdir_root(args)
+            entries = _table_scope_filter(
+                binary_index_entries(spark, root, filenames=names), args
+            )
+            lengths = _table_scope_filter(
+                data_file_lengths(spark, root, filenames=names), args
+            )
             c = m.collate_sizes(index_partition_sizes(
                 entries, lengths,
             )).persist()

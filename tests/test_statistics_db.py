@@ -351,3 +351,36 @@ def test_has_statistics_files_detection(spark, sf_dir, tmp_path):
             if f.endswith("-Statistics.db"):
                 os.remove(os.path.join(dp, f))
     assert not has_statistics_files(spark, nostats)
+
+
+def test_cli_scoping_applies_to_directory_listings(spark, sf_dir, capsys):
+    """--keyspace/--table narrow the full sstables listing and the summary
+    in --cassandra-dir mode (root narrowing when both given, a table_name
+    predicate when --table comes alone)."""
+    import contextlib
+    import io
+
+    from cassandra_sstable_tools_spark.__main__ import main
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert main([*argv, "--sf-dir", sf_dir, "-b"], spark=spark) == 0
+        return buf.getvalue()
+
+    full = run(["sstables", "--cassandra-dir", root])
+    assert "tab_lcs" in full and "tab_stcs" in full
+    scoped = run(["sstables", "--cassandra-dir", root,
+                  "--keyspace", "ks1", "--table", "tab_lcs"])
+    assert "tab_lcs" in scoped and "tab_stcs" not in scoped
+    table_only = run(["sstables", "--cassandra-dir", root,
+                      "--table", "tab_twcs"])
+    assert "tab_twcs" in table_only and "tab_lcs" not in table_only
+    summary_scoped = run(["summary", "--cassandra-dir", root,
+                          "--keyspace", "ks1", "--table", "tab_stcs"])
+    assert "tab_stcs" in summary_scoped and "tab_lcs" not in summary_scoped
