@@ -111,6 +111,19 @@ _CLP_NONE = (-1, 0)
 _LONG_MAX = (1 << 63) - 1
 
 
+def _check_supported_version(version: str, source: str) -> None:
+    """Supported StatsMetadata layouts: the 3.x ("m*") and 4.x ("n*") big
+    format families. Anything else fails LOUD by name: pre-3.0 layouts
+    differ structurally, and 5.0+ ("oa", BTI "da") reshaped the clustering
+    fields -- a quiet misparse would be worse than an error."""
+    if not version or version[0] not in ("m", "n"):
+        raise ValueError(
+            f"unsupported Statistics.db format version {version!r} "
+            f"({source}; supported: 3.x/4.x big formats ma..nc -- pre-3.0, "
+            "5.0+ 'oa' and BTI 'da' layouts differ structurally)"
+        )
+
+
 def _has_checksum(version: str) -> bool:
     """4.0+ big formats checksum the TOC and each component."""
     return version >= "na"
@@ -285,8 +298,7 @@ def encode_statistics_db(stats: SSTableStats, version: str = "nb") -> bytes:
     """Assemble a complete Statistics.db: TOC + all four components, with
     CRC32 ints after the TOC and each component on 4.0+ versions (offsets
     account for them, like ``MetadataSerializer.serialize``)."""
-    if version[0] < "m":
-        raise ValueError(f"pre-3.0 format {version!r} not supported")
+    _check_supported_version(version, "<encode>")
     seed = stats.level * 31 + (stats.total_rows & 0xFF)
     components = [
         (_TYPE_VALIDATION, encode_validation_metadata(stats)),
@@ -391,10 +403,7 @@ def parse_statistics_db(
     analytics). Unknown trailing StatsMetadata fields from future versions
     are tolerated (the format evolves append-only within a family); every
     structural violation raises a ValueError naming file and offset."""
-    if version[0] < "m":
-        raise ValueError(
-            f"unsupported pre-3.0 Statistics.db format {version!r} ({source})"
-        )
+    _check_supported_version(version, source)
     r = _Reader(content, 0, source)
     (n_comp,) = r.unpack(">i")
     if not 1 <= n_comp <= 16:

@@ -164,11 +164,15 @@ def test_missing_stats_component_is_loud():
         parse_statistics_db(bytes(toc) + blob[4 + 8 * n :], "nb", "planted")
 
 
-def test_pre30_version_rejected():
-    with pytest.raises(ValueError, match="pre-3.0"):
-        parse_statistics_db(b"\x00\x00\x00\x01", "jb", source="old")
-    with pytest.raises(ValueError, match="pre-3.0"):
-        encode_statistics_db(SSTableStats(), "jb")
+def test_unsupported_versions_rejected_by_name():
+    """Layouts outside the 3.x/4.x big families (pre-3.0 'jb', 5.0 'oa',
+    BTI 'da') must fail LOUD by version name, never misparse quietly --
+    5.0 reshaped the StatsMetadata clustering fields."""
+    for ver in ["jb", "oa", "da"]:
+        with pytest.raises(ValueError, match=f"version '{ver}'"):
+            parse_statistics_db(b"\x00\x00\x00\x01", ver, source="planted")
+        with pytest.raises(ValueError, match=f"version '{ver}'"):
+            encode_statistics_db(SSTableStats(), ver)
 
 
 def _plant_tree(tmp_path, version: str, stats: SSTableStats) -> str:
