@@ -388,3 +388,19 @@ def test_cli_scoping_applies_to_directory_listings(spark, sf_dir, capsys):
     summary_scoped = run(["summary", "--cassandra-dir", root,
                           "--keyspace", "ks1", "--table", "tab_stcs"])
     assert "tab_stcs" in summary_scoped and "tab_lcs" not in summary_scoped
+
+
+def test_garbage_bytes_never_leak_raw_errors():
+    """Random garbage must surface as the loud ValueError contract --
+    never a struct.error / IndexError / MemoryError from the guts."""
+    rng = random.Random(7)
+    ok = 0
+    for _ in range(500):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        try:
+            parse_statistics_db(blob, "nb", source="fuzz")
+            ok += 1  # structurally-valid-by-luck is acceptable
+        except ValueError:
+            pass
+    # sanity: random bytes virtually never parse
+    assert ok <= 2
