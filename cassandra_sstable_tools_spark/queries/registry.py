@@ -62,7 +62,11 @@ def _modules():
         text,
     )
     from cassandra_sstable_tools_spark.operators import salting
-    from cassandra_sstable_tools_spark.sources import sstable_binary, statistics_db
+    from cassandra_sstable_tools_spark.sources import (
+        data_db,
+        sstable_binary,
+        statistics_db,
+    )
     from cassandra_sstable_tools_spark.streaming import events_stream, stateful
     from cassandra_sstable_tools_spark.queries import (
         catalog,
@@ -83,7 +87,7 @@ def _modules():
         ann_index,
         pipeline, events,
         timeseries, multimodal, catalog, salting, stateful, events_stream,
-        sstable_binary, statistics_db, bpe,
+        sstable_binary, statistics_db, data_db, bpe,
     ]
 
 

@@ -1,0 +1,241 @@
+"""Data.db partition-header ingestion -- partition-level deletions from
+REAL data files.
+
+A bounded, honest step into Data.db (the component whose CELL grain stays
+a documented gap: decoding rows/cells needs the SerializationHeader's
+schema-dependent codec). What IS readable with public knowledge and an
+Index.db in hand: every partition block in the "big" format starts with
+
+    [u16 BE key length][key bytes]        # ByteBufferUtil.writeWithShortLength
+    [int localDeletionTime][long markedForDeleteAt]   # DeletionTime.serializer
+
+and Index.db gives the absolute offset of every partition
+(IndexReader.java:77-113), so partition-level deletion state -- the
+reference's PARTITION_DELETE records (PartitionReader.java, purge's
+partition-tombstone handling) -- is a seek-and-read away, no cell codec
+required. ``DeletionTime.LIVE`` is (Integer.MAX_VALUE, Long.MIN_VALUE);
+anything else is a partition tombstone.
+
+Scope limits, by design and documented:
+- UNCOMPRESSED sstables only: a compressed Data.db cannot be seeked
+  without the CompressionInfo chunk map + LZ4 decompression (no lz4 in
+  the stdlib); sstables with a CompressionInfo.db sibling are skipped and
+  the certified oracle mirrors the exclusion.
+- POSIX-visible roots only (a real Cassandra data dir always is): the
+  access pattern is point seeks, which ``binaryFile`` cannot express
+  without shipping whole files.
+- Every seek VERIFIES the key at the offset against the Index.db key and
+  skips silently on mismatch -- the one legitimate mismatch source is a
+  zero-length partition sharing its offset with its successor (dirty
+  metadata), and a real reader performs the same sanity check.
+
+Spark shape / 100 TB notes: one task per sstable (file-count parallelism,
+like every reader here); per task the work is O(#partitions) point reads
+at ~26 bytes each -- IO-bound on seeks, no contents ever shipped whole.
+Output is partition-tombstone rows only (rare grain), always small.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.sstable_binary import (
+    _filter_files,
+    _local_path,
+    _parse_filename,
+    stream_parse_index_db,
+)
+
+# DeletionTime.LIVE: (localDeletionTime=Integer.MAX_VALUE,
+#                     markedForDeleteAt=Long.MIN_VALUE)
+LIVE_LDT = 2_147_483_647
+LIVE_MFDA = -(1 << 63)
+
+
+def encode_partition_header(
+    key: bytes, ldt: int = LIVE_LDT, mfda: int = LIVE_MFDA
+) -> bytes:
+    """[u16 key][key bytes][int ldt][long markedForDeleteAt] -- the fixed
+    prefix of every big-format partition block (fixture writer half)."""
+    if len(key) > 0xFFFF:
+        raise ValueError("partition key exceeds u16 length prefix")
+    return len(key).to_bytes(2, "big") + key + struct.pack(">iq", ldt, mfda)
+
+
+def read_partition_header(
+    fobj, position: int, expect_key: bytes
+) -> tuple[int, int] | None:
+    """Seek ``position``, verify the key, return (ldt, markedForDeleteAt);
+    None when the key does not match (shared-offset dirty-metadata case)
+    or the header runs past EOF."""
+    fobj.seek(position)
+    pre = fobj.read(2)
+    if len(pre) < 2:
+        return None
+    klen = int.from_bytes(pre, "big")
+    if klen != len(expect_key):
+        return None
+    buf = fobj.read(klen + 12)
+    if len(buf) < klen + 12 or buf[:klen] != expect_key:
+        return None
+    ldt, mfda = struct.unpack(">iq", buf[klen : klen + 12])
+    return ldt, mfda
+
+
+PARTITION_DELETIONS_SCHEMA = (
+    "keyspace string, table_name string, sstable_id string, "
+    "partition_key string, local_deletion_time bigint, "
+    "marked_for_delete_at bigint"
+)
+
+
+def partition_deletions(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
+    """Partition-tombstone rows read straight from Data.db partition
+    headers (uncompressed sstables; offsets from the sibling Index.db).
+    LIVE partitions produce no row."""
+    if not root.startswith(("/", "file:")):
+        raise ValueError(
+            "partition_deletions needs a POSIX-visible root (point seeks); "
+            f"got {root!r}"
+        )
+    files = _filter_files(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-Index.db")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path"),
+        filenames,
+        "Index.db",
+    )
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                local = _local_path(path)
+                data_path = local[: -len("Index.db")] + "Data.db"
+                comp_path = local[: -len("Index.db")] + "CompressionInfo.db"
+                if not os.path.exists(data_path) or os.path.exists(comp_path):
+                    continue  # absent or compressed: documented exclusions
+                with open(local, "rb") as idx, open(data_path, "rb") as dat:
+                    for key, position in stream_parse_index_db(
+                        idx, version=ver, source=path
+                    ):
+                        got = read_partition_header(dat, position, key)
+                        if got is None:
+                            continue
+                        ldt, mfda = got
+                        if (ldt, mfda) == (LIVE_LDT, LIVE_MFDA):
+                            continue
+                        rows.append(
+                            (ks, tb, ss, key.decode("utf-8"), ldt, mfda)
+                        )
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=[
+                    "keyspace", "table_name", "sstable_id", "partition_key",
+                    "local_deletion_time", "marked_for_delete_at",
+                ],
+            )
+            for c in ("local_deletion_time", "marked_for_delete_at"):
+                pdf_out[c] = pdf_out[c].astype("int64")
+            yield pdf_out
+
+    return files.mapInPandas(scan, PARTITION_DELETIONS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Fixture derivation + registered query
+# --------------------------------------------------------------------------
+
+
+def fixture_partition_headers(spark: SparkSession, sf_dir: str) -> dict:
+    """(ks, tb, ss) -> {partition_key: (ldt, markedForDeleteAt)} for the
+    DELETED partitions; every other indexed partition gets LIVE. The
+    deletion is the max-timestamp PARTITION_DELETE record of the partition
+    (max writetime as markedForDeleteAt micros, max local_deletion_time),
+    mirroring Cassandra keeping the newest partition deletion. Rows whose
+    writetime or ldt is NULL cannot be encoded and are excluded (the
+    oracle mirrors with the same null filters)."""
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    cells = tpch_adapter.cells(spark, sf_dir)
+    out: dict[tuple, dict] = {}
+    for r in (
+        cells.where(F.col("kind") == "PARTITION_DELETE")
+        .groupBy("keyspace", "table_name", "sstable_id", "partition_key")
+        .agg(
+            F.max("local_deletion_time").alias("ldt"),
+            F.max("writetime").alias("mfda"),
+        )
+        .where(F.col("ldt").isNotNull() & F.col("mfda").isNotNull())
+        .collect()
+    ):
+        out.setdefault(
+            (r["keyspace"], r["table_name"], r["sstable_id"]), {}
+        )[r["partition_key"]] = (int(r["ldt"]), int(r["mfda"]))
+    return out
+
+
+def partition_deletions_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified wrapper over the planted fixture tree, with the
+    droppability verdict added at the SQL layer (strict < GC_BEFORE,
+    the engine-wide purge contract)."""
+    from cassandra_sstable_tools_spark.constants import GC_BEFORE
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    return partition_deletions(spark, root).withColumn(
+        "droppable", F.col("local_deletion_time") < F.lit(GC_BEFORE)
+    )
+
+
+# uncompressed (NOT the md5-parity compressed subset), physically present
+# (non-null length), partition physically sized (non-null psize: a
+# zero-length partition shares its offset with its successor and its
+# header is neither written nor key-verifiable)
+_ORACLE_TAIL = """
+SELECT c.keyspace, c.table_name, c.sstable_id, c.partition_key,
+       CAST(max(c.local_deletion_time) AS BIGINT) AS local_deletion_time,
+       CAST(max(c.writetime) AS BIGINT) AS marked_for_delete_at,
+       max(c.local_deletion_time) < {GC_BEFORE} AS droppable
+FROM cells c
+JOIN sstables_meta s USING (keyspace, table_name, sstable_id)
+JOIN per_part p USING (keyspace, table_name, sstable_id, partition_key)
+WHERE c.kind = 'PARTITION_DELETE'
+  AND s.uncompressed_length IS NOT NULL
+  AND NOT ((strpos('0123456789abcdef',
+            substr(md5(c.keyspace || '/' || c.table_name || '/' ||
+                       c.sstable_id), 2, 1)) - 1) % 2 = 0)
+  AND p.psize IS NOT NULL
+GROUP BY 1, 2, 3, 4
+HAVING max(c.local_deletion_time) IS NOT NULL
+   AND max(c.writetime) IS NOT NULL
+"""
+
+
+def _oracles() -> dict[str, str]:
+    from cassandra_sstable_tools_spark.constants import GC_BEFORE
+    from cassandra_sstable_tools_spark.oracles import with_adapter
+
+    return {
+        "partition_deletions_cassdir": with_adapter(
+            _ORACLE_TAIL.format(GC_BEFORE=GC_BEFORE)
+        ),
+    }
+
+
+QUERIES = {"partition_deletions_cassdir": partition_deletions_cassdir}
+ORACLES = _oracles()

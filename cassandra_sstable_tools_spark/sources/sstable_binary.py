@@ -670,12 +670,13 @@ def materialize_index_files(
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
     if root is None:
-        # ":v4" salt: v2 added sparse Data.db files (directory-only pstats),
+        # ":v5" salt: v2 added sparse Data.db files (directory-only pstats),
         # v3 made alternate sstables "compressed" (short Data.db +
-        # CompressionInfo.db header), v4 adds real Statistics.db components;
-        # older dirs are stale and orphaned
+        # CompressionInfo.db header), v4 added real Statistics.db
+        # components, v5 writes real partition headers (key + DeletionTime)
+        # into uncompressed Data.db files; older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v4").encode()
+            (os.path.abspath(sf_dir) + ":v5").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -707,12 +708,28 @@ def materialize_index_files(
         by_sstable.setdefault(
             (r["keyspace"], r["table_name"], r["sstable_id"]), []
         ).append((r["partition_key"].encode("utf-8"), int(r["position"])))
+    from cassandra_sstable_tools_spark.sources.data_db import (
+        encode_partition_header,
+        fixture_partition_headers,
+    )
     from cassandra_sstable_tools_spark.sources.statistics_db import (
         encode_statistics_db,
         fixture_stats,
     )
 
     stats_map = fixture_stats(spark, sf_dir)
+    deletions_map = fixture_partition_headers(spark, sf_dir)
+    # non-null psize = the partition owns a disjoint [pos, pos+psize) byte
+    # region of its Data.db, so its header write can never collide; a
+    # NULL-psize partition shares its offset with its successor and gets
+    # no header (the reader key-verifies and skips it)
+    psizes = {
+        (r["keyspace"], r["table_name"], r["sstable_id"], r["partition_key"]):
+            r["psize"]
+        for r in tpch_adapter.partition_sizes_cached(spark, sf_dir)
+        .select("keyspace", "table_name", "sstable_id", "partition_key", "psize")
+        .collect()
+    }
 
     tmp = root + ".tmp"
     if os.path.exists(tmp):
@@ -753,6 +770,25 @@ def materialize_index_files(
             with open(dpath, "wb"):
                 pass
             os.truncate(dpath, true_len * 3 // 5 if compressed else true_len)
+            if not compressed:
+                # real partition headers (key + DeletionTime) at the index
+                # offsets; the rest of each block stays a sparse hole (cell
+                # bytes -- the documented non-goal). Compressed files hold
+                # stand-in compressed bytes, so no plaintext headers there.
+                from cassandra_sstable_tools_spark.sources.data_db import (
+                    LIVE_LDT,
+                    LIVE_MFDA,
+                )
+
+                dels = deletions_map.get((ks, tb, ss), {})
+                with open(dpath, "r+b") as f:
+                    for key, position in entries:
+                        pk = key.decode("utf-8")
+                        if psizes.get((ks, tb, ss, pk)) is None:
+                            continue
+                        ldt, mfda = dels.get(pk, (LIVE_LDT, LIVE_MFDA))
+                        f.seek(position)
+                        f.write(encode_partition_header(key, ldt, mfda))
             if compressed:
                 cpath = os.path.join(
                     d, f"{_DEFAULT_VERSION}-{ss}-big-CompressionInfo.db"
