@@ -253,6 +253,24 @@ def _table_scope_filter(frame, args):
     return frame
 
 
+def _warn_partial_statistics(spark, root, names, what: str) -> None:
+    """stderr warning when some sstables lack Statistics.db: the
+    Statistics-joined reports inner-join by design (fabricated blanks
+    would hide breakage), so the omission must be SAID, not silent -- a
+    tool that inventories sstables must not under-report exactly the
+    broken ones (partial snapshot copies, failed compaction cleanup)."""
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        statistics_coverage,
+    )
+
+    n_data, n_stats = statistics_coverage(spark, root, names)
+    if n_stats < n_data:
+        sys.stderr.write(
+            f"warning: {n_data - n_stats} of {n_data} sstables have no "
+            f"Statistics.db and are omitted from the {what}\n"
+        )
+
+
 def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
     if args.name and args.command != "query":
         # the positional exists only for `query NAME`; silently ignoring it
@@ -266,15 +284,27 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
 
         if args.cassandra_dir:
             # directory-only summary: lengths from Data/CompressionInfo,
-            # repair state from Statistics.db -- zero parquet in the plan
+            # repair state from Statistics.db -- zero parquet in the plan.
+            # No Statistics.db at all is an ERROR (repair state lives
+            # nowhere else; an empty table with rc=0 would read as "no
+            # data"), and partial coverage warns like the listing does.
             from cassandra_sstable_tools_spark.sources.statistics_db import (
                 directory_summary,
+                has_statistics_files,
             )
 
             names = args.filenames.split(",") if args.filenames else None
+            root = _scoped_cassdir_root(args)
+            if not has_statistics_files(spark, root, names):
+                sys.stderr.write(
+                    "summary --cassandra-dir needs Statistics.db components "
+                    f"(repair state lives nowhere else); none found under "
+                    f"{root}\n"
+                )
+                return 2
+            _warn_partial_statistics(spark, root, names, "summary")
             frame = _table_scope_filter(
-                directory_summary(spark, _scoped_cassdir_root(args), names),
-                args,
+                directory_summary(spark, root, names), args
             )
         else:
             frame = summary(spark, sf)
@@ -307,51 +337,47 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
 
             root = _scoped_cassdir_root(args)
             names = args.filenames.split(",") if args.filenames else None
-            if has_statistics_files(spark, root):
+            if has_statistics_files(spark, root, names):
+                _warn_partial_statistics(spark, root, names, "full listing")
                 listing = _table_scope_filter(
                     directory_sstables_listing(
                         spark, root, filenames=names, file_timestamp=True
                     ),
                     args,
                 )
-                out.append(("SSTables (directory-derived)", _render(
-                    listing,
-                    {
-                        "min_timestamp": "ts_us", "max_timestamp": "ts_us",
-                        "file_timestamp": "ts_ms", "repaired_at": "ts_ms",
-                        "min_local_deletion_time": "ldt",
-                        "max_local_deletion_time": "ldt",
-                        "disk_length": "bytes",
-                        "uncompressed_length": "bytes",
-                        "mean_partition_size": "bytes",
-                        "max_partition_size": "bytes",
-                    },
-                    order=["keyspace", "table_name", "sstable_id"])))
-                for title, table in out:
-                    sys.stdout.write(f"{title}\n{table}\n")
-                return 0
-            counts = (
-                binary_index_entries(spark, root, filenames=names)
-                .groupBy("keyspace", "table_name", "sstable_id")
-                .agg(_F.count(_F.lit(1)).alias("partitions"))
-            )
-            disk = _data_db_byte_lengths(spark, root, names).withColumnRenamed(
-                "uncompressed_length", "disk_length")
-            comp = compression_data_lengths(spark, root, names).withColumnRenamed(
-                "uncompressed_length", "_cl")
-            keys = ["keyspace", "table_name", "sstable_id"]
-            listing = _table_scope_filter(
-                counts.join(_F.broadcast(disk), keys)
-                .join(_F.broadcast(comp), keys, "left")
-                .select(*keys, "partitions", "disk_length",
-                        _F.coalesce("_cl", "disk_length")
-                        .alias("uncompressed_length"),
-                        _F.col("_cl").isNotNull().alias("compressed")),
-                args,
-            )
+                fmts = {
+                    "min_timestamp": "ts_us", "max_timestamp": "ts_us",
+                    "file_timestamp": "ts_ms", "repaired_at": "ts_ms",
+                    "min_local_deletion_time": "ldt",
+                    "max_local_deletion_time": "ldt",
+                    "disk_length": "bytes",
+                    "uncompressed_length": "bytes",
+                    "mean_partition_size": "bytes",
+                    "max_partition_size": "bytes",
+                }
+            else:
+                counts = (
+                    binary_index_entries(spark, root, filenames=names)
+                    .groupBy("keyspace", "table_name", "sstable_id")
+                    .agg(_F.count(_F.lit(1)).alias("partitions"))
+                )
+                disk = _data_db_byte_lengths(spark, root, names).withColumnRenamed(
+                    "uncompressed_length", "disk_length")
+                comp = compression_data_lengths(spark, root, names).withColumnRenamed(
+                    "uncompressed_length", "_cl")
+                keys = ["keyspace", "table_name", "sstable_id"]
+                listing = _table_scope_filter(
+                    counts.join(_F.broadcast(disk), keys)
+                    .join(_F.broadcast(comp), keys, "left")
+                    .select(*keys, "partitions", "disk_length",
+                            _F.coalesce("_cl", "disk_length")
+                            .alias("uncompressed_length"),
+                            _F.col("_cl").isNotNull().alias("compressed")),
+                    args,
+                )
+                fmts = {"disk_length": "bytes", "uncompressed_length": "bytes"}
             out.append(("SSTables (directory-derived)", _render(
-                listing,
-                {"disk_length": "bytes", "uncompressed_length": "bytes"},
+                listing, fmts,
                 order=["keyspace", "table_name", "sstable_id"])))
             for title, table in out:
                 sys.stdout.write(f"{title}\n{table}\n")

@@ -48,6 +48,7 @@ from cassandra_sstable_tools_spark.sources.sstable_binary import (
     _filter_files,
     _local_path,
     _parse_filename,
+    compressed_parity_sql,
     stream_parse_index_db,
 )
 
@@ -216,9 +217,7 @@ JOIN sstables_meta s USING (keyspace, table_name, sstable_id)
 JOIN per_part p USING (keyspace, table_name, sstable_id, partition_key)
 WHERE c.kind = 'PARTITION_DELETE'
   AND s.uncompressed_length IS NOT NULL
-  AND NOT ((strpos('0123456789abcdef',
-            substr(md5(c.keyspace || '/' || c.table_name || '/' ||
-                       c.sstable_id), 2, 1)) - 1) % 2 = 0)
+  AND NOT ({PARITY})
   AND p.psize IS NOT NULL
 GROUP BY 1, 2, 3, 4
 HAVING max(c.local_deletion_time) IS NOT NULL
@@ -232,7 +231,9 @@ def _oracles() -> dict[str, str]:
 
     return {
         "partition_deletions_cassdir": with_adapter(
-            _ORACLE_TAIL.format(GC_BEFORE=GC_BEFORE)
+            _ORACLE_TAIL.format(
+                GC_BEFORE=GC_BEFORE, PARITY=compressed_parity_sql("c")
+            )
         ),
     }
 

@@ -564,24 +564,24 @@ def compression_data_lengths(
     )
 
 
-def _data_db_byte_lengths(
-    spark: SparkSession, root: str, filenames=None
-) -> DataFrame:
-    """(keyspace, table_name, sstable_id, uncompressed_length) from the
-    BYTE LENGTH of each Data.db file -- correct for UNcompressed sstables.
+def _data_db_meta(spark: SparkSession, root: str, filenames=None) -> DataFrame:
+    """(keyspace, table_name, sstable_id, disk_length, file_timestamp) from
+    Data.db file METADATA -- one listing, no contents.
 
-    Only ``binaryFile``'s (path, length) metadata columns are selected, so
-    the reader never materializes Data.db contents (column pruning on the
-    binary source -- plan-audited); the frame is 1 row per SSTable and
-    always broadcast-able. Identity is parsed from the path JVM-side:
+    Only ``binaryFile``'s metadata columns are selected, so the reader
+    never materializes Data.db contents (column pruning on the binary
+    source -- plan-audited); the frame is 1 row per SSTable and always
+    broadcast-able. Identity is parsed from the path JVM-side:
     <root>/<keyspace>/<table_name>/<version>-<id>-big-Data.db, mirroring
-    ``_parse_filename``."""
+    ``_parse_filename``. Consumers needing only lengths prune
+    file_timestamp away at zero cost; sharing ONE scan keeps a large real
+    directory to a single listing job."""
     bf = _filter_files(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*-Data.db")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select("path", "length"),
+        .select("path", "length", "modificationTime"),
         filenames,
         "Data.db",
     )
@@ -594,7 +594,36 @@ def _data_db_byte_lengths(
         F.expr(
             f"array_join(slice({pieces}, 2, size({pieces}) - 3), '-')"
         ).alias("sstable_id"),
-        F.col("length").alias("uncompressed_length"),
+        F.col("length").alias("disk_length"),
+        F.unix_millis("modificationTime").alias("file_timestamp"),
+    )
+
+
+def _data_db_byte_lengths(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
+    """(keyspace, table_name, sstable_id, uncompressed_length) from the
+    BYTE LENGTH of each Data.db file -- correct for UNcompressed sstables.
+    Thin projection over ``_data_db_meta`` (see there for the plan
+    contract)."""
+    return _data_db_meta(spark, root, filenames).select(
+        "keyspace",
+        "table_name",
+        "sstable_id",
+        F.col("disk_length").alias("uncompressed_length"),
+    )
+
+
+def compressed_parity_sql(alias: str = "") -> str:
+    """DuckDB predicate mirroring ``_is_compressed_fixture`` (md5 digest
+    byte 0 even <=> second hex digit even) -- THE single source for every
+    oracle that must reproduce the planted compressed subset; changing the
+    fixture rule means changing exactly these two definitions together."""
+    p = f"{alias}." if alias else ""
+    return (
+        "(strpos('0123456789abcdef', substr(md5("
+        f"{p}keyspace || '/' || {p}table_name || '/' || {p}sstable_id"
+        "), 2, 1)) - 1) % 2 = 0"
     )
 
 
@@ -946,22 +975,18 @@ def sstables_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The fixture's compressed subset is md5-parity-chosen (_is_compressed_fixture:
-# digest byte 0 even <=> second hex digit even), with Data.db truncated to
-# (len*3)//5 -- both DuckDB-expressible, so the oracle reproduces the planted
-# directory exactly from the metadata table.
-_ORACLE_SSTABLES_CASSDIR_TAIL = """
+# The fixture's compressed subset is md5-parity-chosen (_is_compressed_fixture,
+# mirrored by compressed_parity_sql), with Data.db truncated to (len*3)//5 --
+# both DuckDB-expressible, so the oracle reproduces the planted directory
+# exactly from the metadata table.
+_ORACLE_SSTABLES_CASSDIR_TAIL = f"""
 SELECT i.keyspace, i.table_name, i.sstable_id,
        count(*) AS partitions,
-       CASE WHEN (strpos('0123456789abcdef',
-                  substr(md5(i.keyspace || '/' || i.table_name || '/' ||
-                             i.sstable_id), 2, 1)) - 1) % 2 = 0
+       CASE WHEN {compressed_parity_sql("i")}
             THEN (s.uncompressed_length * 3) // 5
             ELSE s.uncompressed_length END AS disk_length,
        s.uncompressed_length AS uncompressed_length,
-       (strpos('0123456789abcdef',
-               substr(md5(i.keyspace || '/' || i.table_name || '/' ||
-                          i.sstable_id), 2, 1)) - 1) % 2 = 0 AS compressed
+       {compressed_parity_sql("i")} AS compressed
 FROM index_entries i
 JOIN sstables_meta s USING (keyspace, table_name, sstable_id)
 WHERE s.uncompressed_length IS NOT NULL

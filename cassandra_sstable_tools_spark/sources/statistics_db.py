@@ -53,6 +53,15 @@ StatsMetadata ("ma".."nc" big formats; field order from
                         isTransient (bool)
     "me" (3.11) / >= "nc" (4.1): originatingHostId (byte [+16B UUID])
 
+Version-support caveat, stated honestly: the 4.1 "nc" layout is parsed
+with the legacy min/maxClusteringValues shape above; the reshaped
+"covered clustering" slice encoding is known to land in 5.0 ("oa",
+rejected by name). If "nc" turns out to carry any layout drift, the
+strict guards below (bounded counts, 0/1-validated boolean and presence
+bytes) turn the misalignment into a loud per-file ValueError rather than
+quiet garbage -- verify against a real 4.1 directory before trusting
+"nc" at scale.
+
 EstimatedHistogram wire quirk (``EstimatedHistogram.serializer``): writes
 ``int n`` then ``n`` pairs of ``(long offset, long count)`` where pair i
 carries ``offsets[max(0, i-1)]`` -- the first pair's offset is a duplicate
@@ -381,6 +390,40 @@ def _parse_streaming_histogram(r: _Reader) -> list[tuple[float, int]]:
     return [r.unpack(">dq") for _ in range(size)]
 
 
+def _clustering_display(bufs: list[bytes]) -> str | None:
+    """Human-readable form of min/maxClusteringValues: each component
+    decoded as UTF-8 when it cleanly is (text clustering columns), else as
+    0x-hex (timestamp/uuid/blob and other type-serialized bytes -- a real
+    schema's clustering is often non-text, and crashing the listing on it
+    would break the REAL-files feature). Components of a composite
+    clustering are comma-joined; this is a DISPLAY heuristic -- rendering
+    typed bytes faithfully would need the schema, which lives in the
+    SerializationHeader cell codec (the documented gap)."""
+    if not bufs:
+        return None
+
+    def one(b: bytes) -> str:
+        try:
+            return b.decode("utf-8")
+        except UnicodeDecodeError:
+            return "0x" + b.hex()
+
+    return ",".join(one(b) for b in bufs)
+
+
+def _read_bool_byte(r: _Reader, what: str) -> bool:
+    """Strict boolean read: any byte other than 0/1 means the field stream
+    is misaligned (e.g. an undocumented layout change in some version) --
+    fail LOUD instead of propagating garbage into later fields."""
+    (b,) = r.unpack(">b")
+    if b not in (0, 1):
+        raise ValueError(
+            f"corrupt Statistics.db {r.source}: non-boolean byte {b} for "
+            f"{what} at offset {r.off - 1} (field misalignment?)"
+        )
+    return bool(b)
+
+
 def _parse_clustering(r: _Reader) -> list[bytes]:
     (n,) = r.unpack(">i")
     if not 0 <= n <= 10_000:
@@ -450,7 +493,9 @@ def parse_statistics_db(
     (stats.repaired_at,) = s.unpack(">q")
     stats.min_clustering = _parse_clustering(s)
     stats.max_clustering = _parse_clustering(s)
-    (stats.has_legacy_counter_shards,) = s.unpack(">?")
+    stats.has_legacy_counter_shards = _read_bool_byte(
+        s, "hasLegacyCounterShards"
+    )
     stats.total_columns_set, stats.total_rows = s.unpack(">qq")
     if _has_commit_log_lower_bound(version):
         s.unpack(">qi")
@@ -464,13 +509,11 @@ def parse_statistics_db(
         for _ in range(n_iv):
             s.unpack(">qiqi")
     if _has_pending_repair(version):
-        (present,) = s.unpack(">b")
-        if present:
+        if _read_bool_byte(s, "pendingRepair presence"):
             s.take(16)  # pending repair session UUID
-        (stats.is_transient,) = s.unpack(">?")
+        stats.is_transient = _read_bool_byte(s, "isTransient")
     if _has_originating_host_id(version):
-        (present,) = s.unpack(">b")
-        if present:
+        if _read_bool_byte(s, "originatingHostId presence"):
             s.take(16)
     # overflow buckets feed max(); attach as derived attributes
     stats._psize_overflow = psize_overflow  # type: ignore[attr-defined]
@@ -551,12 +594,8 @@ def statistics_metadata(
                         st.level,
                         st.repaired_at,
                         st.repaired_at != 0,
-                        st.min_clustering[0].decode("utf-8")
-                        if st.min_clustering
-                        else None,
-                        st.max_clustering[0].decode("utf-8")
-                        if st.max_clustering
-                        else None,
+                        _clustering_display(st.min_clustering),
+                        _clustering_display(st.max_clustering),
                         st.total_columns_set,
                         st.total_rows,
                         estimated_histogram_mean(st.partition_size_hist),
@@ -760,10 +799,12 @@ def directory_sstables_listing(
 
     ``file_timestamp=True`` adds the reference's File Timestamp column
     from the Data.db modification time (binaryFile metadata -- contents
-    still never read). CLI-only: mtimes are not derivable from the
-    fixture tables, so the certified query below omits it."""
+    still never read, and the length and mtime come from the SAME single
+    Data.db listing: on a large real directory each extra binaryFile load
+    is a full recursive listing job). CLI-only: mtimes are not derivable
+    from the fixture tables, so the certified query below omits it."""
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
-        _data_db_byte_lengths,
+        _data_db_meta,
         binary_index_entries,
         compression_data_lengths,
     )
@@ -774,38 +815,13 @@ def directory_sstables_listing(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("partitions"))
     )
-    disk = _data_db_byte_lengths(spark, root, filenames).withColumnRenamed(
-        "uncompressed_length", "disk_length"
-    )
+    data_meta = _data_db_meta(spark, root, filenames)
+    ts_cols = ["file_timestamp"] if file_timestamp else []
+    disk = data_meta.select(*keys, "disk_length", *ts_cols)
     comp = compression_data_lengths(spark, root, filenames).withColumnRenamed(
         "uncompressed_length", "_comp_length"
     )
     stats = statistics_metadata(spark, root, filenames)
-    ts_cols = []
-    if file_timestamp:
-        mtimes = (
-            _filter_files(
-                spark.read.format("binaryFile")
-                .option("pathGlobFilter", "*-Data.db")
-                .option("recursiveFileLookup", "true")
-                .load(root)
-                .select("path", "modificationTime"),
-                filenames,
-                "Data.db",
-            )
-            .select(
-                F.expr("element_at(split(path, '/'), -3)").alias("keyspace"),
-                F.expr("element_at(split(path, '/'), -2)").alias("table_name"),
-                F.expr(
-                    "array_join(slice(split(element_at(split(path, '/'), -1),"
-                    " '-'), 2, size(split(element_at(split(path, '/'), -1),"
-                    " '-')) - 3), '-')"
-                ).alias("sstable_id"),
-                F.unix_millis("modificationTime").alias("file_timestamp"),
-            )
-        )
-        counts = counts.join(F.broadcast(mtimes), keys)
-        ts_cols = ["file_timestamp"]
     return (
         counts.join(F.broadcast(disk), keys)
         .join(F.broadcast(comp), keys, "left")
@@ -837,18 +853,52 @@ def directory_sstables_listing(
     )
 
 
-def has_statistics_files(spark: SparkSession, root: str) -> bool:
-    """True when any *-Statistics.db exists under ``root`` -- a pure file
-    LISTING job (path column only), no contents read."""
+def has_statistics_files(
+    spark: SparkSession, root: str, filenames=None
+) -> bool:
+    """True when any *-Statistics.db exists under ``root`` (within the
+    `-f` selection when given -- a `-f` naming only stats-less sstables
+    must take the reduced-listing path, not print an empty full listing).
+    A pure file LISTING job (path column only), no contents read."""
     return bool(
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*-Statistics.db")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select("path")
+        _filter_files(
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*-Statistics.db")
+            .option("recursiveFileLookup", "true")
+            .load(root)
+            .select("path"),
+            filenames,
+            "Statistics.db",
+        )
         .limit(1)
         .count()
     )
+
+
+def statistics_coverage(
+    spark: SparkSession, root: str, filenames=None
+) -> tuple[int, int]:
+    """(#Data.db files, #Statistics.db files) under ``root`` -- two pure
+    listing jobs. The CLI compares them to WARN when a full listing or
+    summary silently omits sstables whose Statistics.db is missing
+    (partial snapshot copies, failed compaction cleanup): a tool that
+    inventories sstables must not under-report the broken ones without
+    saying so."""
+
+    def count(component: str) -> int:
+        return (
+            _filter_files(
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", f"*-{component}")
+                .option("recursiveFileLookup", "true")
+                .load(root)
+                .select("path"),
+                filenames,
+                component,
+            ).count()
+        )
+
+    return count("Data.db"), count("Statistics.db")
 
 
 def sstable_metadata_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,12 +983,14 @@ def summary_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directory_summary(spark, root)
 
 
-# md5-parity expression shared with _ORACLE_SSTABLES_CASSDIR_TAIL
-# (sstable_binary.py): digest byte 0 even <=> second hex digit even.
-_PARITY = (
-    "(strpos('0123456789abcdef', substr(md5(s.keyspace || '/' || "
-    "s.table_name || '/' || s.sstable_id), 2, 1)) - 1) % 2 = 0"
-)
+# md5-parity predicate: the ONE shared definition (sstable_binary
+# .compressed_parity_sql) so the fixture rule and every oracle move together
+def _parity() -> str:
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        compressed_parity_sql,
+    )
+
+    return compressed_parity_sql("s")
 
 _CELL_AGG_SUB = """
     SELECT keyspace, table_name, sstable_id,
@@ -1047,16 +1099,16 @@ def _oracles() -> dict[str, str]:
     return {
         "statistics_cassdir": with_adapter(
             _ORACLE_STATISTICS_TAIL.format(
-                PARITY=_PARITY, CELL_AGG=cell_agg, HIST_AGG=_HIST_AGG_SUB
+                PARITY=_parity(), CELL_AGG=cell_agg, HIST_AGG=_HIST_AGG_SUB
             )
         ),
         "sstable_metadata_cassdir": with_adapter(
             _ORACLE_METADATA_TAIL.format(
-                PARITY=_PARITY, CELL_AGG=cell_agg, HIST_AGG=_HIST_AGG_SUB
+                PARITY=_parity(), CELL_AGG=cell_agg, HIST_AGG=_HIST_AGG_SUB
             )
         ),
         "summary_cassdir": with_adapter(
-            _ORACLE_SUMMARY_TAIL.format(PARITY=_PARITY)
+            _ORACLE_SUMMARY_TAIL.format(PARITY=_parity())
         ),
     }
 

@@ -404,3 +404,137 @@ def test_garbage_bytes_never_leak_raw_errors():
             pass
     # sanity: random bytes virtually never parse
     assert ok <= 2
+
+
+def test_clustering_display_non_text_values():
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        _clustering_display,
+    )
+
+    assert _clustering_display([]) is None
+    assert _clustering_display([b"abc"]) == "abc"
+    # timestamp/uuid-style raw bytes must render as hex, never crash
+    assert _clustering_display([b"\xff\xfe\x00\x01"]) == "0xfffe0001"
+    assert _clustering_display([b"ab", b"\xff"]) == "ab,0xff"
+
+
+def test_non_text_clustering_survives_the_scan(spark, tmp_path):
+    """A real-world schema with a timestamp clustering column stores raw
+    8-byte values in min/maxClusteringValues; the listing must render
+    them, not die in an executor (review finding)."""
+    st = SSTableStats(
+        min_timestamp=1, max_timestamp=2,
+        min_clustering=[struct.pack(">q", 1699000000000)],
+        max_clustering=[struct.pack(">q", 1700000000000), b"txt"],
+    )
+    r = statistics_metadata(spark, _plant_tree(tmp_path, "nb", st)).collect()
+    assert len(r) == 1
+    assert r[0]["min_clustering"] == "0x" + struct.pack(">q", 1699000000000).hex()
+    assert r[0]["max_clustering"].endswith(",txt")
+
+
+def test_misaligned_boolean_byte_is_loud():
+    """A non-0/1 byte where hasLegacyCounterShards belongs = field-stream
+    misalignment (e.g. an undocumented layout change); must fail loud."""
+    blob = bytearray(encode_statistics_db(SSTableStats(total_rows=3), "ma"))
+    # 'ma' stats end exactly at ...[bool][totalColumnsSet][totalRows];
+    # the bool byte sits 17 bytes from the end of the STATS component.
+    n = struct.unpack(">i", blob[:4])[0]
+    toc = {struct.unpack(">i", blob[4 + 8 * i: 8 + 8 * i])[0]:
+           struct.unpack(">i", blob[8 + 8 * i: 12 + 8 * i])[0]
+           for i in range(n)}
+    stats_off = toc[2]
+    header_off = toc[3]
+    bool_off = header_off - 17
+    assert blob[bool_off] in (0, 1)
+    blob[bool_off] = 7
+    with pytest.raises(ValueError, match="non-boolean byte 7"):
+        parse_statistics_db(bytes(blob), "ma", source="planted")
+
+
+def _strip_statistics(src_root: str, dst: str, keep_all_but: int = 0) -> str:
+    """Copy the fixture tree, removing Statistics.db files: all of them
+    (keep_all_but=0 removes every one) or just the first N alphabetical."""
+    shutil.copytree(src_root, dst)
+    victims = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(dst)
+        for f in fs
+        if f.endswith("-Statistics.db")
+    )
+    for path in victims[keep_all_but:] if keep_all_but else victims:
+        os.remove(path)
+    return dst
+
+
+def test_partial_statistics_warns_and_f_probe_respects_selection(
+    spark, sf_dir, tmp_path, capsys
+):
+    """Review findings: (a) a directory where ONE sstable lost its
+    Statistics.db must WARN about the omission, not silently under-report;
+    (b) a -f selecting only stats-less sstables must take the reduced
+    listing, not print an empty full listing."""
+    import contextlib
+    import io
+
+    from cassandra_sstable_tools_spark.__main__ import main
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    partial = str(tmp_path / "partial")
+    shutil.copytree(root, partial)
+    victims = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(partial)
+        for f in fs
+        if f.endswith("-Statistics.db")
+    )
+    # -f matches by FILENAME and the fixture's sstable ids repeat across
+    # tables, so strip the chosen basename from EVERY table to make the
+    # -f selection exclusively stats-less
+    stripped = os.path.basename(victims[0])
+    removed = [v for v in victims if os.path.basename(v) == stripped]
+    for v in removed:
+        os.remove(v)
+    data_name = stripped.replace("-Statistics.db", "-Data.db")
+    n_selected = len(removed)
+
+    buf = io.StringIO()
+    capsys.readouterr()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["sstables", "--cassandra-dir", partial,
+                   "--sf-dir", sf_dir, "-b"], spark=spark)
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "have no Statistics.db and are omitted" in err
+    assert "min_timestamp" in buf.getvalue()  # full listing ran
+
+    # -f selecting ONLY the stats-less sstable -> reduced listing
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["sstables", "--cassandra-dir", partial, "-f", data_name,
+                   "--sf-dir", sf_dir, "-b"], spark=spark)
+    assert rc == 0
+    text = buf.getvalue()
+    assert "min_timestamp" not in text  # reduced columns
+    # exactly the selected same-name sstables (one per table)
+    assert text.count("\n|") - 1 == n_selected
+
+
+def test_summary_cassdir_without_statistics_is_loud(
+    spark, sf_dir, tmp_path, capsys
+):
+    """Review finding: summary --cassandra-dir on a stats-less directory
+    must fail rc=2 with a named reason, never print an empty table."""
+    from cassandra_sstable_tools_spark.__main__ import main
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    nostats = _strip_statistics(root, str(tmp_path / "nostats"))
+    assert main(["summary", "--cassandra-dir", nostats,
+                 "--sf-dir", sf_dir, "-b"], spark=spark) == 2
+    assert "needs Statistics.db" in capsys.readouterr().err
