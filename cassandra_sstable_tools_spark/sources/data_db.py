@@ -225,6 +225,113 @@ HAVING max(c.local_deletion_time) IS NOT NULL
 """
 
 
+
+
+
+# --------------------------------------------------------------------------
+# Digest.crc32: whole-file integrity verification
+# --------------------------------------------------------------------------
+#
+# The big format ships a Digest.crc32 component per sstable: the CRC32 of
+# the Data.db file AS ON DISK (compressed bytes if compressed), serialized
+# as an ASCII decimal string. Recomputing it is how Cassandra's own
+# verification detects bit rot; a directory analytics tool should be able
+# to answer "is this sstable intact?" without a running cluster.
+
+_CRC_CHUNK = 8 << 20  # bounded memory regardless of Data.db size
+
+
+def file_crc32(path: str, chunk_bytes: int = _CRC_CHUNK) -> int:
+    import zlib
+
+    crc = 0
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                return crc & 0xFFFFFFFF
+            crc = zlib.crc32(chunk, crc)
+
+
+DIGEST_SCHEMA = (
+    "keyspace string, table_name string, sstable_id string, "
+    "digest_ok boolean"
+)
+
+
+def digest_checks(spark: SparkSession, root: str, filenames=None) -> DataFrame:
+    """(sstable, digest_ok) for every sstable with BOTH a Data.db and a
+    Digest.crc32: recompute the file CRC32 in bounded-memory chunks and
+    compare with the stored digest. One task per sstable; the whole
+    Data.db is read (that is what verification means), contents never
+    shipped -- each task reduces its file to one boolean. A malformed
+    digest file is loud (it means corruption too)."""
+    if not root.startswith(("/", "file:")):
+        raise ValueError(
+            f"digest_checks needs a POSIX-visible root; got {root!r}"
+        )
+    files = _filter_files(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-Digest.crc32")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path"),
+        filenames,
+        "Digest.crc32",
+    )
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                ks, tb, ss, _ = _parse_filename(
+                    path, component="Digest.crc32"
+                )
+                local = _local_path(path)
+                data_path = local[: -len("Digest.crc32")] + "Data.db"
+                if not os.path.exists(data_path):
+                    continue
+                with open(local, "rb") as f:
+                    text = f.read(64).decode("ascii", "replace").strip()
+                if not text.isdigit():
+                    raise ValueError(
+                        f"corrupt Digest.crc32 {path}: not a decimal CRC "
+                        f"({text[:20]!r})"
+                    )
+                rows.append(
+                    (ks, tb, ss, file_crc32(data_path) == int(text))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["keyspace", "table_name", "sstable_id", "digest_ok"],
+            )
+
+    return files.mapInPandas(scan, DIGEST_SCHEMA)
+
+
+def digest_check_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified wrapper over the planted fixture tree (which writes a
+    correct Digest.crc32 beside every Data.db): the oracle expects
+    digest_ok=TRUE for exactly the physically-present sstables, so a wrong
+    CRC recompute, a wrong digest parse, or a misattributed file all fail
+    the hash; the corruption differential lives in tests."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    return digest_checks(spark, root)
+
+
+_ORACLE_DIGEST_TAIL = """
+SELECT keyspace, table_name, sstable_id, TRUE AS digest_ok
+FROM sstables_meta
+WHERE uncompressed_length IS NOT NULL
+"""
+
+
 def _oracles() -> dict[str, str]:
     from cassandra_sstable_tools_spark.constants import GC_BEFORE
     from cassandra_sstable_tools_spark.oracles import with_adapter
@@ -235,8 +342,12 @@ def _oracles() -> dict[str, str]:
                 GC_BEFORE=GC_BEFORE, PARITY=compressed_parity_sql("c")
             )
         ),
+        "digest_check_cassdir": with_adapter(_ORACLE_DIGEST_TAIL),
     }
 
 
-QUERIES = {"partition_deletions_cassdir": partition_deletions_cassdir}
+QUERIES = {
+    "partition_deletions_cassdir": partition_deletions_cassdir,
+    "digest_check_cassdir": digest_check_cassdir,
+}
 ORACLES = _oracles()

@@ -699,13 +699,14 @@ def materialize_index_files(
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
     if root is None:
-        # ":v5" salt: v2 added sparse Data.db files (directory-only pstats),
+        # ":v6" salt: v2 added sparse Data.db files (directory-only pstats),
         # v3 made alternate sstables "compressed" (short Data.db +
         # CompressionInfo.db header), v4 added real Statistics.db
         # components, v5 writes real partition headers (key + DeletionTime)
-        # into uncompressed Data.db files; older dirs are stale and orphaned
+        # into uncompressed Data.db files, v6 adds Digest.crc32 components;
+        # older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v5").encode()
+            (os.path.abspath(sf_dir) + ":v6").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -818,6 +819,18 @@ def materialize_index_files(
                         ldt, mfda = dels.get(pk, (LIVE_LDT, LIVE_MFDA))
                         f.seek(position)
                         f.write(encode_partition_header(key, ldt, mfda))
+            # Digest.crc32: ASCII decimal CRC32 of the on-disk Data.db
+            # bytes (compressed stand-ins included) -- written LAST so it
+            # covers the partition headers above
+            from cassandra_sstable_tools_spark.sources.data_db import (
+                file_crc32,
+            )
+
+            with open(
+                os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Digest.crc32"),
+                "w",
+            ) as f:
+                f.write(str(file_crc32(dpath)))
             if compressed:
                 cpath = os.path.join(
                     d, f"{_DEFAULT_VERSION}-{ss}-big-CompressionInfo.db"

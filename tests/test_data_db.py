@@ -178,3 +178,58 @@ def test_query_matches_oracle(spark, sf_dir):
         != pd.api.types.is_float_dtype(e[c])
     ]
     assert not drift, f"int-vs-float dtype drift {drift}"
+
+
+def test_digest_detects_corruption(spark, sf_dir, tmp_path):
+    """Flip one byte inside one Data.db in a copied tree: exactly that
+    sstable's digest_ok must flip to False; everything else stays True."""
+    from cassandra_sstable_tools_spark.sources.data_db import (
+        digest_checks,
+        file_crc32,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    copy = str(tmp_path / "copy")
+    shutil.copytree(root, copy)
+    baseline = {
+        (r["table_name"], r["sstable_id"]): r["digest_ok"]
+        for r in digest_checks(spark, copy).collect()
+    }
+    assert baseline and all(baseline.values())
+    victim = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(copy)
+        for f in fs
+        if f.endswith("-Data.db")
+    )[0]
+    with open(victim, "r+b") as f:
+        f.seek(5)
+        b = f.read(1)
+        f.seek(5)
+        f.write(bytes([b[0] ^ 0xFF]))
+    after = {
+        (r["table_name"], r["sstable_id"]): r["digest_ok"]
+        for r in digest_checks(spark, copy).collect()
+    }
+    key = (os.path.basename(os.path.dirname(victim)),
+           os.path.basename(victim).split("-")[1])
+    assert after[key] is False
+    assert all(ok for k, ok in after.items() if k != key)
+
+
+def test_malformed_digest_file_is_loud(spark, sf_dir, tmp_path):
+    from cassandra_sstable_tools_spark.sources.data_db import digest_checks
+
+    root = materialize_index_files(spark, sf_dir)
+    copy = str(tmp_path / "copy")
+    shutil.copytree(root, copy)
+    victim = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(copy)
+        for f in fs
+        if f.endswith("-Digest.crc32")
+    )[0]
+    with open(victim, "w") as f:
+        f.write("not-a-crc")
+    with pytest.raises(Exception, match="not a decimal CRC"):
+        digest_checks(spark, copy).collect()
