@@ -430,6 +430,7 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             top_size = m.top_size_from_collated(c, args.n)
             top_tables = m.top_tables_from_collated(c, args.n)
         else:
+            c = None
             summary = m.pstats_summary(spark, sf, approx=args.approx)
             top_size = m.pstats_top_size(spark, sf, args.n)
             top_tables = m.pstats_top_tables(spark, sf, args.n)
@@ -441,7 +442,20 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         out.append(("Partitions in most sstables", _render(
             top_tables, {"size": "bytes"},
             order=["keyspace", "table_name", "rank"])))
-        _bucketed_section(spark, args, sf, out)
+        if c is not None:
+            # all three sections are rendered (collected); drop the collate
+            c.unpersist()
+        if args.cassandra_dir and getattr(args, "bucketed", False):
+            # the bucketed section reads the parquet fixture layout; mixing
+            # it into a report advertised as directory-only would be a lie
+            # (r07 ADVICE #4) -- skip loudly instead
+            print(
+                "pstats: --bucketed reads the parquet fixture layout and is "
+                "skipped under --cassandra-dir",
+                file=sys.stderr,
+            )
+        else:
+            _bucketed_section(spark, args, sf, out)
     elif args.command == "cfstats":
         from cassandra_sstable_tools_spark.queries import cfstats as m
 

@@ -9,17 +9,29 @@ aggregation + 1-row argmax collect + a codegen string rewrite), and an
 encoder that applies a trained merge list to any text column.
 
 Semantics (standard BPE, Sennrich et al. 2016 -- public knowledge):
-- a word starts as its character sequence, carried as a SPACE-JOINED
-  token string ("hello" -> "h e l l o"); merged tokens contain no spaces,
-  so the representation is unambiguous;
+- a word starts as its character sequence, carried as a space-joined
+  string of SENTINEL-WRAPPED tokens: "hello" ->
+  "\\x1fh\\x1f \\x1fe\\x1f \\x1fl\\x1f \\x1fl\\x1f \\x1fo\\x1f" (U+001F
+  unit separator around every token);
 - training round r: count adjacent token pairs across the vocabulary
   weighted by word frequency, pick the most frequent (ties: pair ASC,
   deterministic), merge every non-overlapping occurrence left-to-right;
-- applying merge (l, r) IS ``replace(s, 'l r', 'lr')``: both Spark's
-  UTF8String.replace and DuckDB's replace scan left-to-right over
-  non-overlapping occurrences -- verified identical, which is what makes
-  the oracle an exact sequential replay of the merges rather than an
-  approximation.
+- applying merge (l, r) IS ``replace(s, '\\x1fl\\x1f \\x1fr\\x1f',
+  '\\x1flr\\x1f')``. The sentinels make the plain substring replace
+  token-boundary-EXACT (r07 ADVICE #3: the unwrapped form merged pairs
+  matching INSIDE longer tokens, e.g. ('h','e') inside 'th e'): the
+  leading sentinel pins l to a token START, the trailing one pins it to
+  the token END, so a match is precisely two whole adjacent tokens.
+  Because each token carries its OWN delimiters and the pattern has no
+  trailing separator, adjacent occurrences share no characters -- a
+  left-to-right non-overlapping scan (both Spark's UTF8String.replace and
+  DuckDB's replace) therefore replays Sennrich's greedy merge order
+  exactly, including self-overlapping runs like 'l l' in "hello". (The
+  advice suggested regex lookarounds; DuckDB's RE2 silently matches
+  nothing on lookbehind, so the sentinel representation is the form both
+  engines can actually execute.) Words containing U+001F itself are
+  excluded from the vocabulary and the token counter (both engines), the
+  one reserved codepoint of the representation.
 
 Scale posture: everything runs at the VOCABULARY grain (sublinear in
 corpus size; the corpus scan collapses to (word, freq) once, with
@@ -41,17 +53,47 @@ from cassandra_sstable_tools_spark.sources.tpch_adapter import load_table
 
 BPE_MERGE_ROUNDS = 8
 
+# U+001F unit separator: the token-boundary sentinel. SEP never appears in
+# admissible words (they are filtered), so "\x1ftok\x1f" delimits tokens
+# unambiguously and substring replace cannot cross a boundary.
+SEP = "\x1f"
+
+
+def _wrap_chars(col: Column) -> Column:
+    """word -> space-joined sentinel-wrapped character tokens."""
+    return F.array_join(
+        F.transform(
+            F.split(col, ""),
+            lambda c: F.concat(F.lit(SEP), c, F.lit(SEP)),
+        ),
+        " ",
+    )
+
+
+def merge_target(pair: str) -> str:
+    """The replacement token for a wrapped pair: '\\x1fl\\x1f \\x1fr\\x1f'
+    -> '\\x1flr\\x1f' (drop the inner boundary)."""
+    return pair.replace(f"{SEP} {SEP}", "")
+
+
+def display_pair(pair: str) -> str:
+    """Sentinel-free human form of a wrapped pair ('\\x1ft\\x1f \\x1fh\\x1f'
+    -> 't h') -- the registered certificate's pair column."""
+    return pair.replace(SEP, "")
+
 
 def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(word, freq, s) with s = space-joined character tokens."""
+    """(word, freq, s) with s = space-joined sentinel-wrapped char tokens.
+    Words containing the sentinel codepoint are excluded (they would
+    corrupt the boundary encoding); the oracle applies the same filter."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
-    ).where(F.length("word") >= 1)
+    ).where((F.length("word") >= 1) & ~F.col("word").contains(SEP))
     return (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("s", F.array_join(F.split(F.col("word"), ""), " "))
+        .withColumn("s", _wrap_chars(F.col("word")))
     )
 
 
@@ -59,12 +101,13 @@ def train_bpe_merges(
     spark: SparkSession, sf_dir: str, rounds: int = BPE_MERGE_ROUNDS
 ) -> list[tuple[int, str, int, int]]:
     """Train ``rounds`` merges; returns [(rank, pair, occurrences,
-    corpus_tokens_after)] where ``pair`` is the space-joined token pair
-    chosen at that rank, ``occurrences`` its (overlap-counted) frequency
-    at selection time, and ``corpus_tokens_after`` the freq-weighted total
-    token count across the corpus AFTER applying merges 1..rank -- a
-    cumulative certificate: rank r's count is only right if every earlier
-    replace was."""
+    corpus_tokens_after)] where ``pair`` is the space-joined
+    SENTINEL-WRAPPED token pair chosen at that rank (strip with
+    ``display_pair`` for humans), ``occurrences`` its (overlap-counted)
+    frequency at selection time, and ``corpus_tokens_after`` the
+    freq-weighted total token count across the corpus AFTER applying
+    merges 1..rank -- a cumulative certificate: rank r's count is only
+    right if every earlier replace was."""
     vocab = _vocab(spark, sf_dir).persist()
     out: list[tuple[int, str, int, int]] = []
     cur = vocab
@@ -95,9 +138,8 @@ def train_bpe_merges(
             if not best:
                 break
             pair, occ = best[0]["pair"], int(best[0]["occ"])
-            merged = pair.replace(" ", "")
             cur = cur.withColumn(
-                "s", F.replace(F.col("s"), F.lit(pair), F.lit(merged))
+                "s", F.replace(F.col("s"), F.lit(pair), F.lit(merge_target(pair)))
             ).localCheckpoint(eager=True)
             tokens_after = int(
                 cur.agg(
@@ -111,13 +153,14 @@ def train_bpe_merges(
 
 
 def bpe_apply_expr(col: Column, merges: list[str]) -> Column:
-    """Token string after applying a trained merge list to a word column:
-    chars joined by space, then each merge's replace IN RANK ORDER -- one
-    nested codegen expression, no shuffle, no Python. ``merges`` holds the
+    """Token string (sentinel-wrapped form) after applying a trained merge
+    list to a word column: wrapped chars joined by space, then each
+    merge's boundary-exact replace IN RANK ORDER -- one nested codegen
+    expression, no shuffle, no Python. ``merges`` holds the wrapped
     space-joined pairs from ``train_bpe_merges``."""
-    s = F.array_join(F.split(col, ""), " ")
+    s = _wrap_chars(col)
     for pair in merges:
-        s = F.replace(s, F.lit(pair), F.lit(pair.replace(" ", "")))
+        s = F.replace(s, F.lit(pair), F.lit(merge_target(pair)))
     return s
 
 
@@ -131,7 +174,8 @@ def bpe_token_count_expr(col: Column, merges: list[str]) -> Column:
     so the r06 inlined-subexpression quadratic cannot apply.  Used by
     sequence packing's opt-in BPE counter (`pack_chunks_bpe`)."""
     words = F.filter(
-        F.split(F.trim(col), r"\s+"), lambda w: F.length(w) >= 1
+        F.split(F.trim(col), r"\s+"),
+        lambda w: (F.length(w) >= 1) & ~w.contains(SEP),
     )
     word_counts = F.transform(
         words,
@@ -150,7 +194,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subqueries + the same left-to-right replace), so a hash match
     proves the distributed trainer equals the sequential definition --
     the pagerank-unrolled-SQL pattern applied to tokenizer training."""
-    rows = train_bpe_merges(spark, sf_dir)
+    rows = [
+        (rank, display_pair(pair), occ, toks)
+        for rank, pair, occ, toks in train_bpe_merges(spark, sf_dir)
+    ]
     return spark.createDataFrame(
         rows, "rank int, pair string, occurrences bigint, corpus_tokens bigint"
     )
@@ -170,15 +217,18 @@ def _oracle_ctes(rounds: int) -> str:
     parts = [
         r"""v0 AS MATERIALIZED (
     SELECT word, count(*) AS freq,
-           array_to_string(string_split(word, ''), ' ') AS s
+           array_to_string(list_transform(string_split(word, ''),
+                                          c -> chr(31) || c || chr(31)),
+                           ' ') AS s
     FROM (
         SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         FROM documents WHERE text IS NOT NULL
     ) w
-    WHERE length(word) >= 1
+    WHERE length(word) >= 1 AND NOT contains(word, chr(31))
     GROUP BY 1
 )"""
     ]
+    # merge_target in SQL: drop the inner boundary '\x1f \x1f' of the pair
     for r in range(1, rounds + 1):
         parts.append(f"""p{r} AS MATERIALIZED (
     SELECT pr.pair, CAST(sum(freq) AS BIGINT) AS occ
@@ -194,7 +244,8 @@ best{r} AS MATERIALIZED (SELECT pair, occ FROM p{r} ORDER BY occ DESC, pair ASC 
 v{r} AS MATERIALIZED (
     SELECT word, freq,
            replace(s, (SELECT pair FROM best{r}),
-                   replace((SELECT pair FROM best{r}), ' ', '')) AS s
+                   replace((SELECT pair FROM best{r}),
+                           chr(31) || ' ' || chr(31), '')) AS s
     FROM v{r - 1}
 )""")
     return ",\n".join(parts)
@@ -206,7 +257,7 @@ def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
         # training (and stays empty in every later round, so per-branch
         # guards equal a stop-at-first-empty)
         f"""SELECT {r} AS rank,
-       (SELECT pair FROM best{r}) AS pair,
+       (SELECT replace(pair, chr(31), '') FROM best{r}) AS pair,
        (SELECT occ FROM best{r}) AS occurrences,
        (SELECT CAST(sum(freq * len(string_split(s, ' '))) AS BIGINT)
         FROM v{r}) AS corpus_tokens
@@ -248,10 +299,17 @@ def _pack_bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
     from cassandra_sstable_tools_spark.llm.packing import PACK_ORACLE_TAIL
 
     # replace chain over an outer-column pair list: r_i(x) = replace(x,
-    # p_i, strip(p_i)); bests is a 1-row frame cross-joined to documents.
-    chain = "array_to_string(string_split(w, ''), ' ')"
+    # p_i, merge_target(p_i)); bests is a 1-row frame cross-joined to
+    # documents.
+    chain = (
+        "array_to_string(list_transform(string_split(w, ''), "
+        "c -> chr(31) || c || chr(31)), ' ')"
+    )
     for r in range(1, rounds + 1):
-        chain = f"replace({chain}, p{r}, replace(p{r}, ' ', ''))"
+        chain = (
+            f"replace({chain}, p{r}, "
+            f"replace(p{r}, chr(31) || ' ' || chr(31), ''))"
+        )
     bests = ", ".join(
         f"(SELECT pair FROM best{r}) AS p{r}" for r in range(1, rounds + 1)
     )
@@ -262,7 +320,8 @@ scored AS (
          CASE WHEN d.text IS NULL THEN NULL
               ELSE coalesce(CAST(list_sum(list_transform(
                   list_filter(string_split_regex(trim(d.text), '\\s+'),
-                              w -> length(w) >= 1),
+                              w -> length(w) >= 1
+                                   AND NOT contains(w, chr(31))),
                   w -> len(string_split({chain}, ' '))
               )) AS BIGINT), 0) END AS tokens
   FROM documents d CROSS JOIN bests

@@ -233,6 +233,35 @@ def _persistent_rdd_ids(sc) -> set:
         return set()
 
 
+def _new_local_ckpt_ids(sc, before: set) -> set:
+    """Ids persisted since ``before`` that are LOCALLY CHECKPOINTED rdds.
+
+    The raw id diff would attribute ANY rdd persisted in the window to this
+    round -- on a shared session a concurrent job's ``cache()`` could get
+    unpersisted a round later (r07 ADVICE #5). Filtering on
+    ``isLocallyCheckpointed`` excludes plain caches; the residual risk is a
+    concurrent thread's own simultaneous localCheckpoint, which the
+    round-loop cannot distinguish (single-writer-per-session remains the
+    documented assumption for that case). An id we cannot verify is left
+    alone (deferred to the ContextCleaner), never freed on suspicion."""
+    try:
+        m = sc._jsc.getPersistentRDDs()
+        out = set()
+        for k in m.keySet().toArray():
+            rid = int(k)
+            if rid in before:
+                continue
+            jrdd = m.get(k)
+            try:
+                if jrdd is not None and jrdd.rdd().isLocallyCheckpointed():
+                    out.add(rid)
+            except Exception:
+                pass
+        return out
+    except Exception:
+        return set()
+
+
 def pagerank(edges: DataFrame, src: str, dst: str,
              rounds: int = PR_ROUNDS, reliable: bool = False) -> DataFrame:
     """Fixed-round PageRank over a DIRECTED edge list, entirely in integer
@@ -305,7 +334,7 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             # previous round's checkpoint is now dead -- free its blocks
             # instead of waiting for the ContextCleaner (r06 ADVICE)
             _free_checkpoint_blocks(sc, prev_ckpt_ids)
-            prev_ckpt_ids = _persistent_rdd_ids(sc) - before
+            prev_ckpt_ids = _new_local_ckpt_ids(sc, before)
     # the final ranks are already materialized off the caches -- release them;
     # otherwise every invocation leaks two pinned frames for the session
     # lifetime (evicting genuinely shared caches like the adapter's cells)

@@ -49,6 +49,7 @@ from cassandra_sstable_tools_spark.sources.sstable_binary import (
     _local_path,
     _parse_filename,
     compressed_parity_sql,
+    render_key,
     stream_parse_index_db,
 )
 
@@ -139,7 +140,7 @@ def partition_deletions(
                         if (ldt, mfda) == (LIVE_LDT, LIVE_MFDA):
                             continue
                         rows.append(
-                            (ks, tb, ss, key.decode("utf-8"), ldt, mfda)
+                            (ks, tb, ss, render_key(key), ldt, mfda)
                         )
             pdf_out = pd.DataFrame(
                 rows,

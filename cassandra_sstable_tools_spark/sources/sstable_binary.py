@@ -298,12 +298,46 @@ def _is_local_root(root: str) -> bool:
     return root.startswith(("/", "file:"))
 
 
+def render_key(key: bytes) -> str:
+    """Partition-key display: UTF-8 when the bytes cleanly are, else 0x-hex.
+
+    Real Cassandra partition keys are TYPE-serialized bytes (bigint/uuid/
+    composite keys are routinely invalid UTF-8); the reference renders via
+    the table's keyValidator (`cassandra/ColumnFamilyBackend.java:164-166`).
+    Same display heuristic as ``statistics_db._clustering_display`` --
+    crashing the flagship --cassandra-dir scan on a non-text key would be
+    worse than a hex rendering (r07 ADVICE #1). Stricter than bare decode:
+    a serialized bigint like 42 IS valid UTF-8 (eight control bytes), so
+    any C0/C1 control character in the decode also falls back to hex --
+    control bytes in a partition key mean typed data, not text. ``--key-type``
+    upgrades the rendering to typed values when the user states the
+    validator."""
+    try:
+        s = key.decode("utf-8")
+    except UnicodeDecodeError:
+        return "0x" + key.hex()
+    if any(ord(c) < 0x20 or 0x7F <= ord(c) <= 0x9F for c in s):
+        return "0x" + key.hex()
+    return s
+
+
 def _filter_files(files: DataFrame, filenames, component: str) -> DataFrame:
     """Apply the reference's `-f` semantics (a set of Data.db FILENAMES,
     `cli/PartitionSizeStatisticsCollector.java:35-59`) to a (path, ...)
     listing of some component: map each basename to its sibling Data.db
     name and keep members. File-grain pruning BEFORE any parse -- whole
-    excluded sstables are never opened, like the reference's reader skip."""
+    excluded sstables are never opened, like the reference's reader skip.
+
+    Always excluded, filter or not: files under a ``snapshots/`` or
+    ``backups/`` path segment. recursiveFileLookup would otherwise pick up
+    ``<table>/snapshots/<tag>/*`` and ``<table>/backups/*`` copies in a real
+    data directory, double-counting data and misattributing it (the -3/-2
+    path pieces would read keyspace='snapshots'); the reference only sees
+    live sstables because it goes through the ColumnFamilyStore (r07
+    ADVICE #2)."""
+    files = files.where(
+        ~F.col("path").rlike("/(snapshots|backups)/")
+    )
     if not filenames:
         return files
     fn = F.element_at(F.split(F.col("path"), "/"), -1)
@@ -364,7 +398,7 @@ def binary_index_entries(
                             ks_l.append(ks)
                             tb_l.append(tb)
                             ss_l.append(ss)
-                            pk_l.append(key.decode("utf-8"))
+                            pk_l.append(render_key(key))
                             pos_l.append(position)
                 yield pd.DataFrame(
                     {
@@ -401,7 +435,7 @@ def binary_index_entries(
                     ks_l.append(ks)
                     tb_l.append(tb)
                     ss_l.append(ss)
-                    pk_l.append(key.decode("utf-8"))
+                    pk_l.append(render_key(key))
                     pos_l.append(position)
             yield pd.DataFrame(
                 {

@@ -32,29 +32,52 @@ def _write_docs(tmp_path, name, texts):
     return str(sf)
 
 
+def _greedy_merge(toks, left, right):
+    """Textbook Sennrich merge: left-to-right, non-overlapping, whole
+    tokens only -- the sequential loop the engines' sentinel-wrapped
+    replace must reproduce exactly."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _wrap(left, right):
+    return f"\x1f{left}\x1f \x1f{right}\x1f"
+
+
 def python_bpe(texts, rounds):
-    """Sequential textbook BPE over space-joined token strings.  Pair
-    counts are overlap-counted (adjacent positions), merges apply via
-    str.replace -- left-to-right non-overlapping, the exact semantics
-    both Spark's UTF8String.replace and DuckDB's replace implement."""
-    vocab = Counter(w for t in texts for w in t.strip().split() if w)
-    state = {w: " ".join(w) for w in vocab}
+    """Sequential textbook BPE over TOKEN LISTS (no string representation
+    at all -- independent of the engines' sentinel encoding).  Pair counts
+    are overlap-counted (adjacent positions, the trainer's documented
+    selection rule); merges apply via the greedy left-to-right loop.
+    Returns pairs in the trainer's wrapped form; ties break by the wrapped
+    string ASC, the engines' ORDER BY collation."""
+    vocab = Counter(
+        w for t in texts for w in t.strip().split() if w and "\x1f" not in w
+    )
+    state = {w: list(w) for w in vocab}
     out = []
     for rank in range(1, rounds + 1):
         pairs: Counter = Counter()
         for w, freq in vocab.items():
-            toks = state[w].split(" ")
+            toks = state[w]
             for a, b in zip(toks, toks[1:]):
-                pairs[f"{a} {b}"] += freq
+                pairs[(a, b)] += freq
         if not pairs:
             break
-        # max by (occ DESC, pair ASC) -- the trainer's deterministic tie rule
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        pair, occ = best
-        merged = pair.replace(" ", "")
-        state = {w: s.replace(pair, merged) for w, s in state.items()}
-        total = sum(freq * len(state[w].split(" ")) for w, freq in vocab.items())
-        out.append((rank, pair, occ, total))
+        # max by (occ DESC, wrapped-pair ASC) -- the trainer's tie rule
+        (left, right), occ = min(
+            pairs.items(), key=lambda kv: (-kv[1], _wrap(*kv[0]))
+        )
+        state = {w: _greedy_merge(s, left, right) for w, s in state.items()}
+        total = sum(freq * len(state[w]) for w, freq in vocab.items())
+        out.append((rank, _wrap(left, right), occ, total))
     return out
 
 
@@ -114,6 +137,27 @@ def test_pack_chunks_bpe_matches_oracle_and_differs_from_regex(
         .count()
     )
     assert n_diff > 0, "BPE token counts identical to regex proxy -- vacuous flag"
+
+
+def test_bpe_merge_respects_token_boundaries(spark, tmp_path):
+    """r07 ADVICE #3 regression: after merging (t,h), the word 'other' is
+    in state [o, th, e, r]; a later merge (h,e) must NOT fire inside it
+    (the unwrapped substring replace matched 'h e' across the 'th'/'e'
+    boundary and produced [o, the, r]).  Frequencies force (t,h) first,
+    then (h,e); the boundary-correct python replay is the arbiter.  Also
+    covers the self-overlapping run case (l,l) in 'hello'-like words."""
+    texts = [
+        "th th th th th th",  # forces (t,h) at rank 1
+        "he he he he",      # forces (h,e) at rank 2
+        "other other",      # the boundary trap: 'o th e r' contains 'h e'
+        "hello llll",       # (l,l) run: greedy merges leftmost-first
+    ]
+    sf = _write_docs(tmp_path, "bpe_boundary_sf", texts)
+    got = bpe.train_bpe_merges(spark, sf, rounds=4)
+    exp = python_bpe(texts, rounds=4)
+    assert got == exp
+    ranked = [bpe.display_pair(p) for _, p, _, _ in got]
+    assert ranked[0] == "t h" and ranked[1] == "h e"
 
 
 def test_bpe_single_char_words_do_not_crash(spark, tmp_path):

@@ -432,3 +432,64 @@ def test_compressed_fixture_subset_is_differential(spark, sf_dir):
         assert n == exp[k]  # header carries the TRUE length
         if exp[k] >= 3:
             assert raw[k] != exp[k]  # byte length is compressed => differs
+
+
+def test_snapshot_and_backup_dirs_excluded(spark, tmp_path):
+    """r07 ADVICE #2: recursiveFileLookup must not pick up sstable copies
+    under <table>/snapshots/<tag>/ or <table>/backups/ -- a real data
+    directory always has them, and counting them double-counts data under
+    a misattributed (keyspace='snapshots') identity."""
+    import os
+    import shutil
+
+    root = tmp_path / "cas"
+    live = root / "ks1" / "tab" 
+    os.makedirs(live)
+    entries = [(b"k1", 0), (b"k2", 100)]
+    with open(live / "nb-00001-big-Index.db", "wb") as f:
+        f.write(encode_index_db(entries))
+    # snapshot + backup copies of the SAME sstable
+    snap = live / "snapshots" / "tag1"
+    back = live / "backups"
+    os.makedirs(snap)
+    os.makedirs(back)
+    shutil.copy(live / "nb-00001-big-Index.db", snap / "nb-00001-big-Index.db")
+    shutil.copy(live / "nb-00001-big-Index.db", back / "nb-00001-big-Index.db")
+    rows = binary_index_entries(spark, str(root)).collect()
+    assert len(rows) == 2  # live copies only, not 6
+    assert {r.keyspace for r in rows} == {"ks1"}
+    assert {r.table_name for r in rows} == {"tab"}
+
+
+def test_non_utf8_key_renders_hex(spark, tmp_path):
+    """r07 ADVICE #1: real partition keys are type-serialized bytes (a
+    bigint key is 8 raw bytes, routinely invalid UTF-8); the scan must
+    render them 0x-hex instead of crashing with UnicodeDecodeError."""
+    import os
+    import struct
+
+    from cassandra_sstable_tools_spark.sources.data_db import (
+        encode_partition_header,
+        partition_deletions,
+    )
+    from cassandra_sstable_tools_spark.sources.sstable_binary import render_key
+
+    long_key = struct.pack(">q", 42)          # bigint key: b'\x00..\x2a'
+    utf8_key = "plain".encode()
+    assert render_key(long_key) == "0x" + long_key.hex()
+    assert render_key(utf8_key) == "plain"
+
+    root = tmp_path / "cas"
+    d = root / "ks1" / "tab"
+    os.makedirs(d)
+    entries = [(long_key, 0), (utf8_key, 64)]
+    with open(d / "nb-00001-big-Index.db", "wb") as f:
+        f.write(encode_index_db(entries))
+    with open(d / "nb-00001-big-Data.db", "wb") as f:
+        f.write(encode_partition_header(long_key, 1000, 2000))
+        f.seek(64)
+        f.write(encode_partition_header(utf8_key, 1100, 2100))
+    idx = binary_index_entries(spark, str(root)).collect()
+    assert {r.partition_key for r in idx} == {"0x" + long_key.hex(), "plain"}
+    dels = partition_deletions(spark, str(root)).collect()
+    assert {r.partition_key for r in dels} == {"0x" + long_key.hex(), "plain"}
