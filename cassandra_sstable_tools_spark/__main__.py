@@ -152,12 +152,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # subcommand should not surface as a deep AnalysisException
         import os as _os
 
-        if args.command not in ("pstats", "sstables", "summary"):
+        if args.command not in ("pstats", "sstables", "summary", "cfstats"):
             sys.stderr.write(
-                "--cassandra-dir supports pstats, sstables and summary only "
-                "(cfstats/purge need Data.db CELL decoding, which needs the "
-                "SerializationHeader's schema-dependent cell codec -- "
-                "documented gap, SURVEY.md S3 row)\n"
+                "--cassandra-dir supports pstats, sstables, summary and "
+                "cfstats (purge still needs cross-sstable cell collation "
+                "over the decoded stream -- documented gap, SURVEY.md S3 "
+                "row)\n"
             )
             return 2
         from cassandra_sstable_tools_spark.sources.sstable_binary import (
@@ -461,6 +461,40 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
 
         by_table = ["keyspace", "table_name"]
         by_rank = ["keyspace", "table_name", "rank"]
+        if args.cassandra_dir:
+            # directory-only mode: totals / per-sstable / TTL / top-size off
+            # REAL Data.db cell streams (sources/data_cells.py) + Index.db
+            # position-delta sizes; zero parquet. Scope = cell-decodable
+            # sstables (uncompressed, Statistics.db present); compressed
+            # sstables await the LZ4 phase and are announced, not silent.
+            from cassandra_sstable_tools_spark.sources import data_cells as dcm
+
+            names = args.filenames.split(",") if args.filenames else None
+            root = _scoped_cassdir_root(args)
+            _warn_partial_statistics(spark, root, names, "cfstats")
+            out.append(("Totals", _render(
+                _table_scope_filter(
+                    dcm.cfstats_global_from_dir(spark, root, names), args),
+                {"total_size": "bytes", "avg_partition_size": "bytes"},
+                order=by_table)))
+            out.append(("Per-SSTable", _render(
+                _table_scope_filter(
+                    dcm.cfstats_sstables_from_dir(spark, root, names), args),
+                {"size": "bytes", "min_timestamp": "ts_us",
+                 "max_timestamp": "ts_us"},
+                order=[*by_table, "sstable_id"])))
+            out.append(("TTL histogram", _render(
+                _table_scope_filter(
+                    dcm.cfstats_ttl_from_dir(spark, root, names), args),
+                order=[*by_table, "ttl"])))
+            out.append(("Largest partitions", _render(
+                _table_scope_filter(
+                    dcm.cfstats_top_size_from_dir(spark, root, args.n, names),
+                    args),
+                {"size": "bytes"}, order=by_rank)))
+            for title, table in out:
+                sys.stdout.write(f"{title}\n{table}\n")
+            return 0
         out.append(("Totals", _render(m.cfstats_global(spark, sf, approx=args.approx),
                                       {"total_size": "bytes", "avg_partition_size": "bytes"},
                                       order=by_table)))

@@ -63,6 +63,7 @@ def _modules():
     )
     from cassandra_sstable_tools_spark.operators import salting
     from cassandra_sstable_tools_spark.sources import (
+        data_cells,
         data_db,
         sstable_binary,
         statistics_db,
@@ -87,7 +88,7 @@ def _modules():
         ann_index,
         pipeline, events,
         timeseries, multimodal, catalog, salting, stateful, events_stream,
-        sstable_binary, statistics_db, data_db, bpe,
+        sstable_binary, statistics_db, data_db, bpe, data_cells,
     ]
 
 

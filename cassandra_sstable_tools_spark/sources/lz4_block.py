@@ -1,0 +1,366 @@
+"""Pure-Python LZ4 BLOCK codec + Cassandra chunk framing.
+
+Compression is on by default in real clusters, so every point-read path
+(partition headers, cell streams, digest-adjacent verification) must reach
+through the CompressionInfo.db chunk map and an LZ4 block decode; the
+container has no lz4 wheel, and the format is public (the LZ4 block spec
+and Apache Cassandra's ``LZ4Compressor`` / ``CompressedSequentialWriter``
+framing), so both live here in stdlib Python.
+
+LZ4 block format (spec-complete decoder):
+
+    repeated sequences:
+      token byte: high nibble = literal count (15 => extension bytes,
+                  each 255 adds 255, first non-255 terminates),
+                  low nibble = match length - 4 (15 => same extension)
+      <literals>
+      match offset: 2 bytes LITTLE-endian (absent in the final sequence)
+      match copies may OVERLAP the output tail (offset < length) -- the
+      RLE trick; the copy loop must be byte-wise semantics
+    the final sequence is literals-only.
+
+Cassandra chunk framing (``LZ4Compressor.compress`` +
+``CompressedSequentialWriter``):
+
+    on-disk chunk  = [4-byte LITTLE-endian decompressed length]
+                     [LZ4 block bytes]
+                     [4-byte BIG-endian CRC32 of the preceding bytes]
+    chunk boundaries come from CompressionInfo.db's offset array; chunk i
+    occupies [offsets[i], offsets[i+1]) (the last chunk ends at
+    ``compressed_file_length``), each including its 4-byte checksum.
+    Formats >= "na" store a chunk RAW (no length header, no LZ4) when
+    compression failed to get under ``maxCompressedLength``; the reader
+    detects that case by the on-disk chunk size.
+
+The fixture-side compressor emits literal runs for non-zero islands and
+(offset=1) overlap matches for zero runs -- deterministic, valid LZ4 that
+any spec decoder (including the real lz4 library) can decompress; it is
+NOT a general-purpose compressor and refuses nothing (worst case it
+expands by the token overhead).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+# Cassandra's LZ4Compressor prepends the decompressed length, little-endian
+_LEN_HEADER = 4
+_CHECKSUM = 4
+# a match copies at least 4 bytes (the LZ4 "minmatch")
+_MIN_MATCH = 4
+
+
+def lz4_decompress(src: bytes, expected_len: int, source: str = "<bytes>") -> bytes:
+    """Spec-complete LZ4 block decode -> exactly ``expected_len`` bytes;
+    loud ValueError (naming the source) on any structural violation."""
+    out = bytearray()
+    i, n = 0, len(src)
+
+    def err(msg: str) -> ValueError:
+        return ValueError(f"corrupt LZ4 block {source}: {msg} at byte {i}")
+
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if i >= n:
+                    raise err("literal-length extension past end")
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        if i + lit_len > n:
+            raise err(f"literal run of {lit_len} past end")
+        out += src[i : i + lit_len]
+        i += lit_len
+        if i == n:
+            break  # final sequence: literals only
+        if i + 2 > n:
+            raise err("match offset past end")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise err(f"match offset {offset} outside window of {len(out)}")
+        match_len = (token & 0x0F) + _MIN_MATCH
+        if token & 0x0F == 15:
+            while True:
+                if i >= n:
+                    raise err("match-length extension past end")
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        # overlap-capable copy (offset < match_len is the RLE idiom)
+        pos = len(out) - offset
+        for _ in range(match_len):
+            out.append(out[pos])
+            pos += 1
+    if len(out) != expected_len:
+        raise ValueError(
+            f"corrupt LZ4 block {source}: decompressed to {len(out)} bytes, "
+            f"expected {expected_len}"
+        )
+    return bytes(out)
+
+
+def _emit_sequence(out: bytearray, literals: bytes, match_len: int) -> None:
+    """One LZ4 sequence: the literals, then a zero-run match of
+    ``match_len`` bytes via an offset-1 overlap copy (0 = final sequence,
+    literals only)."""
+    lit_len = len(literals)
+    lit_nib = min(lit_len, 15)
+    if match_len:
+        m = match_len - _MIN_MATCH
+        tok_m = min(m, 15)
+    else:
+        tok_m = 0
+    out.append((lit_nib << 4) | tok_m)
+    if lit_nib == 15:
+        rest = lit_len - 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+    out += literals
+    if match_len:
+        out += b"\x01\x00"  # offset 1: repeat the previous byte
+        if tok_m == 15:
+            rest = match_len - _MIN_MATCH - 15
+            while rest >= 255:
+                out.append(255)
+                rest -= 255
+            out.append(rest)
+
+
+def lz4_compress_fixture(data: bytes) -> bytes:
+    """Deterministic valid-LZ4 encoder for fixture chunks: zero runs become
+    offset-1 matches, everything else is literals. The LAST sequence is
+    literals-only per spec (a trailing zero run keeps its final 5+ bytes
+    as literals; spec also forbids matches starting within the last 12
+    bytes, so runs near the end are literal-ized)."""
+    out = bytearray()
+    n = len(data)
+    i = 0
+    lit_start = 0
+    # spec: the last 5 bytes are always literals; no match may start
+    # within the last 12 bytes of the block
+    guard = max(0, n - 12)
+    while i < guard:
+        if data[i] == 0:
+            j = i
+            while j < n and data[j] == 0:
+                j += 1
+            run_end = min(j, n - 5)  # spec: last 5 bytes stay literals
+            run = run_end - i
+            # a match needs a previous byte to copy (offset 1): the run
+            # cannot start the block, and short runs aren't worth a token
+            if run >= _MIN_MATCH + 1 and i > 0:
+                literals = data[lit_start : i + 1]  # keep one zero literal
+                _emit_sequence(out, literals, run - 1)
+                lit_start = run_end
+                i = run_end
+                continue
+            i = j if j > i else i + 1
+        else:
+            i += 1
+    _emit_sequence(out, data[lit_start:], 0)
+    return bytes(out)
+
+
+def encode_chunk(data: bytes) -> bytes:
+    """One Cassandra on-disk chunk: LE length header + LZ4 + BE CRC32."""
+    body = struct.pack("<i", len(data)) + lz4_compress_fixture(data)
+    return body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def decode_chunk(
+    raw: bytes,
+    expected_len: int,
+    max_compressed_length: int | None,
+    source: str = "<bytes>",
+    verify_checksum: bool = True,
+) -> bytes:
+    """One on-disk chunk -> decompressed bytes. ``raw`` includes the
+    trailing checksum. Formats >= "na" store an incompressible chunk RAW;
+    detected (as the reader does) by the on-disk size reaching
+    ``max_compressed_length``."""
+    if len(raw) < _CHECKSUM + 1:
+        raise ValueError(f"corrupt chunk {source}: {len(raw)} bytes on disk")
+    body, stored = raw[:-_CHECKSUM], raw[-_CHECKSUM:]
+    if verify_checksum:
+        crc = zlib.crc32(body) & 0xFFFFFFFF
+        if struct.unpack(">I", stored)[0] != crc:
+            raise ValueError(
+                f"corrupt chunk {source}: checksum mismatch "
+                f"(stored {stored.hex()}, computed {crc:08x})"
+            )
+    if max_compressed_length is not None and len(body) >= max_compressed_length:
+        if len(body) != expected_len:
+            raise ValueError(
+                f"corrupt chunk {source}: raw chunk of {len(body)} bytes, "
+                f"expected {expected_len}"
+            )
+        return body
+    if len(body) < _LEN_HEADER:
+        raise ValueError(f"corrupt chunk {source}: no length header")
+    (dlen,) = struct.unpack("<i", body[:_LEN_HEADER])
+    if dlen != expected_len:
+        raise ValueError(
+            f"corrupt chunk {source}: embedded length {dlen} != chunk "
+            f"extent {expected_len}"
+        )
+    return lz4_decompress(body[_LEN_HEADER:], expected_len, source=source)
+
+
+class CompressedRangeReader:
+    """Random-access byte ranges over a chunk-compressed Data.db.
+
+    Mirrors Cassandra's ``CompressedRandomAccessReader``: a logical
+    (uncompressed) offset maps to chunk ``offset // chunkLength``; the
+    chunk decodes whole, the range slices out of it. A one-chunk LRU
+    keeps sequential partition reads from re-decoding the same chunk;
+    memory bound = one chunk (64 KiB default) regardless of file size."""
+
+    def __init__(
+        self,
+        fobj,
+        file_length: int,
+        chunk_length: int,
+        data_length: int,
+        offsets: list[int],
+        max_compressed_length: int | None,
+        source: str = "<file>",
+    ):
+        if chunk_length <= 0:
+            raise ValueError(f"corrupt chunk map {source}: chunkLength 0")
+        self.f = fobj
+        self.file_length = file_length
+        self.chunk_length = chunk_length
+        self.data_length = data_length
+        self.offsets = offsets
+        self.max_compressed_length = max_compressed_length
+        self.source = source
+        self._cache: tuple[int, bytes] | None = None
+
+    def _chunk(self, ci: int) -> bytes:
+        if self._cache is not None and self._cache[0] == ci:
+            return self._cache[1]
+        if ci >= len(self.offsets):
+            raise ValueError(
+                f"corrupt chunk map {self.source}: chunk {ci} beyond "
+                f"{len(self.offsets)} chunks"
+            )
+        start = self.offsets[ci]
+        end = (
+            self.offsets[ci + 1]
+            if ci + 1 < len(self.offsets)
+            else self.file_length
+        )
+        expected = min(
+            self.chunk_length, self.data_length - ci * self.chunk_length
+        )
+        self.f.seek(start)
+        raw = self.f.read(end - start)
+        if len(raw) != end - start:
+            raise ValueError(
+                f"corrupt Data.db {self.source}: chunk {ci} truncated"
+            )
+        data = decode_chunk(
+            raw, expected, self.max_compressed_length,
+            source=f"{self.source}#chunk{ci}",
+        )
+        self._cache = (ci, data)
+        return data
+
+    def read(self, start: int, length: int) -> bytes:
+        """Uncompressed byte range [start, start+length); short reads at
+        data end return fewer bytes (like a plain file read)."""
+        if start >= self.data_length or length <= 0:
+            return b""
+        length = min(length, self.data_length - start)
+        out = bytearray()
+        ci = start // self.chunk_length
+        pos = start
+        remaining = length
+        while remaining > 0:
+            chunk = self._chunk(ci)
+            lo = pos - ci * self.chunk_length
+            take = min(len(chunk) - lo, remaining)
+            if take <= 0:
+                raise ValueError(
+                    f"corrupt Data.db {self.source}: chunk {ci} shorter "
+                    "than the chunk map promises"
+                )
+            out += chunk[lo : lo + take]
+            pos += take
+            remaining -= take
+            ci += 1
+        return bytes(out)
+
+
+def write_chunked_file(
+    data_blocks: list[tuple[int, bytes]],
+    data_length: int,
+    chunk_length: int,
+    out_fobj,
+    max_compressed_length: int | None = None,
+) -> list[int]:
+    """Fixture writer: materialize a chunk-compressed Data.db whose
+    UNCOMPRESSED image is ``data_length`` zero bytes overlaid with
+    ``data_blocks`` ([(offset, bytes)], sorted, non-overlapping). Chunks
+    are generated lazily (one chunk buffer in memory, never the whole
+    image -- the image can be GBs while its interesting bytes are KBs)
+    and every chunk is LZ4-compressed; returns the chunk offsets for
+    CompressionInfo.db."""
+    blocks = sorted(data_blocks)
+    offsets: list[int] = []
+    pos = 0
+    bi = 0
+    n_chunks = (data_length + chunk_length - 1) // chunk_length
+    for ci in range(n_chunks):
+        lo = ci * chunk_length
+        size = min(chunk_length, data_length - lo)
+        buf = bytearray(size)
+        while bi < len(blocks) and blocks[bi][0] < lo + size:
+            boff, bdata = blocks[bi]
+            if boff + len(bdata) <= lo:
+                bi += 1
+                continue
+            s = max(boff, lo)
+            e = min(boff + len(bdata), lo + size)
+            buf[s - lo : e - lo] = bdata[s - boff : e - boff]
+            if boff + len(bdata) <= lo + size:
+                bi += 1
+            else:
+                break  # block spills into the next chunk
+        chunk = encode_chunk(bytes(buf))
+        if (
+            max_compressed_length is not None
+            and len(chunk) - _CHECKSUM >= max_compressed_length
+        ):
+            # incompressible chunk: store RAW like Cassandra's >= "na"
+            # writer. The reader detects raw by body size reaching
+            # maxCompressedLength, so only FULL chunks can be stored raw
+            # unambiguously; an incompressible PARTIAL chunk would decode
+            # down the wrong path -- refuse loudly (the sparse fixture
+            # never produces one; a general writer would need the real
+            # lz4 matcher to shrink it under the bound instead).
+            if size < max_compressed_length:
+                raise ValueError(
+                    f"incompressible partial chunk {ci} ({size} bytes) "
+                    "cannot be stored unambiguously"
+                )
+            body = bytes(buf)
+            chunk = body + struct.pack(
+                ">I", zlib.crc32(body) & 0xFFFFFFFF
+            )
+        offsets.append(pos)
+        out_fobj.seek(pos)
+        out_fobj.write(chunk)
+        pos += len(chunk)
+    return offsets

@@ -73,14 +73,25 @@ from pyspark.sql import functions as F
 
 
 def write_unsigned_vint(value: int) -> bytes:
-    """Encode a non-negative int in Cassandra's unsigned-vint format."""
+    """Encode an int in Cassandra's unsigned-vint format.
+
+    Negative longs follow ``VIntCoding.writeUnsignedVInt``: the value is
+    its 64-bit two's complement, which has bit 63 set and therefore
+    always takes the 9-byte form (first byte 0xFF = 8 extra bytes, then
+    the raw 8 value bytes). EncodingStats epochs make this reachable in
+    real files: ``minTimestamp - TIMESTAMP_EPOCH`` is negative for any
+    sstable whose oldest write predates 2015-09-22."""
     if value < 0:
-        raise ValueError(f"unsigned vint cannot encode negative {value}")
+        if value < -(1 << 63):
+            raise ValueError(f"value {value} exceeds 64-bit vint range")
+        value &= (1 << 64) - 1
     if value < 0x80:
         return bytes([value])
-    extra = (value.bit_length() - 1) // 7  # number of extra bytes
-    if extra > 8:
+    if value >= 1 << 64:
         raise ValueError(f"value {value} exceeds 64-bit vint range")
+    extra = (value.bit_length() - 1) // 7  # number of extra bytes
+    if extra >= 8:  # bit_length 57..64: 0xFF marker + all 8 value bytes
+        return bytes([0xFF]) + value.to_bytes(8, "big")
     mask = (0xFF << (8 - extra)) & 0xFF  # `extra` leading 1-bits
     out = bytearray([(value >> (8 * extra)) | mask])
     for i in range(extra - 1, -1, -1):
@@ -529,6 +540,17 @@ def parse_compression_info(
     content: bytes, version: str = _DEFAULT_VERSION, source: str = "<bytes>"
 ) -> int:
     """Parse a CompressionInfo.db header -> uncompressed dataLength."""
+    return parse_compression_info_full(content, version, source)[1]
+
+
+def parse_compression_info_full(
+    content: bytes, version: str = _DEFAULT_VERSION, source: str = "<bytes>"
+) -> tuple[int, int, int | None, list[int]]:
+    """Full CompressionInfo.db parse -> (chunkLength, dataLength,
+    maxCompressedLength or None pre-"na", [chunk offsets]). The offsets
+    are absolute positions in the compressed Data.db; chunk i occupies
+    [offsets[i], offsets[i+1]) (last chunk ends at the file length), each
+    chunk including its trailing 4-byte checksum."""
     try:
         off = 0
         _, off = _read_java_utf(content, off, source)  # compressor name
@@ -539,12 +561,37 @@ def parse_compression_info(
         for _ in range(n_opts):
             _, off = _read_java_utf(content, off, source)
             _, off = _read_java_utf(content, off, source)
-        off += 4  # chunkLength
+        chunk_length = int.from_bytes(content[off : off + 4], "big")
+        off += 4
+        max_compressed = None
         if version >= "na":
-            off += 4  # maxCompressedLength (4.0+ formats only)
-        if off + 8 > len(content):
+            max_compressed = int.from_bytes(content[off : off + 4], "big")
+            off += 4
+        if off + 12 > len(content):
             raise ValueError("dataLength past EOF")
-        return int.from_bytes(content[off : off + 8], "big")
+        data_length = int.from_bytes(content[off : off + 8], "big")
+        off += 8
+        n_chunks = int.from_bytes(content[off : off + 4], "big")
+        off += 4
+        expect = (
+            (data_length + chunk_length - 1) // chunk_length
+            if chunk_length > 0
+            else 0
+        )
+        if n_chunks != expect:
+            raise ValueError(
+                f"chunk count {n_chunks} != ceil(dataLength/chunkLength) "
+                f"= {expect}"
+            )
+        if off + 8 * n_chunks > len(content):
+            raise ValueError("chunk offsets past EOF")
+        offsets = [
+            int.from_bytes(content[off + 8 * i : off + 8 * i + 8], "big")
+            for i in range(n_chunks)
+        ]
+        if any(b > a for a, b in zip(offsets[1:], offsets)):
+            raise ValueError("chunk offsets not monotonically increasing")
+        return chunk_length, data_length, max_compressed, offsets
     except (ValueError, IndexError) as e:
         raise ValueError(f"corrupt CompressionInfo.db {source}: {e}") from None
 
@@ -733,14 +780,16 @@ def materialize_index_files(
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
     if root is None:
-        # ":v6" salt: v2 added sparse Data.db files (directory-only pstats),
+        # ":v7" salt: v2 added sparse Data.db files (directory-only pstats),
         # v3 made alternate sstables "compressed" (short Data.db +
         # CompressionInfo.db header), v4 added real Statistics.db
         # components, v5 writes real partition headers (key + DeletionTime)
-        # into uncompressed Data.db files, v6 adds Digest.crc32 components;
+        # into uncompressed Data.db files, v6 adds Digest.crc32 components,
+        # v7 adds real SerializationHeaders + full cell-grain partition
+        # bodies (sources/data_cells.py) to uncompressed Data.db files;
         # older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v6").encode()
+            (os.path.abspath(sf_dir) + ":v7").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -772,6 +821,11 @@ def materialize_index_files(
         by_sstable.setdefault(
             (r["keyspace"], r["table_name"], r["sstable_id"]), []
         ).append((r["partition_key"].encode("utf-8"), int(r["position"])))
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        encode_unfiltereds,
+        fixture_cell_payload,
+        partition_budget_ok,
+    )
     from cassandra_sstable_tools_spark.sources.data_db import (
         encode_partition_header,
         fixture_partition_headers,
@@ -783,6 +837,7 @@ def materialize_index_files(
 
     stats_map = fixture_stats(spark, sf_dir)
     deletions_map = fixture_partition_headers(spark, sf_dir)
+    cell_payload = fixture_cell_payload(spark, sf_dir)
     # non-null psize = the partition owns a disjoint [pos, pos+psize) byte
     # region of its Data.db, so its header write can never collide; a
     # NULL-psize partition shares its offset with its successor and gets
@@ -807,16 +862,20 @@ def materialize_index_files(
             os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Index.db"), "wb"
         ) as f:
             f.write(encode_index_db(entries))
-        # real Statistics.db (StatsMetadata + ValidationMetadata), absent
-        # for all-NULL-timestamp sstables (see statistics_db.fixture_stats)
+        # real Statistics.db (StatsMetadata + ValidationMetadata +, v7, the
+        # SerializationHeader the cell codec needs), absent for
+        # all-NULL-timestamp sstables (see statistics_db.fixture_stats)
         if (ks, tb, ss) in stats_map:
+            hdr = cell_payload.get((ks, tb, ss), (None, None))[0]
             with open(
                 os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Statistics.db"),
                 "wb",
             ) as f:
                 f.write(
                     encode_statistics_db(
-                        stats_map[(ks, tb, ss)], version=_DEFAULT_VERSION
+                        stats_map[(ks, tb, ss)],
+                        version=_DEFAULT_VERSION,
+                        header=hdr,
                     )
                 )
         # sparse Data.db sized to the metadata length: the directory-only
@@ -835,24 +894,35 @@ def materialize_index_files(
                 pass
             os.truncate(dpath, true_len * 3 // 5 if compressed else true_len)
             if not compressed:
-                # real partition headers (key + DeletionTime) at the index
-                # offsets; the rest of each block stays a sparse hole (cell
-                # bytes -- the documented non-goal). Compressed files hold
-                # stand-in compressed bytes, so no plaintext headers there.
+                # real partition blocks at the index offsets: header (key +
+                # DeletionTime), then (v7) every encodable cell record of
+                # the partition serialized through the big-format codec and
+                # an END marker -- budget-failing partitions keep header +
+                # END (decode as empty; the oracle mirrors the budget
+                # rule). Block slack stays a sparse hole. Compressed files
+                # hold stand-in compressed bytes, so no plaintext blocks
+                # there (until the LZ4 phase).
                 from cassandra_sstable_tools_spark.sources.data_db import (
                     LIVE_LDT,
                     LIVE_MFDA,
                 )
 
                 dels = deletions_map.get((ks, tb, ss), {})
+                hdr, parts = cell_payload.get((ks, tb, ss), (None, {}))
                 with open(dpath, "r+b") as f:
                     for key, position in entries:
                         pk = key.decode("utf-8")
-                        if psizes.get((ks, tb, ss, pk)) is None:
+                        psize = psizes.get((ks, tb, ss, pk))
+                        if psize is None:
                             continue
                         ldt, mfda = dels.get(pk, (LIVE_LDT, LIVE_MFDA))
                         f.seek(position)
                         f.write(encode_partition_header(key, ldt, mfda))
+                        recs = parts.get(pk, []) if hdr is not None else []
+                        if recs and partition_budget_ok(int(psize), recs):
+                            f.write(encode_unfiltereds(recs, hdr))
+                        else:
+                            f.write(b"\x01")  # bare END_OF_PARTITION
             # Digest.crc32: ASCII decimal CRC32 of the on-disk Data.db
             # bytes (compressed stand-ins included) -- written LAST so it
             # covers the partition headers above

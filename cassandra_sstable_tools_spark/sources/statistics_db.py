@@ -107,6 +107,8 @@ from cassandra_sstable_tools_spark.sources.sstable_binary import (
     _parse_filename,
     _read_java_utf,
     _write_java_utf,
+    read_unsigned_vint,
+    write_unsigned_vint,
 )
 
 _TYPE_VALIDATION = 0
@@ -296,24 +298,186 @@ def encode_stats_metadata(stats: SSTableStats, version: str) -> bytes:
     return bytes(out)
 
 
-def _enc_header_filler(seed: int = 0) -> bytes:
-    """Opaque SerializationHeader stand-in: the stats analytics never read
-    it (it describes cell types for Data.db decoding), but a structurally
-    complete file needs the component present at a TOC offset."""
-    return bytes((seed * 13 + i * 7) & 0xFF for i in range(24))
+# --------------------------------------------------------------------------
+# SerializationHeader component (TOC type 3): the schema the Data.db cell
+# codec needs -- EncodingStats delta bases + key/clustering/column types.
+# Format (public knowledge, ``SerializationHeader.serializer.serialize``;
+# all vints are Cassandra unsigned vints, strings are vint-length-prefixed
+# UTF-8):
+#
+#     EncodingStats: unsignedVInt(minTimestamp        - TIMESTAMP_EPOCH)
+#                    unsignedVInt(minLocalDeletionTime - DELETION_TIME_EPOCH)
+#                    unsignedVInt(minTTL              - TTL_EPOCH)
+#     vint-str  key validator type name
+#     unsignedVInt(n clustering types) + n * vint-str
+#     unsignedVInt(n static columns)  + n * (vint-str name, vint-str type)
+#     unsignedVInt(n regular columns) + n * (vint-str name, vint-str type)
+#
+# EncodingStats epochs (EncodingStats.java statics): 2015-09-22 00:00:00 UTC
+# -- micros for timestamps, seconds for deletion times, 0 for TTLs. Deltas
+# can be NEGATIVE (an sstable whose oldest write predates the epoch), which
+# on the wire is the 9-byte two's-complement vint form.
+# --------------------------------------------------------------------------
+
+ENC_TIMESTAMP_EPOCH = 1_442_880_000_000_000
+ENC_DELETION_TIME_EPOCH = 1_442_880_000
+ENC_TTL_EPOCH = 0
+
+UTF8_TYPE = "org.apache.cassandra.db.marshal.UTF8Type"
+LONG_TYPE = "org.apache.cassandra.db.marshal.LongType"
+COUNTER_TYPE = "org.apache.cassandra.db.marshal.CounterColumnType"
+
+# fixed-length value types (AbstractType.valueLengthIfFixed): the cell codec
+# writes these raw, everything else vint-length-prefixed
+FIXED_VALUE_LENGTHS = {
+    LONG_TYPE: 8,
+    "org.apache.cassandra.db.marshal.Int32Type": 4,
+    "org.apache.cassandra.db.marshal.TimestampType": 8,
+    "org.apache.cassandra.db.marshal.DoubleType": 8,
+    "org.apache.cassandra.db.marshal.FloatType": 4,
+    "org.apache.cassandra.db.marshal.BooleanType": 1,
+    "org.apache.cassandra.db.marshal.UUIDType": 16,
+    "org.apache.cassandra.db.marshal.TimeUUIDType": 16,
+}
 
 
-def encode_statistics_db(stats: SSTableStats, version: str = "nb") -> bytes:
+@dataclass
+class SerializationHeaderInfo:
+    """Deserialized SerializationHeader.Component."""
+
+    min_timestamp: int = ENC_TIMESTAMP_EPOCH
+    min_local_deletion_time: int = ENC_DELETION_TIME_EPOCH
+    min_ttl: int = 0
+    key_type: str = UTF8_TYPE
+    clustering_types: list[str] = field(default_factory=list)
+    static_columns: list[tuple[str, str]] = field(default_factory=list)
+    regular_columns: list[tuple[str, str]] = field(default_factory=list)
+
+
+def _write_vint_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return write_unsigned_vint(len(b)) + b
+
+
+def encode_serialization_header(h: SerializationHeaderInfo) -> bytes:
+    out = bytearray()
+    out += write_unsigned_vint(h.min_timestamp - ENC_TIMESTAMP_EPOCH)
+    out += write_unsigned_vint(
+        h.min_local_deletion_time - ENC_DELETION_TIME_EPOCH
+    )
+    out += write_unsigned_vint(h.min_ttl - ENC_TTL_EPOCH)
+    out += _write_vint_str(h.key_type)
+    out += write_unsigned_vint(len(h.clustering_types))
+    for t in h.clustering_types:
+        out += _write_vint_str(t)
+    for cols in (h.static_columns, h.regular_columns):
+        out += write_unsigned_vint(len(cols))
+        for name, t in cols:
+            out += _write_vint_str(name)
+            out += _write_vint_str(t)
+    return bytes(out)
+
+
+def _read_signed_delta(r: _Reader) -> int:
+    """Unsigned vint reinterpreted as a signed 64-bit long (the
+    EncodingStats deltas can be negative)."""
+    v = _read_vint(r)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _read_vint(r: _Reader) -> int:
+    try:
+        v, r.off = read_unsigned_vint(r.buf, r.off)
+    except (IndexError, ValueError):
+        raise ValueError(
+            f"corrupt Statistics.db {r.source}: vint at offset {r.off} "
+            "runs past EOF"
+        ) from None
+    return v
+
+
+def _read_vint_str(r: _Reader, what: str) -> str:
+    n = _read_vint(r)
+    if not 0 <= n <= 65536:
+        raise ValueError(
+            f"corrupt Statistics.db {r.source}: implausible {what} length "
+            f"{n} at offset {r.off}"
+        )
+    return r.take(n).decode("utf-8")
+
+
+def parse_serialization_header(
+    content: bytes, version: str = "nb", source: str = "<bytes>"
+) -> SerializationHeaderInfo:
+    """Parse the HEADER component out of a whole Statistics.db file."""
+    _check_supported_version(version, source)
+    toc = _read_toc(content, source)
+    if _TYPE_HEADER not in toc:
+        raise ValueError(
+            f"corrupt Statistics.db {source}: no HEADER component in TOC "
+            f"(types {sorted(toc)}) -- cell decoding needs the "
+            "SerializationHeader"
+        )
+    r = _Reader(content, toc[_TYPE_HEADER], source)
+    h = SerializationHeaderInfo()
+    h.min_timestamp = _read_signed_delta(r) + ENC_TIMESTAMP_EPOCH
+    h.min_local_deletion_time = (
+        _read_signed_delta(r) + ENC_DELETION_TIME_EPOCH
+    )
+    h.min_ttl = _read_signed_delta(r) + ENC_TTL_EPOCH
+    h.key_type = _read_vint_str(r, "key type name")
+    n_clust = _read_vint(r)
+    if n_clust > 1000:
+        raise ValueError(
+            f"corrupt Statistics.db {source}: implausible clustering type "
+            f"count {n_clust}"
+        )
+    h.clustering_types = [
+        _read_vint_str(r, "clustering type name") for _ in range(n_clust)
+    ]
+    for attr in ("static_columns", "regular_columns"):
+        n_cols = _read_vint(r)
+        if n_cols > 100_000:
+            raise ValueError(
+                f"corrupt Statistics.db {source}: implausible column "
+                f"count {n_cols}"
+            )
+        setattr(
+            h,
+            attr,
+            [
+                (
+                    _read_vint_str(r, "column name"),
+                    _read_vint_str(r, "column type name"),
+                )
+                for _ in range(n_cols)
+            ],
+        )
+    return h
+
+
+def encode_statistics_db(
+    stats: SSTableStats,
+    version: str = "nb",
+    header: SerializationHeaderInfo | None = None,
+) -> bytes:
     """Assemble a complete Statistics.db: TOC + all four components, with
     CRC32 ints after the TOC and each component on 4.0+ versions (offsets
-    account for them, like ``MetadataSerializer.serialize``)."""
+    account for them, like ``MetadataSerializer.serialize``). ``header``
+    defaults to a minimal real SerializationHeader (UTF8 key, no
+    clusterings or columns) so every encoded file parses end-to-end."""
     _check_supported_version(version, "<encode>")
     seed = stats.level * 31 + (stats.total_rows & 0xFF)
     components = [
         (_TYPE_VALIDATION, encode_validation_metadata(stats)),
         (_TYPE_COMPACTION, encode_compaction_metadata(seed)),
         (_TYPE_STATS, encode_stats_metadata(stats, version)),
-        (_TYPE_HEADER, _enc_header_filler(seed)),
+        (
+            _TYPE_HEADER,
+            encode_serialization_header(
+                header if header is not None else SerializationHeaderInfo()
+            ),
+        ),
     ]
     checksum = _has_checksum(version)
     toc = bytearray(struct.pack(">i", len(components)))
@@ -438,15 +602,8 @@ def _parse_clustering(r: _Reader) -> list[bytes]:
     return out
 
 
-def parse_statistics_db(
-    content: bytes, version: str = "nb", source: str = "<bytes>"
-) -> SSTableStats:
-    """Parse a Statistics.db -> SSTableStats. Offset-driven via the TOC;
-    reads VALIDATION and STATS, skips COMPACTION/HEADER (opaque to size
-    analytics). Unknown trailing StatsMetadata fields from future versions
-    are tolerated (the format evolves append-only within a family); every
-    structural violation raises a ValueError naming file and offset."""
-    _check_supported_version(version, source)
+def _read_toc(content: bytes, source: str) -> dict[int, int]:
+    """Component-type -> absolute offset, bounds-validated."""
     r = _Reader(content, 0, source)
     (n_comp,) = r.unpack(">i")
     if not 1 <= n_comp <= 16:
@@ -463,6 +620,21 @@ def parse_statistics_db(
                 f"offset {offset} outside file of {len(content)} bytes"
             )
         toc[type_id] = offset
+    return toc
+
+
+def parse_statistics_db(
+    content: bytes, version: str = "nb", source: str = "<bytes>"
+) -> SSTableStats:
+    """Parse a Statistics.db -> SSTableStats. Offset-driven via the TOC;
+    reads VALIDATION and STATS, skips COMPACTION (opaque to size
+    analytics; the HEADER component has its own parser,
+    ``parse_serialization_header``, feeding the Data.db cell codec).
+    Unknown trailing StatsMetadata fields from future versions
+    are tolerated (the format evolves append-only within a family); every
+    structural violation raises a ValueError naming file and offset."""
+    _check_supported_version(version, source)
+    toc = _read_toc(content, source)
     if _TYPE_STATS not in toc:
         raise ValueError(
             f"corrupt Statistics.db {source}: no STATS component in TOC "

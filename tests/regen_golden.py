@@ -89,6 +89,8 @@ def regen() -> None:
         ("sstables_cassdir_nostats",
          ["sstables", "--cassandra-dir", nostats]),
         ("summary_cassdir", ["summary", "--cassandra-dir", root]),
+        # r08: cfstats off REAL Data.db cell streams (sources/data_cells.py)
+        ("cfstats_cassdir", ["cfstats", "--cassandra-dir", root]),
     ]
     for cmd, argv in cases:
         buf = io.StringIO()

@@ -138,3 +138,23 @@ def test_cli_golden_sstables_cassdir_nostats(spark, tmp_path):
             "sstables_cassdir_nostats transcript drifted from "
             "tests/golden/sstables_cassdir_nostats.txt"
         )
+
+
+def test_cli_golden_cfstats_cassdir(spark):
+    """cfstats off REAL Data.db cell streams (r08: the last reference
+    command family gone directory-only), byte-for-byte."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["cfstats", "--cassandra-dir", root,
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, "cfstats_cassdir.txt")) as f:
+        assert buf.getvalue() == f.read(), (
+            "cfstats_cassdir transcript drifted from "
+            "tests/golden/cfstats_cassdir.txt"
+        )
