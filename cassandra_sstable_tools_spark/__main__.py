@@ -129,6 +129,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "tails closed by Data.db byte lengths; no parquet anywhere",
     )
     p.add_argument(
+        "--pin-snapshot", action="store_true",
+        help="--cassandra-dir: hardlink-snapshot the component files before "
+             "scanning (live-node isolation: compaction cannot delete files "
+             "mid-analysis; cleared after the report, reference "
+             "ColumnFamilyBackend.java:71-79)",
+    )
+    p.add_argument(
+        "--key-type", default=None, metavar="TYPE",
+        help="--cassandra-dir: render partition keys via the table's key "
+             "validator (string, long, int, uuid, timeuuid, "
+             "composite(t1,t2,...)) instead of the UTF-8-or-hex heuristic "
+             "(reference keyValidator.getString, "
+             "ColumnFamilyBackend.java:164-166)",
+    )
+    p.add_argument(
         "--approx", action="store_true",
         help="pstats/cfstats: bounded-memory percentile sketch instead of "
              "exact per-group buffering (the 100 TB path; within 10%% of "
@@ -172,6 +187,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             return 2
 
+    snap_root = None
+    if args.cassandra_dir and args.pin_snapshot:
+        # the reference's isolation move (ColumnFamilyBackend.java:71-79):
+        # hardlink-snapshot the component files so a live node's compaction
+        # cannot delete them mid-scan; cleared after the report, like the
+        # reference clears its snapshot on close
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            snapshot_components,
+        )
+
+        snap_root = snapshot_components(args.cassandra_dir)
+        args.cassandra_dir = snap_root
+
     owns_session = spark is None
     if owns_session:
         spark = get_spark(app_name=f"sstable-tools-{args.command}")
@@ -192,6 +220,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     finally:
         if owns_session:
             spark.stop()
+        if snap_root is not None:
+            __import__("shutil").rmtree(snap_root, ignore_errors=True)
 
 
 def _bucketed_section(spark, args, sf: str, out: list[tuple[str, str]]) -> None:
@@ -418,7 +448,8 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             names = args.filenames.split(",") if args.filenames else None
             root = _scoped_cassdir_root(args)
             entries = _table_scope_filter(
-                binary_index_entries(spark, root, filenames=names), args
+                binary_index_entries(spark, root, filenames=names,
+                                     key_type=args.key_type), args
             )
             lengths = _table_scope_filter(
                 data_file_lengths(spark, root, filenames=names), args
@@ -489,7 +520,9 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                 order=[*by_table, "ttl"])))
             out.append(("Largest partitions", _render(
                 _table_scope_filter(
-                    dcm.cfstats_top_size_from_dir(spark, root, args.n, names),
+                    dcm.cfstats_top_size_from_dir(
+                        spark, root, args.n, names,
+                        key_type=args.key_type),
                     args),
                 {"size": "bytes"}, order=by_rank)))
             for title, table in out:

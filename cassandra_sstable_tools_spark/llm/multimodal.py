@@ -746,3 +746,158 @@ QUERIES = {
     "media_dedup_exact": media_dedup_exact,
     "media_neardup_pairs": media_neardup_pairs,
 }
+
+
+# --------------------------------------------------------------------------
+# media_neardup_real: the real-pixel perceptual hash, driver-certified
+# --------------------------------------------------------------------------
+#
+# r07 residual: media_neardup_pairs certifies the banding/verify machinery
+# over a word-grid stand-in; the REAL-pixel kernel (PNG decode -> block-mean
+# gray -> aHash) was differential-tested but not driver-certified. This
+# query plants REAL PNG payloads in-plan -- pixel values a deterministic
+# md5 function of doc_id, so DuckDB can predict the resulting hashes -- and
+# runs the full encode -> decode -> gray -> aHash -> banding -> hamming
+# pipeline. The planted TWINS (every doc_id % TWIN_EVERY == 0 gets a 16x16
+# re-encode of its 8x8 image under doc_id + TWIN_OFFSET) are the r07
+# re-encode differential RUNNING INSIDE THE REGISTERED PLAN: different
+# bytes (byte dedup misses them), identical block means (hamming 0).
+
+TWIN_EVERY = 37
+TWIN_OFFSET = 10_000_000
+
+
+def encode_png_gray(rows: list[list[int]]) -> bytes:
+    """Minimal spec-conformant 8-bit grayscale PNG encoder (filter 0):
+    the production half of the planted-image pipeline (the test-side
+    encoder in tests/test_multimodal_real.py covers all filters/types)."""
+    import struct
+
+    h, w = len(rows), len(rows[0])
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b""))
+
+
+def planted_grid(doc_id: int) -> list[int]:
+    """The 64 deterministic gray values of doc ``doc_id``'s planted image:
+    cell j = first md5 hex nibble of '<doc_id>:<j>' -- the formula the
+    DuckDB oracle replays verbatim."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{doc_id}:{j}".encode()).hexdigest()[0], 16)
+        for j in range(64)
+    ]
+
+
+def planted_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) of planted PNGs: one 8x8 grayscale image per
+    document, plus a 16x16 2x-upscaled TWIN (same block means, different
+    bytes) for every TWIN_EVERY-th doc under doc_id + TWIN_OFFSET."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    twins = base.where(F.col("doc_id") % TWIN_EVERY == 0).select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id")
+    )
+    ids = base.unionByName(twins)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                src = did - TWIN_OFFSET if did >= TWIN_OFFSET else did
+                g = planted_grid(src)
+                if did >= TWIN_OFFSET:  # 16x16 2x-upscale: same block means
+                    rows = [
+                        [g[(r // 2) * 8 + (c // 2)] for c in range(16)]
+                        for r in range(16)
+                    ]
+                else:
+                    rows = [g[r * 8 : r * 8 + 8] for r in range(8)]
+                payloads.append(encode_png_gray(rows))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return ids.mapInPandas(kernel, "doc_id long, payload binary")
+
+
+def media_neardup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over REAL planted PNG pixels: payloads
+    PNG-encoded in-plan, then the full real-pixel kernel
+    (``media_phash_real``: decode, block-mean gray, aHash) and the shared
+    banding + hamming verify. The oracle predicts every hash from the
+    planted-pixel formula, so a bug anywhere in the PNG encoder, the
+    decoder, the gray kernel or the hash fold breaks the driver hash.
+    Reference analog: none (LLM-pipeline extension); kernels documented in
+    media_phash_real."""
+    ph = media_phash_real(planted_media(spark, sf_dir))
+    return phash_neardup_pairs_over(ph)
+
+
+def _phash_real_oracle() -> str:
+    from cassandra_sstable_tools_spark.operators.banding import (
+        capped_band_pairs_sql,
+    )
+
+    band_cte = capped_band_pairs_sql(
+        "bands", "doc_id", "doc_a", "doc_b", PHASH_MAX_BUCKET
+    )
+    return rf"""
+WITH ids AS (
+    SELECT doc_id, doc_id AS src FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id + {TWIN_OFFSET} AS doc_id, doc_id AS src
+    FROM documents WHERE text IS NOT NULL AND doc_id % {TWIN_EVERY} = 0
+),
+cells AS (
+    SELECT doc_id,
+           [strpos('0123456789abcdef',
+                   substr(md5(src::VARCHAR || ':' || j::VARCHAR), 1, 1)) - 1
+            FOR j IN range(0, 64)] AS cs
+    FROM ids
+),
+ph AS (
+    SELECT doc_id,
+           list_sum([CASE WHEN cs[j + 1] * 64 > list_sum(cs)
+                          THEN (1::BIGINT << (31 - j)) ELSE 0 END
+                     FOR j IN range(0, 32)]) AS ph_hi,
+           list_sum([CASE WHEN cs[j + 1] * 64 > list_sum(cs)
+                          THEN (1::BIGINT << (63 - j)) ELSE 0 END
+                     FOR j IN range(32, 64)]) AS ph_lo
+    FROM cells
+),
+bands AS (
+    SELECT doc_id, b.band_id,
+           CASE WHEN b.band_id < 4
+                THEN (ph_hi >> ((3 - b.band_id) * 8)) & 255
+                ELSE (ph_lo >> ((7 - b.band_id) * 8)) & 255 END AS bk
+    FROM ph, LATERAL (SELECT unnest(range(0, 8)) AS band_id) b
+),
+{band_cte}
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(pa.ph_hi, pb.ph_hi))
+           + bit_count(xor(pa.ph_lo, pb.ph_lo)) AS hamming
+FROM cands c
+JOIN ph pa ON pa.doc_id = c.doc_a
+JOIN ph pb ON pb.doc_id = c.doc_b
+WHERE bit_count(xor(pa.ph_hi, pb.ph_hi))
+          + bit_count(xor(pa.ph_lo, pb.ph_lo)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+QUERIES["media_neardup_real"] = media_neardup_real
+ORACLES["media_neardup_real"] = _phash_real_oracle()

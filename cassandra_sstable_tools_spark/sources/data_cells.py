@@ -65,11 +65,13 @@ cannot), and it verifies each block's key against the stream. Contents
 reduce to cell-grain records executor-side; nothing whole-file ever
 reaches the driver.
 
-Fixture notes (materialize_index_files v7): uncompressed fixture sstables
-carry REAL partition bodies -- every encodable record of the parquet
+Fixture notes (materialize_index_files v7/v8): every fixture sstable
+carries REAL partition bodies -- each encodable record of the parquet
 ``cells`` frame serialized through this module's encoder, back-to-back
 from the partition's Index.db offset, END-terminated, remaining block
-bytes sparse. Physical-representability rules the DuckDB oracles mirror:
+bytes sparse (uncompressed files) or zero bytes in the chunk image
+(compressed files, LZ4-chunked through lz4_block.write_chunked_file).
+Physical-representability rules the DuckDB oracles mirror:
 
 - partitions with NULL psize have no block (existing v5 rule);
 - a partition's records encode only when its byte budget covers worst-case
@@ -816,11 +818,11 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
     directory. One task per sstable; per sstable: Statistics.db HEADER
     parse, streaming Index.db position pass (positions only -- 8 bytes per
     partition in task memory), then per-partition block decodes.
+    Compressed sstables read through the CompressionInfo chunk map + the
+    pure-Python LZ4 block decoder (sources/lz4_block.py).
 
     Scope (all documented, all loud or oracle-mirrored):
     - sstables without a Statistics.db are skipped (no schema, no codec);
-    - compressed sstables (CompressionInfo.db sibling) are skipped until
-      the LZ4 phase;
     - sstables without a Data.db are skipped;
     - corruption inside a block raises, naming file and byte offset."""
     if not root.startswith(("/", "file:")):
@@ -840,6 +842,9 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
     def scan(batches) -> Iterator:
         import pandas as pd
 
+        from cassandra_sstable_tools_spark.sources.lz4_block import (
+            open_data_file,
+        )
         from cassandra_sstable_tools_spark.sources.statistics_db import (
             parse_serialization_header,
         )
@@ -856,7 +861,6 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
                 if (
                     not os.path.exists(data_path)
                     or not os.path.exists(stats_path)
-                    or os.path.exists(comp_path)
                 ):
                     continue
                 with open(stats_path, "rb") as f:
@@ -869,13 +873,13 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
                             idx, version=ver, source=path
                         )
                     )
-                file_len = os.path.getsize(data_path)
-                with open(data_path, "rb") as dat:
+                dat, data_len = open_data_file(data_path, comp_path, ver)
+                try:
                     for i, pos in enumerate(positions):
                         end = (
                             positions[i + 1]
                             if i + 1 < len(positions)
-                            else file_len
+                            else data_len
                         )
                         if end <= pos:
                             continue  # zero-extent: offset shared with successor
@@ -892,6 +896,8 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
                                 rec.is_counter, rec.cell_value,
                                 rec.range_start, rec.range_end,
                             ))
+                finally:
+                    dat.close()
             pdf_out = pd.DataFrame(rows, columns=_COLS)
             for c in ("writetime", "local_deletion_time", "cell_value"):
                 pdf_out[c] = pdf_out[c].astype("Int64")
@@ -903,9 +909,9 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
 
 def decodable_sstables(spark: SparkSession, root: str, filenames=None) -> DataFrame:
     """(keyspace, table_name, sstable_id) of cell-DECODABLE sstables: a
-    Data.db and a Statistics.db present, no CompressionInfo.db (until the
-    LZ4 phase). Three component listings, each 1 row per sstable; joins
-    always broadcast-able."""
+    Data.db and a Statistics.db present (compressed sstables decode
+    through the LZ4 chunk layer since v8). Two component listings, each
+    1 row per sstable; joins always broadcast-able."""
 
     def listing(component: str) -> DataFrame:
         files = _filter_files(
@@ -927,11 +933,7 @@ def decodable_sstables(spark: SparkSession, root: str, filenames=None) -> DataFr
         )
 
     keys = ["keyspace", "table_name", "sstable_id"]
-    return (
-        listing("Data.db")
-        .join(listing("Statistics.db"), keys, "semi")
-        .join(listing("CompressionInfo.db"), keys, "anti")
-    )
+    return listing("Data.db").join(listing("Statistics.db"), keys, "semi")
 
 
 # --------------------------------------------------------------------------
@@ -990,7 +992,7 @@ def _decoded_flags(c: DataFrame) -> DataFrame:
 
 
 def dir_partition_sizes(
-    spark: SparkSession, root: str, filenames=None
+    spark: SparkSession, root: str, filenames=None, key_type=None
 ) -> DataFrame:
     """(ks, tb, ss, pk, size) from Index.db position deltas -- the
     reference's own partition-size semantics (DataReader.java:118-121:
@@ -1005,7 +1007,7 @@ def dir_partition_sizes(
     )
 
     sizes = index_partition_sizes(
-        binary_index_entries(spark, root, filenames),
+        binary_index_entries(spark, root, filenames, key_type=key_type),
         data_file_lengths(spark, root, filenames),
     )
     return sizes.join(
@@ -1022,8 +1024,9 @@ def cfstats_global_from_dir(
     partition sizes from Index.db position deltas (the reference's scanner
     delta, DataReader.java:118-121), row/cell/tombstone counters from the
     decoded cell stream. Same report columns as the parquet
-    ``cfstats_global``; universe = cell-decodable sstables (uncompressed,
-    Statistics.db-bearing -- documented scope until the LZ4 phase)."""
+    ``cfstats_global``; universe = cell-decodable sstables (Data.db +
+    Statistics.db present; compressed sstables included via the LZ4 chunk
+    layer since v8)."""
     from cassandra_sstable_tools_spark.operators.percentiles import (
         percentile_cols,
     )
@@ -1162,14 +1165,14 @@ def cfstats_ttl_from_dir(
 
 
 def cfstats_top_size_from_dir(
-    spark: SparkSession, root: str, n: int, filenames=None
+    spark: SparkSession, root: str, n: int, filenames=None, key_type=None
 ) -> DataFrame:
     """``cfstats`` largest-partitions section, directory-only (T1 over the
     index-delta collate)."""
     from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
 
     collated = (
-        dir_partition_sizes(spark, root, filenames)
+        dir_partition_sizes(spark, root, filenames, key_type=key_type)
         .groupBy("keyspace", "table_name", "partition_key")
         .agg(F.sum("size").alias("size"))
     )
@@ -1191,19 +1194,15 @@ def _phys_ctes() -> str:
     """Shared CTE block: decodable sstables, record encodability + cost,
     budget-passing partitions, the stream-record projection, and the
     header partition-delete rows -- ONE SQL definition of the physical
-    rules, shared by all three cassdir cell oracles."""
-    from cassandra_sstable_tools_spark.sources.sstable_binary import (
-        compressed_parity_sql,
-    )
-
-    parity = compressed_parity_sql("sstables_meta")
-    return f"""
+    rules, shared by all three cassdir cell oracles. Compressed sstables
+    are IN SCOPE (v8): the reader reaches them through the chunk map +
+    LZ4 decode, so no parity exclusion remains."""
+    return """
 phys_sst AS (
     SELECT keyspace, table_name, sstable_id
     FROM sstables_meta
     WHERE uncompressed_length IS NOT NULL   -- Data.db present
       AND min_timestamp IS NOT NULL          -- Statistics.db present
-      AND NOT ({parity})                     -- uncompressed (LZ4 phase pending)
 ),
 enc_rec AS (
     SELECT c.*,

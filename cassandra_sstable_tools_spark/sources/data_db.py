@@ -1,10 +1,9 @@
 """Data.db partition-header ingestion -- partition-level deletions from
 REAL data files.
 
-A bounded, honest step into Data.db (the component whose CELL grain stays
-a documented gap: decoding rows/cells needs the SerializationHeader's
-schema-dependent codec). What IS readable with public knowledge and an
-Index.db in hand: every partition block in the "big" format starts with
+The PARTITION-grain subset of the Data.db surface (the CELL grain lives
+in sources/data_cells.py since r08): every partition block in the "big"
+format starts with
 
     [u16 BE key length][key bytes]        # ByteBufferUtil.writeWithShortLength
     [int localDeletionTime][long markedForDeleteAt]   # DeletionTime.serializer
@@ -17,10 +16,9 @@ required. ``DeletionTime.LIVE`` is (Integer.MAX_VALUE, Long.MIN_VALUE);
 anything else is a partition tombstone.
 
 Scope limits, by design and documented:
-- UNCOMPRESSED sstables only: a compressed Data.db cannot be seeked
-  without the CompressionInfo chunk map + LZ4 decompression (no lz4 in
-  the stdlib); sstables with a CompressionInfo.db sibling are skipped and
-  the certified oracle mirrors the exclusion.
+- COMPRESSED sstables read through the CompressionInfo.db chunk map and
+  the pure-Python LZ4 block decoder (sources/lz4_block.py) -- v8 closed
+  the former uncompressed-only scope.
 - POSIX-visible roots only (a real Cassandra data dir always is): the
   access pattern is point seeks, which ``binaryFile`` cannot express
   without shipping whole files.
@@ -48,7 +46,6 @@ from cassandra_sstable_tools_spark.sources.sstable_binary import (
     _filter_files,
     _local_path,
     _parse_filename,
-    compressed_parity_sql,
     render_key,
     stream_parse_index_db,
 )
@@ -100,8 +97,9 @@ def partition_deletions(
     spark: SparkSession, root: str, filenames=None
 ) -> DataFrame:
     """Partition-tombstone rows read straight from Data.db partition
-    headers (uncompressed sstables; offsets from the sibling Index.db).
-    LIVE partitions produce no row."""
+    headers (offsets from the sibling Index.db; compressed sstables read
+    through the CompressionInfo chunk map + LZ4 block decode -- v8 closed
+    the former uncompressed-only scope). LIVE partitions produce no row."""
     if not root.startswith(("/", "file:")):
         raise ValueError(
             "partition_deletions needs a POSIX-visible root (point seeks); "
@@ -120,6 +118,10 @@ def partition_deletions(
     def scan(batches) -> Iterator:
         import pandas as pd
 
+        from cassandra_sstable_tools_spark.sources.lz4_block import (
+            open_data_file,
+        )
+
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
@@ -127,21 +129,25 @@ def partition_deletions(
                 local = _local_path(path)
                 data_path = local[: -len("Index.db")] + "Data.db"
                 comp_path = local[: -len("Index.db")] + "CompressionInfo.db"
-                if not os.path.exists(data_path) or os.path.exists(comp_path):
-                    continue  # absent or compressed: documented exclusions
-                with open(local, "rb") as idx, open(data_path, "rb") as dat:
-                    for key, position in stream_parse_index_db(
-                        idx, version=ver, source=path
-                    ):
-                        got = read_partition_header(dat, position, key)
-                        if got is None:
-                            continue
-                        ldt, mfda = got
-                        if (ldt, mfda) == (LIVE_LDT, LIVE_MFDA):
-                            continue
-                        rows.append(
-                            (ks, tb, ss, render_key(key), ldt, mfda)
-                        )
+                if not os.path.exists(data_path):
+                    continue  # absent Data.db: documented exclusion
+                dat, _ = open_data_file(data_path, comp_path, ver)
+                try:
+                    with open(local, "rb") as idx:
+                        for key, position in stream_parse_index_db(
+                            idx, version=ver, source=path
+                        ):
+                            got = read_partition_header(dat, position, key)
+                            if got is None:
+                                continue
+                            ldt, mfda = got
+                            if (ldt, mfda) == (LIVE_LDT, LIVE_MFDA):
+                                continue
+                            rows.append(
+                                (ks, tb, ss, render_key(key), ldt, mfda)
+                            )
+                finally:
+                    dat.close()
             pdf_out = pd.DataFrame(
                 rows,
                 columns=[
@@ -204,10 +210,11 @@ def partition_deletions_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# uncompressed (NOT the md5-parity compressed subset), physically present
-# (non-null length), partition physically sized (non-null psize: a
-# zero-length partition shares its offset with its successor and its
-# header is neither written nor key-verifiable)
+# physically present (non-null length -- COMPRESSED sstables included
+# since v8: the reader goes through the chunk map + LZ4 decode), partition
+# physically sized (non-null psize: a zero-length partition shares its
+# offset with its successor and its header is neither written nor
+# key-verifiable)
 _ORACLE_TAIL = """
 SELECT c.keyspace, c.table_name, c.sstable_id, c.partition_key,
        CAST(max(c.local_deletion_time) AS BIGINT) AS local_deletion_time,
@@ -218,7 +225,6 @@ JOIN sstables_meta s USING (keyspace, table_name, sstable_id)
 JOIN per_part p USING (keyspace, table_name, sstable_id, partition_key)
 WHERE c.kind = 'PARTITION_DELETE'
   AND s.uncompressed_length IS NOT NULL
-  AND NOT ({PARITY})
   AND p.psize IS NOT NULL
 GROUP BY 1, 2, 3, 4
 HAVING max(c.local_deletion_time) IS NOT NULL
@@ -340,7 +346,7 @@ def _oracles() -> dict[str, str]:
     return {
         "partition_deletions_cassdir": with_adapter(
             _ORACLE_TAIL.format(
-                GC_BEFORE=GC_BEFORE, PARITY=compressed_parity_sql("c")
+                GC_BEFORE=GC_BEFORE
             )
         ),
         "digest_check_cassdir": with_adapter(_ORACLE_DIGEST_TAIL),

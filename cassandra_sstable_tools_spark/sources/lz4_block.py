@@ -41,6 +41,7 @@ expands by the token overhead).
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -54,6 +55,23 @@ _MIN_MATCH = 4
 def lz4_decompress(src: bytes, expected_len: int, source: str = "<bytes>") -> bytes:
     """Spec-complete LZ4 block decode -> exactly ``expected_len`` bytes;
     loud ValueError (naming the source) on any structural violation."""
+    out, consumed = lz4_decompress_consumed(src, expected_len, source)
+    if consumed != len(src):
+        raise ValueError(
+            f"corrupt LZ4 block {source}: {len(src) - consumed} trailing "
+            "bytes after the final sequence"
+        )
+    return out
+
+
+def lz4_decompress_consumed(
+    src: bytes, expected_len: int, source: str = "<bytes>"
+) -> tuple[bytes, int]:
+    """LZ4 block decode that STOPS once ``expected_len`` bytes are
+    produced -> (bytes, consumed source length). The tolerant entry point
+    for readers whose chunk extent may include trailing non-chunk bytes
+    (the last chunk of a length-padded fixture file); ``lz4_decompress``
+    wraps it with a no-trailing-bytes check for exact-extent callers."""
     out = bytearray()
     i, n = 0, len(src)
 
@@ -79,6 +97,8 @@ def lz4_decompress(src: bytes, expected_len: int, source: str = "<bytes>") -> by
         i += lit_len
         if i == n:
             break  # final sequence: literals only
+        if len(out) >= expected_len:
+            break  # produced the block; remaining bytes are not ours
         if i + 2 > n:
             raise err("match offset past end")
         offset = src[i] | (src[i + 1] << 8)
@@ -95,17 +115,22 @@ def lz4_decompress(src: bytes, expected_len: int, source: str = "<bytes>") -> by
                 match_len += b
                 if b != 255:
                     break
-        # overlap-capable copy (offset < match_len is the RLE idiom)
+        # overlap-capable copy (offset < match_len is the RLE idiom):
+        # byte-wise semantics == repeating the last `offset` bytes, so a
+        # bulk pattern replication replaces the per-byte loop (the decode
+        # hot path -- fixture zero runs are 64 KiB offset-1 matches)
         pos = len(out) - offset
-        for _ in range(match_len):
-            out.append(out[pos])
-            pos += 1
+        pattern = bytes(out[pos:])
+        reps = (match_len + offset - 1) // offset
+        out += (pattern * reps)[:match_len]
+        if len(out) >= expected_len:
+            break  # produced the block; remaining bytes are not ours
     if len(out) != expected_len:
         raise ValueError(
             f"corrupt LZ4 block {source}: decompressed to {len(out)} bytes, "
             f"expected {expected_len}"
         )
-    return bytes(out)
+    return bytes(out), i
 
 
 def _emit_sequence(out: bytearray, literals: bytes, match_len: int) -> None:
@@ -137,37 +162,31 @@ def _emit_sequence(out: bytearray, literals: bytes, match_len: int) -> None:
             out.append(rest)
 
 
+_ZERO_RUN = re.compile(rb"\x00{5,}")
+
+
 def lz4_compress_fixture(data: bytes) -> bytes:
     """Deterministic valid-LZ4 encoder for fixture chunks: zero runs become
     offset-1 matches, everything else is literals. The LAST sequence is
     literals-only per spec (a trailing zero run keeps its final 5+ bytes
     as literals; spec also forbids matches starting within the last 12
-    bytes, so runs near the end are literal-ized)."""
+    bytes, so runs near the end are literal-ized). Run detection is a
+    C-speed regex scan -- a byte-at-a-time Python loop over every 64 KiB
+    chunk of a multi-GB fixture image would dominate fixture builds."""
     out = bytearray()
     n = len(data)
-    i = 0
     lit_start = 0
-    # spec: the last 5 bytes are always literals; no match may start
-    # within the last 12 bytes of the block
-    guard = max(0, n - 12)
-    while i < guard:
-        if data[i] == 0:
-            j = i
-            while j < n and data[j] == 0:
-                j += 1
-            run_end = min(j, n - 5)  # spec: last 5 bytes stay literals
-            run = run_end - i
-            # a match needs a previous byte to copy (offset 1): the run
-            # cannot start the block, and short runs aren't worth a token
-            if run >= _MIN_MATCH + 1 and i > 0:
-                literals = data[lit_start : i + 1]  # keep one zero literal
-                _emit_sequence(out, literals, run - 1)
-                lit_start = run_end
-                i = run_end
-                continue
-            i = j if j > i else i + 1
-        else:
-            i += 1
+    for m in _ZERO_RUN.finditer(data):
+        i = m.start()
+        # a match needs a previous byte to copy (offset 1) and may not
+        # start within the last 12 bytes of the block
+        if i == 0 or i + 1 > n - 12:
+            continue
+        run_end = min(m.end(), n - 5)  # spec: last 5 bytes stay literals
+        run = run_end - i
+        if run >= _MIN_MATCH + 1:
+            _emit_sequence(out, data[lit_start : i + 1], run - 1)
+            lit_start = run_end
     _emit_sequence(out, data[lit_start:], 0)
     return bytes(out)
 
@@ -183,38 +202,62 @@ def decode_chunk(
     expected_len: int,
     max_compressed_length: int | None,
     source: str = "<bytes>",
-    verify_checksum: bool = True,
 ) -> bytes:
-    """One on-disk chunk -> decompressed bytes. ``raw`` includes the
-    trailing checksum. Formats >= "na" store an incompressible chunk RAW;
-    detected (as the reader does) by the on-disk size reaching
-    ``max_compressed_length``."""
-    if len(raw) < _CHECKSUM + 1:
-        raise ValueError(f"corrupt chunk {source}: {len(raw)} bytes on disk")
-    body, stored = raw[:-_CHECKSUM], raw[-_CHECKSUM:]
-    if verify_checksum:
+    """One on-disk chunk -> decompressed bytes. ``raw`` starts at the
+    chunk's offset and may extend BEYOND its true end (the last chunk's
+    extent comes from the file length, which a length-padded fixture file
+    inflates); the decode finds the true end itself and verifies the CRC32
+    at exactly that offset, so trailing bytes are ignored and corruption
+    inside the chunk stays loud.
+
+    Two layouts, tried in order:
+    - compressed: [LE length header == expected_len][LZ4 producing exactly
+      expected_len bytes][CRC32 of header+LZ4];
+    - raw (formats >= "na" store an incompressible chunk uncompressed):
+      [expected_len data bytes][CRC32 of them] -- only attempted when the
+      compressed parse fails structurally, and only accepted when its own
+      checksum verifies, so a false match is cryptographically unlikely."""
+    comp_err: Exception | None = None
+    if len(raw) >= _LEN_HEADER + _CHECKSUM:
+        (dlen,) = struct.unpack("<i", raw[:_LEN_HEADER])
+        if dlen == expected_len:
+            try:
+                data, consumed = lz4_decompress_consumed(
+                    raw[_LEN_HEADER:], expected_len, source=source
+                )
+                end = _LEN_HEADER + consumed
+                if end + _CHECKSUM > len(raw):
+                    raise ValueError(
+                        f"corrupt chunk {source}: checksum past chunk extent"
+                    )
+                stored = raw[end : end + _CHECKSUM]
+                crc = zlib.crc32(raw[:end]) & 0xFFFFFFFF
+                if struct.unpack(">I", stored)[0] != crc:
+                    raise ValueError(
+                        f"corrupt chunk {source}: checksum mismatch "
+                        f"(stored {stored.hex()}, computed {crc:08x})"
+                    )
+                return data
+            except ValueError as e:
+                comp_err = e
+        else:
+            comp_err = ValueError(
+                f"corrupt chunk {source}: embedded length {dlen} != chunk "
+                f"extent {expected_len}"
+            )
+    if (
+        max_compressed_length is not None
+        and expected_len >= max_compressed_length
+        and len(raw) >= expected_len + _CHECKSUM
+    ):
+        body = raw[:expected_len]
+        stored = raw[expected_len : expected_len + _CHECKSUM]
         crc = zlib.crc32(body) & 0xFFFFFFFF
-        if struct.unpack(">I", stored)[0] != crc:
-            raise ValueError(
-                f"corrupt chunk {source}: checksum mismatch "
-                f"(stored {stored.hex()}, computed {crc:08x})"
-            )
-    if max_compressed_length is not None and len(body) >= max_compressed_length:
-        if len(body) != expected_len:
-            raise ValueError(
-                f"corrupt chunk {source}: raw chunk of {len(body)} bytes, "
-                f"expected {expected_len}"
-            )
-        return body
-    if len(body) < _LEN_HEADER:
-        raise ValueError(f"corrupt chunk {source}: no length header")
-    (dlen,) = struct.unpack("<i", body[:_LEN_HEADER])
-    if dlen != expected_len:
-        raise ValueError(
-            f"corrupt chunk {source}: embedded length {dlen} != chunk "
-            f"extent {expected_len}"
-        )
-    return lz4_decompress(body[_LEN_HEADER:], expected_len, source=source)
+        if struct.unpack(">I", stored)[0] == crc:
+            return body
+    raise comp_err or ValueError(
+        f"corrupt chunk {source}: {len(raw)} bytes cannot hold the chunk"
+    )
 
 
 class CompressedRangeReader:
@@ -364,3 +407,48 @@ def write_chunked_file(
         out_fobj.write(chunk)
         pos += len(chunk)
     return offsets
+
+
+class _RangeFile:
+    """seek/read file facade over a CompressedRangeReader, so point-read
+    code paths (partition headers, block decodes) run unchanged on
+    compressed and uncompressed Data.db files."""
+
+    def __init__(self, reader: CompressedRangeReader):
+        self.reader = reader
+        self.pos = 0
+
+    def seek(self, pos: int) -> None:
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.reader.read(self.pos, n)
+        self.pos += len(b)
+        return b
+
+    def close(self) -> None:
+        self.reader.f.close()
+
+
+def open_data_file(data_path: str, comp_path: str, version: str):
+    """Open a Data.db for logical (uncompressed-offset) point reads:
+    plain file when no CompressionInfo.db sibling exists, else a
+    chunk-decoding facade. Returns (file-like, logical data length)."""
+    import os
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        parse_compression_info_full,
+    )
+
+    f = open(data_path, "rb")
+    if not os.path.exists(comp_path):
+        return f, os.path.getsize(data_path)
+    with open(comp_path, "rb") as cf:
+        chunk_len, data_len, max_comp, offsets = parse_compression_info_full(
+            cf.read(), version=version, source=comp_path
+        )
+    reader = CompressedRangeReader(
+        f, os.path.getsize(data_path), chunk_len, data_len, offsets,
+        max_comp, source=data_path,
+    )
+    return _RangeFile(reader), data_len

@@ -366,12 +366,14 @@ def _local_path(path: str) -> str:
 
 
 def binary_index_entries(
-    spark: SparkSession, root: str, filenames=None
+    spark: SparkSession, root: str, filenames=None, key_type: str | None = None
 ) -> DataFrame:
     """Distributed Index.db scan: one task per file, Arrow-batched parse.
 
     Emits the same frame as ``tpch_adapter.index_entries`` so the whole
-    pstats family runs unchanged on real binary files.
+    pstats family runs unchanged on real binary files. ``key_type``
+    upgrades key display from the UTF-8-or-hex heuristic to the table's
+    key validator (``key_renderer``).
 
     Two physical strategies, same grammar and same loud-corruption
     contract:
@@ -384,6 +386,7 @@ def binary_index_entries(
       content rows + whole-buffer parse; the documented bound is one
       index file per task in memory.
     """
+    render = key_renderer(key_type)
     if _is_local_root(root):
         files = _filter_files(
             spark.read.format("binaryFile")
@@ -409,7 +412,7 @@ def binary_index_entries(
                             ks_l.append(ks)
                             tb_l.append(tb)
                             ss_l.append(ss)
-                            pk_l.append(render_key(key))
+                            pk_l.append(render(key))
                             pos_l.append(position)
                 yield pd.DataFrame(
                     {
@@ -446,7 +449,7 @@ def binary_index_entries(
                     ks_l.append(ks)
                     tb_l.append(tb)
                     ss_l.append(ss)
-                    pk_l.append(render_key(key))
+                    pk_l.append(render(key))
                     pos_l.append(position)
             yield pd.DataFrame(
                 {
@@ -512,10 +515,12 @@ def encode_compression_info(
     chunk_length: int = 65536,
     compressor: str = "LZ4Compressor",
     options: dict[str, str] | None = None,
+    offsets: list[int] | None = None,
 ) -> bytes:
-    """Encode a full CompressionInfo.db (header + synthetic chunk offsets)
-    so fixtures are structurally complete files, not just the prefix the
-    parser happens to read."""
+    """Encode a full CompressionInfo.db. ``offsets`` = the REAL chunk
+    offsets from ``lz4_block.write_chunked_file`` (v8 fixtures carry real
+    compressed content); omitted, a synthetic monotonic array keeps
+    header-only fixtures structurally complete."""
     out = bytearray()
     out += _write_java_utf(compressor)
     opts = options or {}
@@ -528,11 +533,19 @@ def encode_compression_info(
         out += chunk_length.to_bytes(4, "big")  # maxCompressedLength
     out += data_length.to_bytes(8, "big")
     n_chunks = (data_length + chunk_length - 1) // chunk_length
+    if offsets is not None and len(offsets) != n_chunks:
+        raise ValueError(
+            f"{len(offsets)} chunk offsets for {n_chunks} chunks"
+        )
     out += n_chunks.to_bytes(4, "big")
-    off = 0
-    for i in range(n_chunks):
-        out += off.to_bytes(8, "big")
-        off += 5 + (data_length + i * 131) % chunk_length  # fake monotonic
+    if offsets is not None:
+        for off in offsets:
+            out += off.to_bytes(8, "big")
+    else:
+        off = 0
+        for i in range(n_chunks):
+            out += off.to_bytes(8, "big")
+            off += 5 + (data_length + i * 131) % chunk_length  # fake monotonic
     return bytes(out)
 
 
@@ -780,16 +793,18 @@ def materialize_index_files(
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
     if root is None:
-        # ":v7" salt: v2 added sparse Data.db files (directory-only pstats),
+        # ":v8" salt: v2 added sparse Data.db files (directory-only pstats),
         # v3 made alternate sstables "compressed" (short Data.db +
         # CompressionInfo.db header), v4 added real Statistics.db
         # components, v5 writes real partition headers (key + DeletionTime)
         # into uncompressed Data.db files, v6 adds Digest.crc32 components,
         # v7 adds real SerializationHeaders + full cell-grain partition
-        # bodies (sources/data_cells.py) to uncompressed Data.db files;
+        # bodies (sources/data_cells.py) to uncompressed Data.db files,
+        # v8 gives compressed sstables REAL LZ4-chunked content (the same
+        # logical image through lz4_block.write_chunked_file);
         # older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v7").encode()
+            (os.path.abspath(sf_dir) + ":v8").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -890,42 +905,83 @@ def materialize_index_files(
             true_len = lengths[(ks, tb, ss)]
             compressed = _is_compressed_fixture(ks, tb, ss)
             dpath = os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Data.db")
-            with open(dpath, "wb"):
-                pass
-            os.truncate(dpath, true_len * 3 // 5 if compressed else true_len)
+            # real partition blocks at the index offsets: header (key +
+            # DeletionTime), then (v7) every encodable cell record of the
+            # partition serialized through the big-format codec and an END
+            # marker -- budget-failing partitions keep header + END (decode
+            # as empty; the oracle mirrors the budget rule). Block slack is
+            # a sparse hole (uncompressed) / zero bytes in the chunk image
+            # (compressed).
+            from cassandra_sstable_tools_spark.sources.data_db import (
+                LIVE_LDT,
+                LIVE_MFDA,
+            )
+
+            dels = deletions_map.get((ks, tb, ss), {})
+            hdr, parts = cell_payload.get((ks, tb, ss), (None, {}))
+            blocks: list[tuple[int, bytes]] = []
+            for key, position in entries:
+                pk = key.decode("utf-8")
+                psize = psizes.get((ks, tb, ss, pk))
+                if psize is None:
+                    continue
+                ldt, mfda = dels.get(pk, (LIVE_LDT, LIVE_MFDA))
+                body = encode_partition_header(key, ldt, mfda)
+                recs = parts.get(pk, []) if hdr is not None else []
+                if recs and partition_budget_ok(int(psize), recs):
+                    body += encode_unfiltereds(recs, hdr)
+                else:
+                    body += b"\x01"  # bare END_OF_PARTITION
+                blocks.append((position, body))
+            disk_budget = true_len * 3 // 5
             if not compressed:
-                # real partition blocks at the index offsets: header (key +
-                # DeletionTime), then (v7) every encodable cell record of
-                # the partition serialized through the big-format codec and
-                # an END marker -- budget-failing partitions keep header +
-                # END (decode as empty; the oracle mirrors the budget
-                # rule). Block slack stays a sparse hole. Compressed files
-                # hold stand-in compressed bytes, so no plaintext blocks
-                # there (until the LZ4 phase).
-                from cassandra_sstable_tools_spark.sources.data_db import (
-                    LIVE_LDT,
-                    LIVE_MFDA,
+                with open(dpath, "wb"):
+                    pass
+                os.truncate(dpath, true_len)
+                with open(dpath, "r+b") as f:
+                    for position, body in blocks:
+                        f.seek(position)
+                        f.write(body)
+            else:
+                # v8: REAL chunk-compressed content -- the same logical
+                # image, chunked through the LZ4 fixture compressor; the
+                # file keeps the fixture's deterministic byte length
+                # (floor(len*3/5), sparse tail after the chunks) so the
+                # disk_length oracles stay formula-predicted
+                from cassandra_sstable_tools_spark.sources.lz4_block import (
+                    write_chunked_file,
                 )
 
-                dels = deletions_map.get((ks, tb, ss), {})
-                hdr, parts = cell_payload.get((ks, tb, ss), (None, {}))
-                with open(dpath, "r+b") as f:
-                    for key, position in entries:
-                        pk = key.decode("utf-8")
-                        psize = psizes.get((ks, tb, ss, pk))
-                        if psize is None:
-                            continue
-                        ldt, mfda = dels.get(pk, (LIVE_LDT, LIVE_MFDA))
-                        f.seek(position)
-                        f.write(encode_partition_header(key, ldt, mfda))
-                        recs = parts.get(pk, []) if hdr is not None else []
-                        if recs and partition_budget_ok(int(psize), recs):
-                            f.write(encode_unfiltereds(recs, hdr))
-                        else:
-                            f.write(b"\x01")  # bare END_OF_PARTITION
+                chunk_len = 65536
+                with open(dpath, "wb") as f:
+                    offsets = write_chunked_file(
+                        blocks, true_len, chunk_len, f,
+                        max_compressed_length=chunk_len,
+                    )
+                    written = f.tell()
+                if written > disk_budget:
+                    raise ValueError(
+                        f"compressed fixture {ks}/{tb}/{ss}: chunks take "
+                        f"{written} bytes, over the {disk_budget}-byte "
+                        "deterministic disk length"
+                    )
+                os.truncate(dpath, disk_budget)
+                cpath = os.path.join(
+                    d, f"{_DEFAULT_VERSION}-{ss}-big-CompressionInfo.db"
+                )
+                with open(cpath, "wb") as f:
+                    f.write(
+                        encode_compression_info(
+                            true_len,
+                            version=_DEFAULT_VERSION,
+                            chunk_length=chunk_len,
+                            options={"lz4_high_compressor_level": "3"},
+                            offsets=offsets,
+                        )
+                    )
             # Digest.crc32: ASCII decimal CRC32 of the on-disk Data.db
-            # bytes (compressed stand-ins included) -- written LAST so it
-            # covers the partition headers above
+            # bytes (compressed chunks included) -- written LAST so it
+            # covers everything above
             from cassandra_sstable_tools_spark.sources.data_db import (
                 file_crc32,
             )
@@ -935,18 +991,6 @@ def materialize_index_files(
                 "w",
             ) as f:
                 f.write(str(file_crc32(dpath)))
-            if compressed:
-                cpath = os.path.join(
-                    d, f"{_DEFAULT_VERSION}-{ss}-big-CompressionInfo.db"
-                )
-                with open(cpath, "wb") as f:
-                    f.write(
-                        encode_compression_info(
-                            true_len,
-                            version=_DEFAULT_VERSION,
-                            options={"lz4_high_compressor_level": "3"},
-                        )
-                    )
     os.makedirs(_FIXTURE_ROOT, exist_ok=True)
     if os.path.exists(root):
         __import__("shutil").rmtree(root)
@@ -1153,3 +1197,101 @@ QUERIES = {
     "sstables_cassdir": sstables_cassdir,
 }
 ORACLES = _oracles()
+
+
+# --------------------------------------------------------------------------
+# Snapshot pinning (reference: ColumnFamilyBackend.java:71-79) and typed
+# key rendering (reference: ColumnFamilyBackend.java:164-166)
+# --------------------------------------------------------------------------
+
+_SSTABLE_COMPONENTS = (
+    "-Index.db", "-Data.db", "-Statistics.db", "-CompressionInfo.db",
+    "-Digest.crc32", "-Summary.db", "-Filter.db", "-TOC.txt",
+)
+
+
+def snapshot_components(root: str, dest: str | None = None) -> str:
+    """Hardlink-snapshot every sstable component under ``root`` into a new
+    directory tree and return it -- the reference's isolation move
+    (`cassandra/ColumnFamilyBackend.java:71-79` snapshots through the
+    ColumnFamilyStore) so a live node's compaction cannot delete files
+    mid-analysis. Hardlinks cost no data copy and pin the inodes: deleting
+    the source file afterwards leaves the snapshot readable, exactly like
+    Cassandra's own snapshot hardlinks. snapshots/ and backups/
+    subdirectories are not descended (they are not live sstables)."""
+    import tempfile
+
+    src_root = _local_path(root)
+    if dest is None:
+        dest = tempfile.mkdtemp(prefix="sstable-snapshot-")
+    for dirpath, dirnames, files in os.walk(src_root):
+        dirnames[:] = [d for d in dirnames if d not in ("snapshots", "backups")]
+        rel = os.path.relpath(dirpath, src_root)
+        for fname in files:
+            if not fname.endswith(_SSTABLE_COMPONENTS):
+                continue
+            out_dir = os.path.join(dest, rel) if rel != "." else dest
+            os.makedirs(out_dir, exist_ok=True)
+            try:
+                os.link(
+                    os.path.join(dirpath, fname), os.path.join(out_dir, fname)
+                )
+            except FileExistsError:
+                pass
+    return dest
+
+
+def key_renderer(key_type: str | None):
+    """bytes -> display string under the table's key validator type --
+    the reference renders partition keys via ``keyValidator.getString``
+    (`cassandra/ColumnFamilyBackend.java:164-166`); without the schema the
+    engine falls back to the UTF-8-or-hex heuristic (``render_key``).
+    Supported: ``string`` (default heuristic), ``long``, ``int``, ``uuid``,
+    ``timeuuid``, and ``composite(t1,t2,...)`` (Cassandra CompositeType:
+    per component [u16 len][bytes][end-of-component byte], rendered
+    ':'-joined). Unknown names fail loud."""
+    if key_type in (None, "", "string", "text", "utf8"):
+        return render_key
+
+    def fixed(n: int, conv):
+        def render(key: bytes) -> str:
+            if len(key) != n:
+                return "0x" + key.hex()  # wrong width: typed render refused
+            return conv(key)
+
+        return render
+
+    simple = {
+        "long": fixed(8, lambda b: str(int.from_bytes(b, "big", signed=True))),
+        "bigint": fixed(8, lambda b: str(int.from_bytes(b, "big", signed=True))),
+        "int": fixed(4, lambda b: str(int.from_bytes(b, "big", signed=True))),
+        "uuid": fixed(16, lambda b: str(__import__("uuid").UUID(bytes=b))),
+        "timeuuid": fixed(16, lambda b: str(__import__("uuid").UUID(bytes=b))),
+    }
+    if key_type in simple:
+        return simple[key_type]
+    if key_type.startswith("composite(") and key_type.endswith(")"):
+        parts = [p.strip() for p in key_type[len("composite(") : -1].split(",")]
+        renderers = [key_renderer(p) for p in parts]
+
+        def render_composite(key: bytes) -> str:
+            outs = []
+            off = 0
+            for r in renderers:
+                if off + 2 > len(key):
+                    return "0x" + key.hex()
+                n = int.from_bytes(key[off : off + 2], "big")
+                off += 2
+                if off + n + 1 > len(key):
+                    return "0x" + key.hex()
+                outs.append(r(key[off : off + n]))
+                off += n + 1  # the end-of-component byte
+            if off != len(key):
+                return "0x" + key.hex()
+            return ":".join(outs)
+
+        return render_composite
+    raise ValueError(
+        f"unsupported --key-type {key_type!r} (string, long, int, uuid, "
+        "timeuuid, composite(...))"
+    )

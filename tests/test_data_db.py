@@ -71,25 +71,25 @@ def test_live_partitions_produce_no_rows(spark, sf_dir):
         ) != (LIVE_LDT, LIVE_MFDA)
 
 
-def test_compressed_sstables_excluded(spark, sf_dir):
-    """No emitted row may come from an sstable with a CompressionInfo.db
-    sibling (its Data.db holds stand-in compressed bytes; seeking it would
-    read garbage)."""
+def test_compressed_sstables_included_via_lz4(spark, sf_dir):
+    """v8: compressed sstables are read through the CompressionInfo chunk
+    map + LZ4 decode, so their partition deletions MUST appear -- and the
+    fixture must actually plant some (otherwise the coverage is vacuous)."""
     root = materialize_index_files(spark, sf_dir)
-    compressed = set()
-    for dp, _, fs in os.walk(root):
-        for f in fs:
-            if f.endswith("-CompressionInfo.db"):
-                compressed.add(f.split("-")[1])
-    assert compressed, "fixture should plant compressed sstables"
-    # the fixture's sstable ids repeat across tables; check (table, id)
     comp_keys = set()
     for dp, _, fs in os.walk(root):
         for f in fs:
             if f.endswith("-CompressionInfo.db"):
                 comp_keys.add((os.path.basename(dp), f.split("-")[1]))
-    for r in partition_deletions(spark, root).collect():
-        assert (r["table_name"], r["sstable_id"]) not in comp_keys
+    assert comp_keys, "fixture should plant compressed sstables"
+    got_keys = {
+        (r["table_name"], r["sstable_id"])
+        for r in partition_deletions(spark, root).collect()
+    }
+    assert got_keys & comp_keys, (
+        "no deletion decoded from any compressed sstable -- the LZ4 path "
+        "is not actually being exercised"
+    )
 
 
 def test_deletions_come_from_the_file(spark, sf_dir, tmp_path):

@@ -314,3 +314,34 @@ def test_phash_quarantines_undecodable(spark):
     rows = {r["doc_id"]: r for r in media_phash_real(media).collect()}
     assert rows[0]["decode_error"] is None and rows[0]["ph_hi"] is not None
     assert rows[1]["ph_hi"] is None and rows[1]["decode_error"]
+
+
+def test_media_neardup_real_twins_and_oracle(spark, sf_dir, ddb):
+    from pyspark.sql import functions as F
+
+    """The driver-certified real-pixel query: oracle identity, plus
+    non-vacuity -- every planted twin (16x16 re-encode of an 8x8 image,
+    different bytes) must surface at hamming 0."""
+    from tests.conftest import assert_matches_oracle
+
+    from cassandra_sstable_tools_spark.llm import multimodal as m
+
+    got = m.media_neardup_real(spark, sf_dir)
+    assert_matches_oracle(got, m.ORACLES["media_neardup_real"], ddb)
+    rows = got.collect()
+    twins = [
+        r for r in rows if abs(r["doc_b"] - r["doc_a"]) == m.TWIN_OFFSET
+    ]
+    assert twins, "no twin pairs -- the re-encode differential is vacuous"
+    assert all(r["hamming"] == 0 for r in twins)
+    # and the twin payloads really are DIFFERENT bytes (byte dedup misses
+    # what the perceptual hash catches)
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in m.planted_media(spark, sf_dir)
+        .where((F.col("doc_id") % m.TWIN_EVERY == 0)
+               | (F.col("doc_id") >= m.TWIN_OFFSET))
+        .collect()
+    }
+    src = twins[0]["doc_a"] if twins[0]["doc_a"] < m.TWIN_OFFSET else twins[0]["doc_b"]
+    assert payloads[src] != payloads[src + m.TWIN_OFFSET]

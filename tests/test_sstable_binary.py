@@ -279,9 +279,9 @@ def test_cli_cassandra_dir_misuse_is_loud(spark, sf_dir, capsys):
     assert main(["pstats", "--cassandra-dir", "/no/such/dir",
                  "--sf-dir", sf_dir, "-b"], spark=spark) == 2
     assert "not a directory" in capsys.readouterr().err
-    assert main(["cfstats", "--cassandra-dir", root,
+    assert main(["purge", "--cassandra-dir", root,
                  "--sf-dir", sf_dir, "-b"], spark=spark) == 2
-    assert "pstats, sstables and summary only" in capsys.readouterr().err
+    assert "purge still needs" in capsys.readouterr().err
 
 
 def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
@@ -403,8 +403,11 @@ def test_compression_info_corrupt_is_loud():
     blob = encode_compression_info(123456, version="nb")
     with pytest.raises(ValueError, match="corrupt CompressionInfo"):
         parse_compression_info(blob[:10], version="nb", source="t")
-    # wrong-regime read lands 4 bytes off the dataLength field
-    assert parse_compression_info(blob, version="ma") != 123456
+    # wrong-regime read lands 4 bytes off the dataLength field; since the
+    # full parser validates the chunk count against ceil(dataLength /
+    # chunkLength), the misalignment is now LOUD rather than wrong
+    with pytest.raises(ValueError, match="corrupt CompressionInfo"):
+        parse_compression_info(blob, version="ma")
 
 
 def test_compressed_fixture_subset_is_differential(spark, sf_dir):
@@ -493,3 +496,85 @@ def test_non_utf8_key_renders_hex(spark, tmp_path):
     assert {r.partition_key for r in idx} == {"0x" + long_key.hex(), "plain"}
     dels = partition_deletions(spark, str(root)).collect()
     assert {r.partition_key for r in dels} == {"0x" + long_key.hex(), "plain"}
+
+
+def test_snapshot_pinning_survives_source_delete(spark, sf_dir, tmp_path):
+    """--pin-snapshot isolation: hardlink-snapshot the tree, DELETE a
+    source file, and the snapshot scan must return the identical rows
+    (the reference's live-node isolation, ColumnFamilyBackend.java:71-79)."""
+    import glob
+    import os
+    import shutil
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        snapshot_components,
+    )
+
+    src = str(tmp_path / "src")
+    shutil.copytree(materialize_index_files(spark, sf_dir), src)
+    before = sorted(
+        map(tuple, binary_index_entries(spark, src).collect())
+    )
+    snap = snapshot_components(src, dest=str(tmp_path / "snap"))
+    victim = sorted(glob.glob(f"{src}/**/*-Index.db", recursive=True))[0]
+    os.remove(victim)
+    after_snap = sorted(
+        map(tuple, binary_index_entries(spark, snap).collect())
+    )
+    assert after_snap == before  # snapshot pinned the inode
+    after_src = sorted(
+        map(tuple, binary_index_entries(spark, src).collect())
+    )
+    assert len(after_src) < len(before)  # the live tree really lost data
+
+
+def test_cli_pin_snapshot_runs_and_cleans_up(spark, sf_dir, tmp_path):
+    import contextlib
+    import glob
+    import io
+
+    from cassandra_sstable_tools_spark.__main__ import main
+
+    root = materialize_index_files(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["pstats", "--cassandra-dir", root, "--pin-snapshot",
+                   "--sf-dir", sf_dir, "-b"], spark=spark)
+    assert rc == 0 and buf.getvalue().count("+----") >= 6
+    assert not glob.glob("/tmp/sstable-snapshot-*"), "snapshot not cleaned"
+
+
+def test_key_type_rendering_end_to_end(spark, tmp_path):
+    """--key-type long: a planted directory with 8-byte bigint keys renders
+    decimal key strings through the whole pstats path (reference
+    keyValidator.getString parity for the common types)."""
+    import contextlib
+    import io
+    import os
+    import struct
+
+    from cassandra_sstable_tools_spark.__main__ import main
+
+    root = tmp_path / "cas"
+    d = root / "ks1" / "tab"
+    os.makedirs(d)
+    entries = [(struct.pack(">q", k), pos)
+               for k, pos in [(-5, 0), (42, 100), (7_000_000_000, 250)]]
+    with open(d / "nb-00001-big-Index.db", "wb") as f:
+        f.write(encode_index_db(entries))
+    with open(d / "nb-00001-big-Data.db", "wb") as f:
+        f.truncate(400)
+    got = {
+        r.partition_key
+        for r in binary_index_entries(
+            spark, str(root), key_type="long"
+        ).collect()
+    }
+    assert got == {"-5", "42", "7000000000"}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["pstats", "--cassandra-dir", str(root), "--key-type",
+                   "long", "--sf-dir", "/root/testdata/sf0.001", "-b"],
+                  spark=spark)
+    assert rc == 0
+    assert "7000000000" in buf.getvalue()
