@@ -80,6 +80,13 @@ SECONDARY = [
     # parse joined with Index.db counts + length resolve) -- tracks the
     # Statistics.db parse + 3-way broadcast-join shape.
     "sstable_metadata_cassdir",
+    # r08: the full Data.db CELL decode (SerializationHeader + big-format
+    # row/cell codec + LZ4 chunk layer for the compressed half) feeding the
+    # cfstats totals -- the heaviest real-file surface; and the planted-PNG
+    # real-pixel perceptual-hash pipeline (encode -> decode -> aHash ->
+    # banded join). Bars in BASELINE.md §r08.
+    "cfstats_global_cassdir",
+    "media_neardup_real",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))

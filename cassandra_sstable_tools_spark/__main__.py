@@ -123,10 +123,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     p.add_argument(
         "--cassandra-dir", default=None, metavar="DIR",
-        help="pstats/sstables: read a REAL Cassandra data directory "
-             "(<dir>/<keyspace>/<table>/*-Index.db + *-Data.db) instead of "
-             "the parquet fixtures -- sizes from index position deltas, "
-             "tails closed by Data.db byte lengths; no parquet anywhere",
+        help="ALL FIVE reference commands (pstats/sstables/summary/cfstats/"
+             "purge): read a REAL Cassandra data directory "
+             "(<dir>/<keyspace>/<table>/*-{Index,Data,Statistics,"
+             "CompressionInfo}.db) instead of the parquet fixtures -- "
+             "binary index/stats parses, full cell decode (LZ4 chunk layer "
+             "for compressed sstables); no parquet anywhere",
     )
     p.add_argument(
         "--pin-snapshot", action="store_true",
@@ -167,12 +169,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # subcommand should not surface as a deep AnalysisException
         import os as _os
 
-        if args.command not in ("pstats", "sstables", "summary", "cfstats"):
+        if args.command not in ("pstats", "sstables", "summary", "cfstats",
+                                "purge"):
             sys.stderr.write(
-                "--cassandra-dir supports pstats, sstables, summary and "
-                "cfstats (purge still needs cross-sstable cell collation "
-                "over the decoded stream -- documented gap, SURVEY.md S3 "
-                "row)\n"
+                "--cassandra-dir supports the five reference commands "
+                "(pstats, sstables, summary, cfstats, purge); the extension "
+                "commands read the parquet corpus\n"
             )
             return 2
         from cassandra_sstable_tools_spark.sources.sstable_binary import (
@@ -551,6 +553,59 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
     elif args.command == "purge":
         from cassandra_sstable_tools_spark.queries import purge as m
 
+        if args.cassandra_dir:
+            # directory-only: full merge -> purge -> measure over the
+            # DECODED cell stream with REAL serialized sizes -- with this,
+            # all five reference commands run off a data directory
+            from cassandra_sstable_tools_spark.constants import DEFAULT_TOP_N
+            from cassandra_sstable_tools_spark.operators.purge import (
+                purge_stats,
+            )
+            from cassandra_sstable_tools_spark.operators.topn import (
+                top_n_per_group,
+            )
+            from pyspark.sql import functions as _F
+
+            from cassandra_sstable_tools_spark.sources.data_cells import (
+                _decoded_purge_cells,
+            )
+
+            names = args.filenames.split(",") if args.filenames else None
+            root = _scoped_cassdir_root(args)
+            _warn_partial_statistics(spark, root, names, "purge")
+            per_part = _table_scope_filter(
+                purge_stats(_decoded_purge_cells(spark, root, names)), args
+            ).persist()
+            try:
+                out.append(("Purge totals", _render(
+                    per_part.groupBy("keyspace", "table_name").agg(
+                        _F.count(_F.lit(1)).alias("partitions"),
+                        _F.sum("pre_size").alias("total_size"),
+                        _F.sum("merged_size").alias("total_merged"),
+                        _F.sum("reclaimable").alias("total_reclaimable"),
+                    ),
+                    {"total_size": "bytes", "total_merged": "bytes",
+                     "total_reclaimable": "bytes"},
+                    order=["keyspace", "table_name"])))
+                out.append(("Top reclaimable partitions", _render(
+                    top_n_per_group(
+                        per_part,
+                        ["keyspace", "table_name"],
+                        [_F.desc("reclaimable"), _F.desc("pre_size"),
+                         _F.asc("partition_key")],
+                        args.n or DEFAULT_TOP_N,
+                    ).select(
+                        "keyspace", "table_name", "partition_key", "tables",
+                        "pre_size", "merged_size", "reclaimable", "rank",
+                    ),
+                    {"pre_size": "bytes", "merged_size": "bytes",
+                     "reclaimable": "bytes"},
+                    order=["keyspace", "table_name", "rank"])))
+            finally:
+                per_part.unpersist()
+            for title, table in out:
+                sys.stdout.write(f"{title}\n{table}\n")
+            return 0
         out.append(("Purge totals", _render(m.purge_global(spark, sf),
                                             {"total_size": "bytes", "total_merged": "bytes",
                                              "total_reclaimable": "bytes"},

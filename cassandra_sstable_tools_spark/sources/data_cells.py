@@ -319,14 +319,14 @@ DATA_CELLS_SCHEMA = (
     "column_name string, writetime bigint, ttl int, "
     "local_deletion_time bigint, is_tombstone boolean, "
     "is_expiring boolean, is_counter boolean, cell_value bigint, "
-    "range_start string, range_end string"
+    "range_start string, range_end string, phys_size bigint"
 )
 
 _COLS = [
     "keyspace", "table_name", "sstable_id", "partition_key", "kind",
     "clustering", "column_name", "writetime", "ttl", "local_deletion_time",
     "is_tombstone", "is_expiring", "is_counter", "cell_value",
-    "range_start", "range_end",
+    "range_start", "range_end", "phys_size",
 ]
 
 
@@ -344,6 +344,9 @@ class _Rec:
     cell_value: int | None = None
     range_start: str | None = None
     range_end: str | None = None
+    # serialized byte span of this record on disk (see decode docstring for
+    # the attribution rules); None for header-resident partition deletes
+    phys_size: int | None = None
 
 
 def _display(v: bytes | None) -> str | None:
@@ -377,7 +380,15 @@ def decode_partition_block(
     """Decode one partition block -> (rendered key, records). Records:
     one per cell, plus ROW_DELETE / ROW_MARKER for cell-less row state,
     RANGE_TOMBSTONE_MARKER per open/close marker pair, PARTITION_DELETE
-    when the header deletion is not LIVE."""
+    when the header deletion is not LIVE.
+
+    ``phys_size`` attribution (deterministic, the purge input): a row
+    yielding exactly ONE record gives it the row's whole serialized span;
+    a multi-record row gives each cell its own byte slice, the ROW_DELETE
+    record (if any) the remaining row overhead, else the overhead goes to
+    the first cell. A range tombstone's span is its open + close marker
+    bytes (a boundary marker's bytes go to the range it CLOSES). Header
+    partition deletes have no stream bytes: phys_size is NULL."""
     r = _BlockReader(buf, source, base)
     klen = int.from_bytes(r.take(2), "big")
     key = r.take(klen)
@@ -388,12 +399,13 @@ def decode_partition_block(
         recs.append(
             _Rec(kind="PARTITION_DELETE", writetime=p_mfda, ldt=p_ldt)
         )
-    pending_open: tuple[str | None, int, int] | None = None
+    pending_open: tuple[str | None, int, int, int] | None = None
     guard = 0
     while True:
         guard += 1
         if guard > 100_000_000:
             raise r.err("unfiltered stream exceeds 1e8 entries")
+        unf_start = r.off
         flags = r.u8()
         if flags & END_OF_PARTITION:
             break
@@ -409,13 +421,15 @@ def decode_partition_block(
             body_size = r.vint()
             r.vint()  # prevUnfilteredSize (reverse iteration only)
             body_end = r.off + body_size
+            marker_span = body_end - unf_start
             if kind_ord in _BOUNDARY_KINDS:
                 end_mfda, end_ldt = r.ts(h), r.ldt(h)
                 start_mfda, start_ldt = r.ts(h), r.ldt(h)
                 if pending_open is not None:
-                    recs.append(_rtm(pending_open, vals))
+                    # boundary bytes go to the range being CLOSED
+                    recs.append(_rtm(pending_open, vals, marker_span))
                 pending_open = (_display(vals[0] if vals else None),
-                                start_mfda, start_ldt)
+                                start_mfda, start_ldt, 0)
                 # end deletion belongs to the RT being closed; already
                 # captured from its open marker (verified equal on encode)
                 del end_mfda, end_ldt
@@ -423,12 +437,13 @@ def decode_partition_block(
                 mfda, ldt = r.ts(h), r.ldt(h)
                 if pending_open is not None:
                     raise r.err("two open range-tombstone bounds in a row")
-                pending_open = (_display(vals[0] if vals else None), mfda, ldt)
+                pending_open = (_display(vals[0] if vals else None), mfda,
+                                ldt, marker_span)
             elif kind_ord in _CLOSE_KINDS:
                 r.ts(h), r.ldt(h)  # close-side copy of the deletion
                 if pending_open is None:
                     raise r.err("close range-tombstone bound without an open")
-                recs.append(_rtm(pending_open, vals))
+                recs.append(_rtm(pending_open, vals, marker_span))
                 pending_open = None
             else:
                 raise r.err(f"unexpected bound kind ordinal {kind_ord}")
@@ -467,8 +482,11 @@ def decode_partition_block(
         else:
             present = _dec_subset(r, len(columns))
         n_cells = 0
+        row_first_rec = len(recs)
+        cell_spans: list[int] = []
         for idx in present:
             name, ctype = columns[idx]
+            cell_start = r.off
             cflags = r.u8()
             c_ts = live_ts if cflags & CELL_USE_ROW_TIMESTAMP else r.ts(h)
             deleted = bool(cflags & CELL_IS_DELETED)
@@ -491,6 +509,7 @@ def decode_partition_block(
                         raise r.err(f"implausible cell value length {n}")
                     value = r.take(n)
             n_cells += 1
+            cell_spans.append(r.off - cell_start)
             recs.append(_Rec(
                 kind="STATIC_CELL" if static else "CELL",
                 clustering=clustering,
@@ -502,6 +521,7 @@ def decode_partition_block(
                 is_expiring=expiring,
                 is_counter=ctype == COUNTER_TYPE,
                 cell_value=None if value is None else _value_as_long(value),
+                phys_size=r.off - cell_start,
             ))
         if n_cells == 0:
             if row_del is not None:
@@ -522,20 +542,35 @@ def decode_partition_block(
         if r.off > body_end:
             raise r.err("row body overran its declared size")
         r.off = body_end
+        # phys_size attribution (docstring rules): single-record rows own
+        # the whole unfiltered span; otherwise the overhead (everything
+        # but the cell slices) goes to the ROW_DELETE record when present,
+        # else onto the first cell
+        row_recs = recs[row_first_rec:]
+        unf_span = body_end - unf_start
+        if len(row_recs) == 1:
+            row_recs[0].phys_size = unf_span
+        elif row_recs:
+            overhead = unf_span - sum(cell_spans)
+            if row_recs[-1].kind == "ROW_DELETE":
+                row_recs[-1].phys_size = overhead
+            else:
+                row_recs[0].phys_size = (row_recs[0].phys_size or 0) + overhead
     if pending_open is not None:
         raise r.err("partition ended with an unclosed range tombstone")
     return pk, recs
 
 
-def _rtm(open_state: tuple[str | None, int, int],
-         close_vals: list[bytes | None]) -> _Rec:
-    start, mfda, ldt = open_state
+def _rtm(open_state: tuple[str | None, int, int, int],
+         close_vals: list[bytes | None], close_span: int) -> _Rec:
+    start, mfda, ldt, open_span = open_state
     return _Rec(
         kind="RANGE_TOMBSTONE_MARKER",
         writetime=mfda,
         ldt=ldt,
         range_start=start,
         range_end=_display(close_vals[0] if close_vals else None),
+        phys_size=open_span + close_span,
     )
 
 
@@ -616,6 +651,14 @@ def _row_blob(
     body: bytes,
     prev_size: int,
 ) -> bytes:
+    # the span oracle prices bodySize and prevUnfilteredSize as 1-byte
+    # vints; the cost bounds keep both < 128, and this assert keeps the
+    # assumption loud rather than silently breaking the size formula
+    if len(body) >= 128 or prev_size >= 128:
+        raise ValueError(
+            f"row body {len(body)} / prev {prev_size} exceeds the 1-byte "
+            "vint assumption of the span oracle"
+        )
     head = bytearray([flags | (EXTENSION_FLAG if ext else 0)])
     if ext:
         head.append(ext)
@@ -643,6 +686,11 @@ def _encode_one(rec, h, codec, reg_idx, sta_idx, prev_size: int) -> bytes:
             head += _enc_clustering_values(
                 [_utf8_or_none(val)], h.clustering_types[:1]
             )
+            if len(deletion) >= 128 or psz >= 128:
+                raise ValueError(
+                    f"marker body {len(deletion)} / prev {psz} exceeds the "
+                    "1-byte vint assumption of the span oracle"
+                )
             head += write_unsigned_vint(len(deletion))
             head += write_unsigned_vint(psz)
             blob = bytes(head + deletion)
@@ -895,11 +943,13 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
                                 rec.ldt, rec.is_tombstone, rec.is_expiring,
                                 rec.is_counter, rec.cell_value,
                                 rec.range_start, rec.range_end,
+                                rec.phys_size,
                             ))
                 finally:
                     dat.close()
             pdf_out = pd.DataFrame(rows, columns=_COLS)
-            for c in ("writetime", "local_deletion_time", "cell_value"):
+            for c in ("writetime", "local_deletion_time", "cell_value",
+                      "phys_size"):
                 pdf_out[c] = pdf_out[c].astype("Int64")
             pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
             yield pdf_out
@@ -1190,14 +1240,70 @@ def cfstats_top_size_from_dir(
 # --------------------------------------------------------------------------
 
 
+def _vlen_sql(expr: str) -> str:
+    """Byte length of an unsigned vint of ``expr`` (non-negative) -- the
+    SQL half of write_unsigned_vint's sizing, thresholds 2^(7k)."""
+    cases = " ".join(
+        f"WHEN ({expr}) < {1 << (7 * k)} THEN {k}" for k in range(1, 9)
+    )
+    return f"(CASE {cases} ELSE 9 END)"
+
+
+def _clustering_bytes_sql(expr: str) -> str:
+    """Serialized bytes of a 1-column clustering/bound value list: the
+    per-32 header vint (always 1 byte here) + vint-length-prefixed UTF-8
+    value when non-null."""
+    # strlen = BYTE length of a VARCHAR in DuckDB (length() counts chars)
+    return (
+        f"(1 + CASE WHEN {expr} IS NULL THEN 0 ELSE "
+        f"{_vlen_sql(f'strlen({expr})')} + strlen({expr}) END)"
+    )
+
+
+def _span_sql() -> str:
+    """phys_size of an encodable record -- the SQL replay of the encoder's
+    byte layout (every term justified in the module docstring's format
+    description; bodySize/prevSize are priced as 1-byte vints, an
+    assumption the ENCODER asserts). References columns of ``enc_rec e``
+    and the ``enc_mins m`` per-sstable EncodingStats minima."""
+    ts = _vlen_sql("e.writetime - m.min_wt")
+    ldt = _vlen_sql("e.local_deletion_time - m.min_ldt")
+    ttl = _vlen_sql("e.ttl - m.min_ttl")
+    cb = _clustering_bytes_sql("e.clustering")
+    marker = (
+        # flags + kind + u16 count + bound + bodySize/prev vints + deletion
+        f"(1 + 1 + 2 + {{bound}} + 2 + {ts} + {ldt})"
+    )
+    cell_common = (
+        f"1 + {ts} "
+        f"+ CASE WHEN coalesce(e.is_tombstone, FALSE) OR e.ttl IS NOT NULL "
+        f"       THEN {ldt} ELSE 0 END "
+        f"+ CASE WHEN e.ttl IS NOT NULL THEN {ttl} ELSE 0 END "
+        f"+ CASE WHEN coalesce(e.is_tombstone, FALSE) THEN 0 "
+        f"       WHEN e.cell_size IS NULL THEN 0 "
+        f"       WHEN e.kind = 'CELL' AND coalesce(e.is_counter, FALSE) "
+        f"       THEN 9 ELSE 8 END"
+    )
+    return f"""CASE e.kind
+        WHEN 'ROW_MARKER' THEN 1 + {cb} + 2 + {ts} + 2
+        WHEN 'ROW_DELETE' THEN 1 + {cb} + 2 + {ts} + {ldt} + 2
+        WHEN 'CELL' THEN 1 + {cb} + 2 + {cell_common} + 2
+        WHEN 'STATIC_CELL' THEN 1 + 1 + 2 + {cell_common} + 1
+        WHEN 'RANGE_TOMBSTONE_MARKER' THEN
+            {marker.format(bound=_clustering_bytes_sql('e.range_start'))}
+            + {marker.format(bound=_clustering_bytes_sql('e.range_end'))}
+    END"""
+
+
 def _phys_ctes() -> str:
     """Shared CTE block: decodable sstables, record encodability + cost,
-    budget-passing partitions, the stream-record projection, and the
+    budget-passing partitions, per-sstable EncodingStats minima, the
+    stream-record projection (incl. the serialized-span formula), and the
     header partition-delete rows -- ONE SQL definition of the physical
-    rules, shared by all three cassdir cell oracles. Compressed sstables
+    rules, shared by every cassdir cell oracle. Compressed sstables
     are IN SCOPE (v8): the reader reaches them through the chunk map +
     LZ4 decode, so no parity exclusion remains."""
-    return """
+    return f"""
 phys_sst AS (
     SELECT keyspace, table_name, sstable_id
     FROM sstables_meta
@@ -1230,6 +1336,20 @@ enc_part AS (
     GROUP BY 1, 2, 3, 4
     HAVING min(p.psize) >= 27 + sum(CASE WHEN e.encodable THEN e.cost ELSE 0 END)
 ),
+enc_mins AS (
+    -- per-sstable EncodingStats minima over the encodable records
+    -- (fixture_cell_payload's mins, replayed)
+    SELECT keyspace, table_name, sstable_id,
+           min(writetime) AS min_wt,
+           min(CASE WHEN kind IN ('ROW_DELETE', 'RANGE_TOMBSTONE_MARKER')
+                      OR (kind IN ('CELL', 'STATIC_CELL')
+                          AND (coalesce(is_tombstone, FALSE)
+                               OR ttl IS NOT NULL))
+                    THEN local_deletion_time END) AS min_ldt,
+           min(ttl) AS min_ttl
+    FROM enc_rec WHERE encodable
+    GROUP BY 1, 2, 3
+),
 stream_recs AS (
     SELECT e.keyspace, e.table_name, e.sstable_id, e.partition_key,
            e.kind,
@@ -1256,9 +1376,11 @@ stream_recs AS (
            CASE WHEN e.kind IN ('CELL', 'STATIC_CELL')
                      AND NOT coalesce(e.is_tombstone, FALSE)
                 THEN CAST(e.cell_size AS BIGINT) END AS cell_value,
-           e.range_start, e.range_end
+           e.range_start, e.range_end,
+           CAST({_span_sql()} AS BIGINT) AS phys_size
     FROM enc_rec e
     JOIN enc_part USING (keyspace, table_name, sstable_id, partition_key)
+    JOIN enc_mins m USING (keyspace, table_name, sstable_id)
     WHERE e.encodable
 ),
 header_deletes AS (
@@ -1272,7 +1394,8 @@ header_deletes AS (
            FALSE AS is_tombstone, FALSE AS is_expiring, FALSE AS is_counter,
            CAST(NULL AS BIGINT) AS cell_value,
            CAST(NULL AS VARCHAR) AS range_start,
-           CAST(NULL AS VARCHAR) AS range_end
+           CAST(NULL AS VARCHAR) AS range_end,
+           CAST(NULL AS BIGINT) AS phys_size
     FROM cells c
     JOIN phys_sst USING (keyspace, table_name, sstable_id)
     JOIN per_part p USING (keyspace, table_name, sstable_id, partition_key)
@@ -1416,3 +1539,114 @@ QUERIES = {
     "cfstats_sstables_cassdir": cfstats_sstables_cassdir,
 }
 ORACLES = _oracles()
+
+
+# --------------------------------------------------------------------------
+# purge --cassandra-dir: compaction simulation over DECODED cells with
+# REAL serialized sizes -- the last reference command family, directory-only
+# --------------------------------------------------------------------------
+
+
+def _decoded_purge_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
+    """The decoded frame shaped as the purge operator's input: sizes are
+    the records' REAL serialized byte spans (the reference's own size
+    semantics -- scanner deltas, PurgeStatisticBackend.java:70-139 -- at
+    record grain), cell_name is the decoded column name. Header-resident
+    partition deletes carry NULL size (no stream bytes), so they steer
+    shadowing but add no bytes; the oracle replays the same rule."""
+    return (
+        data_cells(spark, root, filenames)
+        .withColumnRenamed("column_name", "cell_name")
+        .withColumnRenamed("phys_size", "cell_size")
+    )
+
+
+def purge_top_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``purge`` top-N reclaimable partitions from a Cassandra data
+    DIRECTORY and nothing else: full merge -> purge -> measure
+    (operators/purge.py A7/J2/F5 semantics, unchanged) over the decoded
+    cell stream with real serialized sizes. With this, all five reference
+    commands run directory-only."""
+    from cassandra_sstable_tools_spark.constants import DEFAULT_TOP_N
+    from cassandra_sstable_tools_spark.operators.purge import purge_stats
+    from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    per_part = purge_stats(_decoded_purge_cells(spark, root))
+    return top_n_per_group(
+        per_part,
+        ["keyspace", "table_name"],
+        [F.desc("reclaimable"), F.desc("pre_size"), F.asc("partition_key")],
+        DEFAULT_TOP_N,
+    ).select(
+        "keyspace", "table_name", "partition_key", "tables", "pre_size",
+        "merged_size", "reclaimable", "rank",
+    )
+
+
+def purge_global_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``purge`` global totals, directory-only (see purge_top_cassdir)."""
+    from cassandra_sstable_tools_spark.operators.purge import purge_stats
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    per_part = purge_stats(_decoded_purge_cells(spark, root))
+    return per_part.groupBy("keyspace", "table_name").agg(
+        F.count(F.lit(1)).alias("partitions"),
+        F.sum("pre_size").alias("total_size"),
+        F.sum("merged_size").alias("total_merged"),
+        F.sum("reclaimable").alias("total_reclaimable"),
+    )
+
+
+def _purge_cassdir_oracles() -> dict[str, str]:
+    import re as _re
+
+    from cassandra_sstable_tools_spark.constants import DEFAULT_TOP_N
+    from cassandra_sstable_tools_spark.operators.purge import purge_stats_sql
+    from cassandra_sstable_tools_spark.oracles import with_adapter
+
+    # the purge CTE chain runs verbatim over the DECODED universe: point
+    # its `cells` references at a dcells CTE built from the shared decoded
+    # projection (ONE purge-semantics definition, two input universes)
+    purge_ctes = _re.sub(r"\bFROM cells\b", "FROM dcells", purge_stats_sql())
+    head = f""",{_phys_ctes()},
+dcells AS (
+    SELECT keyspace, table_name, sstable_id, partition_key, kind,
+           clustering, column_name AS cell_name, writetime,
+           local_deletion_time, is_tombstone, is_expiring,
+           range_start, range_end,
+           phys_size AS cell_size
+    FROM decoded
+),
+{purge_ctes.lstrip().lstrip(',')}"""
+    top = with_adapter(f"""{head}
+SELECT keyspace, table_name, partition_key, tables, pre_size, merged_size,
+       reclaimable, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY keyspace, table_name
+        ORDER BY reclaimable DESC, pre_size DESC, partition_key ASC) AS rank
+    FROM purge_per_partition
+) WHERE rank <= {DEFAULT_TOP_N}
+""")
+    glob = with_adapter(f"""{head}
+SELECT keyspace, table_name,
+       count(*) AS partitions,
+       CAST(sum(pre_size) AS BIGINT) AS total_size,
+       CAST(sum(merged_size) AS BIGINT) AS total_merged,
+       CAST(sum(reclaimable) AS BIGINT) AS total_reclaimable
+FROM purge_per_partition
+GROUP BY 1, 2
+""")
+    return {"purge_top_cassdir": top, "purge_global_cassdir": glob}
+
+
+QUERIES["purge_top_cassdir"] = purge_top_cassdir
+QUERIES["purge_global_cassdir"] = purge_global_cassdir
+ORACLES.update(_purge_cassdir_oracles())

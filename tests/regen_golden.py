@@ -89,8 +89,10 @@ def regen() -> None:
         ("sstables_cassdir_nostats",
          ["sstables", "--cassandra-dir", nostats]),
         ("summary_cassdir", ["summary", "--cassandra-dir", root]),
-        # r08: cfstats off REAL Data.db cell streams (sources/data_cells.py)
+        # r08: cfstats + purge off REAL Data.db cell streams
+        # (sources/data_cells.py) -- all five reference commands
         ("cfstats_cassdir", ["cfstats", "--cassandra-dir", root]),
+        ("purge_cassdir", ["purge", "--cassandra-dir", root]),
     ]
     for cmd, argv in cases:
         buf = io.StringIO()

@@ -158,3 +158,23 @@ def test_cli_golden_cfstats_cassdir(spark):
             "cfstats_cassdir transcript drifted from "
             "tests/golden/cfstats_cassdir.txt"
         )
+
+
+def test_cli_golden_purge_cassdir(spark):
+    """purge off REAL Data.db cell streams with real serialized sizes --
+    the fifth and last reference command gone directory-only (r08)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["purge", "--cassandra-dir", root,
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, "purge_cassdir.txt")) as f:
+        assert buf.getvalue() == f.read(), (
+            "purge_cassdir transcript drifted from "
+            "tests/golden/purge_cassdir.txt"
+        )

@@ -279,9 +279,9 @@ def test_cli_cassandra_dir_misuse_is_loud(spark, sf_dir, capsys):
     assert main(["pstats", "--cassandra-dir", "/no/such/dir",
                  "--sf-dir", sf_dir, "-b"], spark=spark) == 2
     assert "not a directory" in capsys.readouterr().err
-    assert main(["purge", "--cassandra-dir", root,
+    assert main(["dedup", "--cassandra-dir", root,
                  "--sf-dir", sf_dir, "-b"], spark=spark) == 2
-    assert "purge still needs" in capsys.readouterr().err
+    assert "five reference commands" in capsys.readouterr().err
 
 
 def test_data_file_lengths_plan_prunes_content(spark, sf_dir):
