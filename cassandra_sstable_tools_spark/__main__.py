@@ -527,6 +527,14 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                         key_type=args.key_type),
                     args),
                 {"size": "bytes"}, order=by_rank)))
+            ranked = dcm.cfstats_rankings_from_dir(spark, root, args.n, names)
+            frame = ranked.pop("_frame")
+            try:
+                for title, df in ranked.items():
+                    out.append((title, _render(
+                        _table_scope_filter(df, args), order=by_rank)))
+            finally:
+                frame.unpersist()
             for title, table in out:
                 sys.stdout.write(f"{title}\n{table}\n")
             return 0

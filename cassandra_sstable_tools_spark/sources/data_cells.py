@@ -330,7 +330,7 @@ _COLS = [
 ]
 
 
-@dataclass
+@dataclass(slots=True)
 class _Rec:
     kind: str
     clustering: str | None = None
@@ -861,13 +861,26 @@ def partition_budget_ok(psize: int, records: list[dict]) -> bool:
 # --------------------------------------------------------------------------
 
 
-def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
+def data_cells(
+    spark: SparkSession,
+    root: str,
+    filenames=None,
+    shards_per_sstable: int = 1,
+) -> DataFrame:
     """Cell-grain records from REAL Data.db files under a Cassandra data
-    directory. One task per sstable; per sstable: Statistics.db HEADER
-    parse, streaming Index.db position pass (positions only -- 8 bytes per
-    partition in task memory), then per-partition block decodes.
+    directory. One task per sstable (default); per sstable: Statistics.db
+    HEADER parse, streaming Index.db position pass (positions only -- 8
+    bytes per partition in task memory), then per-partition block decodes.
     Compressed sstables read through the CompressionInfo chunk map + the
     pure-Python LZ4 block decoder (sources/lz4_block.py).
+
+    ``shards_per_sstable > 1`` splits each sstable's decode into that many
+    tasks over CONTIGUOUS position ranges -- the index-driven advantage
+    over the reference's sequential scanner: a few huge sstables stop
+    gating a cluster job on a handful of long tasks. Each shard re-streams
+    the (1%-of-data-sized) Index.db to find its slice, so the only
+    duplicated cost is index reads, never data. Output is shard-invariant
+    (pinned by test).
 
     Scope (all documented, all loud or oracle-mirrored):
     - sstables without a Statistics.db are skipped (no schema, no codec);
@@ -877,6 +890,8 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
         raise ValueError(
             f"data_cells needs a POSIX-visible root (point seeks); got {root!r}"
         )
+    if shards_per_sstable < 1:
+        raise ValueError("shards_per_sstable must be >= 1")
     files = _filter_files(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*-Index.db")
@@ -886,6 +901,16 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
         filenames,
         "Index.db",
     )
+    n_shards = shards_per_sstable
+    if n_shards > 1:
+        # one (path, shard) row per task; repartition so shards of the
+        # same file land on different tasks
+        files = files.select(
+            "path", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1)))
+            .alias("shard"),
+        ).repartition(F.col("path"), F.col("shard"))
+    else:
+        files = files.withColumn("shard", F.lit(0))
 
     def scan(batches) -> Iterator:
         import pandas as pd
@@ -899,7 +924,7 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
 
         for pdf in batches:
             rows: list[tuple] = []
-            for path in pdf["path"]:
+            for path, shard in zip(pdf["path"], pdf["shard"]):
                 ks, tb, ss, ver = _parse_filename(path)
                 local = _local_path(path)
                 base = local[: -len("Index.db")]
@@ -922,11 +947,15 @@ def data_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
                         )
                     )
                 dat, data_len = open_data_file(data_path, comp_path, ver)
+                npos = len(positions)
+                lo = int(shard) * npos // n_shards
+                hi = (int(shard) + 1) * npos // n_shards
                 try:
-                    for i, pos in enumerate(positions):
+                    for i in range(lo, hi):
+                        pos = positions[i]
                         end = (
                             positions[i + 1]
-                            if i + 1 < len(positions)
+                            if i + 1 < npos
                             else data_len
                         )
                         if end <= pos:
@@ -1650,3 +1679,47 @@ GROUP BY 1, 2
 QUERIES["purge_top_cassdir"] = purge_top_cassdir
 QUERIES["purge_global_cassdir"] = purge_global_cassdir
 ORACLES.update(_purge_cassdir_oracles())
+
+
+def cfstats_rankings_from_dir(
+    spark: SparkSession, root: str, n: int, filenames=None
+) -> dict[str, DataFrame]:
+    """The cfstats per-partition ranking sections (T1) over the decoded
+    stream: widest (cells), most tombstones, most deleted rows, in most
+    sstables -- one collate feeding four bounded top-Ns, the reference's
+    single-pass-multiple-heaps shape."""
+    from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
+
+    pkey = ["keyspace", "table_name", "partition_key"]
+    per_part = _decoded_flags(data_cells(spark, root, filenames)).groupBy(
+        *pkey
+    ).agg(
+        F.countDistinct("sstable_id").alias("tables"),
+        F.countDistinct("row_key").alias("rows"),
+        F.sum("f_rowdel").alias("row_deletes"),
+        F.sum("f_cell").alias("cells"),
+        F.sum("f_tomb").alias("tombstones"),
+    ).persist()
+    group = ["keyspace", "table_name"]
+
+    def rank(order, metric, filter_col=None):
+        p = per_part
+        if filter_col is not None:
+            p = p.where(F.col(filter_col) > 0)  # F2 conditional admission
+        return top_n_per_group(p, group, order, n).select(
+            *group, "partition_key", metric, "rank"
+        )
+
+    return {
+        "Widest partitions": rank(
+            [F.desc("cells"), F.asc("partition_key")], "cells"),
+        "Most tombstones": rank(
+            [F.desc("tombstones"), F.asc("partition_key")], "tombstones",
+            "tombstones"),
+        "Most deleted rows": rank(
+            [F.desc("row_deletes"), F.asc("partition_key")], "row_deletes",
+            "row_deletes"),
+        "In most sstables": rank(
+            [F.desc("tables"), F.asc("partition_key")], "tables"),
+        "_frame": per_part,  # caller unpersists after rendering
+    }

@@ -141,6 +141,11 @@ def test_multi_cell_row_and_row_liveness_sharing():
         19980601000000, 7200, 1699850500, True, 111)
     c3 = next(r for r in out if r.column_name == "c3")
     assert (c3.writetime, c3.ttl, c3.cell_value) == (19980601000009, None, 222)
+    # span attribution: multi-cell row -> per-cell slices, overhead onto
+    # the first cell; the two spans must sum to the whole unfiltered
+    unf_span = len(block) - (2 + 2 + 12) - 1  # minus partition header + END
+    assert c0.phys_size + c3.phys_size == unf_span
+    assert c3.phys_size < c0.phys_size  # c0 carries the row overhead
 
 
 def test_boundary_marker_closes_and_opens():
@@ -174,6 +179,9 @@ def test_boundary_marker_closes_and_opens():
         ("0001", "0005", d1[0], d1[1]),
         ("0005", "0009", d2[0], d2[1]),
     ]
+    # span attribution: the three markers' bytes all land on the two
+    # ranges (the boundary's bytes go to the range it closes)
+    assert sum(r.phys_size for r in rts) == len(blob)
 
 
 def test_corruption_is_loud():
@@ -265,3 +273,24 @@ def test_flipped_byte_differential(spark, sf_dir, tmp_path):
     except Exception:
         return  # loud failure: acceptable outcome
     assert not got.equals(base), "flipped byte decoded identically"
+
+
+def test_sharded_decode_is_shard_invariant(spark, sf_dir, tmp_path):
+    """shards_per_sstable splits one sstable's decode across tasks over
+    contiguous position ranges; the output must be EXACTLY the unsharded
+    frame (the index-driven splittability claim, pinned)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    base = sorted(
+        map(tuple, dc.data_cells(spark, root).collect())
+    )
+    assert base, "empty decode -- vacuous"
+    for shards in (3, 7):
+        sharded = sorted(
+            map(tuple, dc.data_cells(
+                spark, root, shards_per_sstable=shards).collect())
+        )
+        assert sharded == base, f"shards={shards} diverged"
