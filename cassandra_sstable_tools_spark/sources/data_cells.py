@@ -1583,11 +1583,17 @@ def _decoded_purge_cells(spark: SparkSession, root: str, filenames=None) -> Data
     record grain), cell_name is the decoded column name. Header-resident
     partition deletes carry NULL size (no stream bytes), so they steer
     shadowing but add no bytes; the oracle replays the same rule."""
-    return (
+    c = (
         data_cells(spark, root, filenames)
         .withColumnRenamed("column_name", "cell_name")
         .withColumnRenamed("phys_size", "cell_size")
     )
+    # the purge operator references this frame from several branches (the
+    # LWW window, the rare-row delete map, the two-level aggregate); an
+    # eager localCheckpoint makes the real-file decode run ONCE instead of
+    # once per branch -- the decoded frame is record-grain (tiny next to
+    # the files), and the blocks free with the plan via the ContextCleaner
+    return c.localCheckpoint(eager=True)
 
 
 def purge_top_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
