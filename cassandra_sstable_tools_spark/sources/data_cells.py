@@ -349,8 +349,14 @@ class _Rec:
     phys_size: int | None = None
 
 
+# clustering/bound values repeat heavily within an sstable (low-cardinality
+# clustering columns); memoize their display -- partition keys stay uncached
+# (mostly unique)
+_display_cached = __import__("functools").lru_cache(maxsize=8192)(render_key)
+
+
 def _display(v: bytes | None) -> str | None:
-    return None if v is None else render_key(v)
+    return None if v is None else _display_cached(v)
 
 
 def _value_as_long(v: bytes) -> int | None:

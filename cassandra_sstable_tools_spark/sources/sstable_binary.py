@@ -309,6 +309,9 @@ def _is_local_root(root: str) -> bool:
     return root.startswith(("/", "file:"))
 
 
+_CONTROL_CHARS = __import__("re").compile("[\x00-\x1f\x7f-\x9f]")
+
+
 def render_key(key: bytes) -> str:
     """Partition-key display: UTF-8 when the bytes cleanly are, else 0x-hex.
 
@@ -327,7 +330,7 @@ def render_key(key: bytes) -> str:
         s = key.decode("utf-8")
     except UnicodeDecodeError:
         return "0x" + key.hex()
-    if any(ord(c) < 0x20 or 0x7F <= ord(c) <= 0x9F for c in s):
+    if _CONTROL_CHARS.search(s):
         return "0x" + key.hex()
     return s
 
