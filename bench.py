@@ -87,6 +87,9 @@ SECONDARY = [
     # banded join). Bars in BASELINE.md §r08.
     "cfstats_global_cassdir",
     "media_neardup_real",
+    # r08: the full directory-mode compaction simulation (cell decode with
+    # real serialized sizes -> eager checkpoint -> merge/purge/measure).
+    "purge_top_cassdir",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
