@@ -1735,3 +1735,31 @@ def cfstats_rankings_from_dir(
             [F.desc("tables"), F.asc("partition_key")], "tables"),
         "_frame": per_part,  # caller unpersists after rendering
     }
+
+
+def cfstats_ttl_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified wrapper of ``cfstats_ttl_from_dir`` over the planted
+    fixture tree -- the cfstats TTL-histogram section (A6) decoded from
+    real cell flags/deltas rather than the parquet column."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    return cfstats_ttl_from_dir(spark, materialize_index_files(spark, sf_dir))
+
+
+def _ttl_oracle() -> str:
+    from cassandra_sstable_tools_spark.constants import NO_TTL
+    from cassandra_sstable_tools_spark.oracles import with_adapter
+
+    return with_adapter(f""",{_phys_ctes()}
+SELECT keyspace, table_name,
+       CAST(coalesce(ttl, {NO_TTL}) AS INT) AS ttl,
+       count(*) AS cell_count
+FROM decoded
+WHERE kind IN ('CELL', 'STATIC_CELL')
+GROUP BY 1, 2, 3""")
+
+
+QUERIES["cfstats_ttl_cassdir"] = cfstats_ttl_cassdir
+ORACLES["cfstats_ttl_cassdir"] = _ttl_oracle()
