@@ -294,3 +294,35 @@ def test_sharded_decode_is_shard_invariant(spark, sf_dir, tmp_path):
                 spark, root, shards_per_sstable=shards).collect())
         )
         assert sharded == base, f"shards={shards} diverged"
+
+
+def test_cassdir_cfstats_honors_filename_filter(spark, sf_dir):
+    """-f restricts the decoded universe at the FILE listing (the
+    reference's reader-skip grain) for the r08 cfstats/purge directory
+    surfaces, same contract the pstats path already pins."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    all_sst = {
+        (r.table_name, r.sstable_id)
+        for r in dc.data_cells(spark, root).select(
+            "table_name", "sstable_id").distinct().collect()
+    }
+    assert len(all_sst) > 1
+    tb, ss = sorted(all_sst)[0]
+    names = [f"nb-{ss}-big-Data.db"]
+    got = {
+        (r.table_name, r.sstable_id)
+        for r in dc.data_cells(spark, root, filenames=names).select(
+            "table_name", "sstable_id").distinct().collect()
+    }
+    # the filter keys on FILENAME; the fixture reuses sstable ids across
+    # tables, so every table's copy of this id passes -- but no other id
+    assert got == {(t, s) for (t, s) in all_sst if s == ss}
+    sizes = dc.dir_partition_sizes(spark, root, filenames=names)
+    assert {
+        (r.table_name, r.sstable_id)
+        for r in sizes.select("table_name", "sstable_id").distinct().collect()
+    } == got
