@@ -796,7 +796,7 @@ def materialize_index_files(
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
     if root is None:
-        # ":v8" salt: v2 added sparse Data.db files (directory-only pstats),
+        # ":v9" salt: v2 added sparse Data.db files (directory-only pstats),
         # v3 made alternate sstables "compressed" (short Data.db +
         # CompressionInfo.db header), v4 added real Statistics.db
         # components, v5 writes real partition headers (key + DeletionTime)
@@ -804,10 +804,10 @@ def materialize_index_files(
         # v7 adds real SerializationHeaders + full cell-grain partition
         # bodies (sources/data_cells.py) to uncompressed Data.db files,
         # v8 gives compressed sstables REAL LZ4-chunked content (the same
-        # logical image through lz4_block.write_chunked_file);
-        # older dirs are stale and orphaned
+        # logical image through lz4_block.write_chunked_file), v9 adds
+        # TOC.txt component manifests; older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v8").encode()
+            (os.path.abspath(sf_dir) + ":v9").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -994,6 +994,17 @@ def materialize_index_files(
                 "w",
             ) as f:
                 f.write(str(file_crc32(dpath)))
+        # TOC.txt: the component manifest every real sstable carries (one
+        # component name per line, itself included) -- written LAST so it
+        # lists exactly what this sstable got
+        prefix = f"{_DEFAULT_VERSION}-{ss}-big-"
+        comps = sorted(
+            fname[len(prefix):]
+            for fname in os.listdir(d)
+            if fname.startswith(prefix)
+        ) + ["TOC.txt"]
+        with open(os.path.join(d, prefix + "TOC.txt"), "w") as f:
+            f.write("".join(c + "\n" for c in comps))
     os.makedirs(_FIXTURE_ROOT, exist_ok=True)
     if os.path.exists(root):
         __import__("shutil").rmtree(root)
@@ -1298,3 +1309,106 @@ def key_renderer(key_type: str | None):
         f"unsupported --key-type {key_type!r} (string, long, int, uuid, "
         "timeuuid, composite(...))"
     )
+
+
+# --------------------------------------------------------------------------
+# TOC.txt: component-manifest integrity (the partial-copy detector)
+# --------------------------------------------------------------------------
+
+TOC_CHECK_SCHEMA = (
+    "keyspace string, table_name string, sstable_id string, "
+    "listed int, missing int, extra int, complete boolean"
+)
+
+
+def toc_checks(spark: SparkSession, root: str, filenames=None) -> DataFrame:
+    """Per-sstable TOC.txt verification: the manifest every real sstable
+    carries lists its components one per line (itself included); this
+    compares the listed set against the files actually on disk.
+
+    ``missing`` = listed but absent (the partial-snapshot-copy failure the
+    Statistics-join warning only hints at), ``extra`` = present but
+    unlisted (a torn write or foreign debris). One task per TOC file;
+    nothing but directory listings and a <1 KB text read per sstable."""
+    if not root.startswith(("/", "file:")):
+        raise ValueError(f"toc_checks needs a POSIX-visible root; got {root!r}")
+    files = _filter_files(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-TOC.txt")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path"),
+        filenames,
+        "TOC.txt",
+    )
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path, component="TOC.txt")
+                local = _local_path(path)
+                d = os.path.dirname(local)
+                prefix = os.path.basename(local)[: -len("TOC.txt")]
+                with open(local) as f:
+                    listed = {ln.strip() for ln in f if ln.strip()}
+                present = {
+                    fname[len(prefix):]
+                    for fname in os.listdir(d)
+                    if fname.startswith(prefix)
+                }
+                missing = len(listed - present)
+                extra = len(present - listed)
+                rows.append((
+                    ks, tb, ss, len(listed), missing, extra,
+                    missing == 0 and extra == 0,
+                ))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["keyspace", "table_name", "sstable_id",
+                         "listed", "missing", "extra", "complete"],
+            )
+            for c in ("listed", "missing", "extra"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return files.mapInPandas(scan, TOC_CHECK_SCHEMA)
+
+
+def toc_check_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified wrapper over the planted tree: the fixture writes a
+    complete manifest per sstable, so the oracle expects complete=TRUE
+    with the exact per-sstable component count (a function of which
+    components the physical rules produce) -- a miscounted listing, a
+    missed file, or a misattributed TOC all fail the hash. The
+    torn-copy differentials (deleted component -> missing>0; foreign
+    file -> extra>0) live in tests."""
+    root = materialize_index_files(spark, sf_dir)
+    return toc_checks(spark, root)
+
+
+# components per fixture sstable: Index.db + TOC.txt always; Statistics.db
+# iff min_timestamp non-null; Data.db + Digest.crc32 iff the length is
+# physical; CompressionInfo.db additionally on the compressed parity
+_ORACLE_TOC_TAIL = """
+SELECT keyspace, table_name, sstable_id,
+       CAST(2
+            + CASE WHEN min_timestamp IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN uncompressed_length IS NOT NULL THEN 2 ELSE 0 END
+            + CASE WHEN uncompressed_length IS NOT NULL AND ({PARITY})
+                   THEN 1 ELSE 0 END AS INT) AS listed,
+       CAST(0 AS INT) AS missing,
+       CAST(0 AS INT) AS extra,
+       TRUE AS complete
+FROM sstables_meta
+"""
+
+
+QUERIES["toc_check_cassdir"] = toc_check_cassdir
+ORACLES["toc_check_cassdir"] = __import__(
+    "cassandra_sstable_tools_spark.oracles", fromlist=["with_adapter"]
+).with_adapter(
+    _ORACLE_TOC_TAIL.format(PARITY=compressed_parity_sql("sstables_meta"))
+)

@@ -578,3 +578,48 @@ def test_key_type_rendering_end_to_end(spark, tmp_path):
                   spark=spark)
     assert rc == 0
     assert "7000000000" in buf.getvalue()
+
+
+def test_toc_check_torn_copy_differentials(spark, sf_dir, tmp_path):
+    """toc_check must move with the FILES: a deleted listed component ->
+    missing>0, a foreign unlisted file -> extra>0; intact tree -> all
+    complete."""
+    import os
+    import shutil
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        toc_checks,
+    )
+
+    root = str(tmp_path / "tree")
+    shutil.copytree(materialize_index_files(spark, sf_dir), root)
+    base = toc_checks(spark, root).collect()
+    assert base and all(r["complete"] for r in base)
+    # tear one copy: remove a listed Statistics.db
+    victim = None
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith("-Statistics.db"):
+                victim = os.path.join(dirpath, f)
+                break
+        if victim:
+            break
+    os.remove(victim)
+    # and plant a foreign unlisted component beside another sstable
+    toc = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root) for f in fs if f.endswith("-TOC.txt")
+    )
+    foreign = toc[: -len("TOC.txt")] + "Summary.db"
+    with open(foreign, "wb") as f:
+        f.write(b"\x00" * 16)
+    got = {(r["table_name"], r["sstable_id"]): r
+           for r in toc_checks(spark, root).collect()}
+    vic_id = os.path.basename(victim).split("-")[1]
+    vic_tb = os.path.basename(os.path.dirname(victim))
+    assert got[(vic_tb, vic_id)]["missing"] == 1
+    assert not got[(vic_tb, vic_id)]["complete"]
+    for_id = os.path.basename(foreign).split("-")[1]
+    for_tb = os.path.basename(os.path.dirname(foreign))
+    assert got[(for_tb, for_id)]["extra"] >= 1
+    assert not got[(for_tb, for_id)]["complete"]
