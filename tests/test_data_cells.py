@@ -326,3 +326,126 @@ def test_cassdir_cfstats_honors_filename_filter(spark, sf_dir):
         (r.table_name, r.sstable_id)
         for r in sizes.select("table_name", "sstable_id").distinct().collect()
     } == got
+
+
+# --------------------------------------------------------------------------
+# Property-based fuzzing: random valid record sets must round-trip through
+# encode_unfiltereds -> decode_partition_block exactly
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# codepoints 0x7F-0x9F excluded: C1 controls hex-render by design (the
+# display heuristic has its own tests); here values must round-trip as text
+_CLUSTER = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            st.characters(min_codepoint=0xA0, max_codepoint=0x2FF),
+        ),
+        min_size=0, max_size=12,
+    ),
+)
+_WT = st.integers(min_value=10_000_000, max_value=2_000_000_000_000_000)
+_LDT = st.integers(min_value=1, max_value=2_147_000_000)
+_TTL = st.integers(min_value=1, max_value=630_720_000)
+
+
+@st.composite
+def _rand_rec(draw):
+    kind = draw(st.sampled_from(
+        ["CELL", "STATIC_CELL", "ROW_MARKER", "ROW_DELETE",
+         "RANGE_TOMBSTONE_MARKER"]))
+    rec = dict(
+        kind=kind, clustering=draw(_CLUSTER), cell_name=None,
+        cell_size=None, writetime=draw(_WT), ttl=None,
+        local_deletion_time=None, is_tombstone=False, is_counter=False,
+        range_start=None, range_end=None, partition_key="p",
+    )
+    if kind in ("CELL", "STATIC_CELL"):
+        rec["cell_name"] = draw(st.sampled_from([f"c{i}" for i in range(5)]))
+        rec["is_tombstone"] = draw(st.booleans())
+        if kind == "CELL" and not rec["is_tombstone"]:
+            rec["is_counter"] = draw(st.booleans())
+        if not rec["is_tombstone"] and draw(st.booleans()):
+            rec["ttl"] = draw(_TTL)
+        if rec["is_tombstone"] or rec["ttl"] is not None:
+            rec["local_deletion_time"] = draw(_LDT)
+        if draw(st.booleans()):
+            rec["cell_size"] = draw(st.integers(0, (1 << 62)))
+    elif kind == "ROW_DELETE":
+        rec["local_deletion_time"] = draw(_LDT)
+    elif kind == "RANGE_TOMBSTONE_MARKER":
+        rec["local_deletion_time"] = draw(_LDT)
+        rec["range_start"] = draw(_CLUSTER)
+        rec["range_end"] = draw(_CLUSTER)
+    return rec
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_rand_rec(), min_size=1, max_size=12), st.data())
+def test_codec_round_trip_fuzz(recs, data):
+    """Random valid record sets round-trip exactly: every decoded field
+    equals the physical projection of its input, spans sum to the stream,
+    and the EncodingStats minima are honored (no negative deltas)."""
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        ENC_DELETION_TIME_EPOCH,
+    )
+
+    recs = [r for r in recs if dc.record_encodable(r)]
+    if not recs:
+        return
+    clustering_types, statics, regulars = dc.fixture_header_schema()
+    min_wt = min(r["writetime"] for r in recs)
+    ldts = [r["local_deletion_time"] for r in recs
+            if r["local_deletion_time"] is not None]
+    ttls = [r["ttl"] for r in recs if r["ttl"] is not None]
+    h = SerializationHeaderInfo(
+        min_timestamp=min_wt,
+        min_local_deletion_time=min(ldts) if ldts else ENC_DELETION_TIME_EPOCH,
+        min_ttl=min(ttls) if ttls else 0,
+        key_type=UTF8_TYPE,
+        clustering_types=clustering_types,
+        static_columns=statics,
+        regular_columns=regulars,
+    )
+    body = dc.encode_unfiltereds(recs, h)
+    block = encode_partition_header(b"pk") + body
+    pk, out = dc.decode_partition_block(block, h, source="fuzz")
+    assert pk == "pk"
+    assert len(out) == len(recs)
+    # spans account for every stream byte except the END marker
+    assert sum(r.phys_size for r in out) == len(body) - 1
+
+    def expect(r):
+        kind = r["kind"]
+        clustering = (None if kind in ("STATIC_CELL", "RANGE_TOMBSTONE_MARKER")
+                      else r["clustering"])
+        is_cell = kind in ("CELL", "STATIC_CELL")
+        counter = kind == "CELL" and bool(r["is_counter"])
+        return (
+            kind, clustering,
+            (r["cell_name"] + ("_ctr" if counter else "")) if is_cell else None,
+            r["writetime"],
+            r["ttl"] if is_cell else None,
+            r["local_deletion_time"]
+            if (kind in ("ROW_DELETE", "RANGE_TOMBSTONE_MARKER")
+                or (is_cell and (r["is_tombstone"] or r["ttl"] is not None)))
+            else None,
+            is_cell and bool(r["is_tombstone"]),
+            is_cell and r["ttl"] is not None,
+            counter,
+            r["cell_size"] if (is_cell and not r["is_tombstone"]) else None,
+            r["range_start"], r["range_end"],
+        )
+
+    got = sorted(
+        ((o.kind, o.clustering, o.column_name, o.writetime, o.ttl, o.ldt,
+          o.is_tombstone, o.is_expiring, o.is_counter, o.cell_value,
+          o.range_start, o.range_end)
+         for o in out),
+        key=repr,
+    )
+    assert got == sorted((expect(r) for r in recs), key=repr)
