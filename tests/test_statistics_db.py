@@ -538,3 +538,56 @@ def test_summary_cassdir_without_statistics_is_loud(
     assert main(["summary", "--cassandra-dir", nostats,
                  "--sf-dir", sf_dir, "-b"], spark=spark) == 2
     assert "needs Statistics.db" in capsys.readouterr().err
+
+
+# --------------------------------------------------------------------------
+# SerializationHeader component (r08): round-trip + fuzz
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cassandra_sstable_tools_spark.sources.statistics_db import (
+    ENC_DELETION_TIME_EPOCH,
+    ENC_TIMESTAMP_EPOCH,
+    SerializationHeaderInfo,
+    parse_serialization_header,
+)
+
+_TYPE_NAMES = st.sampled_from([
+    "org.apache.cassandra.db.marshal.UTF8Type",
+    "org.apache.cassandra.db.marshal.LongType",
+    "org.apache.cassandra.db.marshal.Int32Type",
+    "org.apache.cassandra.db.marshal.CounterColumnType",
+    "org.apache.cassandra.db.marshal.BytesType",
+])
+_COLS = st.lists(
+    st.tuples(st.text("abcdefghij_0123456789", min_size=1, max_size=20),
+              _TYPE_NAMES),
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    # pre- and post-epoch timestamps: negative deltas take the 9-byte vint
+    st.integers(min_value=1, max_value=3 * ENC_TIMESTAMP_EPOCH),
+    st.integers(min_value=1, max_value=3 * ENC_DELETION_TIME_EPOCH),
+    st.integers(min_value=0, max_value=630_720_000),
+    st.lists(_TYPE_NAMES, min_size=0, max_size=4),
+    _COLS, _COLS,
+    st.sampled_from(["ma", "mc", "nb", "nc"]),
+)
+def test_serialization_header_roundtrip_fuzz(
+    min_ts, min_ldt, min_ttl, clustering, statics, regulars, version
+):
+    h = SerializationHeaderInfo(
+        min_timestamp=min_ts,
+        min_local_deletion_time=min_ldt,
+        min_ttl=min_ttl,
+        clustering_types=clustering,
+        static_columns=statics,
+        regular_columns=regulars,
+    )
+    blob = encode_statistics_db(SSTableStats(), version=version, header=h)
+    assert parse_serialization_header(blob, version=version) == h
