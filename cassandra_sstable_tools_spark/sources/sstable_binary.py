@@ -805,9 +805,13 @@ def materialize_index_files(
         # bodies (sources/data_cells.py) to uncompressed Data.db files,
         # v8 gives compressed sstables REAL LZ4-chunked content (the same
         # logical image through lz4_block.write_chunked_file), v9 adds
-        # TOC.txt component manifests; older dirs are stale and orphaned
+        # TOC.txt component manifests, v10 completes the component set:
+        # Summary.db (sampled index + first/last-key trailer), Filter.db
+        # (real bloom filter over the partition keys) and, for
+        # uncompressed sstables, CRC.db per-chunk checksums; older dirs
+        # are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v9").encode()
+            (os.path.abspath(sf_dir) + ":v10").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -880,6 +884,38 @@ def materialize_index_files(
             os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Index.db"), "wb"
         ) as f:
             f.write(encode_index_db(entries))
+        # v10: the sampling + membership components every real sstable
+        # carries -- the summary a real Cassandra would build (every
+        # FIXTURE_MIN_INDEX_INTERVAL-th file-ordered entry + first/last
+        # key trailer) and a real bloom filter over the partition keys
+        from cassandra_sstable_tools_spark.sources.bloom import (
+            FIXTURE_HASH_COUNT,
+            build_filter,
+            encode_filter_db,
+        )
+        from cassandra_sstable_tools_spark.sources.summary_db import (
+            FIXTURE_MIN_INDEX_INTERVAL,
+            encode_summary_db,
+        )
+
+        with open(
+            os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Summary.db"), "wb"
+        ) as f:
+            f.write(
+                encode_summary_db(
+                    entries, min_index_interval=FIXTURE_MIN_INDEX_INTERVAL
+                )
+            )
+        with open(
+            os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Filter.db"), "wb"
+        ) as f:
+            f.write(
+                encode_filter_db(
+                    build_filter(
+                        [k for k, _ in entries], hash_count=FIXTURE_HASH_COUNT
+                    )
+                )
+            )
         # real Statistics.db (StatsMetadata + ValidationMetadata +, v7, the
         # SerializationHeader the cell codec needs), absent for
         # all-NULL-timestamp sstables (see statistics_db.fixture_stats)
@@ -994,6 +1030,19 @@ def materialize_index_files(
                 "w",
             ) as f:
                 f.write(str(file_crc32(dpath)))
+            # v10: per-chunk checksums for UNCOMPRESSED sstables (real
+            # Cassandra writes CRC.db only there -- compressed chunks
+            # carry their CRCs inline in Data.db)
+            if not compressed:
+                from cassandra_sstable_tools_spark.sources.crc_db import (
+                    encode_crc_db,
+                )
+
+                with open(
+                    os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-CRC.db"),
+                    "wb",
+                ) as f:
+                    f.write(encode_crc_db(dpath))
         # TOC.txt: the component manifest every real sstable carries (one
         # component name per line, itself included) -- written LAST so it
         # lists exactly what this sstable got
@@ -1389,16 +1438,16 @@ def toc_check_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toc_checks(spark, root)
 
 
-# components per fixture sstable: Index.db + TOC.txt always; Statistics.db
-# iff min_timestamp non-null; Data.db + Digest.crc32 iff the length is
-# physical; CompressionInfo.db additionally on the compressed parity
+# components per fixture sstable: Index.db + TOC.txt + (v10) Summary.db +
+# Filter.db always; Statistics.db iff min_timestamp non-null; Data.db +
+# Digest.crc32 iff the length is physical; then ONE of CompressionInfo.db
+# (compressed parity) or (v10) CRC.db (uncompressed) beside the Data.db
 _ORACLE_TOC_TAIL = """
 SELECT keyspace, table_name, sstable_id,
-       CAST(2
+       CAST(4
             + CASE WHEN min_timestamp IS NOT NULL THEN 1 ELSE 0 END
-            + CASE WHEN uncompressed_length IS NOT NULL THEN 2 ELSE 0 END
-            + CASE WHEN uncompressed_length IS NOT NULL AND ({PARITY})
-                   THEN 1 ELSE 0 END AS INT) AS listed,
+            + CASE WHEN uncompressed_length IS NOT NULL THEN 3 ELSE 0 END
+            AS INT) AS listed,
        CAST(0 AS INT) AS missing,
        CAST(0 AS INT) AS extra,
        TRUE AS complete
@@ -1409,6 +1458,4 @@ FROM sstables_meta
 QUERIES["toc_check_cassdir"] = toc_check_cassdir
 ORACLES["toc_check_cassdir"] = __import__(
     "cassandra_sstable_tools_spark.oracles", fromlist=["with_adapter"]
-).with_adapter(
-    _ORACLE_TOC_TAIL.format(PARITY=compressed_parity_sql("sstables_meta"))
-)
+).with_adapter(_ORACLE_TOC_TAIL)

@@ -610,7 +610,8 @@ def test_toc_check_torn_copy_differentials(spark, sf_dir, tmp_path):
         os.path.join(dp, f)
         for dp, _, fs in os.walk(root) for f in fs if f.endswith("-TOC.txt")
     )
-    foreign = toc[: -len("TOC.txt")] + "Summary.db"
+    # a name no fixture version writes (v10 made Summary.db legitimate)
+    foreign = toc[: -len("TOC.txt")] + "Foreign.db"
     with open(foreign, "wb") as f:
         f.write(b"\x00" * 16)
     got = {(r["table_name"], r["sstable_id"]): r
