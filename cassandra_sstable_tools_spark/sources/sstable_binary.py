@@ -132,6 +132,30 @@ def _promoted_filler(key: bytes, position: int) -> bytes:
     return bytes((position + i * 31) & 0xFF for i in range(n))
 
 
+def _encode_index_entry(
+    key: bytes, position: int, version: str, promoted: bool
+) -> bytes:
+    """One serialized Index.db entry — the single source of entry byte
+    layout, shared by ``encode_index_db`` (content) and ``index_offsets``
+    (entry start offsets), so the two can never drift apart."""
+    if len(key) > 0xFFFF:
+        raise ValueError("partition key exceeds u16 length prefix")
+    out = bytearray()
+    out += len(key).to_bytes(2, "big")
+    out += key
+    if version > "ma":
+        out += write_unsigned_vint(position)
+    else:
+        out += position.to_bytes(8, "big")
+    filler = _promoted_filler(key, position) if promoted else b""
+    if version >= "ma":
+        out += write_unsigned_vint(len(filler))
+    else:
+        out += len(filler).to_bytes(4, "big")
+    out += filler
+    return bytes(out)
+
+
 def encode_index_db(
     entries: list[tuple[bytes, int]],
     version: str = _DEFAULT_VERSION,
@@ -145,21 +169,25 @@ def encode_index_db(
     """
     out = bytearray()
     for key, position in entries:
-        if len(key) > 0xFFFF:
-            raise ValueError("partition key exceeds u16 length prefix")
-        out += len(key).to_bytes(2, "big")
-        out += key
-        if version > "ma":
-            out += write_unsigned_vint(position)
-        else:
-            out += position.to_bytes(8, "big")
-        filler = _promoted_filler(key, position) if promoted else b""
-        if version >= "ma":
-            out += write_unsigned_vint(len(filler))
-        else:
-            out += len(filler).to_bytes(4, "big")
-        out += filler
+        out += _encode_index_entry(key, position, version, promoted)
     return bytes(out)
+
+
+def index_offsets(
+    entries: list[tuple[bytes, int]],
+    version: str = _DEFAULT_VERSION,
+    promoted: bool = True,
+) -> list[int]:
+    """Byte offset IN THE INDEX FILE where each entry of
+    ``encode_index_db(entries, ...)`` starts — what a real IndexSummary
+    stores per sampled entry (the summary exists to seek Index.db, so its
+    positions are index-file offsets, not Data.db positions)."""
+    offs = []
+    pos = 0
+    for key, position in entries:
+        offs.append(pos)
+        pos += len(_encode_index_entry(key, position, version, promoted))
+    return offs
 
 
 def _try_vint(buf: bytes, off: int, n: int) -> tuple[int, int] | None:
@@ -808,10 +836,12 @@ def materialize_index_files(
         # TOC.txt component manifests, v10 completes the component set:
         # Summary.db (sampled index + first/last-key trailer), Filter.db
         # (real bloom filter over the partition keys) and, for
-        # uncompressed sstables, CRC.db per-chunk checksums; older dirs
-        # are stale and orphaned
+        # uncompressed sstables, CRC.db per-chunk checksums, v11 stores
+        # INDEX-FILE offsets in Summary.db (real IndexSummary semantics)
+        # and declares ByteOrderedPartitioner (the order the planted
+        # files actually follow); older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v10").encode()
+            (os.path.abspath(sf_dir) + ":v11").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -887,7 +917,9 @@ def materialize_index_files(
         # v10: the sampling + membership components every real sstable
         # carries -- the summary a real Cassandra would build (every
         # FIXTURE_MIN_INDEX_INTERVAL-th file-ordered entry + first/last
-        # key trailer) and a real bloom filter over the partition keys
+        # key trailer) and a real bloom filter over the partition keys;
+        # v11: summary positions are INDEX-FILE offsets (what a real
+        # IndexSummary stores -- the summary exists to seek Index.db)
         from cassandra_sstable_tools_spark.sources.bloom import (
             FIXTURE_HASH_COUNT,
             build_filter,
@@ -898,12 +930,14 @@ def materialize_index_files(
             encode_summary_db,
         )
 
+        idx_offs = index_offsets(entries, version=_DEFAULT_VERSION)
         with open(
             os.path.join(d, f"{_DEFAULT_VERSION}-{ss}-big-Summary.db"), "wb"
         ) as f:
             f.write(
                 encode_summary_db(
-                    entries, min_index_interval=FIXTURE_MIN_INDEX_INTERVAL
+                    [(k, o) for (k, _p), o in zip(entries, idx_offs)],
+                    min_index_interval=FIXTURE_MIN_INDEX_INTERVAL,
                 )
             )
         with open(

@@ -910,6 +910,12 @@ def fixture_stats(spark: SparkSession, sf_dir: str) -> dict:
             continue  # unrepresentable in fixed-width longs; oracle mirrors
         c = cell_aggs[key]
         out[key] = SSTableStats(
+            # v11: the planted files are in RAW PARTITION KEY order (the
+            # adapter assigns positions by ascending key), which is
+            # ByteOrderedPartitioner's order -- declaring Murmur3 would
+            # lie to the point-read path, whose summary binary search
+            # derives its comparator from this very field (lookup.py)
+            partitioner="org.apache.cassandra.dht.ByteOrderedPartitioner",
             partition_size_hist=sorted(psize_hist.get(key, [])),
             column_count_hist=sorted(pcells_hist.get(key, [])),
             min_timestamp=int(m["min_timestamp"]),
@@ -1198,7 +1204,7 @@ _HIST_AGG_SUB = """
 
 _ORACLE_STATISTICS_TAIL = """
 SELECT s.keyspace, s.table_name, s.sstable_id,
-       'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
+       'org.apache.cassandra.dht.ByteOrderedPartitioner' AS partitioner,
        CAST(0.01 AS DOUBLE) AS bloom_fp_chance,
        s.min_timestamp, s.max_timestamp,
        s.min_local_deletion_time, s.max_local_deletion_time,

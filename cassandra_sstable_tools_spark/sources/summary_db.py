@@ -1,10 +1,12 @@
 """Summary.db (IndexSummary) reader + fixture-side encoder.
 
 The last *sampling* component of a big-format sstable: Cassandra keeps
-every ``minIndexInterval``-th Index.db entry (key + index position) in
-``Summary.db`` so a point read binary-searches ~keys/128 sampled entries
-in memory instead of the full index, then appends the sstable's FIRST and
-LAST partition keys so range ownership checks never open the index at all.
+every ``minIndexInterval``-th Index.db entry (key + the entry's byte
+offset IN THE INDEX FILE) in ``Summary.db`` so a point read
+binary-searches ~keys/128 sampled entries in memory, seeks Index.db to
+the sampled offset and scans at most one sampling interval of the index
+instead of the whole file, then appends the sstable's FIRST and LAST
+partition keys so range ownership checks never open the index at all.
 The reference gets this for free by linking ``cassandra-all``
 (``pom.xml:88-93`` — SSTableReader loads the summary on open); this module
 implements the public big-format layout from scratch, with an independent
@@ -22,6 +24,9 @@ On-disk layout implemented (big format, "ma".."nc" families)::
                                    # offsets-section length; entry 0's
                                    # on-disk offset is exactly 4*size)
     entries                        # per entry: key bytes, i64 position
+                                   # (position = the sampled entry's byte
+                                   # offset in Index.db -- the seek target;
+                                   # fixture v11 plants exactly that)
     i32-length-prefixed first key  # ByteBufferUtil.writeWithLength
     i32-length-prefixed last key
 
@@ -57,7 +62,7 @@ BASE_SAMPLING_LEVEL = 128
 
 SUMMARY_ENTRIES_SCHEMA = (
     "keyspace string, table_name string, sstable_id string, "
-    "summary_idx int, partition_key string, position bigint, "
+    "summary_idx int, partition_key string, index_position bigint, "
     "min_index_interval int"
 )
 
@@ -82,8 +87,11 @@ def encode_summary_db(
     every ``min_index_interval``-th entry of the FILE-ORDERED index, plus
     the first/last partition-key trailer.
 
-    ``index_entries`` must already be in file order (ascending position)
-    — same precondition as ``encode_index_db``."""
+    ``index_entries`` is (key, stored position) per FULL index entry, in
+    file order (ascending position). The encoder is position-agnostic (it
+    stores what it is given); REAL IndexSummary semantics — what fixture
+    v11 plants via ``sstable_binary.index_offsets`` — store each entry's
+    byte offset in Index.db, the seek target of a point read."""
     if min_index_interval < 1:
         raise ValueError(f"min_index_interval must be >=1: {min_index_interval}")
     if not index_entries:
@@ -251,8 +259,9 @@ def _summary_files(spark: SparkSession, root: str, filenames):
 def summary_entries(
     spark: SparkSession, root: str, filenames=None, key_type: str | None = None
 ) -> DataFrame:
-    """Every sampled (key, position) of every Summary.db under ``root``,
-    entry-grain — the frame a range scan planner would binary-search."""
+    """Every sampled (key, index_position) of every Summary.db under
+    ``root``, entry-grain — the in-memory frame a point read
+    binary-searches before seeking Index.db (sources/lookup.py does)."""
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
         _local_path,
         _parse_filename,
@@ -279,12 +288,12 @@ def summary_entries(
             pdf_out = pd.DataFrame(
                 rows,
                 columns=["keyspace", "table_name", "sstable_id",
-                         "summary_idx", "partition_key", "position",
+                         "summary_idx", "partition_key", "index_position",
                          "min_index_interval"],
             )
             for c in ("summary_idx", "min_index_interval"):
                 pdf_out[c] = pdf_out[c].astype("int32")
-            pdf_out["position"] = pdf_out["position"].astype("int64")
+            pdf_out["index_position"] = pdf_out["index_position"].astype("int64")
             yield pdf_out
 
     return files.mapInPandas(scan, SUMMARY_ENTRIES_SCHEMA)
@@ -344,10 +353,13 @@ FIXTURE_MIN_INDEX_INTERVAL = 4
 
 def summary_component_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-grain certificate: the fixture writes the summary a real
-    Cassandra would build (every 4th file-ordered index entry), so the
-    oracle predicts every (summary_idx, key, position) row straight from
-    the parquet index — a wrong stride, a dropped entry, a misread offset
-    or a byte-swapped position all fail the hash."""
+    Cassandra would build (every 4th file-ordered index entry, storing the
+    entry's INDEX-FILE offset), so the oracle predicts every (summary_idx,
+    key, index_position) row straight from the parquet index by byte-
+    pricing each Index.db entry in SQL (u16 + key + position vint +
+    promoted-size vint + promoted filler) and prefix-summing — a wrong
+    stride, a dropped entry, a misread offset, a byte-swapped position or
+    an entry-size drift in the index encoder all fail the hash."""
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
         materialize_index_files,
     )
@@ -368,18 +380,40 @@ def summary_bounds_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_bounds(spark, root)
 
 
-_ORACLE_SUMMARY_ENTRIES_TAIL = """
-, samp AS (
-    SELECT keyspace, table_name, sstable_id, partition_key, position,
+def _oracle_summary_entries_tail() -> str:
+    """SQL replay of ``sstable_binary.index_offsets`` over the adapter's
+    index_entries: each entry costs u16(2) + key bytes + vint(position) +
+    vint(promoted len) + promoted len, with promoted len =
+    (7*len(key) + position) % 23 (< 23, so its vint is 1 byte); an
+    entry's index offset is the prefix sum of its predecessors' costs."""
+    from cassandra_sstable_tools_spark.sources.data_cells import _vlen_sql
+
+    entry_bytes = (
+        f"2 + strlen(partition_key) + {_vlen_sql('position')} + 1 "
+        f"+ (strlen(partition_key) * 7 + position) % 23"
+    )
+    return f"""
+, ient AS (
+    SELECT keyspace, table_name, sstable_id, partition_key,
            row_number() OVER (
                PARTITION BY keyspace, table_name, sstable_id
                ORDER BY position
-           ) - 1 AS rn
+           ) - 1 AS rn,
+           {entry_bytes} AS entry_bytes
     FROM index_entries
+),
+samp AS (
+    SELECT keyspace, table_name, sstable_id, partition_key, rn,
+           CAST(coalesce(sum(entry_bytes) OVER (
+               PARTITION BY keyspace, table_name, sstable_id
+               ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS index_position
+    FROM ient
 )
 SELECT keyspace, table_name, sstable_id,
        CAST(floor(rn / 4) AS INT) AS summary_idx,
-       partition_key, position,
+       partition_key, index_position,
        CAST(4 AS INT) AS min_index_interval
 FROM samp
 WHERE rn % 4 = 0
@@ -406,7 +440,9 @@ def _staged():
             "summary_bounds_cassdir": summary_bounds_cassdir,
         },
         {
-            "summary_component_cassdir": with_adapter(_ORACLE_SUMMARY_ENTRIES_TAIL),
+            "summary_component_cassdir": with_adapter(
+                _oracle_summary_entries_tail()
+            ),
             "summary_bounds_cassdir": with_adapter(_ORACLE_SUMMARY_BOUNDS_TAIL),
         },
     )

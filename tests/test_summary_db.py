@@ -120,7 +120,7 @@ def test_planted_position_differential(spark, sf_dir, tmp_path):
     if len(parsed.entries) < 2:
         pytest.skip("victim summary too small to nudge a non-first entry")
     base = {
-        (r["table_name"], r["sstable_id"], r["summary_idx"]): r["position"]
+        (r["table_name"], r["sstable_id"], r["summary_idx"]): r["index_position"]
         for r in summary_entries(spark, root).collect()
     }
     entries = list(parsed.entries)
@@ -129,7 +129,7 @@ def test_planted_position_differential(spark, sf_dir, tmp_path):
     with open(victim, "wb") as f:
         f.write(encode_summary_db(entries, min_index_interval=1))
     got = {
-        (r["table_name"], r["sstable_id"], r["summary_idx"]): r["position"]
+        (r["table_name"], r["sstable_id"], r["summary_idx"]): r["index_position"]
         for r in summary_entries(spark, root).collect()
     }
     moved = {k for k in base if base[k] != got.get(k)}
