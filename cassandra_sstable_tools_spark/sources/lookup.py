@@ -1,0 +1,567 @@
+"""Single-partition point reads: Cassandra's own read path over real
+sstable components, re-expressed Spark-first.
+
+The reference tool gets point reads for free by linking ``cassandra-all``
+(``SSTableReader.getPosition``: bloom-filter check, index-summary binary
+search, then a partition-index scan of AT MOST ONE sampling interval —
+the read path behind every CQL single-partition SELECT). This module
+composes the repo's from-scratch component readers into that exact
+pipeline, per sstable and per requested key:
+
+    1. Filter.db   — murmur3 bloom check; a miss PROVES absence
+                     (no false negatives), skipping the sstable with
+                     zero index/data I/O;
+    2. Summary.db  — trailer first/last keys answer range ownership
+                     without opening Index.db; the sampled entries
+                     binary-search to ONE index window
+                     [sampled_offset_i, sampled_offset_{i+1});
+    3. Index.db    — stream exactly that window (not the file) to find
+                     the key's Data.db position; the NEXT entry bounds
+                     the partition's byte extent;
+    4. Data.db     — one point read of [position, next_position),
+                     decoded through the cell codec
+                     (sources/data_cells.py); compressed sstables ride
+                     the LZ4 chunk layer (sources/lz4_block.py).
+
+Ordering is PARTITIONER order: big-format Index/Summary files sort by
+decorated key, so the summary binary search must compare the way the
+node that wrote the file compared. The comparator is derived from the
+partitioner recorded in the sstable's own Statistics.db
+ValidationMetadata (exactly what a real reader validates against):
+Murmur3Partitioner -> (murmur3 token, key bytes); ByteOrderedPartitioner
+-> raw key bytes. Unknown partitioners fail LOUD rather than
+binary-searching with a wrong comparator and silently missing keys.
+
+Spark shape / 100 TB notes: the sstable inventory is the DataFrame (one
+task per sstable, file-count parallelism); the K requested keys ride the
+task closure — a POINT READ is K-bounded by definition (the CLI's -k
+flags; thousands at most), so this is a broadcast of kilobytes, not a
+shuffle. Per (sstable, key) the I/O is O(KB) regardless of sstable size:
+the bloom filter and summary are ~keys/128-sized, the index read is one
+sampling interval, the data read is one partition block. Overlapping
+key windows within an sstable are MERGED and each merged region is
+streamed once, so a batch of co-located keys never re-reads index
+bytes. For key sets beyond point-read scale, use
+``data_cells(...).join(keys_df, "semi")`` — the scan path — instead.
+
+Reference parity: cassandra/ColumnFamilyBackend.java:135-156 obtains
+scanners from SSTableReader, whose getPosition implements steps 1-3;
+this module implements them from the public on-disk formats.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.sstable_binary import (
+    _filter_files,
+    _is_local_root,
+    _local_path,
+    _parse_filename,
+    read_unsigned_vint,
+)
+
+LOOKUP_AUDIT_SCHEMA = (
+    "keyspace string, table_name string, sstable_id string, "
+    "partition_key string, bloom_pass boolean, bounds_skip boolean, "
+    "window_start bigint, window_end bigint, index_bytes_read bigint, "
+    "found boolean, records bigint, data_bytes_read bigint"
+)
+
+MURMUR3_PARTITIONER = "org.apache.cassandra.dht.Murmur3Partitioner"
+BYTE_ORDERED_PARTITIONER = "org.apache.cassandra.dht.ByteOrderedPartitioner"
+
+_MIN_LONG = -(1 << 63)
+_MAX_LONG = (1 << 63) - 1
+
+
+def key_decorator(partitioner: str):
+    """Sort key for a partition key under ``partitioner`` — how the node
+    that wrote the sstable ordered its index (DecoratedKey.compareTo:
+    token first, raw key bytes on token ties)."""
+    name = partitioner.rsplit(".", 1)[-1]
+    if name == "Murmur3Partitioner":
+        from cassandra_sstable_tools_spark.sources.bloom import (
+            murmur3_x64_128,
+        )
+
+        def decorate(key: bytes):
+            token = murmur3_x64_128(key)[0]
+            if token == _MIN_LONG:  # Murmur3Partitioner.normalize
+                token = _MAX_LONG
+            return (token, key)
+
+        return decorate
+    if name == "ByteOrderedPartitioner":
+        return lambda key: (key,)
+    raise ValueError(
+        f"unsupported partitioner {partitioner!r}: the summary binary "
+        "search needs its exact key order (supported: Murmur3Partitioner, "
+        "ByteOrderedPartitioner)"
+    )
+
+
+class _IndexCursor:
+    """Parse Index.db entries one at a time from a byte offset, tracking
+    bytes actually read — the bounded-I/O proof the audit surfaces.
+    Grammar (and version regimes) mirror sstable_binary._parse_entries."""
+
+    __slots__ = ("f", "version", "source", "buf", "off", "base",
+                 "bytes_read", "eof", "chunk")
+
+    def __init__(self, f, version: str, source: str, start: int,
+                 chunk_bytes: int = 8 << 10):
+        f.seek(start)
+        self.f = f
+        self.version = version
+        self.source = source
+        self.buf = b""
+        self.off = 0          # parse offset within buf
+        self.base = start     # file offset of buf[0]
+        self.bytes_read = 0
+        self.eof = False
+        self.chunk = chunk_bytes
+
+    def _fill(self, need: int) -> bool:
+        """Ensure ``need`` bytes are parseable at self.off; False at EOF."""
+        while len(self.buf) - self.off < need:
+            if self.eof:
+                return False
+            data = self.f.read(max(self.chunk, need))
+            self.bytes_read += len(data)
+            if not data:
+                self.eof = True
+                return False
+            if self.off:  # drop consumed prefix before growing
+                self.base += self.off
+                self.buf = self.buf[self.off:]
+                self.off = 0
+            self.buf += data
+        return True
+
+    def _vint(self) -> int | None:
+        if not self._fill(1):
+            return None
+        first = self.buf[self.off]
+        extra = 0
+        while extra < 8 and first & (0x80 >> extra):
+            extra += 1
+        if not self._fill(1 + extra):
+            return None
+        v, self.off = read_unsigned_vint(self.buf, self.off)
+        return v
+
+    def next_entry(self) -> tuple[bytes, int, int] | None:
+        """-> (key, data_position, entry_start_file_offset), or None at a
+        clean EOF. A mid-entry EOF is corruption (loud)."""
+        entry_start = self.base + self.off
+        if not self._fill(2):
+            if len(self.buf) - self.off == 0:
+                return None  # clean EOF on an entry boundary
+            raise ValueError(
+                f"corrupt Index.db {self.source}: truncated entry at "
+                f"byte {entry_start}"
+            )
+        klen = int.from_bytes(self.buf[self.off : self.off + 2], "big")
+        self.off += 2
+        if not self._fill(klen):
+            raise ValueError(
+                f"corrupt Index.db {self.source}: truncated key at byte "
+                f"{entry_start}"
+            )
+        key = self.buf[self.off : self.off + klen]
+        self.off += klen
+        if self.version > "ma":
+            position = self._vint()
+        else:
+            position = (
+                int.from_bytes(self.buf[self.off : self.off + 8], "big")
+                if self._fill(8)
+                else None
+            )
+            if position is not None:
+                self.off += 8
+        if position is None:
+            raise ValueError(
+                f"corrupt Index.db {self.source}: truncated position at "
+                f"byte {entry_start}"
+            )
+        if self.version >= "ma":
+            psize = self._vint()
+        else:
+            psize = (
+                int.from_bytes(self.buf[self.off : self.off + 4], "big")
+                if self._fill(4)
+                else None
+            )
+            if psize is not None:
+                self.off += 4
+        if psize is None or not self._fill(psize):
+            raise ValueError(
+                f"corrupt Index.db {self.source}: truncated promoted index "
+                f"at byte {entry_start}"
+            )
+        self.off += psize  # promoted/columns index: opaque, skipped
+        return key, position, entry_start
+
+
+def _merge_regions(windows: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Merge overlapping/adjacent [start, end) windows so a batch of
+    co-located keys streams each index byte range once."""
+    merged: list[list[int]] = []
+    for s, e in sorted(windows):
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return [(s, e) for s, e in merged]
+
+
+def _lookup_in_sstable(
+    index_local: str,
+    path: str,
+    ver: str,
+    targets: list[tuple[str, bytes]],
+) -> tuple[list[dict], list[tuple]] | None:
+    """The per-sstable read path for all requested keys. Returns (audit
+    rows, decoded record tuples in data_cells column order minus the
+    identity prefix), or None when the sstable lacks the components cell
+    decoding needs (Data.db / Statistics.db — the data_cells skip rule)."""
+    from cassandra_sstable_tools_spark.sources.bloom import parse_filter_db
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        decode_partition_block,
+    )
+    from cassandra_sstable_tools_spark.sources.lz4_block import open_data_file
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        parse_serialization_header,
+        parse_statistics_db,
+    )
+    from cassandra_sstable_tools_spark.sources.summary_db import (
+        parse_summary_db,
+    )
+
+    base = index_local[: -len("Index.db")]
+    data_path = base + "Data.db"
+    stats_path = base + "Statistics.db"
+    comp_path = base + "CompressionInfo.db"
+    filter_path = base + "Filter.db"
+    summary_path = base + "Summary.db"
+    if not os.path.exists(data_path) or not os.path.exists(stats_path):
+        return None
+    with open(stats_path, "rb") as f:
+        stats_content = f.read()
+    stats = parse_statistics_db(stats_content, version=ver, source=stats_path)
+    header = parse_serialization_header(
+        stats_content, version=ver, source=stats_path
+    )
+    decorate = key_decorator(stats.partitioner)
+
+    filt = None
+    if os.path.exists(filter_path):
+        with open(filter_path, "rb") as f:
+            filt = parse_filter_db(f.read(), source=filter_path)
+    summ = None
+    if os.path.exists(summary_path):
+        with open(summary_path, "rb") as f:
+            summ = parse_summary_db(f.read(), source=summary_path)
+    index_size = os.path.getsize(index_local)
+
+    audits: list[dict] = []
+    survivors: list[tuple[bytes, dict]] = []
+    for key_str, kb in targets:
+        a = {
+            "partition_key": key_str,
+            "bloom_pass": None,
+            "bounds_skip": None,
+            "window_start": None,
+            "window_end": None,
+            "index_bytes_read": 0,
+            "found": False,
+            "records": 0,
+            "data_bytes_read": 0,
+        }
+        audits.append(a)
+        if filt is not None:
+            a["bloom_pass"] = filt.might_contain(kb)
+            if not a["bloom_pass"]:
+                continue  # proven absent: zero index/data I/O
+        dk = decorate(kb)
+        if summ is not None:
+            if dk < decorate(summ.first_key) or dk > decorate(summ.last_key):
+                a["bounds_skip"] = True
+                continue  # outside the sstable's key range: index unopened
+            a["bounds_skip"] = False
+            entries = summ.entries
+            lo, hi = 0, len(entries) - 1
+            pos = 0  # rightmost sampled entry with key <= target
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                if decorate(entries[mid][0]) <= dk:
+                    pos = mid
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
+            ws = entries[pos][1]
+            we = entries[pos + 1][1] if pos + 1 < len(entries) else index_size
+        else:
+            ws, we = 0, index_size
+        a["window_start"], a["window_end"] = ws, we
+        survivors.append((kb, a))
+
+    # one streamed pass per merged window region; a key's window bounds
+    # where its index entry can start, so reaching the window end proves
+    # absence for every unmatched key of the region
+    matches: list[tuple[int, int | None, dict]] = []  # (pos, end, audit)
+    by_key = {}
+    for kb, a in survivors:
+        by_key.setdefault(kb, []).append(a)
+    regions = _merge_regions(
+        [(a["window_start"], a["window_end"]) for _, a in survivors]
+    )
+    with open(index_local, "rb") as f:
+        for rs, re_ in regions:
+            remaining = {
+                kb
+                for kb, a in survivors
+                if rs <= a["window_start"] < re_
+            }
+            cur = _IndexCursor(f, ver, path, rs)
+            pending: list[list] = []
+            while True:
+                ent = cur.next_entry()
+                if ent is None:
+                    for m in pending:
+                        m[1] = None  # EOF: bounded by data length
+                    break
+                key, dpos, entry_off = ent
+                for m in pending:
+                    m[1] = dpos
+                pending.clear()
+                if entry_off >= re_:
+                    # past the region: every unmatched key of the region
+                    # is proven absent (its entry had to start before re_)
+                    break
+                if key in remaining:
+                    remaining.discard(key)
+                    for a in by_key[key]:
+                        a["found"] = True
+                        m = [dpos, None, a]
+                        pending.append(m)
+                        matches.append(m)
+            for kb, a in survivors:
+                if rs <= a["window_start"] < re_:
+                    a["index_bytes_read"] = cur.bytes_read
+
+    records: list[tuple] = []
+    if matches:
+        dat, data_len = open_data_file(data_path, comp_path, ver)
+        try:
+            for dpos, dend, a in sorted(
+                matches, key=lambda m: m[0]
+            ):
+                end = data_len if dend is None else dend
+                if end <= dpos:
+                    continue  # zero-extent: no physical block (NULL psize)
+                dat.seek(dpos)
+                block = dat.read(end - dpos)
+                a["data_bytes_read"] += len(block)
+                pk, recs = decode_partition_block(
+                    block, header, source=data_path, base=dpos
+                )
+                if pk != a["partition_key"]:
+                    raise ValueError(
+                        f"corrupt sstable {path}: index points at byte "
+                        f"{dpos} whose partition key is {pk!r}, expected "
+                        f"{a['partition_key']!r}"
+                    )
+                a["records"] += len(recs)
+                for rec in recs:
+                    records.append((
+                        pk, rec.kind, rec.clustering, rec.column_name,
+                        rec.writetime, rec.ttl, rec.ldt, rec.is_tombstone,
+                        rec.is_expiring, rec.is_counter, rec.cell_value,
+                        rec.range_start, rec.range_end, rec.phys_size,
+                    ))
+        finally:
+            dat.close()
+    return audits, records
+
+
+def _normalize_keys(keys) -> list[tuple[str, bytes]]:
+    out = []
+    for k in keys:
+        if isinstance(k, bytes):
+            from cassandra_sstable_tools_spark.sources.sstable_binary import (
+                render_key,
+            )
+
+            out.append((render_key(k), k))
+        else:
+            out.append((k, k.encode("utf-8")))
+    if not out:
+        raise ValueError("partition_lookup needs at least one key")
+    return out
+
+
+def _index_files(spark: SparkSession, root: str, filenames):
+    if not _is_local_root(root):
+        raise ValueError(
+            f"partition_lookup needs a POSIX-visible root (point seeks); "
+            f"got {root!r}"
+        )
+    return _filter_files(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-Index.db")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path"),
+        filenames,
+        "Index.db",
+    )
+
+
+def partition_lookup(
+    spark: SparkSession, root: str, keys, filenames=None
+) -> DataFrame:
+    """Decoded cell-grain records (data_cells schema) for the requested
+    partition keys only, found via the bloom/summary/index point-read
+    path — never a data scan. ``keys``: a K-bounded list of partition
+    keys (str, UTF-8-encoded; or raw bytes)."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        DATA_CELLS_SCHEMA,
+        _COLS,
+    )
+
+    targets = _normalize_keys(keys)
+    files = _index_files(spark, root, filenames)
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                got = _lookup_in_sstable(
+                    _local_path(path), path, ver, targets
+                )
+                if got is None:
+                    continue
+                _audits, recs = got
+                rows.extend((ks, tb, ss) + r for r in recs)
+            pdf_out = pd.DataFrame(rows, columns=_COLS)
+            for c in ("writetime", "local_deletion_time", "cell_value",
+                      "phys_size"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
+            yield pdf_out
+
+    return files.mapInPandas(scan, DATA_CELLS_SCHEMA)
+
+
+def lookup_audit(
+    spark: SparkSession, root: str, keys, filenames=None
+) -> DataFrame:
+    """Per-(sstable, key) read-path decisions and I/O counters: bloom_pass
+    (NULL when no Filter.db), bounds_skip (NULL when no Summary.db),
+    the index window, bytes actually read from Index.db (the merged-
+    region read each key participated in), found, decoded record count
+    and Data.db bytes read. The bounded-I/O contract, observable:
+    bloom_pass=false or bounds_skip=true rows prove ZERO index/data
+    bytes; scanned rows prove the read stayed inside one sampling
+    window (+ one read-ahead chunk)."""
+    targets = _normalize_keys(keys)
+    files = _index_files(spark, root, filenames)
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                got = _lookup_in_sstable(
+                    _local_path(path), path, ver, targets
+                )
+                if got is None:
+                    continue
+                audits, _recs = got
+                for a in audits:
+                    rows.append((
+                        ks, tb, ss, a["partition_key"], a["bloom_pass"],
+                        a["bounds_skip"], a["window_start"],
+                        a["window_end"], a["index_bytes_read"], a["found"],
+                        a["records"], a["data_bytes_read"],
+                    ))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["keyspace", "table_name", "sstable_id",
+                         "partition_key", "bloom_pass", "bounds_skip",
+                         "window_start", "window_end", "index_bytes_read",
+                         "found", "records", "data_bytes_read"],
+            )
+            for c in ("window_start", "window_end", "index_bytes_read",
+                      "records", "data_bytes_read"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            for c in ("bloom_pass", "bounds_skip"):
+                pdf_out[c] = pdf_out[c].astype("boolean")
+            yield pdf_out
+
+    return files.mapInPandas(scan, LOOKUP_AUDIT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Staged query (r09 registration; see SURVEY §2.9 staging note).
+# Tested against its oracle locally by tests/test_staged_queries.py.
+# --------------------------------------------------------------------------
+
+# deterministic md5-prefix key subset, identically expressible in Spark
+# and DuckDB -- ~1/16th of all partition keys, hundreds at sf0.01
+_KEY_PREFIX = "0"
+
+
+def partition_lookup_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE point-read certificate: look up every partition key whose
+    md5 starts with '0' through the full bloom -> summary -> index-window
+    -> data-block path over the planted tree, and hash-match the decoded
+    records (every field AND the serialized spans) against the same
+    ``decoded`` oracle frame that certifies the full scan — proving the
+    point reads return bit-identical records to the scan path while the
+    audit tests prove they never read more than a sampling window."""
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    keys = sorted(
+        r["partition_key"]
+        for r in tpch_adapter.index_entries(spark, sf_dir)
+        .select("partition_key")
+        .where(F.md5("partition_key").startswith(_KEY_PREFIX))
+        .distinct()
+        .collect()
+    )
+    return partition_lookup(spark, root, keys)
+
+
+def _staged():
+    from cassandra_sstable_tools_spark.oracles import with_adapter
+    from cassandra_sstable_tools_spark.sources.data_cells import _phys_ctes
+
+    oracle = with_adapter(
+        f",{_phys_ctes()}\n"
+        "SELECT * FROM decoded "
+        f"WHERE substr(md5(partition_key), 1, 1) = '{_KEY_PREFIX}'"
+    )
+    return (
+        {"partition_lookup_cassdir": partition_lookup_cassdir},
+        {"partition_lookup_cassdir": oracle},
+    )
+
+
+STAGED_QUERIES, STAGED_ORACLES = _staged()

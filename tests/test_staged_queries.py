@@ -12,9 +12,14 @@ this test is the proof they'll pass the driver on arrival.
 import pytest
 from conftest import assert_matches_oracle
 
-from cassandra_sstable_tools_spark.sources import bloom, crc_db, summary_db
+from cassandra_sstable_tools_spark.sources import (
+    bloom,
+    crc_db,
+    lookup,
+    summary_db,
+)
 
-_STAGED_MODULES = (summary_db, bloom, crc_db)
+_STAGED_MODULES = (summary_db, bloom, crc_db, lookup)
 
 _QUERIES = {}
 _ORACLES = {}
