@@ -226,6 +226,7 @@ def _lookup_in_sstable(
     path: str,
     ver: str,
     targets: list[tuple[str, bytes]],
+    chunk_bytes: int = 8 << 10,
 ) -> tuple[list[dict], list[tuple]] | None:
     """The per-sstable read path for all requested keys. Returns (audit
     rows, decoded record tuples in data_cells column order minus the
@@ -329,7 +330,7 @@ def _lookup_in_sstable(
                 for kb, a in survivors
                 if rs <= a["window_start"] < re_
             }
-            cur = _IndexCursor(f, ver, path, rs)
+            cur = _IndexCursor(f, ver, path, rs, chunk_bytes=chunk_bytes)
             pending: list[list] = []
             while True:
                 ent = cur.next_entry()
@@ -425,7 +426,8 @@ def _index_files(spark: SparkSession, root: str, filenames):
 
 
 def partition_lookup(
-    spark: SparkSession, root: str, keys, filenames=None
+    spark: SparkSession, root: str, keys, filenames=None,
+    chunk_bytes: int = 8 << 10,
 ) -> DataFrame:
     """Decoded cell-grain records (data_cells schema) for the requested
     partition keys only, found via the bloom/summary/index point-read
@@ -447,7 +449,8 @@ def partition_lookup(
             for path in pdf["path"]:
                 ks, tb, ss, ver = _parse_filename(path)
                 got = _lookup_in_sstable(
-                    _local_path(path), path, ver, targets
+                    _local_path(path), path, ver, targets,
+                    chunk_bytes=chunk_bytes,
                 )
                 if got is None:
                     continue
@@ -464,7 +467,8 @@ def partition_lookup(
 
 
 def lookup_audit(
-    spark: SparkSession, root: str, keys, filenames=None
+    spark: SparkSession, root: str, keys, filenames=None,
+    chunk_bytes: int = 8 << 10,
 ) -> DataFrame:
     """Per-(sstable, key) read-path decisions and I/O counters: bloom_pass
     (NULL when no Filter.db), bounds_skip (NULL when no Summary.db),
@@ -485,7 +489,8 @@ def lookup_audit(
             for path in pdf["path"]:
                 ks, tb, ss, ver = _parse_filename(path)
                 got = _lookup_in_sstable(
-                    _local_path(path), path, ver, targets
+                    _local_path(path), path, ver, targets,
+                    chunk_bytes=chunk_bytes,
                 )
                 if got is None:
                     continue

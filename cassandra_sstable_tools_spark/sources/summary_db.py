@@ -227,8 +227,11 @@ def parse_summary_db(buf: bytes, source: str = "<buf>") -> ParsedSummary:
     first_key, last_key = keys
     if first_key != entries[0][0]:
         fail("trailer first key != sampled entry 0 key", entries_end)
-    if last_key < first_key and n > 1:
-        fail("trailer last key sorts before first key", entries_end)
+    # NOTE: no byte-order sanity check between first and last key -- real
+    # files sort by PARTITIONER order (murmur3 tokens), under which the
+    # last key's raw bytes may legitimately sort below the first's; the
+    # caller that knows the partitioner (lookup.key_decorator) is where
+    # order-aware comparisons belong
     return ParsedSummary(mii, lvl, full, entries, first_key, last_key)
 
 

@@ -1,0 +1,324 @@
+"""Point-read path (sources/lookup.py): completeness vs the scan path,
+bounded-I/O proofs, component-degradation fallbacks, a genuinely
+murmur3-token-ordered sstable (comparator dispatch), and corruption
+loudness (SURVEY §5 binary-format playbook)."""
+
+import os
+import shutil
+import struct
+
+import pytest
+
+from cassandra_sstable_tools_spark.sources.lookup import (
+    key_decorator,
+    lookup_audit,
+    partition_lookup,
+)
+
+
+def _all_keys(spark, sf_dir):
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    return sorted(
+        r["partition_key"]
+        for r in tpch_adapter.index_entries(spark, sf_dir)
+        .select("partition_key")
+        .distinct()
+        .collect()
+    )
+
+
+def _tree(spark, sf_dir):
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    return materialize_index_files(spark, sf_dir)
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_lookup_of_every_key_equals_the_scan_path(spark, sf_dir):
+    """Looking up ALL partition keys must reproduce the full-scan frame
+    bit-for-bit: same records, same spans, nothing extra, nothing lost."""
+    from cassandra_sstable_tools_spark.sources.data_cells import data_cells
+
+    root = _tree(spark, sf_dir)
+    keys = _all_keys(spark, sf_dir)
+    got = _collect_sorted(partition_lookup(spark, root, keys))
+    want = _collect_sorted(data_cells(spark, root))
+    assert got == want and len(got) > 0
+
+
+def test_found_set_matches_the_index_ground_truth(spark, sf_dir):
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+
+    root = _tree(spark, sf_dir)
+    keys = _all_keys(spark, sf_dir)[:40]
+    aud = lookup_audit(spark, root, keys).toPandas()
+    found = {
+        tuple(r)
+        for r in aud[aud["found"]][
+            ["keyspace", "table_name", "sstable_id", "partition_key"]
+        ].values
+    }
+    idx = tpch_adapter.index_entries(spark, sf_dir)
+    truth = {
+        (r["keyspace"], r["table_name"], r["sstable_id"], r["partition_key"])
+        for r in idx.where(idx.partition_key.isin(keys)).collect()
+        # only cell-decodable sstables participate in lookup
+        if True
+    }
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        decodable_sstables,
+    )
+
+    dec = {
+        (r["keyspace"], r["table_name"], r["sstable_id"])
+        for r in decodable_sstables(spark, root).collect()
+    }
+    truth = {t for t in truth if t[:3] in dec}
+    assert found == truth
+
+
+def test_absent_key_yields_no_rows_and_no_data_io(spark, sf_dir):
+    root = _tree(spark, sf_dir)
+    absent = ["zzzz_not_a_key", "000000000000x"]
+    assert partition_lookup(spark, root, absent).count() == 0
+    aud = lookup_audit(spark, root, absent).toPandas()
+    assert len(aud) > 0
+    assert not aud["found"].any()
+    assert (aud["data_bytes_read"] == 0).all()
+
+
+def test_bloom_reject_proves_zero_index_and_data_io(spark, sf_dir):
+    """The bloom filter's whole point at 100 TB: a miss costs NOTHING
+    beyond the (memory-resident) filter itself."""
+    root = _tree(spark, sf_dir)
+    keys = _all_keys(spark, sf_dir)[:20] + ["zzzz_not_a_key"]
+    aud = lookup_audit(spark, root, keys).toPandas()
+    rejected = aud[aud["bloom_pass"] == False]  # noqa: E712
+    assert len(rejected) > 0
+    assert (rejected["index_bytes_read"] == 0).all()
+    assert (rejected["data_bytes_read"] == 0).all()
+    assert not rejected["found"].any()
+
+
+def test_index_reads_stay_inside_one_sampling_window(spark, sf_dir):
+    """Scanned lookups read one summary window (+ bounded read-ahead),
+    never the index file: the I/O bound that makes a point read on a
+    100 GB sstable O(KB)."""
+    root = _tree(spark, sf_dir)
+    keys = _all_keys(spark, sf_dir)[:4]
+    # index file sizes per sstable
+    sizes = {}
+    for dp, _, fs in os.walk(root):
+        for f in fs:
+            if f.endswith("-Index.db"):
+                ss = f.split("-")[1]
+                tb = os.path.basename(dp)
+                sizes[(tb, ss)] = os.path.getsize(os.path.join(dp, f))
+    chunk = 512
+    read_ahead = 2 * chunk + 64  # cursor chunking + one short-key entry
+    checked = 0
+    for key in keys:
+        # one key per call: the SINGLE-key bound (batches legitimately
+        # merge windows and share region reads)
+        aud = lookup_audit(
+            spark, root, [key], chunk_bytes=chunk
+        ).toPandas()
+        for r in aud[aud["window_start"].notna()].itertuples():
+            window = r.window_end - r.window_start
+            assert r.index_bytes_read <= window + read_ahead
+            size = sizes[(r.table_name, r.sstable_id)]
+            if size > 4 * (window + read_ahead):
+                assert r.index_bytes_read < size
+                checked += 1
+    assert checked > 0  # the sub-file-read claim was actually exercised
+
+
+def test_missing_summary_and_filter_degrade_to_correct_results(
+    spark, sf_dir, tmp_path
+):
+    """No Filter.db -> no bloom skip; no Summary.db -> whole-index window;
+    results must stay bit-identical either way."""
+    root = _tree(spark, sf_dir)
+    keys = _all_keys(spark, sf_dir)[:15]
+    want = _collect_sorted(partition_lookup(spark, root, keys))
+    stripped = str(tmp_path / "stripped")
+    shutil.copytree(root, stripped)
+    removed = 0
+    for dp, _, fs in os.walk(stripped):
+        for f in fs:
+            if f.endswith(("-Filter.db", "-Summary.db")):
+                os.unlink(os.path.join(dp, f))
+                removed += 1
+    assert removed > 0
+    got = _collect_sorted(partition_lookup(spark, stripped, keys))
+    assert got == want
+    aud = lookup_audit(spark, stripped, keys).toPandas()
+    assert aud["bloom_pass"].isna().all()
+    assert aud["bounds_skip"].isna().all()
+    # whole-index window: start 0, end = index size
+    assert (aud["window_start"] == 0).all()
+
+
+def test_summary_trailer_bounds_skip_without_opening_the_index(
+    spark, sf_dir, tmp_path
+):
+    """Keys outside [first_key, last_key] are dismissed by the summary
+    trailer alone (strip the bloom filter so the trailer is what acts)."""
+    root = _tree(spark, sf_dir)
+    stripped = str(tmp_path / "nofilter")
+    shutil.copytree(root, stripped)
+    for dp, _, fs in os.walk(stripped):
+        for f in fs:
+            if f.endswith("-Filter.db"):
+                os.unlink(os.path.join(dp, f))
+    aud = lookup_audit(
+        spark, stripped, ["\x01below_all_keys", "zzzz_above_all_keys"]
+    ).toPandas()
+    skipped = aud[aud["bounds_skip"] == True]  # noqa: E712
+    assert len(skipped) > 0
+    assert (skipped["index_bytes_read"] == 0).all()
+    assert (skipped["data_bytes_read"] == 0).all()
+    assert not aud["found"].any()
+
+
+# --------------------------------------------------------------------------
+# Synthetic murmur3-token-ordered sstable: comparator dispatch proof
+# --------------------------------------------------------------------------
+
+_KS, _TB, _SS = "mks", "mtab", "00001"
+
+
+def _plant_sstable(tmp_path, partitioner, deleted_key=b"k03",
+                   order_partitioner=None):
+    """A real component set whose index order follows
+    ``order_partitioner`` (default: the declared one): bare partition
+    blocks (header + END), one carrying a partition deletion so a lookup
+    yields a decodable record."""
+    from cassandra_sstable_tools_spark.sources.bloom import (
+        build_filter,
+        encode_filter_db,
+    )
+    from cassandra_sstable_tools_spark.sources.data_db import (
+        LIVE_LDT,
+        LIVE_MFDA,
+        encode_partition_header,
+    )
+    from cassandra_sstable_tools_spark.sources.lookup import key_decorator
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        encode_index_db,
+        index_offsets,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        SerializationHeaderInfo,
+        SSTableStats,
+        encode_statistics_db,
+    )
+    from cassandra_sstable_tools_spark.sources.summary_db import (
+        encode_summary_db,
+    )
+
+    keys = [b"k%02d" % i for i in range(12)]
+    dec = key_decorator(order_partitioner or partitioner)
+    ordered = sorted(keys, key=dec)
+    blocks = []
+    positions = []
+    pos = 0
+    for k in ordered:
+        if k == deleted_key:
+            body = encode_partition_header(k, 1_700_000_000, 1_699_000_000_000)
+        else:
+            body = encode_partition_header(k, LIVE_LDT, LIVE_MFDA)
+        body += b"\x01"  # END_OF_PARTITION
+        positions.append(pos)
+        blocks.append(body)
+        pos += len(body)
+    entries = list(zip(ordered, positions))
+    d = tmp_path / _KS / _TB
+    d.mkdir(parents=True)
+    base = str(d / f"nb-{_SS}-big-")
+    with open(base + "Index.db", "wb") as f:
+        f.write(encode_index_db(entries))
+    offs = index_offsets(entries)
+    with open(base + "Summary.db", "wb") as f:
+        f.write(
+            encode_summary_db(
+                [(k, o) for (k, _), o in zip(entries, offs)],
+                min_index_interval=3,
+            )
+        )
+    with open(base + "Filter.db", "wb") as f:
+        f.write(encode_filter_db(build_filter(list(ordered))))
+    stats = SSTableStats(partitioner=partitioner, min_timestamp=1)
+    with open(base + "Statistics.db", "wb") as f:
+        f.write(
+            encode_statistics_db(
+                stats, version="nb", header=SerializationHeaderInfo()
+            )
+        )
+    with open(base + "Data.db", "wb") as f:
+        f.write(b"".join(blocks))
+    return keys, ordered, base
+
+
+def test_murmur3_token_ordered_sstable_lookup(spark, tmp_path):
+    """A file in genuine murmur3-token order: the summary binary search
+    must decorate with the token (raw-byte order would pick wrong windows
+    and miss keys). Proves comparator dispatch off ValidationMetadata."""
+    part = "org.apache.cassandra.dht.Murmur3Partitioner"
+    keys, ordered, _ = _plant_sstable(tmp_path, part)
+    # non-vacuous: token order genuinely differs from byte order
+    assert ordered != sorted(ordered)
+    aud = lookup_audit(
+        spark, str(tmp_path), [k.decode() for k in keys] + ["absent"]
+    ).toPandas()
+    by_key = aud.set_index("partition_key")
+    for k in keys:
+        assert bool(by_key.loc[k.decode(), "found"]) is True
+    assert bool(by_key.loc["absent", "found"]) is False
+    recs = partition_lookup(
+        spark, str(tmp_path), [k.decode() for k in keys]
+    ).toPandas()
+    assert list(recs["kind"]) == ["PARTITION_DELETE"]
+    assert recs["partition_key"].iloc[0] == "k03"
+
+
+def test_unknown_partitioner_is_loud(spark, tmp_path):
+    part = "org.apache.cassandra.dht.RandomPartitioner"
+    _plant_sstable(
+        tmp_path, part,
+        order_partitioner="org.apache.cassandra.dht.ByteOrderedPartitioner",
+    )
+    with pytest.raises(Exception, match="unsupported partitioner"):
+        partition_lookup(spark, str(tmp_path), ["k00"]).collect()
+
+
+def test_index_pointing_at_wrong_block_is_loud(spark, tmp_path):
+    """Flip the key bytes inside one Data.db partition block: the lookup
+    that followed the index there must name the mismatch, not return the
+    wrong partition's cells."""
+    part = "org.apache.cassandra.dht.ByteOrderedPartitioner"
+    keys, ordered, base = _plant_sstable(tmp_path, part)
+    victim = ordered[4]
+    with open(base + "Data.db", "r+b") as f:
+        data = f.read()
+        blob = struct.pack(">H", len(victim)) + victim
+        at = data.index(blob)
+        f.seek(at + 2)
+        f.write(b"X" * len(victim))  # same length, different key
+    with pytest.raises(Exception, match="index points at"):
+        partition_lookup(spark, str(tmp_path), [victim.decode()]).collect()
+
+
+def test_decorator_rejects_garbage_and_orders_murmur3():
+    with pytest.raises(ValueError, match="unsupported partitioner"):
+        key_decorator("com.example.WeirdPartitioner")
+    dec = key_decorator("org.apache.cassandra.dht.Murmur3Partitioner")
+    # token ties broken by raw bytes; identical keys compare equal
+    assert dec(b"abc") == dec(b"abc")
+    assert dec(b"abc") != dec(b"abd")
