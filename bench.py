@@ -90,6 +90,10 @@ SECONDARY = [
     # r08: the full directory-mode compaction simulation (cell decode with
     # real serialized sizes -> eager checkpoint -> merge/purge/measure).
     "purge_top_cassdir",
+    # r08 session 2: batched point reads through the bloom/summary/index-
+    # window path (staged partition_lookup_cassdir; EXTRA_SECONDARY until
+    # its r09 registration). Bar in BASELINE.md §r08-s2.
+    "partition_lookup_batch",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -122,10 +126,27 @@ def _ann_index_build(spark, sf_dir):
     return spark.range(1).selectExpr(f"{rewritten} as lists_rewritten")
 
 
-# Bench-only rows: operators whose cost is a SIDE EFFECT (index build) --
-# not registry queries (no oracle-comparable frame), but benched with bars
-# so their perf trajectory is tracked like everything else.
-EXTRA_SECONDARY = {"ann_index_build": _ann_index_build}
+def _partition_lookup_batch(spark, sf_dir):
+    """The staged point-read path (sources/lookup.py), benched before its
+    r09 registration: the md5-'0' key cohort (~1/16 of all partition
+    keys) through bloom -> summary -> index-window -> data point reads
+    over the planted tree. Tracks the batched-point-read cost the warm
+    scan numbers (cfstats_global_cassdir) cannot see."""
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        partition_lookup_cassdir,
+    )
+
+    return partition_lookup_cassdir(spark, sf_dir)
+
+
+# Bench-only rows: operators whose cost is a SIDE EFFECT (index build) or
+# whose query is staged for the next registration window -- not registry
+# queries, but benched with bars so their perf trajectory is tracked like
+# everything else.
+EXTRA_SECONDARY = {
+    "ann_index_build": _ann_index_build,
+    "partition_lookup_batch": _partition_lookup_batch,
+}
 
 
 def main() -> None:

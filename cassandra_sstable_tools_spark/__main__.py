@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "command",
         choices=["summary", "sstables", "pstats", "cfstats", "purge",
-                 "clean", "dedup", "ann", "query"],
+                 "lookup", "clean", "dedup", "ann", "query"],
     )
     p.add_argument(
         "name", nargs="?", default=None,
@@ -146,6 +146,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "ColumnFamilyBackend.java:164-166)",
     )
     p.add_argument(
+        "-k", "--key", action="append", default=None, metavar="KEY",
+        help="lookup: partition key to read (repeatable); requires "
+             "--cassandra-dir",
+    )
+    p.add_argument(
+        "--merge", action="store_true",
+        help="lookup: also render the READ-TIME merged row state (LWW + "
+             "tombstone shadowing across sstables -- what a CQL "
+             "single-partition SELECT would serve)",
+    )
+    p.add_argument(
         "--approx", action="store_true",
         help="pstats/cfstats: bounded-memory percentile sketch instead of "
              "exact per-group buffering (the 100 TB path; within 10%% of "
@@ -170,11 +181,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         import os as _os
 
         if args.command not in ("pstats", "sstables", "summary", "cfstats",
-                                "purge"):
+                                "purge", "lookup"):
             sys.stderr.write(
                 "--cassandra-dir supports the five reference commands "
-                "(pstats, sstables, summary, cfstats, purge); the extension "
-                "commands read the parquet corpus\n"
+                "(pstats, sstables, summary, cfstats, purge) plus lookup; "
+                "the extension commands read the parquet corpus\n"
             )
             return 2
         from cassandra_sstable_tools_spark.sources.sstable_binary import (
@@ -622,6 +633,56 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             m.purge_top(spark, sf, args.n),
             {"pre_size": "bytes", "merged_size": "bytes", "reclaimable": "bytes"},
             order=["keyspace", "table_name", "rank"])))
+    elif args.command == "lookup":
+        # the point-read path (sources/lookup.py): bloom -> summary ->
+        # index window -> data block, per sstable -- inherently a
+        # real-file feature (the components ARE the read path)
+        if not args.cassandra_dir:
+            sys.stderr.write(
+                "lookup reads real sstable components; pass "
+                "--cassandra-dir DIR\n"
+            )
+            return 2
+        if not args.key:
+            sys.stderr.write("lookup needs at least one -k KEY\n")
+            return 2
+        from cassandra_sstable_tools_spark.sources.lookup import (
+            lookup_audit,
+            partition_lookup,
+            partition_lookup_merged,
+        )
+
+        root = _scoped_cassdir_root(args)
+        names = args.filenames.split(",") if args.filenames else None
+        recs = _table_scope_filter(
+            partition_lookup(spark, root, args.key, names), args
+        )
+        out.append(("Per-SSTable records", _render(
+            recs,
+            {"writetime": "ts_us", "local_deletion_time": "ldt"},
+            order=["keyspace", "table_name", "partition_key", "sstable_id",
+                   "clustering", "column_name", "kind"],
+        )))
+        if args.merge:
+            out.append((
+                "Merged live state (LWW + tombstone shadowing)",
+                _render(
+                    _table_scope_filter(
+                        partition_lookup_merged(spark, root, args.key, names),
+                        args,
+                    ),
+                    {"writetime": "ts_us"},
+                    order=["keyspace", "table_name", "partition_key",
+                           "clustering", "cell_name"],
+                ),
+            ))
+        out.append(("Read-path audit", _render(
+            _table_scope_filter(
+                lookup_audit(spark, root, args.key, names), args
+            ),
+            {"index_bytes_read": "bytes", "data_bytes_read": "bytes"},
+            order=["keyspace", "table_name", "partition_key", "sstable_id"],
+        )))
     elif args.command == "clean":
         from cassandra_sstable_tools_spark.llm.pipeline import corpus_clean_stats
 

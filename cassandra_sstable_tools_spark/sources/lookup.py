@@ -519,6 +519,37 @@ def lookup_audit(
     return files.mapInPandas(scan, LOOKUP_AUDIT_SCHEMA)
 
 
+def partition_lookup_merged(
+    spark: SparkSession, root: str, keys, filenames=None,
+    now_seconds: int | None = None,
+) -> DataFrame:
+    """READ-TIME merged state of the requested partitions: what a CQL
+    single-partition SELECT would serve after reconciling every sstable's
+    copy. Reuses the engine's ONE merge formulation
+    (operators/purge.merge_enriched: LWW rank + partition/row/range
+    tombstone shadowing) with gc_before = now — at read time EVERY
+    tombstone shadows regardless of gc_grace, an expired cell is absent,
+    and the tombstone markers themselves are not part of the answer.
+    Output is row-state grain: live cells and row markers, one surviving
+    copy each, with the winning sstable attributed."""
+    from cassandra_sstable_tools_spark.constants import NOW_SECONDS
+    from cassandra_sstable_tools_spark.operators.purge import merge_enriched
+
+    now = NOW_SECONDS if now_seconds is None else now_seconds
+    c = (
+        partition_lookup(spark, root, keys, filenames)
+        .withColumnRenamed("column_name", "cell_name")
+        .withColumnRenamed("phys_size", "cell_size")
+    )
+    enriched, survives = merge_enriched(c, gc_before=now)
+    live_kinds = ("CELL", "STATIC_CELL", "ROW_MARKER")
+    return enriched.where(survives & F.col("kind").isin(*live_kinds)).select(
+        "keyspace", "table_name", "partition_key", "clustering",
+        "cell_name", "kind", "writetime", "ttl", "cell_value", "is_counter",
+        F.col("sstable_id").alias("winning_sstable"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Staged query (r09 registration; see SURVEY §2.9 staging note).
 # Tested against its oracle locally by tests/test_staged_queries.py.

@@ -93,6 +93,12 @@ def regen() -> None:
         # (sources/data_cells.py) -- all five reference commands
         ("cfstats_cassdir", ["cfstats", "--cassandra-dir", root]),
         ("purge_cassdir", ["purge", "--cassandra-dir", root]),
+        # r08: the point-read path (bloom -> summary -> index window ->
+        # data block) with the merged read-time view; one key carrying a
+        # partition delete (shadowing visible), one absent key
+        ("lookup_cassdir",
+         ["lookup", "--cassandra-dir", root, "-k", "000000000193",
+          "-k", "zzz_absent", "--merge"]),
     ]
     for cmd, argv in cases:
         buf = io.StringIO()

@@ -160,6 +160,42 @@ def test_cli_golden_cfstats_cassdir(spark):
         )
 
 
+def test_cli_golden_lookup_cassdir(spark):
+    """The point-read command: per-sstable records, the merged read-time
+    view (LWW + partition-delete shadowing visible: key 000000000193
+    carries partition deletes), the read-path audit with its bloom skips
+    and window byte counts, and an absent key -- byte-for-byte."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["lookup", "--cassandra-dir", root,
+                   "-k", "000000000193", "-k", "zzz_absent", "--merge",
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, "lookup_cassdir.txt")) as f:
+        assert buf.getvalue() == f.read(), (
+            "lookup_cassdir transcript drifted from "
+            "tests/golden/lookup_cassdir.txt"
+        )
+
+
+def test_cli_lookup_requires_dir_and_keys(spark):
+    """Misuse fails fast with rc=2 and a one-line reason."""
+    assert main(["lookup", "-k", "x", "--sf-dir", GOLDEN_SF, "-b"],
+                spark=spark) == 2
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    assert main(["lookup", "--cassandra-dir", root,
+                 "--sf-dir", GOLDEN_SF, "-b"], spark=spark) == 2
+
+
 def test_cli_golden_purge_cassdir(spark):
     """purge off REAL Data.db cell streams with real serialized sizes --
     the fifth and last reference command gone directory-only (r08)."""

@@ -23,9 +23,14 @@ from cassandra_sstable_tools_spark.queries import registry
 
 _QUERIES = dict(registry.queries())
 # staged r09 queries are linted to the same bar before they go live
-from cassandra_sstable_tools_spark.sources import bloom, crc_db, summary_db  # noqa: E402
+from cassandra_sstable_tools_spark.sources import (  # noqa: E402
+    bloom,
+    crc_db,
+    lookup,
+    summary_db,
+)
 
-for _m in (summary_db, bloom, crc_db):
+for _m in (summary_db, bloom, crc_db, lookup):
     _QUERIES.update(_m.STAGED_QUERIES)
 
 
