@@ -143,7 +143,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "validator (string, long, int, uuid, timeuuid, "
              "composite(t1,t2,...)) instead of the UTF-8-or-hex heuristic "
              "(reference keyValidator.getString, "
-             "ColumnFamilyBackend.java:164-166)",
+             "ColumnFamilyBackend.java:164-166). lookup additionally "
+             "ENCODES -k arguments through it ('hex' accepts raw 0x bytes)",
     )
     p.add_argument(
         "-k", "--key", action="append", default=None, metavar="KEY",
@@ -155,6 +156,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="lookup: also render the READ-TIME merged row state (LWW + "
              "tombstone shadowing across sstables -- what a CQL "
              "single-partition SELECT would serve)",
+    )
+    p.add_argument(
+        "--from", dest="key_from", default=None, metavar="KEY",
+        help="lookup: partition-range scan lower bound (inclusive; "
+             "byte-ordered sstables only). Use with --to instead of -k",
+    )
+    p.add_argument(
+        "--to", dest="key_to", default=None, metavar="KEY",
+        help="lookup: partition-range scan upper bound (inclusive)",
     )
     p.add_argument(
         "--approx", action="store_true",
@@ -643,19 +653,56 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                 "--cassandra-dir DIR\n"
             )
             return 2
-        if not args.key:
-            sys.stderr.write("lookup needs at least one -k KEY\n")
+        if bool(args.key_from) != bool(args.key_to):
+            sys.stderr.write("lookup range mode needs BOTH --from and --to\n")
+            return 2
+        if not args.key and not args.key_from:
+            sys.stderr.write(
+                "lookup needs at least one -k KEY, or --from/--to\n"
+            )
+            return 2
+        if args.key and args.key_from:
+            sys.stderr.write("lookup takes -k keys OR --from/--to, not both\n")
             return 2
         from cassandra_sstable_tools_spark.sources.lookup import (
             lookup_audit,
             partition_lookup,
             partition_lookup_merged,
+            partition_range_scan,
+            range_scan_audit,
         )
 
         root = _scoped_cassdir_root(args)
         names = args.filenames.split(",") if args.filenames else None
+        if args.key_from:
+            out.append(("Range records", _render(
+                _table_scope_filter(
+                    partition_range_scan(
+                        spark, root, args.key_from, args.key_to, names
+                    ),
+                    args,
+                ),
+                {"writetime": "ts_us", "local_deletion_time": "ldt"},
+                order=["keyspace", "table_name", "partition_key",
+                       "sstable_id", "clustering", "column_name", "kind"],
+            )))
+            out.append(("Range-scan audit", _render(
+                _table_scope_filter(
+                    range_scan_audit(
+                        spark, root, args.key_from, args.key_to, names
+                    ),
+                    args,
+                ),
+                {"index_bytes_read": "bytes", "data_bytes_read": "bytes"},
+                order=["keyspace", "table_name", "sstable_id"],
+            )))
+            for title, table in out:
+                sys.stdout.write(f"{title}\n{table}\n")
+            return 0
         recs = _table_scope_filter(
-            partition_lookup(spark, root, args.key, names), args
+            partition_lookup(spark, root, args.key, names,
+                             key_type=args.key_type),
+            args,
         )
         out.append(("Per-SSTable records", _render(
             recs,
@@ -668,7 +715,8 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                 "Merged live state (LWW + tombstone shadowing)",
                 _render(
                     _table_scope_filter(
-                        partition_lookup_merged(spark, root, args.key, names),
+                        partition_lookup_merged(spark, root, args.key, names,
+                                                key_type=args.key_type),
                         args,
                     ),
                     {"writetime": "ts_us"},
@@ -678,7 +726,9 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             ))
         out.append(("Read-path audit", _render(
             _table_scope_filter(
-                lookup_audit(spark, root, args.key, names), args
+                lookup_audit(spark, root, args.key, names,
+                             key_type=args.key_type),
+                args,
             ),
             {"index_bytes_read": "bytes", "data_bytes_read": "bytes"},
             order=["keyspace", "table_name", "partition_key", "sstable_id"],

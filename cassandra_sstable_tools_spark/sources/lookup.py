@@ -221,22 +221,12 @@ def _merge_regions(windows: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return [(s, e) for s, e in merged]
 
 
-def _lookup_in_sstable(
-    index_local: str,
-    path: str,
-    ver: str,
-    targets: list[tuple[str, bytes]],
-    chunk_bytes: int = 8 << 10,
-) -> tuple[list[dict], list[tuple]] | None:
-    """The per-sstable read path for all requested keys. Returns (audit
-    rows, decoded record tuples in data_cells column order minus the
-    identity prefix), or None when the sstable lacks the components cell
-    decoding needs (Data.db / Statistics.db — the data_cells skip rule)."""
+def _sstable_ctx(index_local: str, ver: str) -> dict | None:
+    """Open one sstable's read-path components: schema header + partitioner
+    comparator (required -- Statistics.db), bloom filter and summary
+    (optional), index size. None when cell decoding is impossible
+    (no Data.db / Statistics.db -- the data_cells skip rule)."""
     from cassandra_sstable_tools_spark.sources.bloom import parse_filter_db
-    from cassandra_sstable_tools_spark.sources.data_cells import (
-        decode_partition_block,
-    )
-    from cassandra_sstable_tools_spark.sources.lz4_block import open_data_file
     from cassandra_sstable_tools_spark.sources.statistics_db import (
         parse_serialization_header,
         parse_statistics_db,
@@ -248,9 +238,6 @@ def _lookup_in_sstable(
     base = index_local[: -len("Index.db")]
     data_path = base + "Data.db"
     stats_path = base + "Statistics.db"
-    comp_path = base + "CompressionInfo.db"
-    filter_path = base + "Filter.db"
-    summary_path = base + "Summary.db"
     if not os.path.exists(data_path) or not os.path.exists(stats_path):
         return None
     with open(stats_path, "rb") as f:
@@ -259,23 +246,77 @@ def _lookup_in_sstable(
     header = parse_serialization_header(
         stats_content, version=ver, source=stats_path
     )
-    decorate = key_decorator(stats.partitioner)
-
     filt = None
+    filter_path = base + "Filter.db"
     if os.path.exists(filter_path):
         with open(filter_path, "rb") as f:
             filt = parse_filter_db(f.read(), source=filter_path)
     summ = None
+    summary_path = base + "Summary.db"
     if os.path.exists(summary_path):
         with open(summary_path, "rb") as f:
             summ = parse_summary_db(f.read(), source=summary_path)
-    index_size = os.path.getsize(index_local)
+    return {
+        "data": data_path,
+        "comp": base + "CompressionInfo.db",
+        "header": header,
+        "partitioner": stats.partitioner,
+        "decorate": key_decorator(stats.partitioner),
+        "filter": filt,
+        "summary": summ,
+        "index_size": os.path.getsize(index_local),
+    }
+
+
+def _summary_floor(summ, decorate, dk) -> int:
+    """Index offset of the rightmost sampled entry whose decorated key is
+    <= dk -- where an index scan for dk (or a range starting at dk) must
+    begin."""
+    entries = summ.entries
+    lo, hi = 0, len(entries) - 1
+    pos = 0
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if decorate(entries[mid][0]) <= dk:
+            pos = mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return pos
+
+
+def _lookup_in_sstable(
+    index_local: str,
+    path: str,
+    ver: str,
+    targets: list[tuple[str, bytes]],
+    chunk_bytes: int = 8 << 10,
+) -> tuple[list[dict], list[tuple]] | None:
+    """The per-sstable read path for all requested keys. Returns (audit
+    rows, decoded record tuples in data_cells column order minus the
+    identity prefix), or None when the sstable lacks the components cell
+    decoding needs (Data.db / Statistics.db — the data_cells skip rule)."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        decode_partition_block,
+    )
+    from cassandra_sstable_tools_spark.sources.lz4_block import open_data_file
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        render_key as _render,
+    )
+
+    ctx = _sstable_ctx(index_local, ver)
+    if ctx is None:
+        return None
+    data_path, comp_path, header = ctx["data"], ctx["comp"], ctx["header"]
+    decorate, filt, summ = ctx["decorate"], ctx["filter"], ctx["summary"]
+    index_size = ctx["index_size"]
 
     audits: list[dict] = []
     survivors: list[tuple[bytes, dict]] = []
     for key_str, kb in targets:
         a = {
             "partition_key": key_str,
+            "key_bytes": kb,
             "bloom_pass": None,
             "bounds_skip": None,
             "window_start": None,
@@ -297,15 +338,7 @@ def _lookup_in_sstable(
                 continue  # outside the sstable's key range: index unopened
             a["bounds_skip"] = False
             entries = summ.entries
-            lo, hi = 0, len(entries) - 1
-            pos = 0  # rightmost sampled entry with key <= target
-            while lo <= hi:
-                mid = (lo + hi) // 2
-                if decorate(entries[mid][0]) <= dk:
-                    pos = mid
-                    lo = mid + 1
-                else:
-                    hi = mid - 1
+            pos = _summary_floor(summ, decorate, dk)
             ws = entries[pos][1]
             we = entries[pos + 1][1] if pos + 1 < len(entries) else index_size
         else:
@@ -373,11 +406,11 @@ def _lookup_in_sstable(
                 pk, recs = decode_partition_block(
                     block, header, source=data_path, base=dpos
                 )
-                if pk != a["partition_key"]:
+                if pk != _render(a["key_bytes"]):
                     raise ValueError(
                         f"corrupt sstable {path}: index points at byte "
                         f"{dpos} whose partition key is {pk!r}, expected "
-                        f"{a['partition_key']!r}"
+                        f"{_render(a['key_bytes'])!r}"
                     )
                 a["records"] += len(recs)
                 for rec in recs:
@@ -392,17 +425,23 @@ def _lookup_in_sstable(
     return audits, records
 
 
-def _normalize_keys(keys) -> list[tuple[str, bytes]]:
+def _normalize_keys(keys, key_type=None) -> list[tuple[str, bytes]]:
+    """-> (display, key bytes) per requested key. Strings encode through
+    the key validator type (sstable_binary.key_encoder -- the inverse of
+    the rendering the reference does via keyValidator); raw bytes pass
+    through with the default display."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        key_encoder,
+        render_key,
+    )
+
+    enc = key_encoder(key_type)
     out = []
     for k in keys:
         if isinstance(k, bytes):
-            from cassandra_sstable_tools_spark.sources.sstable_binary import (
-                render_key,
-            )
-
             out.append((render_key(k), k))
         else:
-            out.append((k, k.encode("utf-8")))
+            out.append((k, enc(k)))
     if not out:
         raise ValueError("partition_lookup needs at least one key")
     return out
@@ -427,7 +466,7 @@ def _index_files(spark: SparkSession, root: str, filenames):
 
 def partition_lookup(
     spark: SparkSession, root: str, keys, filenames=None,
-    chunk_bytes: int = 8 << 10,
+    chunk_bytes: int = 8 << 10, key_type: str | None = None,
 ) -> DataFrame:
     """Decoded cell-grain records (data_cells schema) for the requested
     partition keys only, found via the bloom/summary/index point-read
@@ -438,7 +477,7 @@ def partition_lookup(
         _COLS,
     )
 
-    targets = _normalize_keys(keys)
+    targets = _normalize_keys(keys, key_type)
     files = _index_files(spark, root, filenames)
 
     def scan(batches) -> Iterator:
@@ -468,7 +507,7 @@ def partition_lookup(
 
 def lookup_audit(
     spark: SparkSession, root: str, keys, filenames=None,
-    chunk_bytes: int = 8 << 10,
+    chunk_bytes: int = 8 << 10, key_type: str | None = None,
 ) -> DataFrame:
     """Per-(sstable, key) read-path decisions and I/O counters: bloom_pass
     (NULL when no Filter.db), bounds_skip (NULL when no Summary.db),
@@ -478,7 +517,7 @@ def lookup_audit(
     bloom_pass=false or bounds_skip=true rows prove ZERO index/data
     bytes; scanned rows prove the read stayed inside one sampling
     window (+ one read-ahead chunk)."""
-    targets = _normalize_keys(keys)
+    targets = _normalize_keys(keys, key_type)
     files = _index_files(spark, root, filenames)
 
     def scan(batches) -> Iterator:
@@ -519,9 +558,225 @@ def lookup_audit(
     return files.mapInPandas(scan, LOOKUP_AUDIT_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Partition-range scans: the contiguous sibling of the point read
+# --------------------------------------------------------------------------
+
+RANGE_AUDIT_SCHEMA = (
+    "keyspace string, table_name string, sstable_id string, "
+    "bounds_skip boolean, scan_start bigint, entries_scanned bigint, "
+    "partitions_matched bigint, records bigint, index_bytes_read bigint, "
+    "data_bytes_read bigint"
+)
+
+
+def _range_in_sstable(
+    index_local: str,
+    path: str,
+    ver: str,
+    lo_b: bytes,
+    hi_b: bytes,
+    chunk_bytes: int = 64 << 10,
+) -> tuple[dict, list[tuple]] | None:
+    """All partitions with lo_b <= key <= hi_b from one sstable. A raw-key
+    range is CONTIGUOUS only in byte order, so this requires
+    ByteOrderedPartitioner and fails loud on Murmur3 (where a key range
+    scatters across the whole file -- real Cassandra refuses the same scan
+    without ALLOW FILTERING; use data_cells + a filter there). The summary
+    floors the scan to one sampled window before lo; the index streams
+    from there and stops at the first key past hi; the matched partitions'
+    data blocks are one contiguous byte span, decoded block by block."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        decode_partition_block,
+    )
+    from cassandra_sstable_tools_spark.sources.lz4_block import open_data_file
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        render_key,
+    )
+
+    ctx = _sstable_ctx(index_local, ver)
+    if ctx is None:
+        return None
+    if ctx["partitioner"].rsplit(".", 1)[-1] != "ByteOrderedPartitioner":
+        raise ValueError(
+            f"partition_range_scan needs ByteOrderedPartitioner (a raw-key "
+            f"range is contiguous only in byte order); {path} declares "
+            f"{ctx['partitioner']!r} -- scan data_cells with a key filter "
+            "instead"
+        )
+    audit = {
+        "bounds_skip": None,
+        "scan_start": None,
+        "entries_scanned": 0,
+        "partitions_matched": 0,
+        "records": 0,
+        "index_bytes_read": 0,
+        "data_bytes_read": 0,
+    }
+    summ = ctx["summary"]
+    start = 0
+    if summ is not None:
+        if hi_b < summ.first_key or lo_b > summ.last_key:
+            audit["bounds_skip"] = True
+            return audit, []
+        audit["bounds_skip"] = False
+        start = summ.entries[_summary_floor(summ, lambda k: (k,), (lo_b,))][1]
+    audit["scan_start"] = start
+
+    # index pass: matched (key, data_position) + the end boundary
+    matched: list[tuple[bytes, int]] = []
+    boundary: int | None = None  # data position of the first entry past hi
+    with open(index_local, "rb") as f:
+        cur = _IndexCursor(f, ver, path, start, chunk_bytes=chunk_bytes)
+        while True:
+            ent = cur.next_entry()
+            if ent is None:
+                break
+            key, dpos, _off = ent
+            audit["entries_scanned"] += 1
+            if key < lo_b:
+                continue
+            if key > hi_b:
+                boundary = dpos
+                break
+            matched.append((key, dpos))
+        audit["index_bytes_read"] = cur.bytes_read
+
+    records: list[tuple] = []
+    if matched:
+        dat, data_len = open_data_file(ctx["data"], ctx["comp"], ver)
+        try:
+            ends = [dpos for _, dpos in matched[1:]] + [
+                data_len if boundary is None else boundary
+            ]
+            for (key, dpos), end in zip(matched, ends):
+                if end <= dpos:
+                    continue  # zero-extent: no physical block (NULL psize)
+                dat.seek(dpos)
+                block = dat.read(end - dpos)
+                audit["data_bytes_read"] += len(block)
+                pk, recs = decode_partition_block(
+                    block, ctx["header"], source=ctx["data"], base=dpos
+                )
+                if pk != render_key(key):
+                    raise ValueError(
+                        f"corrupt sstable {path}: index points at byte "
+                        f"{dpos} whose partition key is {pk!r}, expected "
+                        f"{render_key(key)!r}"
+                    )
+                audit["partitions_matched"] += 1
+                audit["records"] += len(recs)
+                for rec in recs:
+                    records.append((
+                        pk, rec.kind, rec.clustering, rec.column_name,
+                        rec.writetime, rec.ttl, rec.ldt, rec.is_tombstone,
+                        rec.is_expiring, rec.is_counter, rec.cell_value,
+                        rec.range_start, rec.range_end, rec.phys_size,
+                    ))
+        finally:
+            dat.close()
+    return audit, records
+
+
+def _normalize_bound(b) -> bytes:
+    return b if isinstance(b, bytes) else b.encode("utf-8")
+
+
+def partition_range_scan(
+    spark: SparkSession, root: str, lo, hi, filenames=None,
+    chunk_bytes: int = 64 << 10,
+) -> DataFrame:
+    """Decoded records of every partition with lo <= key <= hi (byte
+    order, both bounds inclusive) -- reading only the matching byte spans
+    of each sstable, never the files. One task per sstable; at 100 TB a
+    selective range costs O(range bytes + one summary window), not O(data)."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        DATA_CELLS_SCHEMA,
+        _COLS,
+    )
+
+    lo_b, hi_b = _normalize_bound(lo), _normalize_bound(hi)
+    if lo_b > hi_b:
+        raise ValueError(f"empty range: lo {lo!r} > hi {hi!r}")
+    files = _index_files(spark, root, filenames)
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                got = _range_in_sstable(
+                    _local_path(path), path, ver, lo_b, hi_b,
+                    chunk_bytes=chunk_bytes,
+                )
+                if got is None:
+                    continue
+                _audit, recs = got
+                rows.extend((ks, tb, ss) + r for r in recs)
+            pdf_out = pd.DataFrame(rows, columns=_COLS)
+            for c in ("writetime", "local_deletion_time", "cell_value",
+                      "phys_size"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
+            yield pdf_out
+
+    return files.mapInPandas(scan, DATA_CELLS_SCHEMA)
+
+
+def range_scan_audit(
+    spark: SparkSession, root: str, lo, hi, filenames=None,
+    chunk_bytes: int = 64 << 10,
+) -> DataFrame:
+    """Per-sstable range-scan I/O counters: summary bounds skip, floored
+    scan start, entries scanned vs partitions matched, and index/data
+    bytes read -- the observable proof a selective range reads a slice,
+    not the sstable."""
+    lo_b, hi_b = _normalize_bound(lo), _normalize_bound(hi)
+    if lo_b > hi_b:
+        raise ValueError(f"empty range: lo {lo!r} > hi {hi!r}")
+    files = _index_files(spark, root, filenames)
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                got = _range_in_sstable(
+                    _local_path(path), path, ver, lo_b, hi_b,
+                    chunk_bytes=chunk_bytes,
+                )
+                if got is None:
+                    continue
+                a, _recs = got
+                rows.append((
+                    ks, tb, ss, a["bounds_skip"], a["scan_start"],
+                    a["entries_scanned"], a["partitions_matched"],
+                    a["records"], a["index_bytes_read"],
+                    a["data_bytes_read"],
+                ))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["keyspace", "table_name", "sstable_id",
+                         "bounds_skip", "scan_start", "entries_scanned",
+                         "partitions_matched", "records",
+                         "index_bytes_read", "data_bytes_read"],
+            )
+            for c in ("scan_start", "entries_scanned", "partitions_matched",
+                      "records", "index_bytes_read", "data_bytes_read"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            pdf_out["bounds_skip"] = pdf_out["bounds_skip"].astype("boolean")
+            yield pdf_out
+
+    return files.mapInPandas(scan, RANGE_AUDIT_SCHEMA)
+
+
 def partition_lookup_merged(
     spark: SparkSession, root: str, keys, filenames=None,
-    now_seconds: int | None = None,
+    now_seconds: int | None = None, key_type: str | None = None,
 ) -> DataFrame:
     """READ-TIME merged state of the requested partitions: what a CQL
     single-partition SELECT would serve after reconciling every sstable's
@@ -537,7 +792,7 @@ def partition_lookup_merged(
 
     now = NOW_SECONDS if now_seconds is None else now_seconds
     c = (
-        partition_lookup(spark, root, keys, filenames)
+        partition_lookup(spark, root, keys, filenames, key_type=key_type)
         .withColumnRenamed("column_name", "cell_name")
         .withColumnRenamed("phys_size", "cell_size")
     )
@@ -558,6 +813,10 @@ def partition_lookup_merged(
 # deterministic md5-prefix key subset, identically expressible in Spark
 # and DuckDB -- ~1/16th of all partition keys, hundreds at sf0.01
 _KEY_PREFIX = "0"
+
+# fixed key range for the range-scan certificate (keys are zero-padded
+# orderkeys, so string BETWEEN = byte order = the scan's order)
+_RANGE_LO, _RANGE_HI = "000000000300", "000000002300"
 
 
 def partition_lookup_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,18 +844,43 @@ def partition_lookup_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_lookup(spark, root, keys)
 
 
+def partition_range_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range-scan certificate: every partition in a fixed key range
+    through the summary-floored contiguous index+data span, hash-matched
+    against the scan path's ``decoded`` oracle frame filtered by the same
+    BETWEEN -- while the audit tests prove the read touched a slice, not
+    the files."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    return partition_range_scan(spark, root, _RANGE_LO, _RANGE_HI)
+
+
 def _staged():
     from cassandra_sstable_tools_spark.oracles import with_adapter
     from cassandra_sstable_tools_spark.sources.data_cells import _phys_ctes
 
-    oracle = with_adapter(
+    lookup_oracle = with_adapter(
         f",{_phys_ctes()}\n"
         "SELECT * FROM decoded "
         f"WHERE substr(md5(partition_key), 1, 1) = '{_KEY_PREFIX}'"
     )
+    range_oracle = with_adapter(
+        f",{_phys_ctes()}\n"
+        "SELECT * FROM decoded "
+        f"WHERE partition_key BETWEEN '{_RANGE_LO}' AND '{_RANGE_HI}'"
+    )
     return (
-        {"partition_lookup_cassdir": partition_lookup_cassdir},
-        {"partition_lookup_cassdir": oracle},
+        {
+            "partition_lookup_cassdir": partition_lookup_cassdir,
+            "partition_range_cassdir": partition_range_cassdir,
+        },
+        {
+            "partition_lookup_cassdir": lookup_oracle,
+            "partition_range_cassdir": range_oracle,
+        },
     )
 
 

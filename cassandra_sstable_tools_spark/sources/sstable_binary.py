@@ -1394,6 +1394,53 @@ def key_renderer(key_type: str | None):
     )
 
 
+def key_encoder(key_type: str | None):
+    """display string -> partition key BYTES under the key validator type
+    -- the inverse of ``key_renderer``, used by the point-read path to
+    turn a user's ``-k`` argument into the bytes the bloom filter probes
+    and the index stores. ``string`` encodes UTF-8 (always -- binary keys
+    go through the explicit ``hex`` type, not a 0x heuristic that would
+    mis-read a legitimate text key); ``long``/``int`` are signed
+    big-endian fixed width; ``uuid``/``timeuuid`` canonical text;
+    ``hex`` raw bytes from (optionally 0x-prefixed) hex;
+    ``composite(t1,t2,...)`` ':'-split components, each
+    [u16 len][bytes][0x00 end-of-component]. Unknown names fail loud."""
+    if key_type in (None, "", "string", "text", "utf8"):
+        return lambda s: s.encode("utf-8")
+    if key_type == "hex":
+        return lambda s: bytes.fromhex(s[2:] if s.startswith("0x") else s)
+    if key_type in ("long", "bigint"):
+        return lambda s: int(s).to_bytes(8, "big", signed=True)
+    if key_type == "int":
+        return lambda s: int(s).to_bytes(4, "big", signed=True)
+    if key_type in ("uuid", "timeuuid"):
+        return lambda s: __import__("uuid").UUID(s).bytes
+    if key_type.startswith("composite(") and key_type.endswith(")"):
+        parts = [p.strip() for p in key_type[len("composite(") : -1].split(",")]
+        encoders = [key_encoder(p) for p in parts]
+
+        def encode_composite(s: str) -> bytes:
+            comps = s.split(":")
+            if len(comps) != len(encoders):
+                raise ValueError(
+                    f"composite key {s!r} has {len(comps)} components, "
+                    f"type declares {len(encoders)}"
+                )
+            out = bytearray()
+            for enc, comp in zip(encoders, comps):
+                b = enc(comp)
+                if len(b) > 0xFFFF:
+                    raise ValueError("composite component exceeds u16 length")
+                out += len(b).to_bytes(2, "big") + b + b"\x00"
+            return bytes(out)
+
+        return encode_composite
+    raise ValueError(
+        f"unsupported --key-type {key_type!r} for encoding (string, hex, "
+        "long, int, uuid, timeuuid, composite(...))"
+    )
+
+
 # --------------------------------------------------------------------------
 # TOC.txt: component-manifest integrity (the partial-copy detector)
 # --------------------------------------------------------------------------

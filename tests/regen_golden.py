@@ -99,6 +99,10 @@ def regen() -> None:
         ("lookup_cassdir",
          ["lookup", "--cassandra-dir", root, "-k", "000000000193",
           "-k", "zzz_absent", "--merge"]),
+        # r08 s2: range mode (summary-floored contiguous index+data span)
+        ("lookup_range_cassdir",
+         ["lookup", "--cassandra-dir", root,
+          "--from", "000000000190", "--to", "000000000230"]),
     ]
     for cmd, argv in cases:
         buf = io.StringIO()

@@ -183,6 +183,27 @@ def test_cli_golden_lookup_cassdir(spark):
         )
 
 
+def test_cli_golden_lookup_range_cassdir(spark):
+    """Range mode: records + the range-scan audit with its per-sstable
+    selectivity counters, byte-for-byte."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["lookup", "--cassandra-dir", root,
+                   "--from", "000000000190", "--to", "000000000230",
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, "lookup_range_cassdir.txt")) as f:
+        assert buf.getvalue() == f.read(), (
+            "lookup_range_cassdir transcript drifted from "
+            "tests/golden/lookup_range_cassdir.txt"
+        )
+
+
 def test_cli_lookup_requires_dir_and_keys(spark):
     """Misuse fails fast with rc=2 and a one-line reason."""
     assert main(["lookup", "-k", "x", "--sf-dir", GOLDEN_SF, "-b"],

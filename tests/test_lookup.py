@@ -195,7 +195,7 @@ _KS, _TB, _SS = "mks", "mtab", "00001"
 
 
 def _plant_sstable(tmp_path, partitioner, deleted_key=b"k03",
-                   order_partitioner=None):
+                   order_partitioner=None, keys=None):
     """A real component set whose index order follows
     ``order_partitioner`` (default: the declared one): bare partition
     blocks (header + END), one carrying a partition deletion so a lookup
@@ -223,7 +223,7 @@ def _plant_sstable(tmp_path, partitioner, deleted_key=b"k03",
         encode_summary_db,
     )
 
-    keys = [b"k%02d" % i for i in range(12)]
+    keys = keys or [b"k%02d" % i for i in range(12)]
     dec = key_decorator(order_partitioner or partitioner)
     ordered = sorted(keys, key=dec)
     blocks = []
@@ -315,6 +315,105 @@ def test_index_pointing_at_wrong_block_is_loud(spark, tmp_path):
         partition_lookup(spark, str(tmp_path), [victim.decode()]).collect()
 
 
+# --------------------------------------------------------------------------
+# Partition-range scans
+# --------------------------------------------------------------------------
+
+
+def test_range_scan_equals_filtered_scan_path(spark, sf_dir):
+    """A range scan must reproduce the full scan filtered by BETWEEN,
+    bit-for-bit — bounds inclusive on both ends."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_tools_spark.sources.data_cells import data_cells
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        partition_range_scan,
+    )
+
+    root = _tree(spark, sf_dir)
+    keys = _all_keys(spark, sf_dir)
+    lo, hi = keys[3], keys[len(keys) // 3]  # inclusive ends hit real keys
+    got = _collect_sorted(partition_range_scan(spark, root, lo, hi))
+    want = _collect_sorted(
+        data_cells(spark, root).where(
+            F.col("partition_key").between(lo, hi)
+        )
+    )
+    assert got == want and len(got) > 0
+    pks = {r[3] for r in got}
+    assert lo in pks  # inclusive lower bound exercised
+
+
+def test_range_scan_reads_a_slice_not_the_files(spark, sf_dir):
+    """The audit proves selectivity: a narrow range's index read floors at
+    one summary window before lo and stops at the first key past hi, and
+    its data read covers only the matched span."""
+    import os
+
+    from cassandra_sstable_tools_spark.sources.lookup import range_scan_audit
+
+    root = _tree(spark, sf_dir)
+    keys = _all_keys(spark, sf_dir)
+    lo = hi = keys[len(keys) // 2]  # single-key range: maximally selective
+    aud = range_scan_audit(
+        spark, root, lo, hi, chunk_bytes=512
+    ).toPandas()
+    assert len(aud) > 0
+    index_sizes, data_sizes = {}, {}
+    for dp, _, fs in os.walk(root):
+        for f in fs:
+            if not f.endswith(("-Index.db", "-Data.db")):
+                continue
+            tb, ss = os.path.basename(dp), f.split("-")[1]
+            if f.endswith("-Index.db"):
+                index_sizes[(tb, ss)] = os.path.getsize(os.path.join(dp, f))
+            else:
+                data_sizes[(tb, ss)] = os.path.getsize(os.path.join(dp, f))
+    checked = 0
+    for r in aud.itertuples():
+        isize = index_sizes[(r.table_name, r.sstable_id)]
+        if r.bounds_skip is True:
+            assert r.index_bytes_read == 0
+            continue
+        if isize > 8 * 1024:
+            assert r.index_bytes_read < isize
+            checked += 1
+        if r.partitions_matched > 0:
+            assert 0 < r.data_bytes_read < data_sizes[
+                (r.table_name, r.sstable_id)
+            ]
+    assert checked > 0 or all(
+        isize <= 8 * 1024 for isize in index_sizes.values()
+    )
+
+
+def test_range_scan_empty_and_out_of_bounds(spark, sf_dir):
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        partition_range_scan,
+        range_scan_audit,
+    )
+
+    root = _tree(spark, sf_dir)
+    assert partition_range_scan(spark, root, "zzz1", "zzz2").count() == 0
+    aud = range_scan_audit(spark, root, "zzz1", "zzz2").toPandas()
+    skipped = aud[aud["bounds_skip"] == True]  # noqa: E712
+    assert len(skipped) > 0 and (skipped["index_bytes_read"] == 0).all()
+    with pytest.raises(ValueError, match="empty range"):
+        partition_range_scan(spark, root, "b", "a")
+
+
+def test_range_scan_rejects_murmur3_order(spark, tmp_path):
+    """A raw-key range on a murmur3-ordered sstable is not contiguous;
+    the scan must say so, not return a wrong subset."""
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        partition_range_scan,
+    )
+
+    _plant_sstable(tmp_path, "org.apache.cassandra.dht.Murmur3Partitioner")
+    with pytest.raises(Exception, match="ByteOrderedPartitioner"):
+        partition_range_scan(spark, str(tmp_path), "k00", "k05").collect()
+
+
 def test_decorator_rejects_garbage_and_orders_murmur3():
     with pytest.raises(ValueError, match="unsupported partitioner"):
         key_decorator("com.example.WeirdPartitioner")
@@ -322,3 +421,59 @@ def test_decorator_rejects_garbage_and_orders_murmur3():
     # token ties broken by raw bytes; identical keys compare equal
     assert dec(b"abc") == dec(b"abc")
     assert dec(b"abc") != dec(b"abd")
+
+
+# --------------------------------------------------------------------------
+# Typed keys: encoder round-trips + a long-keyed lookup
+# --------------------------------------------------------------------------
+
+
+def test_key_encoder_inverts_key_renderer():
+    """encoder(renderer(bytes)) == bytes for every typed form."""
+    import uuid as _uuid
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        key_encoder,
+        key_renderer,
+    )
+
+    cases = [
+        ("long", (123456789).to_bytes(8, "big", signed=True)),
+        ("long", (-42).to_bytes(8, "big", signed=True)),
+        ("int", (7).to_bytes(4, "big", signed=True)),
+        ("uuid", _uuid.UUID(int=0xDEADBEEF).bytes),
+        ("hex", b"\x00\xff\x10"),
+        ("composite(long,string)",
+         b"\x00\x08" + (5).to_bytes(8, "big") + b"\x00"
+         + b"\x00\x03abc\x00"),
+    ]
+    for kt, raw in cases:
+        enc = key_encoder(kt)
+        if kt == "hex":  # hex is encode-only (render_key's 0x form)
+            assert enc("0x" + raw.hex()) == raw and enc(raw.hex()) == raw
+        else:
+            assert enc(key_renderer(kt)(raw)) == raw, (kt, raw)
+    with pytest.raises(ValueError, match="unsupported --key-type"):
+        key_encoder("blob")
+    with pytest.raises(ValueError, match="components"):
+        key_encoder("composite(long,string)")("5")
+
+
+def test_lookup_with_long_keys(spark, tmp_path):
+    """A long-keyed byte-ordered sstable: -k '302' --key-type long must
+    probe the bloom filter and search the summary with the 8-byte
+    big-endian form (positive longs keep byte order = numeric order)."""
+    part = "org.apache.cassandra.dht.ByteOrderedPartitioner"
+    keys = [(300 + i).to_bytes(8, "big", signed=True) for i in range(12)]
+    _plant_sstable(tmp_path, part, keys=keys, deleted_key=keys[2])
+    aud = lookup_audit(
+        spark, str(tmp_path), ["302", "305", "999"], key_type="long"
+    ).toPandas().set_index("partition_key")
+    assert bool(aud.loc["302", "found"]) is True
+    assert bool(aud.loc["305", "found"]) is True
+    assert bool(aud.loc["999", "found"]) is False
+    recs = partition_lookup(
+        spark, str(tmp_path), ["302"], key_type="long"
+    ).toPandas()
+    # keys[2] == 302 carries the planted partition deletion
+    assert list(recs["kind"]) == ["PARTITION_DELETE"]
