@@ -883,10 +883,14 @@ def data_cells(
     ``shards_per_sstable > 1`` splits each sstable's decode into that many
     tasks over CONTIGUOUS position ranges -- the index-driven advantage
     over the reference's sequential scanner: a few huge sstables stop
-    gating a cluster job on a handful of long tasks. Each shard re-streams
-    the (1%-of-data-sized) Index.db to find its slice, so the only
-    duplicated cost is index reads, never data. Output is shard-invariant
-    (pinned by test).
+    gating a cluster job on a handful of long tasks. With a Summary.db
+    present (every healthy sstable), shard boundaries are SAMPLED summary
+    entries and each shard SEEKS to and streams only its own index byte
+    slice -- zero duplicated I/O (r08 s2; previously every shard
+    re-streamed the whole index, shards x index bytes on a multi-GB index
+    of a 100 GB sstable). Without a summary the full-stream slice remains
+    as the fallback. Output is shard-invariant either way (pinned by
+    test, incl. the stripped-summary fallback).
 
     Scope (all documented, all loud or oracle-mirrored):
     - sstables without a Statistics.db are skipped (no schema, no codec);
@@ -946,23 +950,82 @@ def data_cells(
                     header = parse_serialization_header(
                         f.read(), version=ver, source=stats_path
                     )
-                with open(local, "rb") as idx:
-                    positions = sorted(
-                        pos for _, pos in stream_parse_index_db(
-                            idx, version=ver, source=path
-                        )
-                    )
                 dat, data_len = open_data_file(data_path, comp_path, ver)
-                npos = len(positions)
-                lo = int(shard) * npos // n_shards
-                hi = (int(shard) + 1) * npos // n_shards
+                summary_path = base + "Summary.db"
+                if n_shards > 1 and os.path.exists(summary_path):
+                    # summary-seek slice (r08 s2): shard boundaries are
+                    # SAMPLED summary entries, whose stored positions are
+                    # Index.db offsets -- each shard streams only ITS index
+                    # byte range instead of re-streaming the whole index
+                    # (the previously-documented duplicated cost; on a
+                    # multi-GB index of a 100 GB sstable that re-read was
+                    # shards x index). The extra entry past the slice end
+                    # bounds the last partition's byte extent.
+                    from cassandra_sstable_tools_spark.sources.lookup import (
+                        _IndexCursor,
+                    )
+                    from cassandra_sstable_tools_spark.sources.summary_db import (
+                        parse_summary_db,
+                    )
+
+                    with open(summary_path, "rb") as sf_:
+                        summ = parse_summary_db(
+                            sf_.read(), source=summary_path
+                        )
+                    ns = len(summ.entries)
+                    idx_size = os.path.getsize(local)
+                    lo_e = int(shard) * ns // n_shards
+                    hi_e = (int(shard) + 1) * ns // n_shards
+                    if lo_e == hi_e:
+                        dat.close()
+                        continue  # fewer sampled entries than shards
+                    start_off = summ.entries[lo_e][1]
+                    end_off = (
+                        summ.entries[hi_e][1] if hi_e < ns else idx_size
+                    )
+                    positions = []
+                    next_pos = None
+                    with open(local, "rb") as idx:
+                        cur = _IndexCursor(
+                            idx, ver, path, start_off,
+                            chunk_bytes=1 << 20,
+                        )
+                        while True:
+                            ent = cur.next_entry()
+                            if ent is None:
+                                break
+                            _k, dpos, off = ent
+                            if off >= end_off:
+                                next_pos = dpos
+                                break
+                            if positions and dpos < positions[-1]:
+                                raise ValueError(
+                                    f"corrupt Index.db {path}: data "
+                                    f"position {dpos} decreases at index "
+                                    f"byte {off}"
+                                )
+                            positions.append(dpos)
+                    npos = len(positions)
+                    lo, hi = 0, npos
+                    tail_end = data_len if next_pos is None else next_pos
+                else:
+                    with open(local, "rb") as idx:
+                        positions = sorted(
+                            pos for _, pos in stream_parse_index_db(
+                                idx, version=ver, source=path
+                            )
+                        )
+                    npos = len(positions)
+                    lo = int(shard) * npos // n_shards
+                    hi = (int(shard) + 1) * npos // n_shards
+                    tail_end = data_len
                 try:
                     for i in range(lo, hi):
                         pos = positions[i]
                         end = (
                             positions[i + 1]
                             if i + 1 < npos
-                            else data_len
+                            else tail_end
                         )
                         if end <= pos:
                             continue  # zero-extent: offset shared with successor

@@ -294,6 +294,26 @@ def test_sharded_decode_is_shard_invariant(spark, sf_dir, tmp_path):
                 spark, root, shards_per_sstable=shards).collect())
         )
         assert sharded == base, f"shards={shards} diverged"
+    # strip every Summary.db: the sharded decode must fall back to the
+    # full-stream slice and still be bit-identical (the summary-seek
+    # fast path (r08 s2) is an optimization, never a semantic)
+    import shutil
+
+    nosumm = str(tmp_path / "nosumm")
+    shutil.copytree(root, nosumm)
+    removed = 0
+    for dirpath, _, files in __import__("os").walk(nosumm):
+        for fname in files:
+            if fname.endswith("-Summary.db"):
+                __import__("os").remove(
+                    __import__("os").path.join(dirpath, fname))
+                removed += 1
+    assert removed > 0
+    fallback = sorted(
+        map(tuple, dc.data_cells(
+            spark, nosumm, shards_per_sstable=3).collect())
+    )
+    assert fallback == base, "summary-less fallback diverged"
 
 
 def test_cassdir_cfstats_honors_filename_filter(spark, sf_dir):
