@@ -913,12 +913,20 @@ def data_cells(
     )
     n_shards = shards_per_sstable
     if n_shards > 1:
-        # one (path, shard) row per task; repartition so shards of the
-        # same file land on different tasks
+        # one (path, shard) row per task. The partition COUNT must be
+        # explicit: a column-only repartition is AQE-coalescible, and AQE
+        # sizes by BYTES -- 36 path strings look like one tiny partition,
+        # so it serialized every shard into ONE task (measured: 3.2s ->
+        # 22s at sf0.1; the sharding feature was silently defeating its
+        # own parallelism). repartition(num, cols) is REPARTITION_BY_NUM,
+        # which AQE leaves alone. The count() is a metadata-only listing.
+        n_files = files.count()
         files = files.select(
             "path", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1)))
             .alias("shard"),
-        ).repartition(F.col("path"), F.col("shard"))
+        ).repartition(
+            max(1, n_files * n_shards), F.col("path"), F.col("shard")
+        )
     else:
         files = files.withColumn("shard", F.lit(0))
 

@@ -639,6 +639,11 @@ def _range_in_sstable(
             if key > hi_b:
                 boundary = dpos
                 break
+            if matched and dpos < matched[-1][1]:
+                raise ValueError(
+                    f"corrupt Index.db {path}: data position {dpos} "
+                    f"decreases inside the range scan"
+                )
             matched.append((key, dpos))
         audit["index_bytes_read"] = cur.bytes_read
 
