@@ -167,6 +167,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="lookup: partition-range scan upper bound (inclusive)",
     )
     p.add_argument(
+        "--now", type=int, default=None, metavar="EPOCH_SECONDS",
+        help="lookup --merge: the read instant for liveness (TTL expiry, "
+             "tombstone shadowing). Defaults to the engine's pinned "
+             "NOW_SECONDS (deterministic reports/goldens); pass the real "
+             "clock for a live answer on a real directory",
+    )
+    p.add_argument(
         "--approx", action="store_true",
         help="pstats/cfstats: bounded-memory percentile sketch instead of "
              "exact per-group buffering (the 100 TB path; within 10%% of "
@@ -653,16 +660,25 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                 "--cassandra-dir DIR\n"
             )
             return 2
-        if bool(args.key_from) != bool(args.key_to):
+        range_mode = args.key_from is not None or args.key_to is not None
+        if range_mode and (args.key_from is None or args.key_to is None):
+            # `is not None`, not truthiness: the empty string is the
+            # legitimate inclusive minimum in byte order (review finding)
             sys.stderr.write("lookup range mode needs BOTH --from and --to\n")
             return 2
-        if not args.key and not args.key_from:
+        if not args.key and not range_mode:
             sys.stderr.write(
                 "lookup needs at least one -k KEY, or --from/--to\n"
             )
             return 2
-        if args.key and args.key_from:
+        if args.key and range_mode:
             sys.stderr.write("lookup takes -k keys OR --from/--to, not both\n")
+            return 2
+        if args.merge and range_mode:
+            # silent flag loss is worse than a loud refusal
+            sys.stderr.write(
+                "lookup --merge applies to -k point reads, not range mode\n"
+            )
             return 2
         from cassandra_sstable_tools_spark.sources.lookup import (
             lookup_audit,
@@ -674,11 +690,16 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
 
         root = _scoped_cassdir_root(args)
         names = args.filenames.split(",") if args.filenames else None
-        if args.key_from:
+        # each section below runs its own pass over the read path -- a
+        # deliberate trade: per-key I/O is O(KB) by construction, and
+        # independent jobs keep the two/three output schemas out of one
+        # awkward dual-purpose frame (review finding, accepted cost)
+        if range_mode:
             out.append(("Range records", _render(
                 _table_scope_filter(
                     partition_range_scan(
-                        spark, root, args.key_from, args.key_to, names
+                        spark, root, args.key_from, args.key_to, names,
+                        key_type=args.key_type,
                     ),
                     args,
                 ),
@@ -689,7 +710,8 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             out.append(("Range-scan audit", _render(
                 _table_scope_filter(
                     range_scan_audit(
-                        spark, root, args.key_from, args.key_to, names
+                        spark, root, args.key_from, args.key_to, names,
+                        key_type=args.key_type,
                     ),
                     args,
                 ),
@@ -716,7 +738,8 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
                 _render(
                     _table_scope_filter(
                         partition_lookup_merged(spark, root, args.key, names,
-                                                key_type=args.key_type),
+                                                key_type=args.key_type,
+                                                now_seconds=args.now),
                         args,
                     ),
                     {"writetime": "ts_us"},

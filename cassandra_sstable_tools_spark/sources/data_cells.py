@@ -958,7 +958,9 @@ def data_cells(
                     header = parse_serialization_header(
                         f.read(), version=ver, source=stats_path
                     )
-                dat, data_len = open_data_file(data_path, comp_path, ver)
+                # positions are computed BEFORE the Data.db handle opens:
+                # a corrupt Summary/Index parse raises here, and an open
+                # handle must not leak across that raise (review finding)
                 summary_path = base + "Summary.db"
                 if n_shards > 1 and os.path.exists(summary_path):
                     # summary-seek slice (r08 s2): shard boundaries are
@@ -985,7 +987,6 @@ def data_cells(
                     lo_e = int(shard) * ns // n_shards
                     hi_e = (int(shard) + 1) * ns // n_shards
                     if lo_e == hi_e:
-                        dat.close()
                         continue  # fewer sampled entries than shards
                     start_off = summ.entries[lo_e][1]
                     end_off = (
@@ -1015,7 +1016,7 @@ def data_cells(
                             positions.append(dpos)
                     npos = len(positions)
                     lo, hi = 0, npos
-                    tail_end = data_len if next_pos is None else next_pos
+                    tail = next_pos  # None -> bounded by data length
                 else:
                     with open(local, "rb") as idx:
                         positions = sorted(
@@ -1026,7 +1027,9 @@ def data_cells(
                     npos = len(positions)
                     lo = int(shard) * npos // n_shards
                     hi = (int(shard) + 1) * npos // n_shards
-                    tail_end = data_len
+                    tail = None
+                dat, data_len = open_data_file(data_path, comp_path, ver)
+                tail_end = data_len if tail is None else tail
                 try:
                     for i in range(lo, hi):
                         pos = positions[i]

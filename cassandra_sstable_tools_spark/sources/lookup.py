@@ -209,6 +209,16 @@ class _IndexCursor:
         return key, position, entry_start
 
 
+def _rec_tuple(pk: str, rec) -> tuple:
+    """One decoded record in data_cells column order (minus the identity
+    prefix) -- the ONE place the 14-field shape lives for the read paths."""
+    return (
+        pk, rec.kind, rec.clustering, rec.column_name, rec.writetime,
+        rec.ttl, rec.ldt, rec.is_tombstone, rec.is_expiring, rec.is_counter,
+        rec.cell_value, rec.range_start, rec.range_end, rec.phys_size,
+    )
+
+
 def _merge_regions(windows: list[tuple[int, int]]) -> list[tuple[int, int]]:
     """Merge overlapping/adjacent [start, end) windows so a batch of
     co-located keys streams each index byte range once."""
@@ -398,8 +408,16 @@ def _lookup_in_sstable(
                 matches, key=lambda m: m[0]
             ):
                 end = data_len if dend is None else dend
-                if end <= dpos:
+                if end == dpos:
                     continue  # zero-extent: no physical block (NULL psize)
+                if end < dpos:
+                    # a shared offset is legitimate; a DECREASING successor
+                    # position is corruption and must not silently drop the
+                    # partition (review finding)
+                    raise ValueError(
+                        f"corrupt Index.db {path}: successor data position "
+                        f"{end} below {dpos}"
+                    )
                 dat.seek(dpos)
                 block = dat.read(end - dpos)
                 a["data_bytes_read"] += len(block)
@@ -413,13 +431,7 @@ def _lookup_in_sstable(
                         f"{_render(a['key_bytes'])!r}"
                     )
                 a["records"] += len(recs)
-                for rec in recs:
-                    records.append((
-                        pk, rec.kind, rec.clustering, rec.column_name,
-                        rec.writetime, rec.ttl, rec.ldt, rec.is_tombstone,
-                        rec.is_expiring, rec.is_counter, rec.cell_value,
-                        rec.range_start, rec.range_end, rec.phys_size,
-                    ))
+                records.extend(_rec_tuple(pk, rec) for rec in recs)
         finally:
             dat.close()
     return audits, records
@@ -647,6 +659,11 @@ def _range_in_sstable(
             matched.append((key, dpos))
         audit["index_bytes_read"] = cur.bytes_read
 
+    if boundary is not None and matched and boundary < matched[-1][1]:
+        raise ValueError(
+            f"corrupt Index.db {path}: boundary data position {boundary} "
+            f"below the last matched partition's {matched[-1][1]}"
+        )
     records: list[tuple] = []
     if matched:
         dat, data_len = open_data_file(ctx["data"], ctx["comp"], ver)
@@ -671,25 +688,25 @@ def _range_in_sstable(
                     )
                 audit["partitions_matched"] += 1
                 audit["records"] += len(recs)
-                for rec in recs:
-                    records.append((
-                        pk, rec.kind, rec.clustering, rec.column_name,
-                        rec.writetime, rec.ttl, rec.ldt, rec.is_tombstone,
-                        rec.is_expiring, rec.is_counter, rec.cell_value,
-                        rec.range_start, rec.range_end, rec.phys_size,
-                    ))
+                records.extend(_rec_tuple(pk, rec) for rec in recs)
         finally:
             dat.close()
     return audit, records
 
 
-def _normalize_bound(b) -> bytes:
-    return b if isinstance(b, bytes) else b.encode("utf-8")
+def _normalize_bound(b, key_type=None) -> bytes:
+    if isinstance(b, bytes):
+        return b
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        key_encoder,
+    )
+
+    return key_encoder(key_type)(b)
 
 
 def partition_range_scan(
     spark: SparkSession, root: str, lo, hi, filenames=None,
-    chunk_bytes: int = 64 << 10,
+    chunk_bytes: int = 64 << 10, key_type: str | None = None,
 ) -> DataFrame:
     """Decoded records of every partition with lo <= key <= hi (byte
     order, both bounds inclusive) -- reading only the matching byte spans
@@ -700,7 +717,7 @@ def partition_range_scan(
         _COLS,
     )
 
-    lo_b, hi_b = _normalize_bound(lo), _normalize_bound(hi)
+    lo_b, hi_b = _normalize_bound(lo, key_type), _normalize_bound(hi, key_type)
     if lo_b > hi_b:
         raise ValueError(f"empty range: lo {lo!r} > hi {hi!r}")
     files = _index_files(spark, root, filenames)
@@ -732,13 +749,13 @@ def partition_range_scan(
 
 def range_scan_audit(
     spark: SparkSession, root: str, lo, hi, filenames=None,
-    chunk_bytes: int = 64 << 10,
+    chunk_bytes: int = 64 << 10, key_type: str | None = None,
 ) -> DataFrame:
     """Per-sstable range-scan I/O counters: summary bounds skip, floored
     scan start, entries scanned vs partitions matched, and index/data
     bytes read -- the observable proof a selective range reads a slice,
     not the sstable."""
-    lo_b, hi_b = _normalize_bound(lo), _normalize_bound(hi)
+    lo_b, hi_b = _normalize_bound(lo, key_type), _normalize_bound(hi, key_type)
     if lo_b > hi_b:
         raise ValueError(f"empty range: lo {lo!r} > hi {hi!r}")
     files = _index_files(spark, root, filenames)

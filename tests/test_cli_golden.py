@@ -215,6 +215,35 @@ def test_cli_lookup_requires_dir_and_keys(spark):
     root = materialize_index_files(spark, GOLDEN_SF)
     assert main(["lookup", "--cassandra-dir", root,
                  "--sf-dir", GOLDEN_SF, "-b"], spark=spark) == 2
+    # --merge is a point-read view; range mode rejects it loudly rather
+    # than silently dropping the flag (review finding)
+    assert main(["lookup", "--cassandra-dir", root, "--from", "a",
+                 "--to", "b", "--merge", "--sf-dir", GOLDEN_SF, "-b"],
+                spark=spark) == 2
+    # -k and range mode are mutually exclusive
+    assert main(["lookup", "--cassandra-dir", root, "-k", "x",
+                 "--from", "a", "--to", "b", "--sf-dir", GOLDEN_SF, "-b"],
+                spark=spark) == 2
+
+
+def test_cli_lookup_empty_string_lower_bound(spark, capsys):
+    """'' is the legitimate inclusive minimum in byte order: the range
+    validation must test `is not None`, not truthiness (review finding).
+    A full-range scan from '' reaches every partition."""
+    import io
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["lookup", "--cassandra-dir", root,
+                   "--from", "", "--to", "0000000000",
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    assert "Range-scan audit" in buf.getvalue()
 
 
 def test_cli_golden_purge_cassdir(spark):
