@@ -167,6 +167,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="lookup: partition-range scan upper bound (inclusive)",
     )
     p.add_argument(
+        "--from-token", dest="token_from", type=int, default=None,
+        metavar="TOKEN",
+        help="lookup: murmur3 token-range scan lower bound (inclusive; "
+             "Murmur3Partitioner sstables -- the nodetool-repair subrange "
+             "shape). Use with --to-token",
+    )
+    p.add_argument(
+        "--to-token", dest="token_to", type=int, default=None,
+        metavar="TOKEN",
+        help="lookup: murmur3 token-range scan upper bound (inclusive)",
+    )
+    p.add_argument(
         "--now", type=int, default=None, metavar="EPOCH_SECONDS",
         help="lookup --merge: the read instant for liveness (TTL expiry, "
              "tombstone shadowing). Defaults to the engine's pinned "
@@ -661,20 +673,24 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             )
             return 2
         range_mode = args.key_from is not None or args.key_to is not None
+        token_mode = args.token_from is not None or args.token_to is not None
         if range_mode and (args.key_from is None or args.key_to is None):
             # `is not None`, not truthiness: the empty string is the
             # legitimate inclusive minimum in byte order (review finding)
             sys.stderr.write("lookup range mode needs BOTH --from and --to\n")
             return 2
-        if not args.key and not range_mode:
+        if token_mode and (args.token_from is None or args.token_to is None):
             sys.stderr.write(
-                "lookup needs at least one -k KEY, or --from/--to\n"
+                "lookup token mode needs BOTH --from-token and --to-token\n"
             )
             return 2
-        if args.key and range_mode:
-            sys.stderr.write("lookup takes -k keys OR --from/--to, not both\n")
+        if sum([bool(args.key), range_mode, token_mode]) != 1:
+            sys.stderr.write(
+                "lookup takes exactly one of: -k keys, --from/--to, "
+                "--from-token/--to-token\n"
+            )
             return 2
-        if args.merge and range_mode:
+        if args.merge and (range_mode or token_mode):
             # silent flag loss is worse than a loud refusal
             sys.stderr.write(
                 "lookup --merge applies to -k point reads, not range mode\n"
@@ -686,6 +702,8 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             partition_lookup_merged,
             partition_range_scan,
             range_scan_audit,
+            token_range_audit,
+            token_range_scan,
         )
 
         root = _scoped_cassdir_root(args)
@@ -694,6 +712,31 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         # deliberate trade: per-key I/O is O(KB) by construction, and
         # independent jobs keep the two/three output schemas out of one
         # awkward dual-purpose frame (review finding, accepted cost)
+        if token_mode:
+            out.append(("Token-range records", _render(
+                _table_scope_filter(
+                    token_range_scan(
+                        spark, root, args.token_from, args.token_to, names
+                    ),
+                    args,
+                ),
+                {"writetime": "ts_us", "local_deletion_time": "ldt"},
+                order=["keyspace", "table_name", "partition_key",
+                       "sstable_id", "clustering", "column_name", "kind"],
+            )))
+            out.append(("Token-range audit", _render(
+                _table_scope_filter(
+                    token_range_audit(
+                        spark, root, args.token_from, args.token_to, names
+                    ),
+                    args,
+                ),
+                {"index_bytes_read": "bytes", "data_bytes_read": "bytes"},
+                order=["keyspace", "table_name", "sstable_id"],
+            )))
+            for title, table in out:
+                sys.stdout.write(f"{title}\n{table}\n")
+            return 0
         if range_mode:
             out.append(("Range records", _render(
                 _table_scope_filter(

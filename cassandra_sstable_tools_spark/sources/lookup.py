@@ -571,6 +571,85 @@ def lookup_audit(
 
 
 # --------------------------------------------------------------------------
+# Summary consistency audit: the stale-summary detector
+# --------------------------------------------------------------------------
+
+SUMMARY_CHECK_SCHEMA = (
+    "keyspace string, table_name string, sstable_id string, "
+    "sampled_entries int, verified int, all_verified boolean"
+)
+
+
+def summary_checks(spark: SparkSession, root: str, filenames=None) -> DataFrame:
+    """Verify every sampled Summary.db entry against Index.db: the stored
+    offset must land exactly on an index entry boundary AND that entry's
+    key must equal the sampled key. A summary that drifts from its index
+    (manual file copies mixing generations, partial restores) makes the
+    point-read path silently MISS present keys — the one failure mode a
+    lookup cannot distinguish from honest absence — so the audit exists
+    to run ahead of trusting a foreign directory, like bloom_checks.
+    Cost: one seek + one entry parse per sampled entry (~keys/interval),
+    index size never read."""
+    files = _index_files(spark, root, filenames)
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        from cassandra_sstable_tools_spark.sources.summary_db import (
+            parse_summary_db,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                local = _local_path(path)
+                summary_path = local[: -len("Index.db")] + "Summary.db"
+                if not os.path.exists(summary_path):
+                    continue
+                with open(summary_path, "rb") as f:
+                    summ = parse_summary_db(f.read(), source=summary_path)
+                verified = 0
+                with open(local, "rb") as f:
+                    for key, idx_off in summ.entries:
+                        try:
+                            cur = _IndexCursor(f, ver, path, idx_off)
+                            ent = cur.next_entry()
+                        except ValueError:
+                            continue  # mid-entry offset: not a boundary
+                        if ent is not None and ent[0] == key:
+                            verified += 1
+                rows.append((
+                    ks, tb, ss, len(summ.entries), verified,
+                    verified == len(summ.entries),
+                ))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["keyspace", "table_name", "sstable_id",
+                         "sampled_entries", "verified", "all_verified"],
+            )
+            for c in ("sampled_entries", "verified"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return files.mapInPandas(scan, SUMMARY_CHECK_SCHEMA)
+
+
+def summary_check_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified wrapper: the planted summaries are exactly the index's
+    every-4th-entry sample, so the oracle expects verified ==
+    sampled_entries == ceil(keys/4) per sstable; the drifted-summary
+    differential (one nudged offset fails exactly one entry) lives in
+    tests."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    return summary_checks(spark, root)
+
+
+# --------------------------------------------------------------------------
 # Partition-range scans: the contiguous sibling of the point read
 # --------------------------------------------------------------------------
 
@@ -692,6 +771,218 @@ def _range_in_sstable(
         finally:
             dat.close()
     return audit, records
+
+
+def _token_range_in_sstable(
+    index_local: str,
+    path: str,
+    ver: str,
+    token_lo: int,
+    token_hi: int,
+    chunk_bytes: int = 64 << 10,
+) -> tuple[dict, list[tuple]] | None:
+    """All partitions whose murmur3 TOKEN falls in [token_lo, token_hi]
+    from one sstable — the subrange shape repair/ownership analytics use
+    on Murmur3Partitioner tables (where raw-key ranges scatter and are
+    refused by partition_range_scan). Murmur3-ordered files keep a token
+    range CONTIGUOUS, so the same floor-and-stop scan applies with the
+    token comparator; non-murmur3 sstables fail loud (their token space
+    is not this one). No DuckDB oracle can replay murmur3, so this path
+    is certified by brute-force differentials over planted token-ordered
+    trees (tests/test_lookup.py), not a staged driver query — documented
+    as the weaker certificate."""
+    from cassandra_sstable_tools_spark.sources.bloom import murmur3_x64_128
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        decode_partition_block,
+    )
+    from cassandra_sstable_tools_spark.sources.lz4_block import open_data_file
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        render_key,
+    )
+
+    ctx = _sstable_ctx(index_local, ver)
+    if ctx is None:
+        return None
+    if ctx["partitioner"].rsplit(".", 1)[-1] != "Murmur3Partitioner":
+        raise ValueError(
+            f"token_range_scan needs Murmur3Partitioner (token ranges live "
+            f"in its token space); {path} declares {ctx['partitioner']!r}"
+        )
+
+    def token(key: bytes) -> int:
+        t = murmur3_x64_128(key)[0]
+        return _MAX_LONG if t == _MIN_LONG else t
+
+    audit = {
+        "bounds_skip": None,
+        "scan_start": None,
+        "entries_scanned": 0,
+        "partitions_matched": 0,
+        "records": 0,
+        "index_bytes_read": 0,
+        "data_bytes_read": 0,
+    }
+    summ = ctx["summary"]
+    start = 0
+    if summ is not None:
+        if (token_hi < token(summ.first_key)
+                or token_lo > token(summ.last_key)):
+            audit["bounds_skip"] = True
+            return audit, []
+        audit["bounds_skip"] = False
+        # floor to the window before token_lo: (token_lo, b"") sorts at or
+        # before every key of that token under (token, key) order
+        dec = ctx["decorate"]
+        start = summ.entries[_summary_floor(summ, dec, (token_lo, b""))][1]
+    audit["scan_start"] = start
+
+    matched: list[tuple[bytes, int]] = []
+    boundary: int | None = None
+    with open(index_local, "rb") as f:
+        cur = _IndexCursor(f, ver, path, start, chunk_bytes=chunk_bytes)
+        while True:
+            ent = cur.next_entry()
+            if ent is None:
+                break
+            key, dpos, _off = ent
+            audit["entries_scanned"] += 1
+            t = token(key)
+            if t < token_lo:
+                continue
+            if t > token_hi:
+                boundary = dpos
+                break
+            if matched and dpos < matched[-1][1]:
+                raise ValueError(
+                    f"corrupt Index.db {path}: data position {dpos} "
+                    f"decreases inside the token-range scan"
+                )
+            matched.append((key, dpos))
+        audit["index_bytes_read"] = cur.bytes_read
+
+    if boundary is not None and matched and boundary < matched[-1][1]:
+        raise ValueError(
+            f"corrupt Index.db {path}: boundary data position {boundary} "
+            f"below the last matched partition's {matched[-1][1]}"
+        )
+    records: list[tuple] = []
+    if matched:
+        dat, data_len = open_data_file(ctx["data"], ctx["comp"], ver)
+        try:
+            ends = [dpos for _, dpos in matched[1:]] + [
+                data_len if boundary is None else boundary
+            ]
+            for (key, dpos), end in zip(matched, ends):
+                if end <= dpos:
+                    continue  # zero-extent: no physical block (NULL psize)
+                dat.seek(dpos)
+                block = dat.read(end - dpos)
+                audit["data_bytes_read"] += len(block)
+                pk, recs = decode_partition_block(
+                    block, ctx["header"], source=ctx["data"], base=dpos
+                )
+                if pk != render_key(key):
+                    raise ValueError(
+                        f"corrupt sstable {path}: index points at byte "
+                        f"{dpos} whose partition key is {pk!r}, expected "
+                        f"{render_key(key)!r}"
+                    )
+                audit["partitions_matched"] += 1
+                audit["records"] += len(recs)
+                records.extend(_rec_tuple(pk, rec) for rec in recs)
+        finally:
+            dat.close()
+    return audit, records
+
+
+def token_range_scan(
+    spark: SparkSession, root: str, token_lo: int, token_hi: int,
+    filenames=None, chunk_bytes: int = 64 << 10,
+) -> DataFrame:
+    """Decoded records of every partition with murmur3 token in
+    [token_lo, token_hi] (both inclusive) — the nodetool-repair-style
+    subrange read over murmur3 sstables. One task per sstable; at 100 TB
+    a 1/N token subrange costs ~1/N of each sstable plus one summary
+    window, which is exactly how a cluster-wide analysis shards a
+    murmur3 table without a shuffle."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        DATA_CELLS_SCHEMA,
+        _COLS,
+    )
+
+    if token_lo > token_hi:
+        raise ValueError(f"empty token range: {token_lo} > {token_hi}")
+    files = _index_files(spark, root, filenames)
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                got = _token_range_in_sstable(
+                    _local_path(path), path, ver, token_lo, token_hi,
+                    chunk_bytes=chunk_bytes,
+                )
+                if got is None:
+                    continue
+                _audit, recs = got
+                rows.extend((ks, tb, ss) + r for r in recs)
+            pdf_out = pd.DataFrame(rows, columns=_COLS)
+            for c in ("writetime", "local_deletion_time", "cell_value",
+                      "phys_size"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
+            yield pdf_out
+
+    return files.mapInPandas(scan, DATA_CELLS_SCHEMA)
+
+
+def token_range_audit(
+    spark: SparkSession, root: str, token_lo: int, token_hi: int,
+    filenames=None, chunk_bytes: int = 64 << 10,
+) -> DataFrame:
+    """Per-sstable token-range I/O counters (RANGE_AUDIT_SCHEMA): the
+    selectivity proof for the murmur3 subrange path."""
+    if token_lo > token_hi:
+        raise ValueError(f"empty token range: {token_lo} > {token_hi}")
+    files = _index_files(spark, root, filenames)
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                got = _token_range_in_sstable(
+                    _local_path(path), path, ver, token_lo, token_hi,
+                    chunk_bytes=chunk_bytes,
+                )
+                if got is None:
+                    continue
+                a, _recs = got
+                rows.append((
+                    ks, tb, ss, a["bounds_skip"], a["scan_start"],
+                    a["entries_scanned"], a["partitions_matched"],
+                    a["records"], a["index_bytes_read"],
+                    a["data_bytes_read"],
+                ))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["keyspace", "table_name", "sstable_id",
+                         "bounds_skip", "scan_start", "entries_scanned",
+                         "partitions_matched", "records",
+                         "index_bytes_read", "data_bytes_read"],
+            )
+            for c in ("scan_start", "entries_scanned", "partitions_matched",
+                      "records", "index_bytes_read", "data_bytes_read"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            pdf_out["bounds_skip"] = pdf_out["bounds_skip"].astype("boolean")
+            yield pdf_out
+
+    return files.mapInPandas(scan, RANGE_AUDIT_SCHEMA)
 
 
 def _normalize_bound(b, key_type=None) -> bytes:
@@ -894,14 +1185,24 @@ def _staged():
         "SELECT * FROM decoded "
         f"WHERE partition_key BETWEEN '{_RANGE_LO}' AND '{_RANGE_HI}'"
     )
+    summary_check_oracle = with_adapter("""
+SELECT keyspace, table_name, sstable_id,
+       CAST(floor((count(*) + 3) / 4) AS INT) AS sampled_entries,
+       CAST(floor((count(*) + 3) / 4) AS INT) AS verified,
+       TRUE AS all_verified
+FROM index_entries
+GROUP BY 1, 2, 3
+""")
     return (
         {
             "partition_lookup_cassdir": partition_lookup_cassdir,
             "partition_range_cassdir": partition_range_cassdir,
+            "summary_check_cassdir": summary_check_cassdir,
         },
         {
             "partition_lookup_cassdir": lookup_oracle,
             "partition_range_cassdir": range_oracle,
+            "summary_check_cassdir": summary_check_oracle,
         },
     )
 

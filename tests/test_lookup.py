@@ -315,6 +315,44 @@ def test_index_pointing_at_wrong_block_is_loud(spark, tmp_path):
         partition_lookup(spark, str(tmp_path), [victim.decode()]).collect()
 
 
+def test_summary_check_detects_a_drifted_summary(spark, sf_dir, tmp_path):
+    """The stale-summary detector: nudging ONE stored index offset (a
+    summary no longer matching its index -- the silent point-read killer)
+    fails exactly that entry on exactly that sstable."""
+    from cassandra_sstable_tools_spark.sources.lookup import summary_checks
+    from cassandra_sstable_tools_spark.sources.summary_db import (
+        encode_summary_db,
+        parse_summary_db,
+    )
+
+    root = _tree(spark, sf_dir)
+    drifted = str(tmp_path / "drifted")
+    shutil.copytree(root, drifted)
+    base = summary_checks(spark, drifted).toPandas()
+    assert len(base) > 0 and base["all_verified"].all()
+    victim = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(drifted)
+        for f in sorted(fs)
+        if f.endswith("-Summary.db")
+    )
+    with open(victim, "rb") as f:
+        parsed = parse_summary_db(f.read(), source=victim)
+    entries = list(parsed.entries)
+    entries[-1] = (entries[-1][0], entries[-1][1] + 3)  # mid-entry offset
+    with open(victim, "wb") as f:
+        f.write(encode_summary_db(entries, min_index_interval=1))
+    got = summary_checks(spark, drifted).toPandas()
+    vic_tb = os.path.basename(os.path.dirname(victim))
+    vic_id = os.path.basename(victim).split("-")[1]
+    bad = got[~got["all_verified"]]
+    assert len(bad) == 1
+    assert (bad.iloc[0]["table_name"], bad.iloc[0]["sstable_id"]) == (
+        vic_tb, vic_id,
+    )
+    assert bad.iloc[0]["verified"] == bad.iloc[0]["sampled_entries"] - 1
+
+
 # --------------------------------------------------------------------------
 # Partition-range scans
 # --------------------------------------------------------------------------
@@ -412,6 +450,83 @@ def test_range_scan_rejects_murmur3_order(spark, tmp_path):
     _plant_sstable(tmp_path, "org.apache.cassandra.dht.Murmur3Partitioner")
     with pytest.raises(Exception, match="ByteOrderedPartitioner"):
         partition_range_scan(spark, str(tmp_path), "k00", "k05").collect()
+
+
+def test_token_range_scan_matches_bruteforce(spark, tmp_path):
+    """Token-range scan over a genuine murmur3-token-ordered sstable must
+    equal the full decode filtered by brute-force token computation --
+    the strongest certificate available (no SQL oracle can murmur3)."""
+    from cassandra_sstable_tools_spark.sources.bloom import murmur3_x64_128
+    from cassandra_sstable_tools_spark.sources.data_cells import data_cells
+    from cassandra_sstable_tools_spark.sources.lookup import token_range_scan
+
+    part = "org.apache.cassandra.dht.Murmur3Partitioner"
+    keys = [b"tk%03d" % i for i in range(40)]
+    _, ordered, _ = _plant_sstable(
+        tmp_path, part, keys=keys, deleted_key=keys[7]
+    )
+
+    def token(k: bytes) -> int:
+        return murmur3_x64_128(k)[0]
+
+    toks = sorted(token(k) for k in keys)
+    t_lo, t_hi = toks[10], toks[30]  # inclusive bounds hit real tokens
+    got = _collect_sorted(token_range_scan(spark, str(tmp_path), t_lo, t_hi))
+    want = sorted(
+        tuple(r)
+        for r in data_cells(spark, str(tmp_path)).collect()
+        if t_lo <= token(r["partition_key"].encode()) <= t_hi
+    )
+    assert got == want
+    # non-vacuous: the range must actually select a strict subset, and the
+    # planted deletion record must appear iff its token is in range
+    all_recs = data_cells(spark, str(tmp_path)).count()
+    assert 0 < len(want) or all_recs == 0
+    in_range = t_lo <= token(keys[7]) <= t_hi
+    assert any(r[3] == keys[7].decode() for r in got) == in_range
+    # a range falling in the gap between two adjacent tokens is empty
+    if toks[31] - toks[30] > 2:
+        assert token_range_scan(
+            spark, str(tmp_path), toks[30] + 1, toks[31] - 1
+        ).count() == 0
+    with pytest.raises(ValueError, match="empty token range"):
+        token_range_scan(spark, str(tmp_path), 5, 4)
+
+
+def test_cli_token_range_mode(spark, tmp_path):
+    """CLI wiring for --from-token/--to-token over a planted murmur3
+    tree: full token space returns every record; --merge rejected."""
+    import contextlib
+    import io
+
+    from cassandra_sstable_tools_spark.__main__ import main
+
+    part = "org.apache.cassandra.dht.Murmur3Partitioner"
+    _plant_sstable(tmp_path, part)
+    lo, hi = str(-(1 << 63)), str((1 << 63) - 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["lookup", "--cassandra-dir", str(tmp_path),
+                   "--from-token", lo, "--to-token", hi, "-b"], spark=spark)
+    assert rc == 0
+    text = buf.getvalue()
+    assert "Token-range records" in text and "Token-range audit" in text
+    assert "PARTITION_DELETE" in text  # the planted deletion surfaced
+    assert main(["lookup", "--cassandra-dir", str(tmp_path),
+                 "--from-token", lo, "--to-token", hi, "--merge", "-b"],
+                spark=spark) == 2
+    assert main(["lookup", "--cassandra-dir", str(tmp_path),
+                 "--from-token", lo, "-b"], spark=spark) == 2
+
+
+def test_token_range_scan_rejects_byte_order(spark, tmp_path):
+    from cassandra_sstable_tools_spark.sources.lookup import token_range_scan
+
+    _plant_sstable(
+        tmp_path, "org.apache.cassandra.dht.ByteOrderedPartitioner"
+    )
+    with pytest.raises(Exception, match="Murmur3Partitioner"):
+        token_range_scan(spark, str(tmp_path), 0, 1 << 40).collect()
 
 
 def test_decorator_rejects_garbage_and_orders_murmur3():
