@@ -63,10 +63,14 @@ def _modules():
     )
     from cassandra_sstable_tools_spark.operators import salting
     from cassandra_sstable_tools_spark.sources import (
+        bloom,
+        crc_db,
         data_cells,
         data_db,
+        lookup,
         sstable_binary,
         statistics_db,
+        summary_db,
     )
     from cassandra_sstable_tools_spark.streaming import events_stream, stateful
     from cassandra_sstable_tools_spark.queries import (
@@ -89,6 +93,7 @@ def _modules():
         pipeline, events,
         timeseries, multimodal, catalog, salting, stateful, events_stream,
         sstable_binary, statistics_db, data_db, bpe, data_cells,
+        summary_db, bloom, crc_db, lookup,
     ]
 
 

@@ -351,4 +351,4 @@ def _staged():
     )
 
 
-STAGED_QUERIES, STAGED_ORACLES = _staged()
+QUERIES, ORACLES = _staged()

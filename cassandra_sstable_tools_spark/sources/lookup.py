@@ -1207,4 +1207,4 @@ GROUP BY 1, 2, 3
     )
 
 
-STAGED_QUERIES, STAGED_ORACLES = _staged()
+QUERIES, ORACLES = _staged()

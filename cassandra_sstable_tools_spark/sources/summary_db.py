@@ -451,4 +451,4 @@ def _staged():
     )
 
 
-STAGED_QUERIES, STAGED_ORACLES = _staged()
+QUERIES, ORACLES = _staged()

@@ -22,16 +22,10 @@ from cassandra_sstable_tools_spark.plans.audit import tree_node_count
 from cassandra_sstable_tools_spark.queries import registry
 
 _QUERIES = dict(registry.queries())
-# staged r09 queries are linted to the same bar before they go live
-from cassandra_sstable_tools_spark.sources import (  # noqa: E402
-    bloom,
-    crc_db,
-    lookup,
-    summary_db,
-)
+# any currently-staged queries are linted to the same bar before going live
+from test_staged_queries import _QUERIES as _STAGED  # noqa: E402
 
-for _m in (summary_db, bloom, crc_db, lookup):
-    _QUERIES.update(_m.STAGED_QUERIES)
+_QUERIES.update(_STAGED)
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
