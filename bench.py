@@ -87,9 +87,14 @@ SECONDARY = [
     # banded join). Bars in BASELINE.md §r08.
     "cfstats_global_cassdir",
     "media_neardup_real",
-    # r08: the full directory-mode compaction simulation (cell decode with
-    # real serialized sizes -> eager checkpoint -> merge/purge/measure).
-    "purge_top_cassdir",
+    # r08: the full directory-mode compaction simulation, SPLIT into its
+    # two stages since r09 (r08 VERDICT #7: the one-row timing integrated
+    # box noise over the whole decode, so a merge-stage regression could
+    # hide inside the spread): decode->eager-checkpoint, then
+    # merge->purge->measure over the checkpointed frame. The old
+    # purge_top_cassdir bar (~9s) ~= decode + merge bars.
+    "purge_cassdir_decode",
+    "purge_cassdir_merge",
     # r08 session 2: batched point reads through the bloom/summary/index-
     # window path (staged partition_lookup_cassdir; EXTRA_SECONDARY until
     # its r09 registration). Bar in BASELINE.md §r08-s2.
@@ -126,6 +131,54 @@ def _ann_index_build(spark, sf_dir):
     return spark.range(1).selectExpr(f"{rewritten} as lists_rewritten")
 
 
+_PURGE_DECODED_CACHE: dict[str, object] = {}
+
+
+def _purge_cassdir_decode(spark, sf_dir):
+    """Stage 1 of the directory-purge split: the full Data.db cell decode
+    feeding purge, paid at the eager localCheckpoint inside the call; the
+    returned count is a checkpoint fetch, so the timed number IS the
+    decode. Each run builds a FRESH frame (no reuse); the latest frame is
+    parked for the merge row."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        _decoded_purge_cells,
+    )
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    frame = _decoded_purge_cells(spark, root)
+    _PURGE_DECODED_CACHE[sf_dir] = frame
+    return frame.groupBy().count()
+
+
+def _purge_cassdir_merge(spark, sf_dir):
+    """Stage 2: merge -> purge -> measure -> top-N over the already
+    checkpointed decoded frame (the exact purge_top_cassdir tail), so a
+    merge-stage plan regression is visible on its own."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_tools_spark.constants import DEFAULT_TOP_N
+    from cassandra_sstable_tools_spark.operators.purge import purge_stats
+    from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
+
+    frame = _PURGE_DECODED_CACHE.get(sf_dir)
+    if frame is None:
+        _purge_cassdir_decode(spark, sf_dir).collect()
+        frame = _PURGE_DECODED_CACHE[sf_dir]
+    per_part = purge_stats(frame)
+    return top_n_per_group(
+        per_part,
+        ["keyspace", "table_name"],
+        [F.desc("reclaimable"), F.desc("pre_size"), F.asc("partition_key")],
+        DEFAULT_TOP_N,
+    ).select(
+        "keyspace", "table_name", "partition_key", "tables", "pre_size",
+        "merged_size", "reclaimable", "rank",
+    )
+
+
 def _partition_lookup_batch(spark, sf_dir):
     """The staged point-read path (sources/lookup.py), benched before its
     r09 registration: the md5-'0' key cohort (~1/16 of all partition
@@ -146,6 +199,8 @@ def _partition_lookup_batch(spark, sf_dir):
 EXTRA_SECONDARY = {
     "ann_index_build": _ann_index_build,
     "partition_lookup_batch": _partition_lookup_batch,
+    "purge_cassdir_decode": _purge_cassdir_decode,
+    "purge_cassdir_merge": _purge_cassdir_merge,
 }
 
 

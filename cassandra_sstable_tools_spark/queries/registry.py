@@ -68,6 +68,7 @@ def _modules():
         data_cells,
         data_db,
         lookup,
+        murmur3_fixture,
         sstable_binary,
         statistics_db,
         summary_db,
@@ -93,7 +94,7 @@ def _modules():
         pipeline, events,
         timeseries, multimodal, catalog, salting, stateful, events_stream,
         sstable_binary, statistics_db, data_db, bpe, data_cells,
-        summary_db, bloom, crc_db, lookup,
+        summary_db, bloom, crc_db, lookup, murmur3_fixture,
     ]
 
 

@@ -148,6 +148,122 @@ def murmur3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:
     return _signed64(h1), _signed64(h2)
 
 
+def murmur3_x64_128_batch(keys: list[bytes]):
+    """Vectorized murmur3_x64_128 over a key batch: numpy uint64 lanes,
+    keys grouped by byte length so block/tail shapes align per group.
+    Bit-identical to the scalar path (differential-tested incl. the
+    sign-extended tail); returns an (n, 2) SIGNED int64 array of (h1, h2).
+
+    This is the batched-point-read hot path fix (r08 VERDICT What's-wrong
+    #2): a K-key cohort probing S sstables ran K*S pure-Python murmur3
+    calls; the numpy lanes amortize the interpreter out of it while the
+    per-key semantics stay exactly Java's."""
+    import numpy as np
+
+    out = np.zeros((len(keys), 2), dtype=np.int64)
+    by_len: dict[int, list[int]] = {}
+    for i, k in enumerate(keys):
+        by_len.setdefault(len(k), []).append(i)
+    C1 = np.uint64(_C1)
+    C2 = np.uint64(_C2)
+
+    def rotl(x, r: int):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    def fmix(k):
+        k ^= k >> np.uint64(33)
+        k = k * np.uint64(0xFF51AFD7ED558CCD)
+        k ^= k >> np.uint64(33)
+        k = k * np.uint64(0xC4CEB9FE1A85EC53)
+        k ^= k >> np.uint64(33)
+        return k
+
+    for length, idxs in by_len.items():
+        m = len(idxs)
+        if length:
+            buf = np.frombuffer(
+                b"".join(keys[i] for i in idxs), dtype=np.uint8
+            ).reshape(m, length)
+        else:
+            buf = np.zeros((m, 0), dtype=np.uint8)
+        h1 = np.zeros(m, np.uint64)
+        h2 = np.zeros(m, np.uint64)
+        nblocks = length // 16
+        if nblocks:
+            blocks = np.ascontiguousarray(buf[:, : nblocks * 16]).view(
+                "<u8"
+            ).reshape(m, nblocks * 2)
+            for b in range(nblocks):
+                k1 = blocks[:, 2 * b] * C1
+                k1 = rotl(k1, 31) * C2
+                h1 ^= k1
+                h1 = rotl(h1, 27) + h2
+                h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+                k2 = blocks[:, 2 * b + 1] * C2
+                k2 = rotl(k2, 33) * C1
+                h2 ^= k2
+                h2 = rotl(h2, 31) + h1
+                h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+        t = length - nblocks * 16
+        tail = buf[:, nblocks * 16 :]
+
+        def sbyte(col):
+            # Java sign-extends each tail byte (the Cassandra deviation):
+            # int8 -> int64 -> two's-complement uint64
+            return col.view(np.int8).astype(np.int64).view(np.uint64)
+
+        k1 = np.zeros(m, np.uint64)
+        k2 = np.zeros(m, np.uint64)
+        for i in range(t - 1, 7, -1):
+            k2 ^= sbyte(tail[:, i]) << np.uint64((i - 8) * 8)
+        if t > 8:
+            k2 = rotl(k2 * C2, 33) * C1
+            h2 ^= k2
+        for i in range(min(t, 8) - 1, -1, -1):
+            k1 ^= sbyte(tail[:, i]) << np.uint64(i * 8)
+        if t > 0:
+            k1 = rotl(k1 * C1, 31) * C2
+            h1 ^= k1
+        h1 ^= np.uint64(length)
+        h2 ^= np.uint64(length)
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = fmix(h1)
+        h2 = fmix(h2)
+        h1 = h1 + h2
+        h2 = h2 + h1
+        out[idxs, 0] = h1.view(np.int64)
+        out[idxs, 1] = h2.view(np.int64)
+    return out
+
+
+def might_contain_batch(f: "BloomFilterData", keys: list[bytes]):
+    """Vectorized BloomFilterData.might_contain over a key batch -- one
+    numpy pass instead of K Python probe loops. Returns an (n,) bool
+    array aligned with ``keys``; semantics identical to the scalar path
+    (incl. the Long.MIN_VALUE abs rendering)."""
+    import numpy as np
+
+    if not keys:
+        return np.zeros(0, dtype=bool)
+    hs = murmur3_x64_128_batch(keys)
+    base = hs[:, 0].copy()
+    h2u = hs[:, 1].view(np.uint64)
+    words = np.array(f.words, dtype=np.uint64)
+    nbits = np.int64(f.num_bits)
+    min64 = np.int64(-(1 << 63))
+    min_abs_mod = np.int64((1 << 63) % f.num_bits)
+    res = np.ones(len(keys), dtype=bool)
+    for _ in range(f.hash_count):
+        bit = np.where(base == min64, min_abs_mod, np.abs(base) % nbits)
+        w = words[bit >> np.int64(6)]
+        res &= (
+            (w >> (bit & np.int64(63)).view(np.uint64)) & np.uint64(1)
+        ).astype(bool)
+        base = (base.view(np.uint64) + h2u).view(np.int64)
+    return res
+
+
 def bloom_indexes(h1: int, h2: int, hash_count: int, num_bits: int) -> list[int]:
     """Probe bit positions, Java semantics: base starts at h1, advances by
     h2 with signed-64 wraparound; each probe is abs(base) % num_bits

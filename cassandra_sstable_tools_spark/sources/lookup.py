@@ -111,10 +111,10 @@ class _IndexCursor:
     Grammar (and version regimes) mirror sstable_binary._parse_entries."""
 
     __slots__ = ("f", "version", "source", "buf", "off", "base",
-                 "bytes_read", "eof", "chunk")
+                 "bytes_read", "eof", "chunk", "region_end", "read_pos")
 
     def __init__(self, f, version: str, source: str, start: int,
-                 chunk_bytes: int = 8 << 10):
+                 chunk_bytes: int = 8 << 10, region_end: int | None = None):
         f.seek(start)
         self.f = f
         self.version = version
@@ -125,13 +125,23 @@ class _IndexCursor:
         self.bytes_read = 0
         self.eof = False
         self.chunk = chunk_bytes
+        # clamp read-ahead at the caller's window boundary so
+        # index_bytes_read tracks the WINDOW size, not the fixed chunk
+        # (r08 ADVICE #1: a 98-byte window was charged a full 8 KB);
+        # an entry straddling the boundary still gets its exact bytes
+        self.region_end = region_end
+        self.read_pos = start  # file offset the next read starts at
 
     def _fill(self, need: int) -> bool:
         """Ensure ``need`` bytes are parseable at self.off; False at EOF."""
         while len(self.buf) - self.off < need:
             if self.eof:
                 return False
-            data = self.f.read(max(self.chunk, need))
+            want = max(self.chunk, need)
+            if self.region_end is not None:
+                want = max(need, min(want, self.region_end - self.read_pos))
+            data = self.f.read(want)
+            self.read_pos += len(data)
             self.bytes_read += len(data)
             if not data:
                 self.eof = True
@@ -211,9 +221,10 @@ class _IndexCursor:
 
 def _rec_tuple(pk: str, rec) -> tuple:
     """One decoded record in data_cells column order (minus the identity
-    prefix) -- the ONE place the 14-field shape lives for the read paths."""
+    prefix) -- the ONE place the 15-field shape lives for the read paths."""
     return (
-        pk, rec.kind, rec.clustering, rec.column_name, rec.writetime,
+        pk, rec.kind, rec.clustering, rec.column_name, rec.cell_path,
+        rec.writetime,
         rec.ttl, rec.ldt, rec.is_tombstone, rec.is_expiring, rec.is_counter,
         rec.cell_value, rec.range_start, rec.range_end, rec.phys_size,
     )
@@ -321,9 +332,21 @@ def _lookup_in_sstable(
     decorate, filt, summ = ctx["decorate"], ctx["filter"], ctx["summary"]
     index_size = ctx["index_size"]
 
+    # ONE vectorized bloom pass for the whole key cohort (numpy murmur3
+    # lanes, bit-identical to the scalar probes) -- the K-key batched
+    # throughput was Python-interpreter-bound at K x sstables x hash_count
+    # scalar murmur3 calls (r08 VERDICT What's-wrong #2)
+    bloom_passes = None
+    if filt is not None and targets:
+        from cassandra_sstable_tools_spark.sources.bloom import (
+            might_contain_batch,
+        )
+
+        bloom_passes = might_contain_batch(filt, [kb for _, kb in targets])
+
     audits: list[dict] = []
     survivors: list[tuple[bytes, dict]] = []
-    for key_str, kb in targets:
+    for ti, (key_str, kb) in enumerate(targets):
         a = {
             "partition_key": key_str,
             "key_bytes": kb,
@@ -337,8 +360,8 @@ def _lookup_in_sstable(
             "data_bytes_read": 0,
         }
         audits.append(a)
-        if filt is not None:
-            a["bloom_pass"] = filt.might_contain(kb)
+        if bloom_passes is not None:
+            a["bloom_pass"] = bool(bloom_passes[ti])
             if not a["bloom_pass"]:
                 continue  # proven absent: zero index/data I/O
         dk = decorate(kb)
@@ -373,7 +396,9 @@ def _lookup_in_sstable(
                 for kb, a in survivors
                 if rs <= a["window_start"] < re_
             }
-            cur = _IndexCursor(f, ver, path, rs, chunk_bytes=chunk_bytes)
+            cur = _IndexCursor(
+                f, ver, path, rs, chunk_bytes=chunk_bytes, region_end=re_
+            )
             pending: list[list] = []
             while True:
                 ent = cur.next_entry()
@@ -431,7 +456,12 @@ def _lookup_in_sstable(
                         f"{_render(a['key_bytes'])!r}"
                     )
                 a["records"] += len(recs)
-                records.extend(_rec_tuple(pk, rec) for rec in recs)
+                # display through the audit's key rendering so a typed
+                # lookup (--key-type long) shows the SAME key in the
+                # record rows and the audit section (r08 ADVICE #2)
+                records.extend(
+                    _rec_tuple(a["partition_key"], rec) for rec in recs
+                )
         finally:
             dat.close()
     return audits, records
@@ -447,6 +477,12 @@ def _normalize_keys(keys, key_type=None) -> list[tuple[str, bytes]]:
         render_key,
     )
 
+    if isinstance(keys, (str, bytes)):
+        # a bare "abc" would silently look up 'a', 'b', 'c' as three keys
+        raise TypeError(
+            f"partition_lookup needs a LIST of keys, got a bare "
+            f"{type(keys).__name__}: wrap it as [{keys!r}]"
+        )
     enc = key_encoder(key_type)
     out = []
     for k in keys:

@@ -839,9 +839,11 @@ def materialize_index_files(
         # uncompressed sstables, CRC.db per-chunk checksums, v11 stores
         # INDEX-FILE offsets in Summary.db (real IndexSummary semantics)
         # and declares ByteOrderedPartitioner (the order the planted
-        # files actually follow); older dirs are stale and orphaned
+        # files actually follow), v12 adds a non-frozen map column m0 and
+        # routes the fixture_complex_path cells into it (CellPath-addressed
+        # complex cells on disk); older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v11").encode()
+            (os.path.abspath(sf_dir) + ":v12").encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -1381,7 +1383,9 @@ def key_renderer(key_type: str | None):
                 off += 2
                 if off + n + 1 > len(key):
                     return "0x" + key.hex()
-                outs.append(r(key[off : off + n]))
+                # escape literal colons so the rendering stays the exact
+                # inverse of key_encoder's unescaped-':' split
+                outs.append(r(key[off : off + n]).replace(":", "\\:"))
                 off += n + 1  # the end-of-component byte
             if off != len(key):
                 return "0x" + key.hex()
@@ -1403,7 +1407,8 @@ def key_encoder(key_type: str | None):
     mis-read a legitimate text key); ``long``/``int`` are signed
     big-endian fixed width; ``uuid``/``timeuuid`` canonical text;
     ``hex`` raw bytes from (optionally 0x-prefixed) hex;
-    ``composite(t1,t2,...)`` ':'-split components, each
+    ``composite(t1,t2,...)`` ':'-split components (a literal colon inside
+    a text component escapes as ``\\:``), each
     [u16 len][bytes][0x00 end-of-component]. Unknown names fail loud."""
     if key_type in (None, "", "string", "text", "utf8"):
         return lambda s: s.encode("utf-8")
@@ -1420,7 +1425,25 @@ def key_encoder(key_type: str | None):
         encoders = [key_encoder(p) for p in parts]
 
         def encode_composite(s: str) -> bytes:
-            comps = s.split(":")
+            # split on unescaped ':' only -- a text component containing a
+            # colon writes it as '\:' (r08 ADVICE #4: without an escape,
+            # such keys were unrepresentable)
+            comps: list[str] = []
+            cur: list[str] = []
+            i = 0
+            while i < len(s):
+                ch = s[i]
+                if ch == "\\" and i + 1 < len(s) and s[i + 1] == ":":
+                    cur.append(":")
+                    i += 2
+                    continue
+                if ch == ":":
+                    comps.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+                i += 1
+            comps.append("".join(cur))
             if len(comps) != len(encoders):
                 raise ValueError(
                     f"composite key {s!r} has {len(comps)} components, "

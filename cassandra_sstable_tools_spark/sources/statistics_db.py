@@ -326,6 +326,34 @@ ENC_TTL_EPOCH = 0
 UTF8_TYPE = "org.apache.cassandra.db.marshal.UTF8Type"
 LONG_TYPE = "org.apache.cassandra.db.marshal.LongType"
 COUNTER_TYPE = "org.apache.cassandra.db.marshal.CounterColumnType"
+MAP_UTF8_LONG_TYPE = (
+    "org.apache.cassandra.db.marshal.MapType("
+    "org.apache.cassandra.db.marshal.UTF8Type,"
+    "org.apache.cassandra.db.marshal.LongType)"
+)
+SET_UTF8_TYPE = (
+    "org.apache.cassandra.db.marshal.SetType("
+    "org.apache.cassandra.db.marshal.UTF8Type)"
+)
+
+# non-frozen multi-cell column families: their cells carry a CellPath
+# (collection key / set element / UDT field position). A FROZEN collection
+# is wrapped in FrozenType(...) in the header and stays a single-cell
+# SIMPLE column (one vint-length-prefixed blob), so it never matches.
+_COMPLEX_TYPE_PREFIXES = (
+    "org.apache.cassandra.db.marshal.MapType(",
+    "org.apache.cassandra.db.marshal.SetType(",
+    "org.apache.cassandra.db.marshal.ListType(",
+    "org.apache.cassandra.db.marshal.UserType(",
+)
+
+
+def is_complex_type(t: str) -> bool:
+    """True for non-frozen map/set/list/UDT column types -- the columns
+    whose cells are CellPath-addressed (Cassandra ColumnDefinition
+    ``isComplex``); everything else (FrozenType-wrapped included) is a
+    single-cell simple column."""
+    return t.startswith(_COMPLEX_TYPE_PREFIXES)
 
 # fixed-length value types (AbstractType.valueLengthIfFixed): the cell codec
 # writes these raw, everything else vint-length-prefixed

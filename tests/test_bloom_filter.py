@@ -223,3 +223,44 @@ def test_scale_note_word_count():
     assert f.num_bits == 64
     words = -(-(10**9 * 10) // 64)
     assert words * 8 < 1.3 * 2**30
+
+
+def test_batch_murmur_matches_scalar():
+    """The numpy murmur3 lanes must be BIT-identical to the scalar path:
+    every length class 0..40 (block boundaries at 16/32, the 8-byte tail
+    split), high-bit bytes (the sign-extended-tail quirk), random content."""
+    import random
+
+    import numpy as np
+
+    from cassandra_sstable_tools_spark.sources.bloom import (
+        murmur3_x64_128,
+        murmur3_x64_128_batch,
+    )
+
+    rng = random.Random(42)
+    keys = [bytes(rng.randrange(256) for _ in range(n)) for n in range(41)]
+    keys += [bytes([0xFF] * n) for n in (1, 7, 8, 9, 15, 16, 17, 31, 33)]
+    keys += [rng.randbytes(rng.randrange(64)) for _ in range(200)]
+    got = murmur3_x64_128_batch(keys)
+    exp = np.array([murmur3_x64_128(k) for k in keys], dtype=np.int64)
+    assert (got == exp).all()
+
+
+def test_batch_might_contain_matches_scalar():
+    import random
+
+    from cassandra_sstable_tools_spark.sources.bloom import (
+        build_filter,
+        might_contain_batch,
+    )
+
+    rng = random.Random(7)
+    members = [rng.randbytes(rng.randrange(1, 32)) for _ in range(500)]
+    f = build_filter(members, hash_count=5)
+    probes = members + [rng.randbytes(rng.randrange(1, 32)) for _ in range(500)]
+    got = might_contain_batch(f, probes)
+    exp = [f.might_contain(k) for k in probes]
+    assert got.tolist() == exp
+    # no false negatives by construction
+    assert got[: len(members)].all()

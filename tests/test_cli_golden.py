@@ -142,17 +142,36 @@ def test_cli_golden_sstables_cassdir_nostats(spark, tmp_path):
 
 def test_cli_golden_cfstats_cassdir(spark):
     """cfstats off REAL Data.db cell streams (r08: the last reference
-    command family gone directory-only), byte-for-byte."""
+    command family gone directory-only), byte-for-byte -- AND single-scan:
+    the whole 8-section report decodes the data files exactly ONCE (the
+    reference's one-scanner-pass shape; re-decoding per section was a 4-5x
+    read amplification, r08 VERDICT What's-wrong #1)."""
+    from cassandra_sstable_tools_spark.sources import data_cells as dcm
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
         materialize_index_files,
     )
 
     root = materialize_index_files(spark, GOLDEN_SF)
+    calls = []
+    real = dcm.data_cells
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
     buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(["cfstats", "--cassandra-dir", root,
-                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    dcm.data_cells = counting
+    try:
+        with contextlib.redirect_stdout(buf):
+            rc = main(["cfstats", "--cassandra-dir", root,
+                       "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    finally:
+        dcm.data_cells = real
     assert rc == 0
+    assert len(calls) == 1, (
+        f"cfstats --cassandra-dir built {len(calls)} decode plans; the "
+        "report must feed every section from ONE shared decode pass"
+    )
     with open(os.path.join(GOLDEN_DIR, "cfstats_cassdir.txt")) as f:
         assert buf.getvalue() == f.read(), (
             "cfstats_cassdir transcript drifted from "

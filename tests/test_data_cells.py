@@ -190,12 +190,6 @@ def test_corruption_is_loud():
     # truncated mid-row
     with pytest.raises(ValueError, match="corrupt Data.db"):
         dc.decode_partition_block(good[: len(good) - 3], h, source="t")
-    # complex-deletion flag: out of simple-schema scope, must refuse
-    hdr_len = 2 + 2 + 12
-    bad = bytearray(good)
-    bad[hdr_len] |= dc.HAS_COMPLEX_DELETION
-    with pytest.raises(ValueError, match="complex"):
-        dc.decode_partition_block(bytes(bad), h, source="t")
     # unclosed range tombstone
     only_open = _rec(
         kind="RANGE_TOMBSTONE_MARKER", writetime=19980601000001,
@@ -234,6 +228,170 @@ def test_budget_rule_matches_oracle_constants():
     # record's bound plus the header + END overhead (27 + 64 = 91)
     assert not dc.partition_budget_ok(90, [_rec()])
     assert dc.partition_budget_ok(91, [_rec()])
+
+
+def test_complex_map_cell_round_trip():
+    """Non-frozen map cells: CellPath between liveness fields and value,
+    vint-length-prefixed value (collection column types are
+    variable-length), live/tombstone/expiring variants."""
+    h = _header()
+    live = _rec(cell_name="m0", cell_path="key-alpha", cell_size=42,
+                writetime=19980401000009)
+    tomb = _rec(clustering="0009", cell_name="m0", cell_path="key-beta",
+                cell_size=None, writetime=19980501000002,
+                local_deletion_time=1698986123, is_tombstone=True)
+    exp = _rec(clustering="0011", cell_name="m0", cell_path="key-gamma",
+               cell_size=77, writetime=19980601000003, ttl=86400,
+               local_deletion_time=1699850123)
+    blob = _block([live, tomb, exp], h, key=b"kc")
+    pk, out = dc.decode_partition_block(blob, h, source="t")
+    assert pk == "kc" and len(out) == 3
+    by_path = {r.cell_path: r for r in out}
+    assert set(by_path) == {"key-alpha", "key-beta", "key-gamma"}
+    a = by_path["key-alpha"]
+    assert (a.kind, a.column_name, a.cell_value, a.is_tombstone) == (
+        "CELL", "m0", 42, False)
+    b = by_path["key-beta"]
+    assert (b.is_tombstone, b.cell_value, b.ldt) == (True, None, 1698986123)
+    g = by_path["key-gamma"]
+    assert (g.is_expiring, g.ttl, g.cell_value) == (True, 86400, 77)
+    # spans: three single-record rows must tile the whole stream
+    hdr = 2 + 2 + 12
+    assert sum(r.phys_size for r in out) == len(blob) - hdr - 1
+
+
+def test_complex_deletion_round_trip():
+    """HAS_COMPLEX_DELETION: the per-column DeletionTime decodes to a
+    COMPLEX_DELETE record; a LIVE complex deletion (markedForDeleteAt =
+    Long.MIN_VALUE, below every EncodingStats min -- the two's-complement
+    wrap path) emits nothing."""
+    h = _header()
+    cd = _rec(kind="COMPLEX_DELETE", clustering="0005", cell_name="m0",
+              cell_size=None, writetime=19980901000006,
+              local_deletion_time=1698986999, is_tombstone=True)
+    blob = _block([cd], h, key=b"kd")
+    pk, out = dc.decode_partition_block(blob, h, source="t")
+    assert pk == "kd" and len(out) == 1
+    r = out[0]
+    assert (r.kind, r.column_name, r.clustering, r.writetime, r.ldt,
+            r.is_tombstone) == (
+        "COMPLEX_DELETE", "m0", "0005", 19980901000006, 1698986999, True)
+    assert r.phys_size is not None and r.phys_size > 0
+    # LIVE complex deletion: hand-build the row (the encoder never writes
+    # one) -- flag set, LIVE DeletionTime deltas, zero cells
+    codec = dc._Codec(h)
+    reg_idx = {n: i for i, (n, _) in enumerate(h.regular_columns)}
+    body = (
+        dc._enc_subset([reg_idx["m0"]], len(h.regular_columns))
+        + codec.enc_ts(dc.LIVE_MFDA)
+        + codec.enc_ldt(dc.LIVE_LDT)
+        + dc.write_unsigned_vint(0)
+    )
+    row = bytearray([dc.HAS_COMPLEX_DELETION])
+    row += dc._enc_clustering_values([b"0005"], h.clustering_types)
+    row += dc.write_unsigned_vint(len(body))
+    row += dc.write_unsigned_vint(0)
+    row += body
+    block = encode_partition_header(b"ke") + bytes(row) + b"\x01"
+    pk2, out2 = dc.decode_partition_block(block, h, source="t")
+    assert pk2 == "ke" and out2 == []
+
+
+def test_complex_multi_cell_block():
+    """One row carrying a complex deletion AND several map cells in the
+    same column block -- the general shape a real Cassandra row has after
+    ``m = {...}`` overwrite semantics."""
+    h = _header()
+    codec = dc._Codec(h)
+    reg_idx = {n: i for i, (n, _) in enumerate(h.regular_columns)}
+
+    def cell(ts, path, val):
+        out = bytearray([0])
+        out += codec.enc_ts(ts)
+        pb = path.encode()
+        out += dc.write_unsigned_vint(len(pb)) + pb
+        vb = __import__("struct").pack(">q", val)
+        out += dc.write_unsigned_vint(len(vb)) + vb
+        return bytes(out)
+
+    body = (
+        dc._enc_subset([reg_idx["m0"]], len(h.regular_columns))
+        + codec.enc_ts(19980401000001)       # complex deletion mfda
+        + codec.enc_ldt(1698986100)          # complex deletion ldt
+        + dc.write_unsigned_vint(2)
+        + cell(19980401000005, "ka", 11)
+        + cell(19980401000006, "kb", 22)
+    )
+    row = bytearray([dc.HAS_COMPLEX_DELETION])
+    row += dc._enc_clustering_values([b"0003"], h.clustering_types)
+    row += dc.write_unsigned_vint(len(body))
+    row += dc.write_unsigned_vint(0)
+    row += body
+    block = encode_partition_header(b"kf") + bytes(row) + b"\x01"
+    _, out = dc.decode_partition_block(block, h, source="t")
+    kinds = [r.kind for r in out]
+    assert kinds.count("COMPLEX_DELETE") == 1
+    assert kinds.count("CELL") == 2
+    cells = {r.cell_path: r.cell_value for r in out if r.kind == "CELL"}
+    assert cells == {"ka": 11, "kb": 22}
+    cd = next(r for r in out if r.kind == "COMPLEX_DELETE")
+    assert (cd.writetime, cd.ldt) == (19980401000001, 1698986100)
+    # span tiling: all records' spans sum to the whole unfiltered row
+    assert sum(r.phys_size for r in out) == len(row)
+
+
+def test_frozen_collection_stays_simple():
+    """A FrozenType-wrapped collection is a single-cell SIMPLE column: one
+    vint-length-prefixed blob, no CellPath."""
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        MAP_UTF8_LONG_TYPE,
+        is_complex_type,
+    )
+
+    frozen = (
+        "org.apache.cassandra.db.marshal.FrozenType("
+        + MAP_UTF8_LONG_TYPE + ")"
+    )
+    assert is_complex_type(MAP_UTF8_LONG_TYPE)
+    assert not is_complex_type(frozen)
+    assert not is_complex_type(LONG_TYPE)
+    ct, st, _ = dc.fixture_header_schema()
+    h = SerializationHeaderInfo(
+        min_timestamp=100, min_local_deletion_time=50, min_ttl=0,
+        key_type=UTF8_TYPE, clustering_types=ct, static_columns=st,
+        regular_columns=[("fz", frozen)],
+    )
+    rec = dict(kind="CELL", clustering="0001", cell_name="fz", cell_size=9,
+               writetime=105, ttl=None, local_deletion_time=None,
+               is_tombstone=False, is_counter=False, range_start=None,
+               range_end=None, partition_key="p")
+    blob = _block([rec], h, key=b"kg")
+    _, out = dc.decode_partition_block(blob, h, source="t")
+    assert len(out) == 1
+    assert (out[0].column_name, out[0].cell_path, out[0].cell_value) == (
+        "fz", None, 9)
+
+
+def test_complex_encoder_guards():
+    """Encoder fail-loud: a path on a simple column, a complex column
+    without a path -- both named errors, never silent mis-encodes."""
+    h = _header()
+    with pytest.raises(ValueError, match="simple type"):
+        dc.encode_unfiltereds([_rec(cell_path="k1")], h)
+    with pytest.raises(ValueError, match="needs a cell_path"):
+        dc.encode_unfiltereds([_rec(cell_name="m0")], h)
+
+
+def test_fixture_complex_transform_rule():
+    """The v12 transform is exactly the documented predicate: regular
+    non-counter c4 cells, path k(abs(writetime) % 10)."""
+    assert dc.fixture_complex_path(_rec(cell_name="c4",
+                                        writetime=19980401000007)) == "k7"
+    assert dc.fixture_complex_path(_rec(cell_name="c3")) is None
+    assert dc.fixture_complex_path(
+        _rec(cell_name="c4", is_counter=True)) is None
+    assert dc.fixture_complex_path(
+        _rec(kind="STATIC_CELL", cell_name="c4")) is None
 
 
 def test_flipped_byte_differential(spark, sf_dir, tmp_path):

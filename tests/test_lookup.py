@@ -592,3 +592,55 @@ def test_lookup_with_long_keys(spark, tmp_path):
     ).toPandas()
     # keys[2] == 302 carries the planted partition deletion
     assert list(recs["kind"]) == ["PARTITION_DELETE"]
+
+
+def test_token_range_cassdir_nonvacuous(spark, sf_dir):
+    """The registered token-range certificate selects a STRICT subset of
+    the decodable corpus (the middle half of the ring) -- neither empty
+    nor everything, so the range predicate is genuinely doing work -- and
+    the planted tree is genuinely token-ordered, not byte-ordered."""
+    import glob
+
+    from cassandra_sstable_tools_spark.sources.data_cells import data_cells
+    from cassandra_sstable_tools_spark.sources.murmur3_fixture import (
+        materialize_murmur3_files,
+        token_range_scan_cassdir,
+    )
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        stream_parse_index_db,
+    )
+
+    root = materialize_murmur3_files(spark, sf_dir)
+    sel = token_range_scan_cassdir(spark, sf_dir).count()
+    total = data_cells(spark, root).count()
+    assert 0 < sel < total
+    idx = sorted(glob.glob(f"{root}/**/*-Index.db", recursive=True))[0]
+    with open(idx, "rb") as f:
+        keys = [k for k, _ in stream_parse_index_db(f, version="nb",
+                                                    source=idx)]
+    assert keys != sorted(keys), "murmur3 tree is byte-ordered (vacuous)"
+
+
+def test_composite_key_colon_escape():
+    """A text component containing ':' round-trips through the '\\:'
+    escape (r08 ADVICE #4: previously unrepresentable)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        key_encoder,
+        key_renderer,
+    )
+
+    kt = "composite(string,string)"
+    raw = b"\x00\x04a:b\x00" + b"\x00\x03c:d"[:5]  # build precisely below
+    raw = (b"\x00\x03a:b\x00" + b"\x00\x01c\x00")
+    disp = key_renderer(kt)(raw)
+    assert disp == "a\\:b:c"
+    assert key_encoder(kt)(disp) == raw
+    # encoding a literal escape form directly
+    assert key_encoder(kt)("x\\:y:z") == b"\x00\x03x:y\x00\x00\x01z\x00"
+
+
+def test_normalize_keys_rejects_bare_string(spark):
+    from cassandra_sstable_tools_spark.sources.lookup import _normalize_keys
+
+    with pytest.raises(TypeError, match="LIST of keys"):
+        _normalize_keys("abc")
