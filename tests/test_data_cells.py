@@ -627,3 +627,60 @@ def test_codec_round_trip_fuzz(recs, data):
         key=repr,
     )
     assert got == sorted((expect(r) for r in recs), key=repr)
+
+
+def test_set_and_list_cell_paths():
+    """Set cells (path = element, EMPTY value) and list cells (path =
+    timeuuid position, value present) decode through the same CellPath
+    branch -- hand-built blocks over ad-hoc headers."""
+    import struct as _struct
+
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        SET_UTF8_TYPE,
+    )
+
+    list_type = (
+        "org.apache.cassandra.db.marshal.ListType("
+        "org.apache.cassandra.db.marshal.LongType)"
+    )
+    ct, st, _ = dc.fixture_header_schema()
+    h = SerializationHeaderInfo(
+        min_timestamp=100, min_local_deletion_time=50, min_ttl=0,
+        key_type=UTF8_TYPE, clustering_types=ct, static_columns=st,
+        regular_columns=[("l0", list_type), ("s0", SET_UTF8_TYPE)],
+    )
+    codec = dc._Codec(h)
+
+    def cell(ts, path: bytes, val: bytes | None):
+        out = bytearray([dc.CELL_HAS_EMPTY_VALUE if val is None else 0])
+        out += codec.enc_ts(ts)
+        out += dc.write_unsigned_vint(len(path)) + path
+        if val is not None:
+            out += dc.write_unsigned_vint(len(val)) + val
+        return bytes(out)
+
+    body = (
+        dc._enc_subset([0, 1], 2)          # both columns present
+        + dc.write_unsigned_vint(1)        # l0: one list cell
+        + cell(105, b"\x11" * 16, _struct.pack(">q", 77))
+        + dc.write_unsigned_vint(2)        # s0: two set cells
+        + cell(106, b"alpha", None)
+        + cell(107, b"beta", None)
+    )
+    row = bytearray([0])
+    row += dc._enc_clustering_values([b"0001"], h.clustering_types)
+    row += dc.write_unsigned_vint(len(body))
+    row += dc.write_unsigned_vint(0)
+    row += body
+    block = encode_partition_header(b"kl") + bytes(row) + b"\x01"
+    _, out = dc.decode_partition_block(block, h, source="t")
+    assert len(out) == 3
+    l0 = next(r for r in out if r.column_name == "l0")
+    assert (l0.cell_path, l0.cell_value) == ("0x" + "11" * 16, 77)
+    s0 = sorted(
+        (r for r in out if r.column_name == "s0"),
+        key=lambda r: r.cell_path,
+    )
+    assert [(r.cell_path, r.cell_value) for r in s0] == [
+        ("alpha", None), ("beta", None)]
+    assert sum(r.phys_size for r in out) == len(row)
