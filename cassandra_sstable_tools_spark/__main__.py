@@ -89,8 +89,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="comma-separated Data.db filenames to restrict to (reference -f)",
     )
     p.add_argument(
-        "-t", "--snapshot", default=None,
-        help="snapshot name (accepted for parity; no-op on immutable parquet)",
+        "-t", "--snapshot", default=None, metavar="NAME",
+        help="analyze the NAMED snapshot (reference "
+             "ColumnFamilyStatisticsCollector.java:41). With "
+             "--cassandra-dir: resolves <keyspace>/<table>/snapshots/NAME/ "
+             "under the data dir via hardlinks; on the immutable parquet "
+             "fixtures: accepted as a no-op (they ARE a snapshot)",
     )
     p.add_argument(
         "--keyspace", default=None,
@@ -229,6 +233,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             return 2
 
+    named_snap_root = None
+    if getattr(args, "snapshot", None) and args.cassandra_dir:
+        # the reference's -t flag: resolve the NAMED snapshot's component
+        # sets to their live positions (hardlinks; the snapshot itself is
+        # immutable, so no pin is needed on top). On parquet fixtures -t
+        # stays the documented no-op.
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            select_snapshot,
+        )
+
+        try:
+            named_snap_root = select_snapshot(args.cassandra_dir, args.snapshot)
+        except FileNotFoundError as exc:
+            sys.stderr.write(f"{exc}\n")
+            return 2
+        args.cassandra_dir = named_snap_root
+
     snap_root = None
     if args.cassandra_dir and args.pin_snapshot:
         # the reference's isolation move (ColumnFamilyBackend.java:71-79):
@@ -264,6 +285,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             spark.stop()
         if snap_root is not None:
             __import__("shutil").rmtree(snap_root, ignore_errors=True)
+        if named_snap_root is not None:
+            __import__("shutil").rmtree(named_snap_root, ignore_errors=True)
 
 
 def _bucketed_section(spark, args, sf: str, out: list[tuple[str, str]]) -> None:

@@ -1340,6 +1340,49 @@ def snapshot_components(root: str, dest: str | None = None) -> str:
     return dest
 
 
+def select_snapshot(root: str, name: str, dest: str | None = None) -> str:
+    """Resolve the NAMED snapshot under a Cassandra data directory (the
+    reference's ``-t`` flag, `cli/ColumnFamilyStatisticsCollector.java:41`):
+    every ``<keyspace>/<table>/snapshots/<name>/`` component set found
+    under ``root`` is hardlinked into a fresh tree at its LIVE position
+    (``<keyspace>/<table>/``), so every directory-mode scan and the
+    -3/-2 path-identity extraction work unchanged over the snapshot.
+    Loud when the name matches nothing -- a typo must not silently
+    analyze zero sstables."""
+    import tempfile
+
+    src_root = _local_path(root)
+    if dest is None:
+        dest = tempfile.mkdtemp(prefix=f"sstable-snapshot-{name}-")
+    found = 0
+    for dirpath, dirnames, files in os.walk(src_root):
+        parts = dirpath.split(os.sep)
+        if len(parts) < 2 or parts[-2] != "snapshots" or parts[-1] != name:
+            continue
+        dirnames[:] = []  # no nested descent inside a snapshot
+        table_dir = os.path.dirname(os.path.dirname(dirpath))
+        rel = os.path.relpath(table_dir, src_root)
+        out_dir = os.path.join(dest, rel) if rel != "." else dest
+        os.makedirs(out_dir, exist_ok=True)
+        for fname in files:
+            if not fname.endswith(_SSTABLE_COMPONENTS):
+                continue
+            found += 1
+            try:
+                os.link(
+                    os.path.join(dirpath, fname),
+                    os.path.join(out_dir, fname),
+                )
+            except FileExistsError:
+                pass
+    if not found:
+        raise FileNotFoundError(
+            f"no snapshot named {name!r} with sstable components under "
+            f"{src_root} (expected <keyspace>/<table>/snapshots/{name}/)"
+        )
+    return dest
+
+
 def key_renderer(key_type: str | None):
     """bytes -> display string under the table's key validator type --
     the reference renders partition keys via ``keyValidator.getString``

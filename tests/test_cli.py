@@ -185,3 +185,54 @@ def test_cli_approx_percentiles(spark, sf_dir, capsys):
     for e_row, a_row in zip(exact, approx):
         assert e_row[:7] == a_row[:7]
     assert len(exact) == len(approx) == 3
+
+
+def test_named_snapshot_selection(spark, sf_dir, tmp_path, capsys):
+    """-t NAME with --cassandra-dir analyzes the named snapshot: a data
+    dir whose LIVE table is empty but whose snapshots/tag1/ holds the real
+    components must produce the same sstables report as scanning those
+    components live; a typo'd name fails loud, exit 2."""
+    import os
+    import shutil
+
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    live = tmp_path / "data"
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if rel == ".":
+            continue
+        parts = rel.split(os.sep)
+        if len(parts) != 2:
+            continue
+        snap = live / parts[0] / parts[1] / "snapshots" / "tag1"
+        snap.mkdir(parents=True)
+        for fname in files:
+            os.link(os.path.join(dirpath, fname), snap / fname)
+    assert main(
+        ["sstables", "--cassandra-dir", str(live), "-t", "tag1",
+         "--sf-dir", sf_dir, "-b"], spark=spark
+    ) == 0
+    from_snapshot = capsys.readouterr().out
+    assert main(
+        ["sstables", "--cassandra-dir", root, "--sf-dir", sf_dir, "-b"],
+        spark=spark
+    ) == 0
+    assert from_snapshot == capsys.readouterr().out
+    # live dir (no snapshot resolution) sees NO sstables: the snapshots/
+    # subtree is excluded from live scans by design
+    assert main(
+        ["sstables", "--cassandra-dir", str(live), "--sf-dir", sf_dir, "-b"],
+        spark=spark
+    ) == 0
+    live_out = capsys.readouterr().out
+    assert from_snapshot != live_out
+    # typo: loud exit 2, never a silent empty report
+    assert main(
+        ["sstables", "--cassandra-dir", str(live), "-t", "nope",
+         "--sf-dir", sf_dir, "-b"], spark=spark
+    ) == 2
+    del shutil
