@@ -233,6 +233,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             return 2
 
+    if args.cassandra_dir and not getattr(args, "key_type", None):
+        # on-disk schema discovery (reference CassandraBackend.java:36-39
+        # boots the schema from disk): when the data dir carries
+        # system_schema.columns sstables, render partition keys via the
+        # table's own key validator -- an explicit --key-type always wins,
+        # ambiguity (mixed types, unscoped) keeps the UTF-8-or-hex
+        # default. Runs BEFORE -t snapshot resolution: the schema keyspace
+        # lives in the original data dir, not in a table's snapshot tree.
+        from cassandra_sstable_tools_spark.sources.schema_discovery import (
+            discovered_key_type,
+        )
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            _local_path,
+        )
+
+        args.key_type = discovered_key_type(
+            _local_path(args.cassandra_dir), args.keyspace, args.table
+        )
+
     named_snap_root = None
     if getattr(args, "snapshot", None) and args.cassandra_dir:
         # the reference's -t flag: resolve the NAMED snapshot's component

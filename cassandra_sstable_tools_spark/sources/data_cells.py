@@ -371,6 +371,10 @@ class _Rec:
     # serialized byte span of this record on disk (see decode docstring for
     # the attribution rules); None for header-resident partition deletes
     phys_size: int | None = None
+    # raw bytes, populated only under decode_partition_block(keep_values=
+    # True) -- the schema-discovery/tooling path; never in the record frame
+    value_bytes: bytes | None = None
+    clustering_vals: tuple | None = None
 
 
 # clustering/bound values repeat heavily within an sstable (low-cardinality
@@ -381,6 +385,21 @@ _display_cached = __import__("functools").lru_cache(maxsize=8192)(render_key)
 
 def _display(v: bytes | None) -> str | None:
     return None if v is None else _display_cached(v)
+
+
+def _display_clustering(vals: list[bytes | None]) -> str | None:
+    """Rendered clustering position: the single value's display for
+    1-column clusterings (the overwhelmingly common shape and the fixture
+    schema -- byte-identical to the historical rendering), ':'-joined
+    per-column displays for composite clusterings (NULL components render
+    empty, matching the composite key-renderer convention)."""
+    if not vals:
+        return None
+    if len(vals) == 1:
+        return _display(vals[0])
+    return ":".join(
+        "" if v is None else (_display(v) or "") for v in vals
+    )
 
 
 def _value_as_long(v: bytes) -> int | None:
@@ -406,6 +425,7 @@ def decode_partition_block(
     h: SerializationHeaderInfo,
     source: str = "<bytes>",
     base: int = 0,
+    keep_values: bool = False,
 ) -> tuple[str, list[_Rec]]:
     """Decode one partition block -> (rendered key, records). Records:
     one per cell, plus ROW_DELETE / ROW_MARKER for cell-less row state,
@@ -458,7 +478,7 @@ def decode_partition_block(
                 if pending_open is not None:
                     # boundary bytes go to the range being CLOSED
                     recs.append(_rtm(pending_open, vals, marker_span))
-                pending_open = (_display(vals[0] if vals else None),
+                pending_open = (_display_clustering(vals),
                                 start_mfda, start_ldt, 0)
                 # end deletion belongs to the RT being closed; already
                 # captured from its open marker (verified equal on encode)
@@ -467,7 +487,7 @@ def decode_partition_block(
                 mfda, ldt = r.ts(h), r.ldt(h)
                 if pending_open is not None:
                     raise r.err("two open range-tombstone bounds in a row")
-                pending_open = (_display(vals[0] if vals else None), mfda,
+                pending_open = (_display_clustering(vals), mfda,
                                 ldt, marker_span)
             elif kind_ord in _CLOSE_KINDS:
                 r.ts(h), r.ldt(h)  # close-side copy of the deletion
@@ -489,9 +509,12 @@ def decode_partition_block(
                 raise r.err("shadowable deletions are out of scope")
             static = bool(ext & IS_STATIC)
         clustering: str | None = None
+        clust_vals: tuple | None = None
         if not static:
             vals = _dec_clustering_values(r, h.clustering_types)
-            clustering = _display(vals[0] if vals else None)
+            clustering = _display_clustering(vals)
+            if keep_values:
+                clust_vals = tuple(vals)
         body_size = r.vint()
         r.vint()  # prevUnfilteredSize
         body_end = r.off + body_size
@@ -561,6 +584,8 @@ def decode_partition_block(
                 is_counter=ctype == COUNTER_TYPE,
                 cell_value=None if value is None else _value_as_long(value),
                 phys_size=r.off - cell_start,
+                value_bytes=value if keep_values else None,
+                clustering_vals=clust_vals,
             ))
 
         for idx in present:
@@ -636,7 +661,7 @@ def _rtm(open_state: tuple[str | None, int, int, int],
         writetime=mfda,
         ldt=ldt,
         range_start=start,
-        range_end=_display(close_vals[0] if close_vals else None),
+        range_end=_display_clustering(close_vals),
         phys_size=open_span + close_span,
     )
 

@@ -684,3 +684,36 @@ def test_set_and_list_cell_paths():
     assert [(r.cell_path, r.cell_value) for r in s0] == [
         ("alpha", None), ("beta", None)]
     assert sum(r.phys_size for r in out) == len(row)
+
+
+def test_composite_clustering_display():
+    """Multi-column clusterings render ALL components ':'-joined (the
+    historical single-column rendering is unchanged by construction)."""
+    codec_types = [
+        "org.apache.cassandra.db.marshal.UTF8Type",
+        "org.apache.cassandra.db.marshal.LongType",
+        "org.apache.cassandra.db.marshal.UTF8Type",
+    ]
+    h = SerializationHeaderInfo(
+        min_timestamp=100, min_local_deletion_time=50, min_ttl=0,
+        key_type=UTF8_TYPE, clustering_types=codec_types,
+        static_columns=[], regular_columns=[("v", LONG_TYPE)],
+    )
+    codec = dc._Codec(h)
+    body = bytearray()
+    body += codec.enc_ts(105)
+    body += dc._enc_subset([0], 1)
+    body += bytes([dc.CELL_USE_ROW_TIMESTAMP])
+    body += __import__("struct").pack(">q", 9)
+    row = bytearray([dc.HAS_TIMESTAMP])
+    row += dc._enc_clustering_values(
+        [b"alpha", (42).to_bytes(8, "big"), None], codec_types
+    )
+    row += dc.write_unsigned_vint(len(body))
+    row += dc.write_unsigned_vint(0)
+    row += body
+    block = encode_partition_header(b"kc") + bytes(row) + b"\x01"
+    _, out = dc.decode_partition_block(block, h, source="t")
+    assert len(out) == 1
+    # the long component has control bytes -> hex form; NULL -> empty
+    assert out[0].clustering == "alpha:" + "0x" + (42).to_bytes(8, "big").hex() + ":"
