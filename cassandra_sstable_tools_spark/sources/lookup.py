@@ -389,13 +389,21 @@ def _lookup_in_sstable(
     regions = _merge_regions(
         [(a["window_start"], a["window_end"]) for _, a in survivors]
     )
+    # assign each survivor to its (unique, merged-disjoint) region ONCE by
+    # bisect -- a per-region rescan of all survivors was O(regions x keys),
+    # the quadratic that dominated big-cohort lookups (profiled: 6.9s of a
+    # 24s serial pass at 9.4k keys x 12 sstables)
+    import bisect
+
+    region_starts = [rs for rs, _ in regions]
+    per_region: list[list] = [[] for _ in regions]
+    for kb, a in survivors:
+        per_region[
+            bisect.bisect_right(region_starts, a["window_start"]) - 1
+        ].append((kb, a))
     with open(index_local, "rb") as f:
-        for rs, re_ in regions:
-            remaining = {
-                kb
-                for kb, a in survivors
-                if rs <= a["window_start"] < re_
-            }
+        for (rs, re_), members in zip(regions, per_region):
+            remaining = {kb for kb, _a in members}
             cur = _IndexCursor(
                 f, ver, path, rs, chunk_bytes=chunk_bytes, region_end=re_
             )
@@ -421,9 +429,8 @@ def _lookup_in_sstable(
                         m = [dpos, None, a]
                         pending.append(m)
                         matches.append(m)
-            for kb, a in survivors:
-                if rs <= a["window_start"] < re_:
-                    a["index_bytes_read"] = cur.bytes_read
+            for _kb, a in members:
+                a["index_bytes_read"] = cur.bytes_read
 
     records: list[tuple] = []
     if matches:
@@ -501,7 +508,7 @@ def _index_files(spark: SparkSession, root: str, filenames):
             f"partition_lookup needs a POSIX-visible root (point seeks); "
             f"got {root!r}"
         )
-    return _filter_files(
+    files = _filter_files(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*-Index.db")
         .option("recursiveFileLookup", "true")
@@ -510,6 +517,13 @@ def _index_files(spark: SparkSession, root: str, filenames):
         filenames,
         "Index.db",
     )
+    # one task per sstable: the listing's natural partitioning packs
+    # multiple files per task (tiny path strings), halving read-path
+    # parallelism. The COUNT must be explicit -- a column-only repartition
+    # is AQE-byte-coalescible (the data_cells shard lesson); the count()
+    # is a metadata-only listing.
+    n = files.count()
+    return files.repartition(max(1, n), F.col("path"))
 
 
 def partition_lookup(
