@@ -119,6 +119,7 @@ from cassandra_sstable_tools_spark.sources.sstable_binary import (
     _parse_filename,
     read_unsigned_vint,
     render_key,
+    render_typed,
     stream_parse_index_db,
     write_unsigned_vint,
 )
@@ -379,26 +380,65 @@ class _Rec:
 
 # clustering/bound values repeat heavily within an sstable (low-cardinality
 # clustering columns); memoize their display -- partition keys stay uncached
-# (mostly unique)
-_display_cached = __import__("functools").lru_cache(maxsize=8192)(render_key)
+# (mostly unique). Typed rendering (r09): values display through the
+# sstable's OWN header types (render_typed), the validator rendering the
+# reference gets from the schema -- text/unknown types keep the historical
+# UTF-8-or-hex heuristic, so text schemas (the fixture) are byte-identical.
+_display_cached = __import__("functools").lru_cache(maxsize=8192)(
+    render_typed
+)
 
 
-def _display(v: bytes | None) -> str | None:
-    return None if v is None else _display_cached(v)
+def _display(v: bytes | None, marshal_type: str | None = None) -> str | None:
+    return None if v is None else _display_cached(v, marshal_type)
 
 
-def _display_clustering(vals: list[bytes | None]) -> str | None:
+def _path_type_of(ctype: str) -> str | None:
+    """CellPath display type of a complex column: a map's KEY type, a
+    set's ELEMENT type, a list's TimeUUID position; None (heuristic) for
+    UDT field positions and anything unrecognized."""
+    for prefix in (
+        "org.apache.cassandra.db.marshal.MapType(",
+        "org.apache.cassandra.db.marshal.SetType(",
+    ):
+        if ctype.startswith(prefix):
+            inner = ctype[len(prefix):-1]
+            # first top-level comma-separated parameter
+            depth = 0
+            for i, ch in enumerate(inner):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    return inner[:i]
+            return inner
+    if ctype.startswith("org.apache.cassandra.db.marshal.ListType("):
+        return "org.apache.cassandra.db.marshal.TimeUUIDType"
+    return None
+
+
+def _display_clustering(
+    vals: list[bytes | None], types: list[str] | None = None
+) -> str | None:
     """Rendered clustering position: the single value's display for
     1-column clusterings (the overwhelmingly common shape and the fixture
     schema -- byte-identical to the historical rendering), ':'-joined
     per-column displays for composite clusterings (NULL components render
-    empty, matching the composite key-renderer convention)."""
+    empty, matching the composite key-renderer convention). ``types``
+    (the header's clustering types) upgrade each component to its
+    validator-typed display."""
     if not vals:
         return None
+
+    def t(i: int) -> str | None:
+        return types[i] if types and i < len(types) else None
+
     if len(vals) == 1:
-        return _display(vals[0])
+        return _display(vals[0], t(0))
     return ":".join(
-        "" if v is None else (_display(v) or "") for v in vals
+        "" if v is None else (_display(v, t(i)) or "")
+        for i, v in enumerate(vals)
     )
 
 
@@ -442,7 +482,7 @@ def decode_partition_block(
     r = _BlockReader(buf, source, base)
     klen = int.from_bytes(r.take(2), "big")
     key = r.take(klen)
-    pk = render_key(key)
+    pk = render_typed(key, h.key_type)
     p_ldt, p_mfda = struct.unpack(">iq", r.take(12))
     recs: list[_Rec] = []
     if (p_ldt, p_mfda) != (LIVE_LDT, LIVE_MFDA):
@@ -477,8 +517,9 @@ def decode_partition_block(
                 start_mfda, start_ldt = r.ts(h), r.ldt(h)
                 if pending_open is not None:
                     # boundary bytes go to the range being CLOSED
-                    recs.append(_rtm(pending_open, vals, marker_span))
-                pending_open = (_display_clustering(vals),
+                    recs.append(_rtm(pending_open, vals, marker_span,
+                                     h.clustering_types))
+                pending_open = (_display_clustering(vals, h.clustering_types),
                                 start_mfda, start_ldt, 0)
                 # end deletion belongs to the RT being closed; already
                 # captured from its open marker (verified equal on encode)
@@ -487,13 +528,14 @@ def decode_partition_block(
                 mfda, ldt = r.ts(h), r.ldt(h)
                 if pending_open is not None:
                     raise r.err("two open range-tombstone bounds in a row")
-                pending_open = (_display_clustering(vals), mfda,
+                pending_open = (_display_clustering(vals, h.clustering_types), mfda,
                                 ldt, marker_span)
             elif kind_ord in _CLOSE_KINDS:
                 r.ts(h), r.ldt(h)  # close-side copy of the deletion
                 if pending_open is None:
                     raise r.err("close range-tombstone bound without an open")
-                recs.append(_rtm(pending_open, vals, marker_span))
+                recs.append(_rtm(pending_open, vals, marker_span,
+                                     h.clustering_types))
                 pending_open = None
             else:
                 raise r.err(f"unexpected bound kind ordinal {kind_ord}")
@@ -512,7 +554,7 @@ def decode_partition_block(
         clust_vals: tuple | None = None
         if not static:
             vals = _dec_clustering_values(r, h.clustering_types)
-            clustering = _display_clustering(vals)
+            clustering = _display_clustering(vals, h.clustering_types)
             if keep_values:
                 clust_vals = tuple(vals)
         body_size = r.vint()
@@ -551,10 +593,12 @@ def decode_partition_block(
             if cflags & CELL_USE_ROW_TTL:
                 c_ldt, c_ttl = live_ldt, live_ttl
             path: bytes | None = None
+            path_type: str | None = None
             if complex_col:
                 # CellPath (collection key / set element / UDT field
                 # position): vint length + bytes, written between the
                 # liveness fields and the value
+                path_type = _path_type_of(ctype)
                 n = r.vint()
                 if n > 1 << 24:
                     raise r.err(f"implausible cell path length {n}")
@@ -575,7 +619,7 @@ def decode_partition_block(
                 kind="STATIC_CELL" if static else "CELL",
                 clustering=clustering,
                 column_name=name,
-                cell_path=_display(path),
+                cell_path=_display(path, path_type),
                 writetime=c_ts,
                 ttl=c_ttl,
                 ldt=c_ldt,
@@ -654,14 +698,15 @@ def decode_partition_block(
 
 
 def _rtm(open_state: tuple[str | None, int, int, int],
-         close_vals: list[bytes | None], close_span: int) -> _Rec:
+         close_vals: list[bytes | None], close_span: int,
+         clustering_types: list[str] | None = None) -> _Rec:
     start, mfda, ldt, open_span = open_state
     return _Rec(
         kind="RANGE_TOMBSTONE_MARKER",
         writetime=mfda,
         ldt=ldt,
         range_start=start,
-        range_end=_display_clustering(close_vals),
+        range_end=_display_clustering(close_vals, clustering_types),
         phys_size=open_span + close_span,
     )
 

@@ -322,7 +322,7 @@ def _lookup_in_sstable(
     )
     from cassandra_sstable_tools_spark.sources.lz4_block import open_data_file
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
-        render_key as _render,
+        render_typed as _render_typed,
     )
 
     ctx = _sstable_ctx(index_local, ver)
@@ -456,11 +456,11 @@ def _lookup_in_sstable(
                 pk, recs = decode_partition_block(
                     block, header, source=data_path, base=dpos
                 )
-                if pk != _render(a["key_bytes"]):
+                if pk != _render_typed(a["key_bytes"], header.key_type):
                     raise ValueError(
                         f"corrupt sstable {path}: index points at byte "
                         f"{dpos} whose partition key is {pk!r}, expected "
-                        f"{_render(a['key_bytes'])!r}"
+                        f"{_render_typed(a['key_bytes'], header.key_type)!r}"
                     )
                 a["records"] += len(recs)
                 # display through the audit's key rendering so a typed
@@ -732,7 +732,7 @@ def _range_in_sstable(
     )
     from cassandra_sstable_tools_spark.sources.lz4_block import open_data_file
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
-        render_key,
+        render_typed,
     )
 
     ctx = _sstable_ctx(index_local, ver)
@@ -809,11 +809,11 @@ def _range_in_sstable(
                 pk, recs = decode_partition_block(
                     block, ctx["header"], source=ctx["data"], base=dpos
                 )
-                if pk != render_key(key):
+                if pk != render_typed(key, ctx["header"].key_type):
                     raise ValueError(
                         f"corrupt sstable {path}: index points at byte "
                         f"{dpos} whose partition key is {pk!r}, expected "
-                        f"{render_key(key)!r}"
+                        f"{render_typed(key, ctx['header'].key_type)!r}"
                     )
                 audit["partitions_matched"] += 1
                 audit["records"] += len(recs)
@@ -847,7 +847,7 @@ def _token_range_in_sstable(
     )
     from cassandra_sstable_tools_spark.sources.lz4_block import open_data_file
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
-        render_key,
+        render_typed,
     )
 
     ctx = _sstable_ctx(index_local, ver)
@@ -931,11 +931,11 @@ def _token_range_in_sstable(
                 pk, recs = decode_partition_block(
                     block, ctx["header"], source=ctx["data"], base=dpos
                 )
-                if pk != render_key(key):
+                if pk != render_typed(key, ctx["header"].key_type):
                     raise ValueError(
                         f"corrupt sstable {path}: index points at byte "
                         f"{dpos} whose partition key is {pk!r}, expected "
-                        f"{render_key(key)!r}"
+                        f"{render_typed(key, ctx['header'].key_type)!r}"
                     )
                 audit["partitions_matched"] += 1
                 audit["records"] += len(recs)

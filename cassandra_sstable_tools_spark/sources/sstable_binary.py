@@ -363,6 +363,54 @@ def render_key(key: bytes) -> str:
     return s
 
 
+def _render_fixed(n: int, conv):
+    def render(v: bytes) -> str:
+        return conv(v) if len(v) == n else render_key(v)
+
+    return render
+
+
+# marshal class name -> value renderer: the validator-typed display the
+# reference gets from AbstractType.getString. Width-mismatched bytes fall
+# back to the UTF-8-or-hex heuristic (corrupt data must render, not crash).
+_MARSHAL_RENDERERS = {
+    "LongType": _render_fixed(
+        8, lambda b: str(int.from_bytes(b, "big", signed=True))
+    ),
+    "Int32Type": _render_fixed(
+        4, lambda b: str(int.from_bytes(b, "big", signed=True))
+    ),
+    "BooleanType": _render_fixed(1, lambda b: str(b[0] != 0).lower()),
+    "DoubleType": _render_fixed(
+        8, lambda b: repr(__import__("struct").unpack(">d", b)[0])
+    ),
+    "FloatType": _render_fixed(
+        4, lambda b: repr(__import__("struct").unpack(">f", b)[0])
+    ),
+    "UUIDType": _render_fixed(
+        16, lambda b: str(__import__("uuid").UUID(bytes=b))
+    ),
+    "TimeUUIDType": _render_fixed(
+        16, lambda b: str(__import__("uuid").UUID(bytes=b))
+    ),
+}
+
+
+def render_typed(v: bytes, marshal_type: str | None) -> str:
+    """Value display under a marshal type from the sstable's OWN
+    SerializationHeader -- how the reference renders through the table's
+    validator (`cassandra/ColumnFamilyBackend.java:164-166`) without any
+    schema flags: fixed-width numeric/uuid/bool types render typed, text
+    and unknown/parameterized types keep the UTF-8-or-hex heuristic
+    (which IS the right rendering for text, and the safe one for types
+    this engine doesn't model)."""
+    if marshal_type:
+        r = _MARSHAL_RENDERERS.get(marshal_type.rsplit(".", 1)[-1])
+        if r is not None:
+            return r(v)
+    return render_key(v)
+
+
 def _filter_files(files: DataFrame, filenames, component: str) -> DataFrame:
     """Apply the reference's `-f` semantics (a set of Data.db FILENAMES,
     `cli/PartitionSizeStatisticsCollector.java:35-59`) to a (path, ...)

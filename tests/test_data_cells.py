@@ -676,7 +676,9 @@ def test_set_and_list_cell_paths():
     _, out = dc.decode_partition_block(block, h, source="t")
     assert len(out) == 3
     l0 = next(r for r in out if r.column_name == "l0")
-    assert (l0.cell_path, l0.cell_value) == ("0x" + "11" * 16, 77)
+    # list positions are TimeUUIDs and render as such (validator display)
+    assert (l0.cell_path, l0.cell_value) == (
+        "11111111-1111-1111-1111-111111111111", 77)
     s0 = sorted(
         (r for r in out if r.column_name == "s0"),
         key=lambda r: r.cell_path,
@@ -715,5 +717,58 @@ def test_composite_clustering_display():
     block = encode_partition_header(b"kc") + bytes(row) + b"\x01"
     _, out = dc.decode_partition_block(block, h, source="t")
     assert len(out) == 1
-    # the long component has control bytes -> hex form; NULL -> empty
-    assert out[0].clustering == "alpha:" + "0x" + (42).to_bytes(8, "big").hex() + ":"
+    # typed components render via their header types; NULL -> empty
+    assert out[0].clustering == "alpha:42:"
+
+
+def test_validator_typed_rendering():
+    """Partition keys and clustering values render through the sstable's
+    OWN header types (the reference's validator rendering) -- a long key
+    displays numerically, text stays text, width mismatches fall back."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        render_typed,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        LONG_TYPE,
+        MAP_UTF8_LONG_TYPE,
+        SET_UTF8_TYPE,
+    )
+
+    assert render_typed((302).to_bytes(8, "big", signed=True), LONG_TYPE) \
+        == "302"
+    assert render_typed(b"text", UTF8_TYPE) == "text"
+    assert render_typed(b"\x01\x02", LONG_TYPE) == "0x0102"  # wrong width
+    assert render_typed(
+        b"\x01", "org.apache.cassandra.db.marshal.BooleanType") == "true"
+    # path display types: map key, set element, list position
+    assert dc._path_type_of(MAP_UTF8_LONG_TYPE) == UTF8_TYPE
+    assert dc._path_type_of(SET_UTF8_TYPE) == UTF8_TYPE
+    assert dc._path_type_of(
+        "org.apache.cassandra.db.marshal.ListType("
+        "org.apache.cassandra.db.marshal.LongType)"
+    ) == "org.apache.cassandra.db.marshal.TimeUUIDType"
+
+    # end-to-end: a LongType-keyed, LongType-clustered sstable block
+    h = SerializationHeaderInfo(
+        min_timestamp=100, min_local_deletion_time=50, min_ttl=0,
+        key_type=LONG_TYPE, clustering_types=[LONG_TYPE],
+        static_columns=[], regular_columns=[("v", LONG_TYPE)],
+    )
+    codec = dc._Codec(h)
+    body = bytearray()
+    body += codec.enc_ts(105)
+    body += dc._enc_subset([0], 1)
+    body += bytes([dc.CELL_USE_ROW_TIMESTAMP])
+    body += struct.pack(">q", 9)
+    row = bytearray([dc.HAS_TIMESTAMP])
+    row += dc._enc_clustering_values(
+        [(77).to_bytes(8, "big", signed=True)], [LONG_TYPE]
+    )
+    row += dc.write_unsigned_vint(len(body))
+    row += dc.write_unsigned_vint(0)
+    row += body
+    key = (302).to_bytes(8, "big", signed=True)
+    block = encode_partition_header(key) + bytes(row) + b"\x01"
+    pk, out = dc.decode_partition_block(block, h, source="t")
+    assert pk == "302"
+    assert out[0].clustering == "77"
