@@ -415,6 +415,9 @@ def _path_type_of(ctype: str) -> str | None:
             return inner
     if ctype.startswith("org.apache.cassandra.db.marshal.ListType("):
         return "org.apache.cassandra.db.marshal.TimeUUIDType"
+    if ctype.startswith("org.apache.cassandra.db.marshal.UserType("):
+        # non-frozen UDT paths hold the 2-byte field position
+        return "org.apache.cassandra.db.marshal.ShortType"
     return None
 
 
@@ -1114,10 +1117,15 @@ def data_cells(
         # own parallelism). repartition(num, cols) is REPARTITION_BY_NUM,
         # which AQE leaves alone. The count() is a metadata-only listing.
         n_files = files.count()
+        # repartitionByRange, not hash: with exactly n_files*n_shards
+        # distinct (path, shard) tuples, range boundaries give every task
+        # its own tuple, while hash placement could co-locate two shards
+        # and idle a slot (r08 ADVICE #5). The explicit COUNT keeps AQE
+        # from byte-coalescing the tiny rows (the r08 s2 lesson).
         files = files.select(
             "path", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1)))
             .alias("shard"),
-        ).repartition(
+        ).repartitionByRange(
             max(1, n_files * n_shards), F.col("path"), F.col("shard")
         )
     else:

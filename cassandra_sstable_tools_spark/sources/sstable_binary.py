@@ -393,6 +393,9 @@ _MARSHAL_RENDERERS = {
     "TimeUUIDType": _render_fixed(
         16, lambda b: str(__import__("uuid").UUID(bytes=b))
     ),
+    "ShortType": _render_fixed(
+        2, lambda b: str(int.from_bytes(b, "big", signed=True))
+    ),
 }
 
 

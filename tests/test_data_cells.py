@@ -772,3 +772,39 @@ def test_validator_typed_rendering():
     pk, out = dc.decode_partition_block(block, h, source="t")
     assert pk == "302"
     assert out[0].clustering == "77"
+
+
+def test_udt_cell_path_renders_position():
+    """Non-frozen UDT cells: the CellPath holds the 2-byte field position
+    and displays numerically."""
+    udt = (
+        "org.apache.cassandra.db.marshal.UserType(ks,61646472657373,"
+        "737472656574:org.apache.cassandra.db.marshal.UTF8Type,"
+        "63697479:org.apache.cassandra.db.marshal.UTF8Type)"
+    )
+    assert dc._path_type_of(udt) == "org.apache.cassandra.db.marshal.ShortType"
+    ct, st, _ = dc.fixture_header_schema()
+    h = SerializationHeaderInfo(
+        min_timestamp=100, min_local_deletion_time=50, min_ttl=0,
+        key_type=UTF8_TYPE, clustering_types=ct, static_columns=st,
+        regular_columns=[("u0", udt)],
+    )
+    codec = dc._Codec(h)
+    body = bytearray()
+    body += codec.enc_ts(105)
+    body += dc._enc_subset([0], 1)
+    body += dc.write_unsigned_vint(1)  # one cell
+    cell = bytearray([0])
+    cell += codec.enc_ts(106)
+    cell += dc.write_unsigned_vint(2) + (1).to_bytes(2, "big")  # field 1
+    cell += dc.write_unsigned_vint(4) + b"Oslo"
+    body += cell
+    row = bytearray([dc.HAS_TIMESTAMP])
+    row += dc._enc_clustering_values([b"0001"], h.clustering_types)
+    row += dc.write_unsigned_vint(len(body))
+    row += dc.write_unsigned_vint(0)
+    row += body
+    block = encode_partition_header(b"ku") + bytes(row) + b"\x01"
+    _, out = dc.decode_partition_block(block, h, source="t")
+    assert len(out) == 1
+    assert (out[0].column_name, out[0].cell_path) == ("u0", "1")
