@@ -582,17 +582,26 @@ def _parse_streaming_histogram(r: _Reader) -> list[tuple[float, int]]:
     return [r.unpack(">dq") for _ in range(size)]
 
 
-def _clustering_display(bufs: list[bytes]) -> str | None:
+def _clustering_display(
+    bufs: list[bytes], types: list[str] | None = None
+) -> str | None:
     """Human-readable form of min/maxClusteringValues: each component
-    decoded as UTF-8 when it cleanly is (text clustering columns), else as
-    0x-hex (timestamp/uuid/blob and other type-serialized bytes -- a real
-    schema's clustering is often non-text, and crashing the listing on it
-    would break the REAL-files feature). Components of a composite
-    clustering are comma-joined; this is a DISPLAY heuristic -- rendering
-    typed bytes faithfully would need the schema, which lives in the
-    SerializationHeader cell codec (the documented gap)."""
+    rendered via its SerializationHeader clustering type when ``types``
+    is given (validator-typed: longs/uuids/bools display as values, r09),
+    else decoded as UTF-8 when it cleanly is, falling back to 0x-hex
+    (crashing the listing on typed bytes would break the REAL-files
+    feature). Components of a composite clustering are comma-joined."""
     if not bufs:
         return None
+    if types:
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            render_typed,
+        )
+
+        return ",".join(
+            render_typed(b, types[i] if i < len(types) else None)
+            for i, b in enumerate(bufs)
+        )
 
     def one(b: bytes) -> str:
         try:
@@ -777,6 +786,12 @@ def statistics_metadata(
                     path, component="Statistics.db"
                 )
                 st = parse_statistics_db(bytes(content), ver, source=path)
+                try:
+                    ctypes = parse_serialization_header(
+                        bytes(content), version=ver, source=path
+                    ).clustering_types
+                except (ValueError, KeyError):
+                    ctypes = None  # no HEADER component: heuristic display
                 rows.append(
                     (
                         ks,
@@ -794,8 +809,8 @@ def statistics_metadata(
                         st.level,
                         st.repaired_at,
                         st.repaired_at != 0,
-                        _clustering_display(st.min_clustering),
-                        _clustering_display(st.max_clustering),
+                        _clustering_display(st.min_clustering, ctypes),
+                        _clustering_display(st.max_clustering, ctypes),
                         st.total_columns_set,
                         st.total_rows,
                         estimated_histogram_mean(st.partition_size_hist),

@@ -591,3 +591,24 @@ def test_serialization_header_roundtrip_fuzz(
     )
     blob = encode_statistics_db(SSTableStats(), version=version, header=h)
     assert parse_serialization_header(blob, version=version) == h
+
+
+def test_clustering_display_typed():
+    """min/max clustering values render via the header's clustering types
+    when available (validator display); the heuristic remains for
+    header-less sstables."""
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        LONG_TYPE,
+        UTF8_TYPE,
+        _clustering_display,
+    )
+
+    long42 = (42).to_bytes(8, "big", signed=True)
+    assert _clustering_display([long42], [LONG_TYPE]) == "42"
+    assert _clustering_display([b"abc", long42],
+                               [UTF8_TYPE, LONG_TYPE]) == "abc,42"
+    # no types: the historical bare-UTF-8 heuristic (unchanged -- goldens
+    # pin it); a serialized long decodes as control chars there, which is
+    # exactly why the typed path above is the upgrade
+    assert _clustering_display([long42]) == long42.decode()
+    assert _clustering_display([]) is None
