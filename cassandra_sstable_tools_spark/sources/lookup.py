@@ -1204,6 +1204,15 @@ def partition_lookup_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
+    if not keys:
+        # degenerate corpora (the empty/two-row oracle sweeps) can leave
+        # the md5 cohort empty: an empty typed frame IS the answer, while
+        # partition_lookup itself stays loud on an explicit empty request
+        from cassandra_sstable_tools_spark.sources.data_cells import (
+            DATA_CELLS_SCHEMA,
+        )
+
+        return spark.createDataFrame([], DATA_CELLS_SCHEMA)
     return partition_lookup(spark, root, keys)
 
 

@@ -1403,6 +1403,7 @@ def select_snapshot(root: str, name: str, dest: str | None = None) -> str:
     import tempfile
 
     src_root = _local_path(root)
+    made_dest = dest is None
     if dest is None:
         dest = tempfile.mkdtemp(prefix=f"sstable-snapshot-{name}-")
     found = 0
@@ -1427,6 +1428,8 @@ def select_snapshot(root: str, name: str, dest: str | None = None) -> str:
             except FileExistsError:
                 pass
     if not found:
+        if made_dest:  # never leak the temp tree on the typo path
+            __import__("shutil").rmtree(dest, ignore_errors=True)
         raise FileNotFoundError(
             f"no snapshot named {name!r} with sstable components under "
             f"{src_root} (expected <keyspace>/<table>/snapshots/{name}/)"
