@@ -393,10 +393,12 @@ def _display(v: bytes | None, marshal_type: str | None = None) -> str | None:
     return None if v is None else _display_cached(v, marshal_type)
 
 
+@__import__("functools").lru_cache(maxsize=512)
 def _path_type_of(ctype: str) -> str | None:
     """CellPath display type of a complex column: a map's KEY type, a
-    set's ELEMENT type, a list's TimeUUID position; None (heuristic) for
-    UDT field positions and anything unrecognized."""
+    set's ELEMENT type, a list's TimeUUID position, a UDT's 2-byte field
+    position. Memoized -- called per complex CELL on a handful of
+    distinct column types."""
     for prefix in (
         "org.apache.cassandra.db.marshal.MapType(",
         "org.apache.cassandra.db.marshal.SetType(",
