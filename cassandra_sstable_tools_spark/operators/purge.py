@@ -108,6 +108,13 @@ def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
             F.col("kind") == "RANGE_TOMBSTONE_MARKER",
             F.concat(F.lit("<rtm>"), "range_start", F.lit("|"), "range_end"),
         )
+        .when(
+            # complex (collection-level) deletions reconcile per
+            # (pk, clustering, column) -- cell_name is the BASE column on
+            # these records (the path fold only applies to cells)
+            F.col("kind") == "COMPLEX_DELETE",
+            F.concat(F.lit("<cd>"), F.coalesce("cell_name", F.lit(""))),
+        )
         .otherwise(F.coalesce(F.col("cell_name"), F.lit("<marker>")))
     )
 
@@ -133,7 +140,8 @@ def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
     delete_map_raw = (
         cells.where(
             F.col("kind").isin(
-                "PARTITION_DELETE", "ROW_DELETE", "RANGE_TOMBSTONE_MARKER"
+                "PARTITION_DELETE", "ROW_DELETE", "RANGE_TOMBSTONE_MARKER",
+                "COMPLEX_DELETE",
             )
         )
         .groupBy(*_PK)
@@ -162,6 +170,18 @@ def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
                     ),
                 )
             ).alias("rtms"),
+            # complex (collection) deletion watermarks per (clustering,
+            # column): they shadow that column's path-addressed cells
+            F.collect_list(
+                F.when(
+                    F.col("kind") == "COMPLEX_DELETE",
+                    F.struct(
+                        F.col("clustering").alias("cl"),
+                        F.col("cell_name").alias("col"),
+                        F.col("writetime").alias("wt"),
+                    ),
+                )
+            ).alias("cds"),
         )
     )
 
@@ -230,6 +250,21 @@ def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
         )
     )
     not_rd_shadowed = rd_wt.isNull() | (F.col("writetime") > rd_wt)
+    # Complex-deletion watermark: max wt among this row's (clustering,
+    # BASE column) complex deletes -- the base of a path-folded cell name
+    # like 'm0[k3]' is 'm0' (plain names, which never contain '[', pass
+    # through substring_index unchanged).
+    cd_wt = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("cds"),
+                lambda r: (r["cl"] == F.col("clustering"))
+                & (r["col"] == F.substring_index(F.col("cell_name"), "[", 1)),
+            ),
+            lambda r: r["wt"],
+        )
+    )
+    not_cd_shadowed = cd_wt.isNull() | (F.col("writetime") > cd_wt)
     acts_as_tombstone = F.col("is_tombstone") | (
         F.col("is_expiring") & (F.col("local_deletion_time") < gc_before)
     )
@@ -250,9 +285,17 @@ def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
     survives = (F.col("rn") == 1) & (
         F.when(
             is_cellish,
-            not_pd_shadowed & not_rd_shadowed & not_purged_cell & ~rtm_shadowed,
+            not_pd_shadowed & not_rd_shadowed & not_cd_shadowed
+            & not_purged_cell & ~rtm_shadowed,
         )
         .when(F.col("kind") == "PARTITION_DELETE", marker_not_purged)
+        .when(
+            # a complex deletion is row-scoped state: a newer row delete
+            # (or partition delete) supersedes it; purge drops it once
+            # its own ldt passes gc_before
+            F.col("kind") == "COMPLEX_DELETE",
+            not_pd_shadowed & not_rd_shadowed & marker_not_purged,
+        )
         .otherwise(not_pd_shadowed & marker_not_purged)  # ROW_DELETE / RTM
     )
     return enriched, survives
@@ -313,6 +356,12 @@ rd_wt AS (
     SELECT keyspace, table_name, partition_key, clustering, max(writetime) AS rd_wt
     FROM cells WHERE kind = 'ROW_DELETE' GROUP BY 1, 2, 3, 4
 ),
+cd_wt AS (
+    -- complex (collection) deletion watermark per (row, base column)
+    SELECT keyspace, table_name, partition_key, clustering,
+           cell_name AS col, max(writetime) AS cd_wt
+    FROM cells WHERE kind = 'COMPLEX_DELETE' GROUP BY 1, 2, 3, 4, 5
+),
 lww AS (
     SELECT *, row_number() OVER (
         PARTITION BY keyspace, table_name, partition_key, clustering,
@@ -325,9 +374,14 @@ surviving_cells AS (
     FROM lww w
     LEFT JOIN pd_wt p USING (keyspace, table_name, partition_key)
     LEFT JOIN rd_wt r USING (keyspace, table_name, partition_key, clustering)
+    LEFT JOIN cd_wt c
+      ON c.keyspace = w.keyspace AND c.table_name = w.table_name
+     AND c.partition_key = w.partition_key AND c.clustering = w.clustering
+     AND c.col = split_part(w.cell_name, '[', 1)
     WHERE w.rn = 1
       AND (p.pd_wt IS NULL OR w.writetime > p.pd_wt)
       AND (r.rd_wt IS NULL OR w.writetime > r.rd_wt)
+      AND (c.cd_wt IS NULL OR w.writetime > c.cd_wt)
       AND NOT EXISTS (
           SELECT 1 FROM cells t
           WHERE t.kind = 'RANGE_TOMBSTONE_MARKER'
@@ -355,6 +409,19 @@ rd_surv AS (
     LEFT JOIN pd_wt p USING (keyspace, table_name, partition_key)
     WHERE d.rn = 1 AND d.local_deletion_time >= {gc_before}
       AND (p.pd_wt IS NULL OR d.writetime > p.pd_wt)
+),
+cd_surv AS (
+    SELECT d.keyspace, d.table_name, d.partition_key, d.cell_size FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY keyspace, table_name, partition_key, clustering,
+                         cell_name
+            ORDER BY writetime DESC) AS rn
+        FROM cells WHERE kind = 'COMPLEX_DELETE') d
+    LEFT JOIN pd_wt p USING (keyspace, table_name, partition_key)
+    LEFT JOIN rd_wt r USING (keyspace, table_name, partition_key, clustering)
+    WHERE d.rn = 1 AND d.local_deletion_time >= {gc_before}
+      AND (p.pd_wt IS NULL OR d.writetime > p.pd_wt)
+      AND (r.rd_wt IS NULL OR d.writetime > r.rd_wt)
 ),
 rtm_live AS (
     SELECT d.* FROM (
@@ -404,6 +471,7 @@ survivors AS (
     SELECT * FROM surviving_cells
     UNION ALL SELECT * FROM pd_surv
     UNION ALL SELECT * FROM rd_surv
+    UNION ALL SELECT * FROM cd_surv
     UNION ALL SELECT * FROM rtm_surv
     UNION ALL SELECT * FROM rtm_remnant
 ),

@@ -441,8 +441,13 @@ def _display_clustering(
 
     if len(vals) == 1:
         return _display(vals[0], t(0))
+    # escape literal colons per component so the joined rendering stays
+    # INJECTIVE -- downstream merge identities (row_key, the purge LWW
+    # key) are built from this string, and ('a:b','c') must never collide
+    # with ('a','b:c'); same convention as the composite key renderer
     return ":".join(
-        "" if v is None else (_display(v, t(i)) or "")
+        "" if v is None
+        else (_display(v, t(i)) or "").replace(":", "\\:")
         for i, v in enumerate(vals)
     )
 

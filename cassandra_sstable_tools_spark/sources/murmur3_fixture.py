@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cassandra_sstable_tools_spark.sources.sstable_binary import (
     _DEFAULT_VERSION,
     _FIXTURE_ROOT,
+    FIXTURE_VERSION,
     encode_index_db,
     index_offsets,
 )
@@ -103,8 +104,10 @@ def materialize_murmur3_files(
             "materialize_murmur3_files must run without an active "
             "filename_filter/table_scope (fixture cache is unscoped)"
         )
+    # coupled to the MAIN fixture version: a payload/encoder bump there
+    # re-materializes this sibling tree and its token sidecar too
     digest = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":v12:m3v1").encode()
+        (os.path.abspath(sf_dir) + ":" + FIXTURE_VERSION + ":m3v1").encode()
     ).hexdigest()[:12]
     if root is None:
         root = os.path.join(_FIXTURE_ROOT, "m3-" + digest)

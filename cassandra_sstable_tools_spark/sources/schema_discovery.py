@@ -116,8 +116,10 @@ def _decode_columns_sstable(data_path: str) -> list[dict]:
                 keep_values=True,
             )
             ks_name = key.decode("utf-8", errors="replace")
-            # group cells by clustering (table_name, column_name)
+            # group cells by clustering (table_name, column_name); carry
+            # the max cell writetime so multi-sstable dirs LWW-merge
             rows: dict[tuple, dict] = {}
+            wts: dict[tuple, int] = {}
             for rec in recs:
                 if rec.kind != "CELL" or rec.clustering_vals is None:
                     continue
@@ -127,6 +129,8 @@ def _decode_columns_sstable(data_path: str) -> list[dict]:
                 cell = rows.setdefault(ck, {})
                 if rec.value_bytes is not None:
                     cell[rec.column_name] = rec.value_bytes
+                if rec.writetime is not None:
+                    wts[ck] = max(wts.get(ck, rec.writetime), rec.writetime)
             for (tb_b, col_b), cells in rows.items():
                 if tb_b is None or col_b is None:
                     continue
@@ -143,6 +147,7 @@ def _decode_columns_sstable(data_path: str) -> list[dict]:
                         else int.from_bytes(pos_b, "big", signed=True),
                     "type": None if ctype is None else
                         ctype.decode("utf-8", errors="replace"),
+                    "writetime": wts.get((tb_b, col_b), 0),
                 })
     finally:
         dat.close()
@@ -159,8 +164,17 @@ def discover_key_types(root: str) -> dict[tuple[str, str], str]:
         for fname in sorted(os.listdir(d)):
             if fname.endswith("-Data.db"):
                 defs.extend(_decode_columns_sstable(os.path.join(d, fname)))
-    pks: dict[tuple[str, str], list[tuple[int, str | None]]] = {}
+    # LWW per (keyspace, table, column) FIRST: a schema keyspace normally
+    # holds several sstables (flush generations), so the same column def
+    # appears repeatedly -- without this merge a duplicated pk component
+    # would fabricate composite(long,long) out of a plain bigint key
+    latest: dict[tuple[str, str, str], dict] = {}
     for c in defs:
+        k = (c["keyspace"], c["table"], c["column"])
+        if k not in latest or c["writetime"] >= latest[k]["writetime"]:
+            latest[k] = c
+    pks: dict[tuple[str, str], list[tuple[int, str | None]]] = {}
+    for c in latest.values():
         if c["kind"] != "partition_key" or c["type"] is None:
             continue
         pks.setdefault((c["keyspace"], c["table"]), []).append(
@@ -189,8 +203,11 @@ def discovered_key_type(
     rendering would need the plumbing the scoped path has)."""
     try:
         types = discover_key_types(root)
-    except (OSError, ValueError):
-        return None  # unreadable/corrupt schema tables: fall back, never die
+    except Exception:  # noqa: BLE001 -- deliberate: best-effort startup
+        # path; corrupt/truncated schema sstables can raise beyond
+        # OSError/ValueError (struct.error, LZ4 chunk errors) and the
+        # contract is fall back to the heuristic, never die
+        return None
     if not types:
         return None
     if keyspace and table:

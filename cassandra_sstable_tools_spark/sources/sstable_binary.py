@@ -467,8 +467,33 @@ def binary_index_entries(
     - non-POSIX roots (hdfs://, s3a://...): fall back to binaryFile
       content rows + whole-buffer parse; the documented bound is one
       index file per task in memory.
+
+    Without an explicit ``key_type``, POSIX-root keys render via the
+    sibling Statistics.db header's key validator when one exists
+    (``render_typed``) -- the SAME rendering the cell decoder applies, so
+    frames that JOIN index-side and decode-side rows on partition_key
+    (cfstats sizes x counts) stay aligned on typed-key tables; headerless
+    sstables and non-POSIX roots keep the UTF-8-or-hex heuristic.
     """
     render = key_renderer(key_type)
+
+    def _header_renderer(index_local: str, ver: str):
+        """Per-sstable typed renderer off the sibling header (POSIX path,
+        key_type unset); unreadable/absent header -> heuristic."""
+        from cassandra_sstable_tools_spark.sources.statistics_db import (
+            parse_serialization_header,
+        )
+
+        stats = index_local[: -len("Index.db")] + "Statistics.db"
+        try:
+            with open(stats, "rb") as f:
+                kt = parse_serialization_header(
+                    f.read(), version=ver, source=stats
+                ).key_type
+        except Exception:  # noqa: BLE001 -- absent/corrupt header: heuristic
+            return render_key
+        return lambda b: render_typed(b, kt)
+
     if _is_local_root(root):
         files = _filter_files(
             spark.read.format("binaryFile")
@@ -487,14 +512,19 @@ def binary_index_entries(
                 ks_l, tb_l, ss_l, pk_l, pos_l = [], [], [], [], []
                 for path in pdf["path"]:
                     ks, tb, ss, ver = _parse_filename(path)
-                    with open(_local_path(path), "rb") as f:
+                    local = _local_path(path)
+                    r = (
+                        render if key_type is not None
+                        else _header_renderer(local, ver)
+                    )
+                    with open(local, "rb") as f:
                         for key, position in stream_parse_index_db(
                             f, version=ver, source=path
                         ):
                             ks_l.append(ks)
                             tb_l.append(tb)
                             ss_l.append(ss)
-                            pk_l.append(render(key))
+                            pk_l.append(r(key))
                             pos_l.append(position)
                 yield pd.DataFrame(
                     {
@@ -894,7 +924,7 @@ def materialize_index_files(
         # routes the fixture_complex_path cells into it (CellPath-addressed
         # complex cells on disk); older dirs are stale and orphaned
         digest = __import__("hashlib").md5(
-            (os.path.abspath(sf_dir) + ":v12").encode()
+            (os.path.abspath(sf_dir) + ":" + FIXTURE_VERSION).encode()
         ).hexdigest()[:12]
         root = os.path.join(_FIXTURE_ROOT, digest)
     marker = os.path.join(root, "_SUCCESS")
@@ -1354,9 +1384,15 @@ ORACLES = _oracles()
 # key rendering (reference: ColumnFamilyBackend.java:164-166)
 # --------------------------------------------------------------------------
 
+# the planted-fixture content version: ONE constant so every sibling tree
+# (the main byte-ordered tree, the murmur3 token-ordered tree and its
+# token sidecar) re-materializes together on any encoder/payload change --
+# a desynchronized sibling serves stale bytes against fresh oracles
+FIXTURE_VERSION = "v12"
+
 _SSTABLE_COMPONENTS = (
     "-Index.db", "-Data.db", "-Statistics.db", "-CompressionInfo.db",
-    "-Digest.crc32", "-Summary.db", "-Filter.db", "-TOC.txt",
+    "-Digest.crc32", "-Summary.db", "-Filter.db", "-TOC.txt", "-CRC.db",
 )
 
 

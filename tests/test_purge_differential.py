@@ -28,6 +28,8 @@ def _dedup_key(r):
         return ("", f"<rtm>{r['range_start']}|{r['range_end']}")
     if kind == "ROW_DELETE":
         return (r["clustering"], "<rd>")
+    if kind == "COMPLEX_DELETE":
+        return (r["clustering"], "<cd>" + (r["cell_name"] or ""))
     return (r["clustering"], r["cell_name"] or "<marker>")
 
 
@@ -51,6 +53,11 @@ def _model(rows):
             c = r["clustering"]
             rd_wt[c] = max(rd_wt.get(c, -1), r["writetime"])
     rtms = [r for r in rows if r["kind"] == "RANGE_TOMBSTONE_MARKER"]
+    cd_wt = {}
+    for r in rows:
+        if r["kind"] == "COMPLEX_DELETE":
+            k = (r["clustering"], r["cell_name"])
+            cd_wt[k] = max(cd_wt.get(k, -1), r["writetime"])
 
     merged = 0
     for r in winners.values():
@@ -59,6 +66,10 @@ def _model(rows):
             if pd_wt is not None and wt <= pd_wt:
                 continue
             if r["clustering"] in rd_wt and wt <= rd_wt[r["clustering"]]:
+                continue
+            base = (r["cell_name"] or "").split("[")[0]
+            k = (r["clustering"], base)
+            if k in cd_wt and wt <= cd_wt[k]:
                 continue
             if any(
                 t["range_start"] <= r["clustering"] <= t["range_end"]
@@ -73,6 +84,13 @@ def _model(rows):
                 continue
             merged += r["cell_size"]
         elif kind == "PARTITION_DELETE":
+            if ldt >= GC:
+                merged += r["cell_size"]
+        elif kind == "COMPLEX_DELETE":
+            if pd_wt is not None and wt <= pd_wt:
+                continue
+            if r["clustering"] in rd_wt and wt <= rd_wt[r["clustering"]]:
+                continue
             if ldt >= GC:
                 merged += r["cell_size"]
         else:  # ROW_DELETE / RANGE_TOMBSTONE_MARKER
@@ -114,8 +132,9 @@ def _random_case(rng: random.Random, pk: str):
     for i in range(n):
         kind = rng.choices(
             ["CELL", "STATIC_CELL", "ROW_MARKER", "ROW_DELETE",
-             "PARTITION_DELETE", "RANGE_TOMBSTONE_MARKER"],
-            weights=[5, 1, 1, 2, 1, 2],
+             "PARTITION_DELETE", "RANGE_TOMBSTONE_MARKER",
+             "COMPLEX_DELETE"],
+            weights=[5, 1, 1, 2, 1, 2, 2],
         )[0]
         clustering = rng.choice("abcd")
         size = rng.randint(1, 100)
@@ -124,10 +143,19 @@ def _random_case(rng: random.Random, pk: str):
         if kind in ("CELL", "STATIC_CELL"):
             tomb = rng.random() < 0.3
             expiring = (not tomb) and rng.random() < 0.3
+            # mix plain-column and path-folded collection cells so the
+            # complex-deletion shadow rule genuinely fires
+            name = rng.choice(
+                [f"c{rng.randint(0, 1)}", f"m0[p{rng.randint(0, 1)}]"]
+            )
             rows.append(("ks", "t", sstable, pk, clustering, kind,
-                         f"c{rng.randint(0, 1)}", size, wts[i], None, tomb,
+                         name, size, wts[i], None, tomb,
                          expiring, False,
                          ldt if (tomb or expiring) else None, None, None, 0))
+        elif kind == "COMPLEX_DELETE":
+            rows.append(("ks", "t", sstable, pk, clustering, kind,
+                         "m0", size, wts[i], None, True, False, False,
+                         ldt, None, None, 0))
         elif kind == "RANGE_TOMBSTONE_MARKER":
             lo, hi = sorted(rng.sample("abcd", 2))
             rows.append(("ks", "t", sstable, pk, "", kind, None, size, wts[i],
@@ -163,3 +191,45 @@ def test_purge_differential_random_cases(spark):
         if have != want:
             mismatches.append((pk, want, have))
     assert not mismatches, f"{len(mismatches)} divergent cases; first: {mismatches[0]}"
+
+
+def test_purge_sql_mirror_matches_model():
+    """The DuckDB purge CTE chain (purge_stats_sql -- what the cassdir
+    purge oracles run over the decoded frame) must agree with the same
+    independent model on the same randomized cases, complex deletions
+    included (the certified fixture plants complex CELLS only, so without
+    this sweep the SQL cd branch would be test-dead)."""
+    import duckdb
+
+    from cassandra_sstable_tools_spark.operators.purge import purge_stats_sql
+
+    rng = random.Random(20260815)
+    cases = {f"sql{i:03d}": _random_case(rng, f"sql{i:03d}")
+             for i in range(150)}
+    flat = [row for rows in cases.values() for row in rows]
+    names = ["keyspace", "table_name", "sstable_id", "partition_key",
+             "clustering", "kind", "cell_name", "cell_size", "writetime",
+             "ttl", "is_tombstone", "is_expiring", "is_counter",
+             "local_deletion_time", "range_start", "range_end",
+             "gc_grace_seconds"]
+    import pandas as pd
+
+    pdf = pd.DataFrame(flat, columns=names)
+    con = duckdb.connect()
+    con.register("cells", pdf)
+    sql = "WITH " + purge_stats_sql(gc_before=GC).lstrip().lstrip(",") + \
+        "\nSELECT * FROM purge_per_partition"
+    got = {
+        r["partition_key"]: r
+        for r in con.execute(sql).fetchdf().to_dict("records")
+    }
+    assert set(got) == set(cases)
+    mismatches = []
+    for pk, rows in cases.items():
+        want = _model([dict(zip(names, r)) for r in rows])
+        have = {k: int(got[pk][k]) for k in want}
+        if have != want:
+            mismatches.append((pk, want, have))
+    assert not mismatches, (
+        f"{len(mismatches)} divergent cases; first: {mismatches[0]}"
+    )

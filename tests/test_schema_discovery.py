@@ -51,7 +51,7 @@ def _columns_header() -> SerializationHeaderInfo:
 
 
 def _column_row(h, table: str, column: str, kind: str, position: int,
-                cql_type: str) -> bytes:
+                cql_type: str, generation: int = 1) -> bytes:
     """One system_schema.columns row: clustering (table, column), cells
     kind/position/type sharing the row timestamp."""
     codec = dc._Codec(h)
@@ -63,7 +63,7 @@ def _column_row(h, table: str, column: str, kind: str, position: int,
         idx["type"]: cql_type.encode(),
     }
     body = bytearray()
-    body += codec.enc_ts(1_600_000_000_000_005)
+    body += codec.enc_ts(1_600_000_000_000_005 + generation)
     body += dc._enc_subset(present, len(h.regular_columns))
     for i in present:
         name, ctype = h.regular_columns[i]
@@ -83,9 +83,11 @@ def _column_row(h, table: str, column: str, kind: str, position: int,
     return bytes(row)
 
 
-def plant_schema_tables(root, defs: list[tuple]) -> None:
+def plant_schema_tables(root, defs: list[tuple], generation: int = 1) -> None:
     """Write a real system_schema/columns-1f2e/ sstable under ``root``.
-    ``defs``: (keyspace, table, column, kind, position, cql_type)."""
+    ``defs``: (keyspace, table, column, kind, position, cql_type).
+    ``generation`` numbers the sstable (flush generations) and scales the
+    planted writetimes so later generations win LWW."""
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
         encode_index_db,
     )
@@ -100,14 +102,15 @@ def plant_schema_tables(root, defs: list[tuple]) -> None:
     for ks in sorted(by_ks):
         body = encode_partition_header(ks.encode())
         for _ks, table, column, kind, position, cql in sorted(by_ks[ks]):
-            body += _column_row(h, table, column, kind, position, cql)
+            body += _column_row(h, table, column, kind, position, cql,
+                                generation=generation)
         body += b"\x01"  # END_OF_PARTITION
         entries.append((ks.encode(), pos))
         blocks.append(body)
         pos += len(body)
     d = root / "system_schema" / "columns-1f2e"
-    d.mkdir(parents=True)
-    base = str(d / "nb-00001-big-")
+    d.mkdir(parents=True, exist_ok=True)
+    base = str(d / f"nb-{generation:05d}-big-")
     with open(base + "Index.db", "wb") as f:
         f.write(encode_index_db(entries))
     with open(base + "Statistics.db", "wb") as f:
@@ -208,3 +211,20 @@ def test_keep_values_off_by_default():
 
 
 del pytest
+
+
+def test_multi_sstable_dedup_and_lww(tmp_path):
+    """A schema keyspace normally holds SEVERAL sstables (flush
+    generations) repeating the same column defs: discovery must LWW-merge
+    per column, never fabricate composite(long,long) from a duplicated
+    bigint component -- and an ALTERed type in a newer generation wins."""
+    defs = [("app", "t", "pk", "partition_key", 0, "bigint")]
+    plant_schema_tables(tmp_path, defs, generation=1)
+    plant_schema_tables(tmp_path, defs, generation=2)  # same def, flushed again
+    assert discover_key_types(str(tmp_path)) == {("app", "t"): "long"}
+    # generation 3 re-creates the table with a text key: newest wins
+    plant_schema_tables(
+        tmp_path, [("app", "t", "pk", "partition_key", 0, "text")],
+        generation=3,
+    )
+    assert discover_key_types(str(tmp_path)) == {("app", "t"): "string"}
