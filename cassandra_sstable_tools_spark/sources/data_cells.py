@@ -1070,6 +1070,136 @@ def partition_budget_ok(psize: int, records: list[dict]) -> bool:
 # --------------------------------------------------------------------------
 
 
+def scan_sstable_cell_rows(
+    index_path: str,
+    shard: int = 0,
+    n_shards: int = 1,
+) -> list[tuple]:
+    """Decode ONE sstable's (shard of) cell records into 18-field tuples
+    in ``_COLS`` order -- the per-task body shared by the ``data_cells``
+    mapInPandas scan and the Python DataSource read path
+    (``sources/pyds.py``). ``index_path`` may be a ``file:`` URI or a
+    POSIX path. Returns [] when the sstable lacks the components cell
+    decoding needs (Data.db / Statistics.db -- the skip rule); raises,
+    naming file and byte offset, on corruption.
+
+    Sharding (``n_shards > 1``): contiguous position ranges. With a
+    Summary.db present the shard SEEKS to its sampled index slice and
+    streams only its own index bytes (zero duplicated I/O across shards);
+    without one it falls back to a full index stream sliced by position
+    count. Shard-invariance of the union is pinned by test."""
+    from cassandra_sstable_tools_spark.sources.lz4_block import (
+        open_data_file,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        parse_serialization_header,
+    )
+
+    path = index_path
+    ks, tb, ss, ver = _parse_filename(path)
+    local = _local_path(path)
+    base = local[: -len("Index.db")]
+    data_path = base + "Data.db"
+    stats_path = base + "Statistics.db"
+    comp_path = base + "CompressionInfo.db"
+    if not os.path.exists(data_path) or not os.path.exists(stats_path):
+        return []
+    with open(stats_path, "rb") as f:
+        header = parse_serialization_header(
+            f.read(), version=ver, source=stats_path
+        )
+    # positions are computed BEFORE the Data.db handle opens: a corrupt
+    # Summary/Index parse raises here, and an open handle must not leak
+    # across that raise (review finding)
+    summary_path = base + "Summary.db"
+    if n_shards > 1 and os.path.exists(summary_path):
+        # summary-seek slice (r08 s2): shard boundaries are SAMPLED
+        # summary entries, whose stored positions are Index.db offsets --
+        # each shard streams only ITS index byte range instead of
+        # re-streaming the whole index (on a multi-GB index of a 100 GB
+        # sstable that re-read was shards x index). The extra entry past
+        # the slice end bounds the last partition's byte extent.
+        from cassandra_sstable_tools_spark.sources.lookup import (
+            _IndexCursor,
+        )
+        from cassandra_sstable_tools_spark.sources.summary_db import (
+            parse_summary_db,
+        )
+
+        with open(summary_path, "rb") as sf_:
+            summ = parse_summary_db(sf_.read(), source=summary_path)
+        ns = len(summ.entries)
+        idx_size = os.path.getsize(local)
+        lo_e = int(shard) * ns // n_shards
+        hi_e = (int(shard) + 1) * ns // n_shards
+        if lo_e == hi_e:
+            return []  # fewer sampled entries than shards
+        start_off = summ.entries[lo_e][1]
+        end_off = summ.entries[hi_e][1] if hi_e < ns else idx_size
+        positions: list[int] = []
+        next_pos = None
+        with open(local, "rb") as idx:
+            cur = _IndexCursor(
+                idx, ver, path, start_off,
+                chunk_bytes=1 << 20, region_end=end_off,
+            )
+            while True:
+                ent = cur.next_entry()
+                if ent is None:
+                    break
+                _k, dpos, off = ent
+                if off >= end_off:
+                    next_pos = dpos
+                    break
+                if positions and dpos < positions[-1]:
+                    raise ValueError(
+                        f"corrupt Index.db {path}: data position {dpos} "
+                        f"decreases at index byte {off}"
+                    )
+                positions.append(dpos)
+        npos = len(positions)
+        lo, hi = 0, npos
+        tail = next_pos  # None -> bounded by data length
+    else:
+        with open(local, "rb") as idx:
+            positions = sorted(
+                pos for _, pos in stream_parse_index_db(
+                    idx, version=ver, source=path
+                )
+            )
+        npos = len(positions)
+        lo = int(shard) * npos // n_shards
+        hi = (int(shard) + 1) * npos // n_shards
+        tail = None
+    rows: list[tuple] = []
+    dat, data_len = open_data_file(data_path, comp_path, ver)
+    tail_end = data_len if tail is None else tail
+    try:
+        for i in range(lo, hi):
+            pos = positions[i]
+            end = positions[i + 1] if i + 1 < npos else tail_end
+            if end <= pos:
+                continue  # zero-extent: offset shared with successor
+            dat.seek(pos)
+            block = dat.read(end - pos)
+            pk, recs = decode_partition_block(
+                block, header, source=data_path, base=pos
+            )
+            for rec in recs:
+                rows.append((
+                    ks, tb, ss, pk, rec.kind, rec.clustering,
+                    rec.column_name, rec.cell_path,
+                    rec.writetime, rec.ttl,
+                    rec.ldt, rec.is_tombstone, rec.is_expiring,
+                    rec.is_counter, rec.cell_value,
+                    rec.range_start, rec.range_end,
+                    rec.phys_size,
+                ))
+    finally:
+        dat.close()
+    return rows
+
+
 def data_cells(
     spark: SparkSession,
     root: str,
@@ -1141,130 +1271,12 @@ def data_cells(
     def scan(batches) -> Iterator:
         import pandas as pd
 
-        from cassandra_sstable_tools_spark.sources.lz4_block import (
-            open_data_file,
-        )
-        from cassandra_sstable_tools_spark.sources.statistics_db import (
-            parse_serialization_header,
-        )
-
         for pdf in batches:
             rows: list[tuple] = []
             for path, shard in zip(pdf["path"], pdf["shard"]):
-                ks, tb, ss, ver = _parse_filename(path)
-                local = _local_path(path)
-                base = local[: -len("Index.db")]
-                data_path = base + "Data.db"
-                stats_path = base + "Statistics.db"
-                comp_path = base + "CompressionInfo.db"
-                if (
-                    not os.path.exists(data_path)
-                    or not os.path.exists(stats_path)
-                ):
-                    continue
-                with open(stats_path, "rb") as f:
-                    header = parse_serialization_header(
-                        f.read(), version=ver, source=stats_path
-                    )
-                # positions are computed BEFORE the Data.db handle opens:
-                # a corrupt Summary/Index parse raises here, and an open
-                # handle must not leak across that raise (review finding)
-                summary_path = base + "Summary.db"
-                if n_shards > 1 and os.path.exists(summary_path):
-                    # summary-seek slice (r08 s2): shard boundaries are
-                    # SAMPLED summary entries, whose stored positions are
-                    # Index.db offsets -- each shard streams only ITS index
-                    # byte range instead of re-streaming the whole index
-                    # (the previously-documented duplicated cost; on a
-                    # multi-GB index of a 100 GB sstable that re-read was
-                    # shards x index). The extra entry past the slice end
-                    # bounds the last partition's byte extent.
-                    from cassandra_sstable_tools_spark.sources.lookup import (
-                        _IndexCursor,
-                    )
-                    from cassandra_sstable_tools_spark.sources.summary_db import (
-                        parse_summary_db,
-                    )
-
-                    with open(summary_path, "rb") as sf_:
-                        summ = parse_summary_db(
-                            sf_.read(), source=summary_path
-                        )
-                    ns = len(summ.entries)
-                    idx_size = os.path.getsize(local)
-                    lo_e = int(shard) * ns // n_shards
-                    hi_e = (int(shard) + 1) * ns // n_shards
-                    if lo_e == hi_e:
-                        continue  # fewer sampled entries than shards
-                    start_off = summ.entries[lo_e][1]
-                    end_off = (
-                        summ.entries[hi_e][1] if hi_e < ns else idx_size
-                    )
-                    positions = []
-                    next_pos = None
-                    with open(local, "rb") as idx:
-                        cur = _IndexCursor(
-                            idx, ver, path, start_off,
-                            chunk_bytes=1 << 20, region_end=end_off,
-                        )
-                        while True:
-                            ent = cur.next_entry()
-                            if ent is None:
-                                break
-                            _k, dpos, off = ent
-                            if off >= end_off:
-                                next_pos = dpos
-                                break
-                            if positions and dpos < positions[-1]:
-                                raise ValueError(
-                                    f"corrupt Index.db {path}: data "
-                                    f"position {dpos} decreases at index "
-                                    f"byte {off}"
-                                )
-                            positions.append(dpos)
-                    npos = len(positions)
-                    lo, hi = 0, npos
-                    tail = next_pos  # None -> bounded by data length
-                else:
-                    with open(local, "rb") as idx:
-                        positions = sorted(
-                            pos for _, pos in stream_parse_index_db(
-                                idx, version=ver, source=path
-                            )
-                        )
-                    npos = len(positions)
-                    lo = int(shard) * npos // n_shards
-                    hi = (int(shard) + 1) * npos // n_shards
-                    tail = None
-                dat, data_len = open_data_file(data_path, comp_path, ver)
-                tail_end = data_len if tail is None else tail
-                try:
-                    for i in range(lo, hi):
-                        pos = positions[i]
-                        end = (
-                            positions[i + 1]
-                            if i + 1 < npos
-                            else tail_end
-                        )
-                        if end <= pos:
-                            continue  # zero-extent: offset shared with successor
-                        dat.seek(pos)
-                        block = dat.read(end - pos)
-                        pk, recs = decode_partition_block(
-                            block, header, source=data_path, base=pos
-                        )
-                        for rec in recs:
-                            rows.append((
-                                ks, tb, ss, pk, rec.kind, rec.clustering,
-                                rec.column_name, rec.cell_path,
-                                rec.writetime, rec.ttl,
-                                rec.ldt, rec.is_tombstone, rec.is_expiring,
-                                rec.is_counter, rec.cell_value,
-                                rec.range_start, rec.range_end,
-                                rec.phys_size,
-                            ))
-                finally:
-                    dat.close()
+                rows.extend(
+                    scan_sstable_cell_rows(path, int(shard), n_shards)
+                )
             pdf_out = pd.DataFrame(rows, columns=_COLS)
             for c in ("writetime", "local_deletion_time", "cell_value",
                       "phys_size"):

@@ -1,0 +1,484 @@
+"""Spark-native DataSource packaging of the sstable codec:
+``spark.read.format("cassandra-sstable")`` and ``spark.readStream``.
+
+The reference is a set of five CLI reports over a Cassandra data
+directory (``cli/Driver.java``); its data access happens through
+``ISSTableScanner`` inside one JVM. This module packages the SAME
+cell-grain stream (`cassandra/DataReader.java:46-123` semantics, decoded
+by ``sources/data_cells.py``) as a first-class Spark V2 data source via
+the public PySpark 4 Python DataSource API, so the engine's read path
+composes with plain ``spark.read`` / ``spark.readStream`` instead of
+needing our query helpers:
+
+    spark.dataSource.register(CassandraSSTableDataSource)
+    df = (spark.read.format("cassandra-sstable")
+          .option("shards_per_sstable", 2)
+          .load("/var/lib/cassandra/data"))
+
+Batch semantics are IDENTICAL to ``data_cells(spark, root)`` (one row per
+decoded cell/marker, the 18-column DATA_CELLS_SCHEMA); the planning
+differences are where the Spark-first value is:
+
+- **Splits**: one input partition per (sstable, shard). Shards use the
+  same summary-seek contiguous position ranges as ``data_cells`` -- a
+  single 100 GB sstable splits into independent tasks without re-reading
+  index bytes.
+- **Filter pushdown** (``option("pushdown", "true")`` + the session conf
+  ``spark.sql.python.filterPushdown.enabled=true`` -- Spark refuses a
+  pushdown reader without the conf, so it is opt-in here):
+  * ``keyspace`` / ``table_name`` / ``sstable_id`` equality and IN
+    prune whole sstables at PLANNING time -- excluded files are never
+    opened, the same file-grain skip as the reference's ``-f``.
+  * ``partition_key`` equality / IN switches surviving sstables to the
+    POINT-READ path (``sources/lookup.py``: bloom -> summary -> one
+    index window -> one data block), with a driver-side Filter.db
+    pre-prune: a bloom-negative sstable contributes NO task at all.
+    Key literals are rendered strings; each sstable re-verifies the
+    encoding against its own key validator and falls back to a full
+    scan when the literal cannot be faithfully inverted (e.g. an
+    exotic validator) -- pruning never drops a row Spark expects.
+  All filters are returned to Spark as unhandled, so Spark re-applies
+  them exactly: pushdown here is pruning-only and cannot change results.
+- **Streaming**: ``spark.readStream.format("cassandra-sstable")`` tails
+  a LIVE data directory for newly flushed/compacted sstables. Offsets
+  are per-table generation watermarks ({"ks/tb": watermark}), bounded
+  by table count, not file count: integer generations (classic
+  ``<ver>-<gen>-big``) order numerically, 4.1+ ULID-style ids order
+  lexicographically -- both monotonic per flush by construction. An
+  sstable becomes visible once the components decoding needs exist
+  (Data.db + Index.db + Statistics.db; Cassandra finalizes a flush by
+  atomic rename, so partially-written components never match). An
+  sstable arriving with a generation at-or-below its table's committed
+  watermark (out-of-band ``nodetool refresh`` of historical files) is
+  NOT replayed -- documented limitation; restart the stream with
+  ``startingOffsets=earliest`` to pick those up.
+
+100 TB notes: planning state is one dict per sstable (path + names --
+listing-scale, same as any file source); decode state per task is one
+partition block + the shard's position array (``data_cells`` bounds);
+the stream's offset dict is O(tables). Rows cross the Python<->JVM
+boundary through the DataSource API's Arrow batching.
+
+No counterpart exists in the reference to cite beyond the scanner
+semantics above; this module is additive Spark-native surface.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+FORMAT_NAME = "cassandra-sstable"
+
+_PRUNE_COLS = ("keyspace", "table_name", "sstable_id")
+
+
+def _walk_index_files(root: str) -> list[str]:
+    """All live *-Index.db paths under a Cassandra data directory --
+    driver-side plain listing (planning runs on the driver; the root is
+    POSIX-visible by the same contract as ``data_cells``). Excludes
+    ``snapshots/`` and ``backups/`` subtrees exactly like
+    ``sstable_binary._filter_files`` (r07 ADVICE #2: recursive listings
+    would double-count snapshot hardlinks)."""
+    if root.startswith("file:"):
+        root = root[5:]
+        while root.startswith("//"):
+            root = root[1:]
+    if not root.startswith("/"):
+        raise ValueError(
+            f"cassandra-sstable needs a POSIX-visible root; got {root!r}"
+        )
+    if not os.path.isdir(root):
+        raise ValueError(f"cassandra-sstable root is not a directory: {root}")
+    out: list[str] = []
+    for dirpath, dirnames, names in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if d not in ("snapshots", "backups")
+        ]
+        for n in names:
+            if n.endswith("-Index.db"):
+                out.append(os.path.join(dirpath, n))
+    return sorted(out)
+
+
+def list_sstables(root: str, filenames=None) -> list[dict]:
+    """Live sstables under ``root`` as planning rows:
+    {path, keyspace, table_name, sstable_id, version}. ``filenames``
+    carries the reference's ``-f`` semantics (a set of Data.db basenames,
+    `cli/PartitionSizeStatisticsCollector.java:35-59`): pruning happens
+    HERE, before any file opens."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        _parse_filename,
+    )
+
+    wanted = set(filenames) if filenames else None
+    rows = []
+    for p in _walk_index_files(root):
+        ks, tb, ss, ver = _parse_filename(p)
+        if wanted is not None:
+            data_name = os.path.basename(p)[: -len("Index.db")] + "Data.db"
+            if data_name not in wanted:
+                continue
+        rows.append(
+            {
+                "path": p,
+                "keyspace": ks,
+                "table_name": tb,
+                "sstable_id": ss,
+                "version": ver,
+            }
+        )
+    return rows
+
+
+@dataclass
+class SSTablePartition(InputPartition):
+    """One task's work: a full (shard of an) sstable scan, or -- when
+    ``keys`` is set -- a bloom-gated point read of just those keys.
+    ``keys`` holds (display, candidate key bytes) pairs; a display may
+    carry several byte candidates when the literal is encoding-ambiguous
+    (a text key that LOOKS like a 0x-hex render)."""
+
+    path: str
+    shard: int = 0
+    n_shards: int = 1
+    keys: tuple | None = None
+
+
+def _decode_visible(index_local: str) -> bool:
+    """The data_cells decodability rule: Data.db + Statistics.db present
+    next to the Index.db."""
+    base = index_local[: -len("Index.db")]
+    return os.path.exists(base + "Data.db") and os.path.exists(
+        base + "Statistics.db"
+    )
+
+
+def _key_candidates(literal: str, key_type: str | None) -> list[bytes]:
+    """Candidate key-byte encodings for a rendered partition_key literal.
+    With an explicit key_type the inverse is exact (key_encoder). The
+    default render is UTF-8-or-0x-hex: a literal that parses as a 0x-hex
+    render could ALSO be a text key that happens to look like one, so
+    both candidates are probed -- the read path verifies each hit against
+    the sstable's own validator rendering, so a spurious candidate can
+    only cost a probe, never a wrong row."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        key_encoder,
+    )
+
+    if key_type:
+        return [key_encoder(key_type)(literal)]
+    cands = [literal.encode("utf-8")]
+    if literal.startswith("0x") and len(literal) % 2 == 0:
+        try:
+            cands.append(bytes.fromhex(literal[2:]))
+        except ValueError:
+            pass
+    return cands
+
+
+class SSTableCellReader(DataSourceReader):
+    """Batch reader: one InputPartition per (sstable, shard); rows are
+    the 18-column cell-grain records of ``data_cells``."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError(
+                "cassandra-sstable needs a path: .load('/data/dir')"
+            )
+        files_opt = options.get("files")
+        self.filenames = (
+            [f.strip() for f in files_opt.split(",") if f.strip()]
+            if files_opt
+            else None
+        )
+        self.n_shards = int(options.get("shards_per_sstable", "1"))
+        if self.n_shards < 1:
+            raise ValueError("shards_per_sstable must be >= 1")
+        self.key_type = options.get("key_type")
+        # set by pushFilters (pushdown subclass only)
+        self._allowed: dict[str, set] = {}
+        self._key_literals: set[str] | None = None
+        self._prunable = False  # planning contradiction -> zero partitions
+
+    # -- planning ---------------------------------------------------------
+
+    def _listing(self) -> list[dict]:
+        rows = list_sstables(self.root, self.filenames)
+        for col, allowed in self._allowed.items():
+            rows = [r for r in rows if r[col] in allowed]
+        return rows
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if self._prunable:
+            return [SSTablePartition(path="", keys=())]
+        rows = self._listing()
+        if self._key_literals is not None:
+            return self._point_read_partitions(rows)
+        return [
+            SSTablePartition(path=r["path"], shard=s, n_shards=self.n_shards)
+            for r in rows
+            for s in range(self.n_shards)
+        ] or [SSTablePartition(path="", keys=())]
+
+    def _point_read_partitions(self, rows: list[dict]) -> list[InputPartition]:
+        """Point-read planning: bloom-probe every candidate key against
+        each sstable's Filter.db DRIVER-side (a bloom filter is KB-scale;
+        reading it here means a bloom-negative sstable contributes no
+        task). Sstables without a filter stay in with all keys."""
+        from cassandra_sstable_tools_spark.sources.bloom import (
+            might_contain_batch,
+            parse_filter_db,
+        )
+
+        targets: list[tuple[str, bytes]] = []
+        for lit in sorted(self._key_literals or ()):
+            for kb in _key_candidates(lit, self.key_type):
+                targets.append((lit, kb))
+        parts: list[InputPartition] = []
+        for r in rows:
+            if not _decode_visible(r["path"]):
+                continue
+            fpath = r["path"][: -len("Index.db")] + "Filter.db"
+            keep = targets
+            if targets and os.path.exists(fpath):
+                with open(fpath, "rb") as f:
+                    filt = parse_filter_db(f.read(), source=fpath)
+                passes = might_contain_batch(filt, [kb for _, kb in targets])
+                keep = [t for t, ok in zip(targets, passes) if ok]
+            if keep:
+                parts.append(
+                    SSTablePartition(path=r["path"], keys=tuple(keep))
+                )
+        return parts or [SSTablePartition(path="", keys=())]
+
+    # -- execution --------------------------------------------------------
+
+    def read(self, partition: SSTablePartition) -> Iterator[tuple]:
+        if not partition.path:
+            return iter(())
+        if partition.keys is not None:
+            return self._read_point(partition)
+        from cassandra_sstable_tools_spark.sources.data_cells import (
+            scan_sstable_cell_rows,
+        )
+
+        return iter(
+            scan_sstable_cell_rows(
+                partition.path, partition.shard, partition.n_shards
+            )
+        )
+
+    def _read_point(self, partition: SSTablePartition) -> Iterator[tuple]:
+        """Bloom -> summary -> index-window -> data-block reads for the
+        pushed keys, through the same ``_lookup_in_sstable`` the lookup
+        CLI certifies. Safety valve: a literal whose candidate bytes do
+        NOT render back to the literal under this sstable's own key
+        validator cannot be probed faithfully -- that sstable falls back
+        to a full scan (Spark re-applies the equality afterwards, so the
+        fallback is correctness-neutral, just slower)."""
+        from cassandra_sstable_tools_spark.sources.data_cells import (
+            scan_sstable_cell_rows,
+        )
+        from cassandra_sstable_tools_spark.sources.lookup import (
+            _lookup_in_sstable,
+            _sstable_ctx,
+        )
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            _parse_filename,
+            render_typed,
+        )
+
+        ks, tb, ss, ver = _parse_filename(partition.path)
+        ctx = _sstable_ctx(partition.path, ver)
+        if ctx is None:
+            return
+        key_type = ctx["header"].key_type
+        faithful: list[tuple[str, bytes]] = []
+        for lit, kb in partition.keys:
+            if render_typed(kb, key_type) != lit:
+                # the literal cannot be inverted for THIS validator:
+                # full-scan this sstable instead of silently missing rows
+                yield from scan_sstable_cell_rows(partition.path)
+                return
+            faithful.append((lit, kb))
+        if not faithful:
+            return
+        got = _lookup_in_sstable(partition.path, partition.path, ver, faithful)
+        if got is None:
+            return
+        _audits, records = got
+        for rec in records:
+            yield (ks, tb, ss) + rec
+
+
+class SSTableCellPushdownReader(SSTableCellReader):
+    """The pushdown-enabled reader. Kept as a SUBCLASS because Spark
+    refuses any reader that overrides pushFilters while
+    ``spark.sql.python.filterPushdown.enabled`` is false (a loud
+    DATA_SOURCE_PUSHDOWN_DISABLED, pyspark worker
+    plan_data_source_read.py) -- so pushdown is an explicit
+    ``option("pushdown", "true")`` + conf pair, and the default reader
+    stays usable in any session."""
+
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        key_sets: list[set[str]] = []
+        for f in filters:
+            attr = tuple(f.attribute)
+            if len(attr) != 1:
+                continue
+            (col,) = attr
+            if isinstance(f, EqualTo):
+                vals = {f.value} if f.value is not None else None
+            elif isinstance(f, In):
+                vals = {v for v in f.value if v is not None}
+            else:
+                continue
+            if vals is None:
+                continue
+            if col in _PRUNE_COLS:
+                prev = self._allowed.get(col)
+                self._allowed[col] = (
+                    vals if prev is None else (prev & vals)
+                )
+                if not self._allowed[col]:
+                    self._prunable = True
+            elif col == "partition_key":
+                key_sets.append({v for v in vals if isinstance(v, str)})
+        if key_sets:
+            inter = set.intersection(*key_sets)
+            self._key_literals = inter
+            if not inter:
+                self._prunable = True
+        # pruning-only pushdown: Spark re-applies EVERY filter, so the
+        # planner can be aggressive without owning row-level semantics
+        return filters
+
+
+def _gen_key(sstable_id: str) -> str:
+    """Watermark-sortable encoding of an sstable generation: classic
+    integer generations order numerically ('i' + 20 digits), 4.1+
+    ULID-style string ids order lexicographically ('s' + id). 'i' < 's'
+    keeps a table that migrated from int gens to ULIDs moving forward."""
+    try:
+        return "i%020d" % int(sstable_id)
+    except ValueError:
+        return "s" + sstable_id
+
+
+class SSTableStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over a LIVE Cassandra data directory: each
+    batch decodes the sstables that appeared since the last committed
+    per-table generation watermark. Executor-side reads (this is the
+    full DataSourceStreamReader, not the driver-reading Simple variant);
+    one task per new sstable."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError(
+                "cassandra-sstable stream needs a path: .load('/data/dir')"
+            )
+        start = options.get("startingOffsets", "earliest").lower()
+        if start not in ("earliest", "latest"):
+            raise ValueError(
+                f"startingOffsets must be earliest|latest, got {start!r}"
+            )
+        self._start_latest = start == "latest"
+
+    def _watermarks(self) -> dict[str, str]:
+        wm: dict[str, str] = {}
+        for r in list_sstables(self.root):
+            if not _decode_visible(r["path"]):
+                continue
+            t = f"{r['keyspace']}/{r['table_name']}"
+            g = _gen_key(r["sstable_id"])
+            if g > wm.get(t, ""):
+                wm[t] = g
+        return wm
+
+    def initialOffset(self) -> dict:
+        return {"w": self._watermarks() if self._start_latest else {}}
+
+    def latestOffset(self) -> dict:
+        return {"w": self._watermarks()}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        lo = start.get("w", {})
+        hi = end.get("w", {})
+        parts = []
+        for r in list_sstables(self.root):
+            if not _decode_visible(r["path"]):
+                continue
+            t = f"{r['keyspace']}/{r['table_name']}"
+            g = _gen_key(r["sstable_id"])
+            if lo.get(t, "") < g <= hi.get(t, ""):
+                parts.append(SSTablePartition(path=r["path"]))
+        # Spark requires >= 1 partition per batch; an empty batch reads none
+        return parts or [SSTablePartition(path="", keys=())]
+
+    def read(self, partition: SSTablePartition) -> Iterator[tuple]:
+        if not partition.path:
+            return iter(())
+        from cassandra_sstable_tools_spark.sources.data_cells import (
+            scan_sstable_cell_rows,
+        )
+
+        return iter(scan_sstable_cell_rows(partition.path))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class CassandraSSTableDataSource(DataSource):
+    """``spark.read.format("cassandra-sstable")`` — the engine's codec as
+    a first-class Spark source. Options:
+
+    - ``files``: comma-separated Data.db basenames (the reference's -f)
+    - ``shards_per_sstable``: split each sstable into N contiguous-range
+      tasks (summary-seek slices; default 1)
+    - ``pushdown``: 'true' enables planning-time filter pushdown (needs
+      session conf spark.sql.python.filterPushdown.enabled=true)
+    - ``key_type``: typed partition_key literal encoding for pushdown
+      point reads (long/int/uuid/timeuuid/composite(...); default
+      UTF-8-or-0x-hex)
+    - ``startingOffsets`` (stream): earliest (default) | latest
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        from cassandra_sstable_tools_spark.sources.data_cells import (
+            DATA_CELLS_SCHEMA,
+        )
+
+        return DATA_CELLS_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return SSTableCellPushdownReader(self.options)
+        return SSTableCellReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return SSTableStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration for a session."""
+    spark.dataSource.register(CassandraSSTableDataSource)

@@ -1,0 +1,436 @@
+"""The Python DataSource packaging (sources/pyds.py): batch reads equal
+``data_cells`` bit-for-bit, pushdown prunes at PLANNING time without ever
+changing results, and the stream tails a live directory exactly once per
+sstable across restarts."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from cassandra_sstable_tools_spark.sources.data_cells import data_cells
+from cassandra_sstable_tools_spark.sources.pyds import (
+    CassandraSSTableDataSource,
+    SSTableCellPushdownReader,
+    SSTableCellReader,
+    _gen_key,
+    list_sstables,
+    register,
+)
+from cassandra_sstable_tools_spark.sources.sstable_binary import (
+    materialize_index_files,
+)
+
+from tests.test_lookup import _plant_sstable
+
+
+@pytest.fixture(scope="module")
+def cass_root(spark, sf_dir):
+    return materialize_index_files(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register(spark)
+    return spark
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def _read(spark, root, **opts):
+    r = spark.read.format("cassandra-sstable")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(root)
+
+
+# -- batch ---------------------------------------------------------------
+
+
+def test_batch_read_equals_data_cells(registered, cass_root):
+    got = _norm(_read(registered, cass_root).toPandas())
+    exp = _norm(data_cells(registered, cass_root).toPandas())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sharded_read_is_shard_invariant(registered, cass_root):
+    got = _norm(
+        _read(registered, cass_root, shards_per_sstable="3").toPandas()
+    )
+    exp = _norm(data_cells(registered, cass_root).toPandas())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_files_option_matches_minus_f_semantics(registered, cass_root):
+    one = os.path.basename(
+        sorted(glob.glob(f"{cass_root}/*/*/*-Data.db"))[0]
+    )
+    got = _norm(_read(registered, cass_root, files=one).toPandas())
+    exp = _norm(data_cells(registered, cass_root, filenames=[one]).toPandas())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bad_roots_are_loud(registered, tmp_path):
+    with pytest.raises(Exception, match="not a directory"):
+        SSTableCellReader({"path": str(tmp_path / "nope")}).partitions()
+    with pytest.raises(Exception, match="POSIX-visible"):
+        SSTableCellReader({"path": "s3://bucket/x"}).partitions()
+    with pytest.raises(Exception, match="needs a path"):
+        SSTableCellReader({})
+    with pytest.raises(Exception, match="shards_per_sstable"):
+        SSTableCellReader({"path": str(tmp_path), "shards_per_sstable": "0"})
+
+
+def test_snapshots_and_backups_excluded(registered, cass_root, tmp_path):
+    root = str(tmp_path / "tree")
+    src = list_sstables(cass_root)[0]
+    ks, tb = src["keyspace"], src["table_name"]
+    base = src["path"][: -len("Index.db")]
+    live = f"{root}/{ks}/{tb}"
+    snap = f"{root}/{ks}/{tb}/snapshots/tag1"
+    os.makedirs(live)
+    os.makedirs(snap)
+    for comp in glob.glob(base + "*"):
+        shutil.copy(comp, live)
+        shutil.copy(comp, snap)  # would double-count if listed
+    rows = list_sstables(root)
+    assert len(rows) == 1 and "/snapshots/" not in rows[0]["path"]
+    got = _read(registered, root).count()
+    exp = data_cells(registered, root).count()
+    assert got == exp > 0
+
+
+# -- pushdown planning (driver-side unit surface) ------------------------
+
+
+def test_prune_columns_cut_partitions(cass_root):
+    from pyspark.sql.datasource import EqualTo, In
+
+    all_rows = list_sstables(cass_root)
+    tables = sorted({r["table_name"] for r in all_rows})
+    assert len(tables) >= 2
+    r = SSTableCellPushdownReader({"path": cass_root})
+    returned = r.pushFilters([EqualTo(("table_name",), tables[0])])
+    assert list(returned) != []  # pruning-only: every filter handed back
+    pruned = [p for p in r.partitions() if p.path]
+    assert 0 < len(pruned) < len(all_rows)
+    assert all(f"/{tables[0]}/" in p.path for p in pruned)
+
+    r2 = SSTableCellPushdownReader({"path": cass_root})
+    r2.pushFilters(
+        [In(("table_name",), (tables[0], tables[1])),
+         EqualTo(("table_name",), tables[0])]
+    )
+    assert len([p for p in r2.partitions() if p.path]) == len(pruned)
+
+    # contradictory equalities -> zero real partitions, no file opened
+    r3 = SSTableCellPushdownReader({"path": cass_root})
+    r3.pushFilters(
+        [EqualTo(("table_name",), tables[0]),
+         EqualTo(("table_name",), tables[1])]
+    )
+    assert [p for p in r3.partitions() if p.path] == []
+
+
+def test_bloom_prune_drops_absent_key_sstables(registered, cass_root):
+    from pyspark.sql.datasource import EqualTo
+
+    n_sstables = len(list_sstables(cass_root))
+    r = SSTableCellPushdownReader({"path": cass_root})
+    r.pushFilters([EqualTo(("partition_key",), "no_such_key_xyz")])
+    survivors = [p for p in r.partitions() if p.path]
+    # bloom FPs may keep a straggler, but the point-read planning must
+    # beat opening every sstable
+    assert len(survivors) < n_sstables
+    for p in survivors:
+        assert p.keys  # point-read mode, not full scan
+
+
+def test_point_read_results_equal_full_scan_filter(registered, cass_root):
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base = data_cells(registered, cass_root)
+    keys = [
+        r.partition_key
+        for r in base.select("partition_key").distinct().limit(3).collect()
+    ]
+    df = _read(registered, cass_root, pushdown="true")
+    got = _norm(df.where(df.partition_key == keys[0]).toPandas())
+    exp = _norm(base.where(base.partition_key == keys[0]).toPandas())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+    got_in = _norm(df.where(df.partition_key.isin(keys)).toPandas())
+    exp_in = _norm(base.where(base.partition_key.isin(keys)).toPandas())
+    pd.testing.assert_frame_equal(got_in, exp_in)
+
+    assert df.where(df.partition_key == "no_such_key_xyz").count() == 0
+    # composed with a prune column
+    got_c = _norm(
+        df.where(
+            (df.partition_key == keys[0]) & (df.keyspace == "ks1")
+        ).toPandas()
+    )
+    exp_c = _norm(
+        base.where(
+            (base.partition_key == keys[0]) & (base.keyspace == "ks1")
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got_c, exp_c)
+
+
+def test_pushdown_option_without_conf_is_loud(registered, cass_root):
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="filterPushdown"):
+            _read(registered, cass_root, pushdown="true").collect()
+        # the default reader keeps working in the same session
+        assert _read(registered, cass_root).count() > 0
+    finally:
+        registered.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
+
+
+def test_hex_looking_literal_probes_both_encodings(registered, spark,
+                                                   tmp_path):
+    """A key whose DISPLAY is a 0x-hex render: the literal is
+    encoding-ambiguous (raw bytes vs a text key that looks like hex), so
+    planning probes both candidates; the sstable's own validator
+    rendering keeps only the faithful one."""
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    part = "org.apache.cassandra.dht.ByteOrderedPartitioner"
+    keys = [bytes([1, i]) for i in range(8)]  # control bytes -> hex render
+    _plant_sstable(tmp_path, part, keys=keys, deleted_key=keys[2])
+    root = str(tmp_path)
+    base = data_cells(registered, root)
+    lit = "0x0102"  # keys[2]'s render
+    df = _read(registered, root, pushdown="true")
+    got = _norm(df.where(df.partition_key == lit).toPandas())
+    exp = _norm(base.where(base.partition_key == lit).toPandas())
+    assert list(got["kind"]) == ["PARTITION_DELETE"]
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_unfaithful_key_type_falls_back_to_scan(registered, tmp_path):
+    """option('key_type','long') against a UTF8-validated sstable: the
+    8-byte encoding cannot render back to '302' under the sstable's own
+    validator, so the partition falls back to a FULL scan and Spark's
+    re-applied equality yields the same (empty) result the data_cells
+    frame gives -- pruning never invents or drops rows."""
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    part = "org.apache.cassandra.dht.ByteOrderedPartitioner"
+    _plant_sstable(tmp_path, part)  # UTF8-rendered text keys k00..k11
+    root = str(tmp_path)
+    df = _read(registered, root, pushdown="true", key_type="long")
+    base = data_cells(registered, root)
+    assert (
+        df.where(df.partition_key == "302").count()
+        == base.where(base.partition_key == "302").count()
+        == 0
+    )
+    # and an unfiltered read through the same reader still decodes all
+    assert df.count() == base.count() > 0
+
+
+def test_typed_point_read_through_header_validator(registered, tmp_path):
+    """A LongType-validated sstable renders keys numerically; a typed
+    point read (option key_type=long) must hit through the bloom ->
+    summary -> index-window path with the 8-byte encoding."""
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        SerializationHeaderInfo,
+        SSTableStats,
+        encode_statistics_db,
+    )
+
+    part = "org.apache.cassandra.dht.ByteOrderedPartitioner"
+    keys = [(300 + i).to_bytes(8, "big", signed=True) for i in range(12)]
+    _plant_sstable(tmp_path, part, keys=keys, deleted_key=keys[2])
+    # re-declare the key validator as LongType in the sstable's own header
+    stats_path = glob.glob(f"{tmp_path}/*/*/*-Statistics.db")[0]
+    with open(stats_path, "wb") as f:
+        f.write(
+            encode_statistics_db(
+                SSTableStats(partitioner=part, min_timestamp=1),
+                version="nb",
+                header=SerializationHeaderInfo(
+                    key_type="org.apache.cassandra.db.marshal.LongType"
+                ),
+            )
+        )
+    root = str(tmp_path)
+    base = data_cells(registered, root)
+    assert "302" in {
+        r.partition_key for r in base.select("partition_key").collect()
+    }
+    df = _read(registered, root, pushdown="true", key_type="long")
+    got = df.where(df.partition_key == "302").toPandas()
+    assert list(got["kind"]) == ["PARTITION_DELETE"]
+    assert df.where(df.partition_key == "999").count() == 0
+
+
+# -- stream --------------------------------------------------------------
+
+
+def _copy_gen(src_table_dir: str, dst_table_dir: str, gen: str) -> None:
+    for c in glob.glob(f"{src_table_dir}/*-{gen}-big-*"):
+        shutil.copy(c, dst_table_dir)
+
+
+def test_gen_key_orders_int_and_ulid_generations():
+    assert _gen_key("9") < _gen_key("10")  # numeric, not lexical
+    assert _gen_key("2") < _gen_key("0010")
+    # ULID-style ids are lexicographically time-ordered
+    assert _gen_key("3fw2apox5kkbv1h0p3") < _gen_key("3fw2apoz0000000000")
+    # migration int -> ULID keeps moving forward
+    assert _gen_key("99999") < _gen_key("3fw2apox5kkbv1h0p3")
+
+
+def test_stream_tails_new_sstables_exactly_once(
+    registered, cass_root, tmp_path
+):
+    src = sorted(glob.glob(f"{cass_root}/*/*"))[0]
+    ks, tb = src.split("/")[-2:]
+    live = str(tmp_path / "live")
+    tdir = f"{live}/{ks}/{tb}"
+    os.makedirs(tdir)
+    gens = sorted(
+        {os.path.basename(c).split("-")[1] for c in glob.glob(f"{src}/*")}
+    )
+    assert len(gens) >= 2
+    _copy_gen(src, tdir, gens[0])
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        registered.readStream.format("cassandra-sstable").load(live)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = registered.read.parquet(out).count()
+        exp1 = data_cells(registered, live).count()
+        assert n1 == exp1 > 0
+        _copy_gen(src, tdir, gens[1])
+        q.processAllAvailable()
+        n2 = registered.read.parquet(out).count()
+        exp2 = data_cells(registered, live).count()
+        assert n2 == exp2 > n1
+    finally:
+        q.stop()
+
+    # restart from the checkpoint: nothing replays (exactly-once over
+    # the committed watermark), new arrivals still flow
+    q2 = (
+        registered.readStream.format("cassandra-sstable").load(live)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        assert registered.read.parquet(out).count() == n2
+        _copy_gen(src, tdir, gens[2])
+        q2.processAllAvailable()
+        assert (
+            registered.read.parquet(out).count()
+            == data_cells(registered, live).count()
+        )
+    finally:
+        q2.stop()
+
+
+def test_stream_starting_offsets_latest_skips_existing(
+    registered, cass_root, tmp_path
+):
+    src = sorted(glob.glob(f"{cass_root}/*/*"))[0]
+    ks, tb = src.split("/")[-2:]
+    live = str(tmp_path / "live")
+    tdir = f"{live}/{ks}/{tb}"
+    os.makedirs(tdir)
+    gens = sorted(
+        {os.path.basename(c).split("-")[1] for c in glob.glob(f"{src}/*")}
+    )
+    _copy_gen(src, tdir, gens[0])
+    out = str(tmp_path / "out")
+    q = (
+        registered.readStream.format("cassandra-sstable")
+        .option("startingOffsets", "latest")
+        .load(live)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = registered.read.parquet(out).count()
+        assert n1 == 0  # pre-existing sstable skipped
+        _copy_gen(src, tdir, gens[1])
+        q.processAllAvailable()
+        only_new = data_cells(
+            registered, live,
+        ).where(f"sstable_id = '{gens[1]}'").count()
+        assert registered.read.parquet(out).count() == only_new > 0
+    finally:
+        q.stop()
+
+
+def test_stream_ignores_incomplete_flushes(registered, cass_root, tmp_path):
+    """An sstable missing the components decode needs (here
+    Statistics.db) stays INVISIBLE to the stream; once the component
+    lands, the sstable flows through the next batch."""
+    src = sorted(glob.glob(f"{cass_root}/*/*"))[0]
+    ks, tb = src.split("/")[-2:]
+    live = str(tmp_path / "live")
+    tdir = f"{live}/{ks}/{tb}"
+    os.makedirs(tdir)
+    gens = sorted(
+        {os.path.basename(c).split("-")[1] for c in glob.glob(f"{src}/*")}
+    )
+    for c in glob.glob(f"{src}/*-{gens[0]}-big-*"):
+        if not c.endswith("Statistics.db"):
+            shutil.copy(c, tdir)
+    out = str(tmp_path / "out")
+    q = (
+        registered.readStream.format("cassandra-sstable").load(live)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert registered.read.parquet(out).count() == 0
+        shutil.copy(f"{src}/" + os.path.basename(glob.glob(
+            f"{src}/*-{gens[0]}-big-Statistics.db")[0]), tdir)
+        q.processAllAvailable()
+        assert (
+            registered.read.parquet(out).count()
+            == data_cells(registered, live).count()
+            > 0
+        )
+    finally:
+        q.stop()
+
+
+def test_format_registration_and_schema(registered):
+    assert CassandraSSTableDataSource.name() == "cassandra-sstable"
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        DATA_CELLS_SCHEMA,
+    )
+
+    assert CassandraSSTableDataSource(
+        {"path": "/tmp"}
+    ).schema() == DATA_CELLS_SCHEMA
