@@ -478,6 +478,13 @@ class CassandraSSTableDataSource(DataSource):
     def streamReader(self, schema) -> DataSourceStreamReader:
         return SSTableStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        from cassandra_sstable_tools_spark.sources.pyds_writer import (
+            SSTableWriter,
+        )
+
+        return SSTableWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent format registration for a session."""

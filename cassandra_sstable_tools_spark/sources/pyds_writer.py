@@ -1,0 +1,458 @@
+"""The sstable SINK: ``df.write.format("cassandra-sstable")``.
+
+Completes the source/sink story the reference never had (it is read-only
+tooling over files Cassandra wrote): a cell-grain DataFrame -- the same
+18-column frame ``data_cells`` decodes, minus/plus the identity columns
+-- writes back out as REAL big-format sstables, one per Spark partition,
+with the full healthy component set (Data/Index/Summary/Filter/CRC/
+Digest/TOC/Statistics). The written tree reads back through every
+directory-mode query of this engine, and ``data_cells(written) ==
+input`` is pinned by a round-trip differential.
+
+Scope = the cell codec's encodable domain (``data_cells.py`` header
+notes): LongType cell values carried in ``cell_value``, UTF8 clustering,
+non-frozen map columns via ``cell_path``, counter columns named
+``*_ctr`` (the codec's naming convention for counter-ness), markers /
+row / partition deletions. Encodability is per-record LOUD: a row
+outside the domain names itself and its field, nothing writes garbage.
+
+Layout decisions (all mirror what a healthy Cassandra 3/4 directory
+looks like to this engine's own readers):
+
+- **One sstable per Spark partition** under ``<root>/<keyspace>/
+  <table>/``; the caller sizes sstables by sizing partitions
+  (``df.repartitionByRange(N, "partition_key")`` gives N sstables with
+  disjoint sorted key ranges -- the natural 100 TB layout). Empty
+  partitions write nothing.
+- **ByteOrderedPartitioner declared** in Statistics.db and partition
+  blocks written in key-byte order -- the order the files actually
+  follow, so point reads, range scans and the summary floor all work
+  against written trees. (Murmur3 order would scatter rendered keys.)
+- **Generation ids** are ``<run-base><partition-id>`` (run-base random
+  per write job): unique within a directory across repeated appends,
+  watermark-monotonic enough for the streaming reader only in the
+  lexicographic sense -- a stream tailing a directory written by THIS
+  sink should use startingOffsets=earliest (documented).
+- **Statistics.db writes LAST**: this engine's readers (and the
+  streaming source's visibility rule) require Data+Index+Statistics,
+  so a crashed task leaves an invisible partial sstable, never a
+  half-readable one. abort() additionally deletes what finished tasks
+  wrote.
+- **Append-only**: mode("overwrite") is refused loudly -- a Cassandra
+  data directory is never clobbered wholesale by tooling.
+
+100 TB notes: each task holds ONE sstable's records in memory (the
+caller's partition sizing bounds it -- same contract as any
+sort-within-partition file sink); components stream to disk;
+nothing aggregates on the driver beyond task commit messages
+(O(partitions) paths).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+import zlib
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+_BIG_VERSION = "nb"
+# TOC content: every component this writer emits, sorted -- the same
+# "sorted(existing) + TOC.txt" list the fixture materializer writes
+# (TOC.txt sorts last anyway), so toc_check passes on written trees
+_ALL_COMPONENTS = sorted([
+    "CRC.db", "Data.db", "Digest.crc32", "Filter.db", "Index.db",
+    "Statistics.db", "Summary.db", "TOC.txt",
+])
+
+_KEY_TYPE_MARSHAL = {
+    None: "org.apache.cassandra.db.marshal.UTF8Type",
+    "": "org.apache.cassandra.db.marshal.UTF8Type",
+    "string": "org.apache.cassandra.db.marshal.UTF8Type",
+    "text": "org.apache.cassandra.db.marshal.UTF8Type",
+    "utf8": "org.apache.cassandra.db.marshal.UTF8Type",
+    "hex": "org.apache.cassandra.db.marshal.BytesType",
+    "long": "org.apache.cassandra.db.marshal.LongType",
+    "bigint": "org.apache.cassandra.db.marshal.LongType",
+    "int": "org.apache.cassandra.db.marshal.Int32Type",
+    "uuid": "org.apache.cassandra.db.marshal.UUIDType",
+    "timeuuid": "org.apache.cassandra.db.marshal.TimeUUIDType",
+}
+
+
+def _key_bytes(display: str, key_type: str | None) -> bytes:
+    """Inverse of the frame's partition_key rendering. Default render is
+    UTF-8-or-0x-hex, so a 0x literal decodes as hex; typed displays go
+    through key_encoder. The caller re-renders and compares, so a
+    mis-inverted key fails LOUD instead of writing a key that reads back
+    differently."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        key_encoder,
+    )
+
+    if key_type in (None, "", "string", "text", "utf8"):
+        if display.startswith("0x") and len(display) % 2 == 0:
+            try:
+                return bytes.fromhex(display[2:])
+            except ValueError:
+                pass
+        return display.encode("utf-8")
+    return key_encoder(key_type)(display)
+
+
+_REQUIRED_COLS = {
+    "partition_key", "kind", "clustering", "column_name", "cell_path",
+    "writetime", "ttl", "local_deletion_time", "is_tombstone",
+    "is_expiring", "is_counter", "cell_value", "range_start", "range_end",
+}
+
+
+@dataclass
+class SSTableWriteMessage(WriterCommitMessage):
+    paths: list = field(default_factory=list)
+    rows: int = 0
+
+
+def _infer_header(records: list[dict], key_marshal: str):
+    """SerializationHeaderInfo from the task's records: column set and
+    types inferred from the rows (LongType values, CounterColumnType for
+    ``*_ctr`` names, MapType(UTF8,Long) for CellPath-addressed cells),
+    EncodingStats mins over the values each kind actually serializes
+    (every delta must be non-negative -- the fixture payload rule)."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        COUNTER_TYPE,
+        LONG_TYPE,
+        MAP_UTF8_LONG_TYPE,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        ENC_DELETION_TIME_EPOCH,
+        ENC_TIMESTAMP_EPOCH,
+        SerializationHeaderInfo,
+    )
+
+    statics: dict[str, str] = {}
+    regulars: dict[str, str] = {}
+    min_ts = min_ldt = min_ttl = None
+    for rec in records:
+        kind = rec["kind"]
+        if kind == "STATIC_CELL":
+            t = COUNTER_TYPE if rec["is_counter"] else LONG_TYPE
+            prev = statics.setdefault(rec["cell_name"], t)
+            if prev != t:
+                raise ValueError(
+                    f"static column {rec['cell_name']!r} inferred as both "
+                    f"{prev} and {t}"
+                )
+        elif kind in ("CELL", "COMPLEX_DELETE"):
+            if rec["is_counter"]:
+                name, t = rec["cell_name"] + "_ctr", COUNTER_TYPE
+            elif rec.get("cell_path") is not None or kind == "COMPLEX_DELETE":
+                name, t = rec["cell_name"], MAP_UTF8_LONG_TYPE
+            else:
+                name, t = rec["cell_name"], LONG_TYPE
+            prev = regulars.setdefault(name, t)
+            if prev != t:
+                raise ValueError(
+                    f"column {name!r} inferred as both {prev} and {t} -- "
+                    "a column is either simple, complex or counter"
+                )
+        if kind == "PARTITION_DELETE":
+            continue  # header-carried; not part of EncodingStats
+        wt = rec["writetime"]
+        if wt is not None:
+            min_ts = wt if min_ts is None else min(min_ts, wt)
+        serializes_ldt = kind in (
+            "ROW_DELETE", "RANGE_TOMBSTONE_MARKER", "COMPLEX_DELETE"
+        ) or (
+            kind in ("CELL", "STATIC_CELL")
+            and (bool(rec["is_tombstone"]) or rec["ttl"] is not None)
+        )
+        ldt = rec["local_deletion_time"]
+        if serializes_ldt and ldt is not None:
+            min_ldt = int(ldt) if min_ldt is None else min(min_ldt, int(ldt))
+        if rec["ttl"] is not None:
+            ttl = int(rec["ttl"])
+            min_ttl = ttl if min_ttl is None else min(min_ttl, ttl)
+    return SerializationHeaderInfo(
+        min_timestamp=min_ts if min_ts is not None else ENC_TIMESTAMP_EPOCH,
+        min_local_deletion_time=(
+            min_ldt if min_ldt is not None else ENC_DELETION_TIME_EPOCH
+        ),
+        min_ttl=min_ttl or 0,
+        key_type=key_marshal,
+        clustering_types=["org.apache.cassandra.db.marshal.UTF8Type"],
+        static_columns=sorted(statics.items()),
+        regular_columns=sorted(regulars.items()),
+    )
+
+
+def _row_to_record(row) -> dict:
+    kind = row["kind"]
+    name = row["column_name"]
+    if kind in ("CELL", "STATIC_CELL", "COMPLEX_DELETE"):
+        if name is None:
+            raise ValueError(f"{kind} record without a column_name")
+        if row["is_counter"]:
+            if not name.endswith("_ctr"):
+                raise ValueError(
+                    f"counter column {name!r}: the codec's counter naming "
+                    "convention requires a *_ctr column name"
+                )
+            name = name[: -len("_ctr")]
+    return {
+        "partition_key": row["partition_key"],
+        "clustering": row["clustering"],
+        "kind": kind,
+        "cell_name": name,
+        "cell_size": row["cell_value"],
+        "writetime": row["writetime"],
+        "ttl": row["ttl"],
+        "is_tombstone": row["is_tombstone"],
+        "is_counter": row["is_counter"],
+        "local_deletion_time": row["local_deletion_time"],
+        "range_start": row["range_start"],
+        "range_end": row["range_end"],
+        "cell_path": row["cell_path"],
+    }
+
+
+def write_sstable(
+    rows: list, out_dir: str, sstable_id: str, key_type: str | None = None
+) -> list[str]:
+    """Encode one sstable (all components) from cell-grain rows; returns
+    the written paths. Partition blocks are laid out back-to-back in
+    key-byte order; every component derives from the REAL encoded bytes
+    (positions, summary offsets, bloom membership, CRCs, histograms), so
+    the written sstable is indistinguishable from a planted fixture to
+    every reader in this engine."""
+    from cassandra_sstable_tools_spark.sources.bloom import (
+        FIXTURE_HASH_COUNT,
+        build_filter,
+        encode_filter_db,
+    )
+    from cassandra_sstable_tools_spark.sources.crc_db import encode_crc_db
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        encode_unfiltereds,
+        record_encodable,
+    )
+    from cassandra_sstable_tools_spark.sources.data_db import (
+        LIVE_LDT,
+        LIVE_MFDA,
+        encode_partition_header,
+    )
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        encode_index_db,
+        index_offsets,
+        render_typed,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        SSTableStats,
+        encode_statistics_db,
+    )
+    from cassandra_sstable_tools_spark.sources.summary_db import (
+        FIXTURE_MIN_INDEX_INTERVAL,
+        encode_summary_db,
+    )
+
+    key_marshal = _KEY_TYPE_MARSHAL.get(key_type)
+    if key_marshal is None:
+        raise ValueError(
+            f"unsupported writer key_type {key_type!r}: one of "
+            f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
+        )
+
+    by_key: dict[bytes, dict] = {}
+    for row in rows:
+        rec = _row_to_record(row)
+        try:
+            kb = _key_bytes(rec["partition_key"], key_type)
+        except ValueError as ex:
+            raise ValueError(
+                f"partition_key {rec['partition_key']!r} does not survive "
+                f"the {key_type or 'default'} encoding round-trip ({ex}) "
+                "-- pass the matching key_type option"
+            ) from ex
+        back = render_typed(kb, key_marshal)
+        if back != rec["partition_key"]:
+            raise ValueError(
+                f"partition_key {rec['partition_key']!r} does not survive "
+                f"the {key_type or 'default'} encoding round-trip "
+                f"(re-renders as {back!r}) -- pass the matching key_type "
+                "option"
+            )
+        slot = by_key.setdefault(kb, {"deletion": None, "recs": []})
+        if rec["kind"] == "PARTITION_DELETE":
+            # collapse to the header's single (max ldt, max writetime)
+            ldt, mfda = int(rec["local_deletion_time"]), int(rec["writetime"])
+            prev = slot["deletion"]
+            slot["deletion"] = (
+                (ldt, mfda) if prev is None
+                else (max(prev[0], ldt), max(prev[1], mfda))
+            )
+        else:
+            if not record_encodable(rec):
+                raise ValueError(
+                    f"record not encodable by the cell codec: kind="
+                    f"{rec['kind']} key={rec['partition_key']!r} "
+                    f"column={rec['cell_name']!r} (see data_cells.py "
+                    "record_encodable for the per-kind field rules)"
+                )
+            slot["recs"].append(rec)
+
+    all_recs = [r for s in by_key.values() for r in s["recs"]]
+    header = _infer_header(all_recs, key_marshal)
+
+    entries: list[tuple[bytes, int]] = []
+    blob = bytearray()
+    psize_hist: dict[int, int] = {}
+    ccount_hist: dict[int, int] = {}
+    total_rows = 0
+    total_cells = 0
+    min_cl = max_cl = None
+    ts_lo = ts_hi = None
+    for kb in sorted(by_key):  # ByteOrdered: file order = key-byte order
+        slot = by_key[kb]
+        ldt, mfda = slot["deletion"] or (LIVE_LDT, LIVE_MFDA)
+        body = encode_partition_header(kb, ldt, mfda)
+        body += encode_unfiltereds(slot["recs"], header)
+        entries.append((kb, len(blob)))
+        blob += body
+        psize_hist[len(body)] = psize_hist.get(len(body), 0) + 1
+        ncells = sum(
+            1 for r in slot["recs"] if r["kind"] in ("CELL", "STATIC_CELL")
+        )
+        ccount_hist[ncells] = ccount_hist.get(ncells, 0) + 1
+        total_cells += ncells
+        total_rows += len(
+            {(r["kind"] != "STATIC_CELL", r["clustering"])
+             for r in slot["recs"]}
+        )
+        for r in slot["recs"]:
+            wt = r["writetime"]
+            if wt is not None:
+                ts_lo = wt if ts_lo is None else min(ts_lo, wt)
+                ts_hi = wt if ts_hi is None else max(ts_hi, wt)
+            cl = r["clustering"]
+            if cl is not None:
+                cb = cl.encode("utf-8")
+                min_cl = cb if min_cl is None else min(min_cl, cb)
+                max_cl = cb if max_cl is None else max(max_cl, cb)
+
+    os.makedirs(out_dir, exist_ok=True)
+    prefix = os.path.join(out_dir, f"{_BIG_VERSION}-{sstable_id}-big-")
+    written: list[str] = []
+
+    def _put(component: str, data: bytes) -> None:
+        p = prefix + component
+        with open(p, "wb") as f:
+            f.write(data)
+        written.append(p)
+
+    _put("Data.db", bytes(blob))
+    idx_offs = index_offsets(entries, version=_BIG_VERSION)
+    _put(
+        "Summary.db",
+        encode_summary_db(
+            [(k, o) for (k, _p), o in zip(entries, idx_offs)],
+            min_index_interval=FIXTURE_MIN_INDEX_INTERVAL,
+        ),
+    )
+    _put(
+        "Filter.db",
+        encode_filter_db(
+            build_filter([k for k, _ in entries],
+                         hash_count=FIXTURE_HASH_COUNT)
+        ),
+    )
+    _put("CRC.db", encode_crc_db(prefix + "Data.db"))
+    # ASCII decimal CRC32 of the on-disk Data.db -- the digest_check rule
+    _put(
+        "Digest.crc32",
+        str(zlib.crc32(bytes(blob)) & 0xFFFFFFFF).encode("ascii"),
+    )
+    _put(
+        "TOC.txt",
+        "".join(c + "\n" for c in _ALL_COMPONENTS).encode("ascii"),
+    )
+    _put("Index.db", encode_index_db(entries))
+    stats = SSTableStats(
+        partitioner="org.apache.cassandra.dht.ByteOrderedPartitioner",
+        partition_size_hist=sorted(psize_hist.items()),
+        column_count_hist=sorted(ccount_hist.items()),
+        min_timestamp=ts_lo if ts_lo is not None else 0,
+        max_timestamp=ts_hi if ts_hi is not None else 0,
+        min_clustering=[min_cl] if min_cl is not None else [],
+        max_clustering=[max_cl] if max_cl is not None else [],
+        total_columns_set=total_cells,
+        total_rows=total_rows,
+    )
+    # Statistics.db LAST: its presence is what makes the sstable visible
+    # to this engine's readers and the streaming source
+    _put(
+        "Statistics.db",
+        encode_statistics_db(stats, version=_BIG_VERSION, header=header),
+    )
+    return written
+
+
+class SSTableWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "cassandra-sstable sink is append-only: a Cassandra data "
+                "directory is never clobbered wholesale; use mode('append')"
+            )
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError(
+                "cassandra-sstable sink needs a path: .save('/data/dir')"
+            )
+        self.keyspace = options.get("keyspace")
+        self.table = options.get("table")
+        if not self.keyspace or not self.table:
+            raise ValueError(
+                "cassandra-sstable sink needs option('keyspace', ...) and "
+                "option('table', ...)"
+            )
+        for ident in (self.keyspace, self.table):
+            if "/" in ident or "-" in ident:
+                raise ValueError(
+                    f"keyspace/table name {ident!r} cannot contain '/' "
+                    "or '-' (the sstable filename grammar splits on them)"
+                )
+        self.key_type = options.get("key_type")
+        if self.key_type not in _KEY_TYPE_MARSHAL:
+            raise ValueError(
+                f"unsupported writer key_type {self.key_type!r}"
+            )
+        # one random base per write job -> unique generations per append
+        self.run_base = uuid.uuid4().hex[:8]
+
+    def write(self, iterator) -> SSTableWriteMessage:
+        from pyspark import TaskContext
+
+        rows = list(iterator)
+        if not rows:
+            return SSTableWriteMessage()
+        pid = TaskContext.get().partitionId()
+        out_dir = os.path.join(self.root, self.keyspace, self.table)
+        paths = write_sstable(
+            rows, out_dir,
+            sstable_id=f"{self.run_base}x{pid:05d}",
+            key_type=self.key_type,
+        )
+        return SSTableWriteMessage(paths=paths, rows=len(rows))
+
+    def commit(self, messages) -> None:
+        pass  # tasks finalize themselves (Statistics.db-last visibility)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for p in getattr(m, "paths", []) or []:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass

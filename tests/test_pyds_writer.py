@@ -1,0 +1,337 @@
+"""The sstable sink (sources/pyds_writer.py): written trees decode back
+to the input frame, pass every component-integrity check the engine has,
+and serve point reads -- a written sstable is indistinguishable from a
+planted one."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.sources.data_cells import data_cells
+from cassandra_sstable_tools_spark.sources.pyds import register
+from cassandra_sstable_tools_spark.sources.pyds_writer import (
+    SSTableWriter,
+    write_sstable,
+)
+from cassandra_sstable_tools_spark.sources.sstable_binary import (
+    materialize_index_files,
+)
+
+_IDENT = ["keyspace", "table_name", "sstable_id"]
+
+
+@pytest.fixture(scope="module")
+def cass_root(spark, sf_dir):
+    return materialize_index_files(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register(spark)
+    return spark
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def _write(df, out, partitions=None, by_range=True, **opts):
+    if partitions:
+        df = (
+            df.repartitionByRange(partitions, "partition_key")
+            if by_range
+            else df.repartition(partitions)
+        )
+    w = (
+        df.write.format("cassandra-sstable")
+        .option("keyspace", opts.pop("keyspace", "wks"))
+        .option("table", opts.pop("table", "wtb"))
+        .mode("append")
+    )
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save(out)
+
+
+def test_single_sstable_round_trip_is_exact(registered, cass_root, tmp_path):
+    """ONE source sstable written as one new sstable: every decoded
+    record round-trips exactly. phys_size compares on null-pattern only:
+    the rewritten header declares the MINIMAL inferred column set, so the
+    per-row column-subset bitmap can be narrower than the source schema's
+    -- a ±1-byte span difference that is a property of the (valid)
+    re-encoding, not of the records."""
+    src_all = data_cells(registered, cass_root)
+    one = src_all.select("sstable_id").distinct().orderBy("sstable_id")
+    sid = one.collect()[0].sstable_id
+    src = src_all.where(F.col("sstable_id") == sid).drop(*_IDENT)
+    out = str(tmp_path / "out")
+    _write(src.coalesce(1), out)
+    back = data_cells(registered, out).drop(*_IDENT)
+    a, b = _norm(src.toPandas()), _norm(back.toPandas())
+    pd.testing.assert_series_equal(
+        a["phys_size"].isna(), b["phys_size"].isna()
+    )
+    pd.testing.assert_frame_equal(
+        a.drop(columns=["phys_size"]), b.drop(columns=["phys_size"])
+    )
+
+
+def test_multi_sstable_write_collapses_partition_deletes(
+    registered, cass_root, tmp_path
+):
+    """Merging several source sstables into range-partitioned new ones:
+    everything round-trips except that a partition's MANY
+    PARTITION_DELETE records (one per source sstable) collapse to the
+    single strongest header deletion -- exactly Cassandra's one-deletion-
+    per-partition-per-sstable invariant."""
+    src = data_cells(registered, cass_root).drop(*_IDENT, "phys_size")
+    out = str(tmp_path / "out")
+    _write(src, out, partitions=3)
+    back = data_cells(registered, out).drop(*_IDENT, "phys_size")
+
+    deletes = src.where(F.col("kind") == "PARTITION_DELETE")
+    expected_deletes = deletes.groupBy(
+        "partition_key", "kind", "clustering", "column_name", "cell_path",
+        "ttl", "is_tombstone", "is_expiring", "is_counter", "cell_value",
+        "range_start", "range_end",
+    ).agg(
+        F.max("writetime").alias("writetime"),
+        F.max("local_deletion_time").alias("local_deletion_time"),
+    ).select(*src.columns)
+    expected = src.where(F.col("kind") != "PARTITION_DELETE").unionByName(
+        expected_deletes
+    )
+    pd.testing.assert_frame_equal(
+        _norm(expected.toPandas()), _norm(back.toPandas())
+    )
+    assert (
+        data_cells(registered, out).select("sstable_id").distinct().count()
+        == 3
+    )
+
+
+def test_written_tree_passes_every_component_check(
+    registered, cass_root, tmp_path
+):
+    from cassandra_sstable_tools_spark.sources.bloom import bloom_checks
+    from cassandra_sstable_tools_spark.sources.crc_db import crc_checks
+    from cassandra_sstable_tools_spark.sources.data_db import digest_checks
+    from cassandra_sstable_tools_spark.sources.lookup import summary_checks
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        toc_checks,
+    )
+
+    src = data_cells(registered, cass_root).drop(*_IDENT, "phys_size")
+    out = str(tmp_path / "out")
+    _write(src, out, partitions=2)
+
+    toc = toc_checks(registered, out).toPandas()
+    assert len(toc) == 2 and bool(toc["complete"].all())
+    assert int(toc["missing"].sum()) == 0 and int(toc["extra"].sum()) == 0
+    dig = digest_checks(registered, out).toPandas()
+    assert len(dig) == 2 and bool(dig["digest_ok"].all())
+    crc = crc_checks(registered, out).toPandas()
+    assert len(crc) == 2 and bool(crc["crc_ok"].all())
+    summ = summary_checks(registered, out).toPandas()
+    assert len(summ) == 2 and bool(summ["all_verified"].all())
+    blooms = bloom_checks(registered, out).toPandas()
+    assert len(blooms) == 2 and bool(blooms["all_present"].all())
+
+
+def test_point_read_and_range_scan_on_written_tree(
+    registered, cass_root, tmp_path
+):
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        partition_lookup,
+        partition_range_scan,
+    )
+
+    src = data_cells(registered, cass_root).drop(*_IDENT, "phys_size")
+    out = str(tmp_path / "out")
+    _write(src, out, partitions=2)
+    back = data_cells(registered, out)
+
+    keys = sorted(
+        r.partition_key
+        for r in back.select("partition_key").distinct().limit(50).collect()
+    )
+    hit = partition_lookup(registered, out, [keys[0]]).toPandas()
+    exp = (
+        back.where(F.col("partition_key") == keys[0])
+        .select(*hit.columns)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_norm(hit), _norm(exp))
+    assert (
+        partition_lookup(registered, out, ["no_such_key_xyz"]).count() == 0
+    )
+    # written files declare ByteOrderedPartitioner -> raw-key ranges scan
+    rng = partition_range_scan(
+        registered, out, keys[0], keys[3]
+    ).toPandas()
+    exp_rng = (
+        back.where(F.col("partition_key").between(keys[0], keys[3]))
+        .select(*rng.columns)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_norm(rng), _norm(exp_rng))
+
+
+def test_datasource_reader_reads_back_written_tree(
+    registered, cass_root, tmp_path
+):
+    """Full loop through the FORMAT both ways: read with the DataSource,
+    write with the DataSource, read again."""
+    out = str(tmp_path / "out")
+    src = (
+        registered.read.format("cassandra-sstable").load(cass_root)
+        .drop(*_IDENT, "phys_size")
+    )
+    _write(src, out, partitions=2)
+    back = (
+        registered.read.format("cassandra-sstable").load(out)
+        .drop(*_IDENT, "phys_size")
+    )
+    assert back.count() == data_cells(registered, out).count() > 0
+
+
+def test_two_appends_coexist(registered, cass_root, tmp_path):
+    src = data_cells(registered, cass_root).drop(*_IDENT, "phys_size")
+    one = src.limit(200).cache()
+    out = str(tmp_path / "out")
+    _write(one.coalesce(1), out)
+    _write(one.coalesce(1), out)
+    back = data_cells(registered, out)
+    assert back.select("sstable_id").distinct().count() == 2
+    files = glob.glob(f"{out}/wks/wtb/*-Data.db")
+    assert len(files) == 2
+    one.unpersist()
+
+
+def test_empty_partitions_write_nothing(registered, cass_root, tmp_path):
+    src = data_cells(registered, cass_root).drop(*_IDENT, "phys_size")
+    out = str(tmp_path / "out")
+    _write(src.limit(10), out, partitions=8, by_range=False)
+    n_files = len(glob.glob(f"{out}/wks/wtb/*-Data.db"))
+    assert 1 <= n_files <= 8
+    assert data_cells(registered, out).count() > 0
+
+
+def test_typed_keys_write_and_render_back(registered, tmp_path):
+    """LongType partition keys: the written header declares the
+    validator, so the decode renders '302' back -- and the writer's
+    round-trip guard accepts the typed literals."""
+    pdf = pd.DataFrame(
+        {
+            "partition_key": [str(300 + i) for i in range(6)],
+            "kind": ["CELL"] * 6,
+            "clustering": [f"r{i}" for i in range(6)],
+            "column_name": ["c0"] * 6,
+            "cell_path": [None] * 6,
+            "writetime": [1000 + i for i in range(6)],
+            "ttl": pd.array([None] * 6, dtype="Int32"),
+            "local_deletion_time": pd.array([None] * 6, dtype="Int64"),
+            "is_tombstone": [False] * 6,
+            "is_expiring": [False] * 6,
+            "is_counter": [False] * 6,
+            "cell_value": pd.array([10 * i for i in range(6)], dtype="Int64"),
+            "range_start": [None] * 6,
+            "range_end": [None] * 6,
+        }
+    )
+    df = registered.createDataFrame(pdf)
+    out = str(tmp_path / "out")
+    _write(df.coalesce(1), out, key_type="long")
+    back = data_cells(registered, out)
+    assert sorted(
+        r.partition_key for r in back.select("partition_key").collect()
+    ) == sorted(str(300 + i) for i in range(6))
+
+    # the same frame WITHOUT key_type still writes (text keys) -- but a
+    # mismatched explicit type that cannot re-render fails loud
+    with pytest.raises(Exception, match="round-trip"):
+        _write(
+            df.withColumn(
+                "partition_key", F.concat(F.lit("k"), "partition_key")
+            ).coalesce(1),
+            str(tmp_path / "out2"),
+            key_type="long",
+        )
+
+
+def test_writer_option_validation(tmp_path):
+    with pytest.raises(ValueError, match="append-only"):
+        SSTableWriter({"path": str(tmp_path)}, overwrite=True)
+    with pytest.raises(ValueError, match="needs a path"):
+        SSTableWriter({}, overwrite=False)
+    with pytest.raises(ValueError, match="keyspace"):
+        SSTableWriter({"path": str(tmp_path)}, overwrite=False)
+    with pytest.raises(ValueError, match="cannot contain"):
+        SSTableWriter(
+            {"path": str(tmp_path), "keyspace": "a-b", "table": "t"},
+            overwrite=False,
+        )
+    with pytest.raises(ValueError, match="key_type"):
+        SSTableWriter(
+            {"path": str(tmp_path), "keyspace": "a", "table": "t",
+             "key_type": "blob"},
+            overwrite=False,
+        )
+
+
+def test_counter_naming_convention_is_loud(tmp_path):
+    row = {
+        "partition_key": "k", "kind": "CELL", "clustering": "r",
+        "column_name": "c9", "cell_path": None, "writetime": 1,
+        "ttl": None, "local_deletion_time": None, "is_tombstone": False,
+        "is_expiring": False, "is_counter": True, "cell_value": 5,
+        "range_start": None, "range_end": None,
+    }
+    with pytest.raises(ValueError, match="_ctr"):
+        write_sstable([row], str(tmp_path), "00001")
+
+
+def test_unencodable_record_is_loud(tmp_path):
+    row = {
+        "partition_key": "k", "kind": "CELL", "clustering": "r",
+        "column_name": "c0", "cell_path": None, "writetime": None,
+        "ttl": None, "local_deletion_time": None, "is_tombstone": False,
+        "is_expiring": False, "is_counter": False, "cell_value": 5,
+        "range_start": None, "range_end": None,
+    }
+    with pytest.raises(ValueError, match="not encodable"):
+        write_sstable([row], str(tmp_path), "00001")
+
+
+def test_written_statistics_reflect_the_data(registered, cass_root,
+                                             tmp_path):
+    """The written Statistics.db carries truthful metadata (real
+    timestamps, row/cell counts and exact histograms), not placeholder
+    zeros."""
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        parse_statistics_db,
+    )
+
+    src = data_cells(registered, cass_root).drop(*_IDENT, "phys_size")
+    out = str(tmp_path / "out")
+    _write(src, out, partitions=2)
+    exp_min = src.where(
+        F.col("kind") != "PARTITION_DELETE"
+    ).agg(F.min("writetime")).collect()[0][0]
+    n_cells = src.where(F.col("kind").isin("CELL", "STATIC_CELL")).count()
+    stats = [
+        parse_statistics_db(open(p, "rb").read(), version="nb", source=p)
+        for p in sorted(glob.glob(f"{out}/wks/wtb/*-Statistics.db"))
+    ]
+    assert len(stats) == 2
+    assert min(s.min_timestamp for s in stats) == int(exp_min)
+    assert sum(s.total_columns_set for s in stats) == n_cells
+    n_parts = src.select("partition_key").distinct().count()
+    assert sum(
+        n for s in stats for _v, n in s.partition_size_hist
+    ) == n_parts
