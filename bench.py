@@ -99,6 +99,12 @@ SECONDARY = [
     # window path (staged partition_lookup_cassdir; EXTRA_SECONDARY until
     # its r09 registration). Bar in BASELINE.md §r08-s2.
     "partition_lookup_batch",
+    # r09 session 2: the full cell scan through the Python DataSource
+    # packaging (spark.read.format) -- tracks the V2 planning + row
+    # marshaling overhead against the mapInPandas path's
+    # cfstats_global_cassdir trajectory (measured FASTER: one task per
+    # sstable by construction, no listing-bin co-location).
+    "ds_cells_scan",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -179,6 +185,16 @@ def _purge_cassdir_merge(spark, sf_dir):
     )
 
 
+def _ds_cells_scan(spark, sf_dir):
+    """The staged ds_cells_cassdir (sources/pyds.py) benched pre-
+    registration: the same full cell decode as data_cells, planned and
+    marshaled by the Python DataSource V2 API -- a packaging-overhead
+    regression (planning, per-task pickle/arrow hop) shows here first."""
+    from cassandra_sstable_tools_spark.sources.pyds import ds_cells_cassdir
+
+    return ds_cells_cassdir(spark, sf_dir).groupBy().count()
+
+
 def _partition_lookup_batch(spark, sf_dir):
     """The staged point-read path (sources/lookup.py), benched before its
     r09 registration: the md5-'0' key cohort (~1/16 of all partition
@@ -201,6 +217,7 @@ EXTRA_SECONDARY = {
     "partition_lookup_batch": _partition_lookup_batch,
     "purge_cassdir_decode": _purge_cassdir_decode,
     "purge_cassdir_merge": _purge_cassdir_merge,
+    "ds_cells_scan": _ds_cells_scan,
 }
 
 

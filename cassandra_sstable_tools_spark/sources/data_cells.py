@@ -1266,7 +1266,17 @@ def data_cells(
             max(1, n_files * n_shards), F.col("path"), F.col("shard")
         )
     else:
-        files = files.withColumn("shard", F.lit(0))
+        # one task per sstable even unsharded: the binaryFile LISTING
+        # packs path rows into size-binned partitions (measured: 12 files
+        # in 6 partitions at sf0.1 -> half the decode parallelism, and the
+        # bin pairing can co-locate the two biggest files). Explicit count
+        # so AQE cannot byte-coalesce the tiny rows (the r08 s2 lesson);
+        # the count() is a metadata-only listing. Measured 5.7s -> ~4s on
+        # the full sf0.1 decode.
+        n_files = files.count()
+        files = files.withColumn("shard", F.lit(0)).repartitionByRange(
+            max(1, n_files), F.col("path")
+        )
 
     def scan(batches) -> Iterator:
         import pandas as pd

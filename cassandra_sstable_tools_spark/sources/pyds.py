@@ -489,3 +489,152 @@ class CassandraSSTableDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent format registration for a session."""
     spark.dataSource.register(CassandraSSTableDataSource)
+
+
+# --------------------------------------------------------------------------
+# Staged queries (SURVEY §2.9 convention): fully built + locally
+# oracle-proven via tests/test_staged_queries.py, registered in r10
+# --------------------------------------------------------------------------
+
+
+def ds_cells_cassdir(spark, sf_dir: str):
+    """The DataSource-path certificate: the SAME cell-grain frame as
+    ``data_cells_cassdir``, read through ``spark.read.format(...)`` --
+    a hash match proves the V2 packaging (partition planning, per-task
+    decode, row marshaling) is bit-faithful to the mapInPandas path."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    register(spark)
+    return spark.read.format(FORMAT_NAME).load(root)
+
+
+def ds_pointread_cassdir(spark, sf_dir: str):
+    """The pushdown certificate: the md5-'0' key cohort read through a
+    ``partition_key IN (...)`` filter on the FORMAT with pushdown on --
+    planning bloom-prunes sstables and each task runs the point-read
+    path, yet the records hash-match the same ``decoded`` oracle frame
+    the full scan certifies."""
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        DATA_CELLS_SCHEMA,
+    )
+    from cassandra_sstable_tools_spark.sources.lookup import _KEY_PREFIX
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+    from pyspark.sql import functions as F
+
+    root = materialize_index_files(spark, sf_dir)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    keys = sorted(
+        r["partition_key"]
+        for r in tpch_adapter.index_entries(spark, sf_dir)
+        .select("partition_key")
+        .where(F.md5("partition_key").startswith(_KEY_PREFIX))
+        .distinct()
+        .collect()
+    )
+    if not keys:
+        # degenerate corpora can leave the cohort empty: the typed empty
+        # frame IS the answer (the lookup certificate's documented rule)
+        return spark.createDataFrame([], DATA_CELLS_SCHEMA)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("pushdown", "true")
+        .load(root)
+    )
+    return df.where(df.partition_key.isin(keys))
+
+
+_RT_COLS = (
+    "partition_key, kind, clustering, column_name, cell_path, writetime, "
+    "ttl, local_deletion_time, is_tombstone, is_expiring, is_counter, "
+    "cell_value, range_start, range_end"
+)
+
+
+def ds_write_roundtrip_cassdir(spark, sf_dir: str):
+    """The SINK certificate: decode the planted tree, write it back out
+    as new sstables through ``df.write.format(...)``, decode the WRITTEN
+    tree and hash-match it against the oracle -- certifying the whole
+    encoder chain (header inference, cell/marker/deletion encoding,
+    component set) through the driver. Output drops identity columns
+    (fresh generations) and phys_size (the minimal inferred header makes
+    column-subset bitmaps narrower -- a property of the re-encoding);
+    per-partition deletion headers collapse to the strongest, Cassandra's
+    one-deletion-per-partition-per-sstable invariant, mirrored in SQL."""
+    import tempfile
+
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        data_cells,
+    )
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    register(spark)
+    drop = ["keyspace", "table_name", "sstable_id", "phys_size"]
+    src = data_cells(spark, root).drop(*drop)
+    out = tempfile.mkdtemp(prefix="sstable_sink_rt_")
+    (
+        src.repartitionByRange(2, "partition_key")
+        .write.format(FORMAT_NAME)
+        .option("keyspace", "rt")
+        .option("table", "rt")
+        .mode("append")
+        .save(out)
+    )
+    if not _walk_index_files(out):
+        # empty corpus wrote nothing: the typed empty frame is the answer
+        return src
+    return data_cells(spark, out).drop(*drop)
+
+
+def _staged():
+    from cassandra_sstable_tools_spark.oracles import with_adapter
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        ORACLES as _DC_ORACLES,
+        _phys_ctes,
+    )
+    from cassandra_sstable_tools_spark.sources.lookup import _KEY_PREFIX
+
+    pointread_oracle = with_adapter(
+        f",{_phys_ctes()}\n"
+        "SELECT * FROM decoded "
+        f"WHERE substr(md5(partition_key), 1, 1) = '{_KEY_PREFIX}'"
+    )
+    roundtrip_oracle = with_adapter(
+        f",{_phys_ctes()}\n"
+        f"SELECT {_RT_COLS} FROM decoded WHERE kind <> 'PARTITION_DELETE'\n"
+        "UNION ALL\n"
+        "SELECT partition_key, kind, clustering, column_name, cell_path,\n"
+        "       MAX(writetime) AS writetime, ttl,\n"
+        "       MAX(local_deletion_time) AS local_deletion_time,\n"
+        "       is_tombstone, is_expiring, is_counter, cell_value,\n"
+        "       range_start, range_end\n"
+        "FROM decoded WHERE kind = 'PARTITION_DELETE'\n"
+        "GROUP BY partition_key, kind, clustering, column_name, cell_path,\n"
+        "         ttl, is_tombstone, is_expiring, is_counter, cell_value,\n"
+        "         range_start, range_end"
+    )
+    return (
+        {
+            "ds_cells_cassdir": ds_cells_cassdir,
+            "ds_pointread_cassdir": ds_pointread_cassdir,
+            "ds_write_roundtrip_cassdir": ds_write_roundtrip_cassdir,
+        },
+        {
+            # bit-identical to the mapInPandas certificate's frame
+            "ds_cells_cassdir": _DC_ORACLES["data_cells_cassdir"],
+            "ds_pointread_cassdir": pointread_oracle,
+            "ds_write_roundtrip_cassdir": roundtrip_oracle,
+        },
+    )
+
+
+STAGED_QUERIES, STAGED_ORACLES = _staged()
