@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "command",
         choices=["summary", "sstables", "pstats", "cfstats", "purge",
-                 "lookup", "clean", "dedup", "ann", "query"],
+                 "compact", "lookup", "clean", "dedup", "ann", "query"],
     )
     p.add_argument(
         "name", nargs="?", default=None,
@@ -110,7 +110,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "-b", "--batch", action="store_true",
         help="batch mode (accepted for parity; output is always non-interactive)",
     )
-    p.add_argument("--out", default=None, help="clean: write keep-list here")
+    p.add_argument(
+        "--out", default=None,
+        help="clean: write keep-list here; compact: write the compacted "
+             "sstable tree here (must differ from the source dir)",
+    )
+    p.add_argument(
+        "--sstables-per-table", type=int, default=1,
+        help="compact: output sstables per table (range splits on "
+             "partition key; 1 = major compaction)",
+    )
     p.add_argument(
         "--bucketed", default=None, metavar="TABLE",
         help="pstats/cfstats: serve per-partition stats from a bucketed "
@@ -214,11 +223,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         import os as _os
 
         if args.command not in ("pstats", "sstables", "summary", "cfstats",
-                                "purge", "lookup"):
+                                "purge", "lookup", "compact"):
             sys.stderr.write(
                 "--cassandra-dir supports the five reference commands "
-                "(pstats, sstables, summary, cfstats, purge) plus lookup; "
-                "the extension commands read the parquet corpus\n"
+                "(pstats, sstables, summary, cfstats, purge) plus lookup "
+                "and compact; the extension commands read the parquet "
+                "corpus\n"
             )
             return 2
         from cassandra_sstable_tools_spark.sources.sstable_binary import (
@@ -717,6 +727,41 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             m.purge_top(spark, sf, args.n),
             {"pre_size": "bytes", "merged_size": "bytes", "reclaimable": "bytes"},
             order=["keyspace", "table_name", "rank"])))
+    elif args.command == "compact":
+        # EXECUTED compaction (the reference's purge only simulates it):
+        # decode -> merge/purge through the shared formulation -> write
+        # real sstables into --out via the cassandra-sstable sink
+        from cassandra_sstable_tools_spark.operators.compaction import (
+            compact_dir,
+        )
+
+        if not args.cassandra_dir:
+            sys.stderr.write(
+                "compact is directory-only: pass --cassandra-dir DIR\n"
+            )
+            return 2
+        if not args.out:
+            sys.stderr.write(
+                "compact writes a NEW tree: pass --out DIR (never "
+                "rewrites the source in place)\n"
+            )
+            return 2
+        names = args.filenames.split(",") if args.filenames else None
+        root = _scoped_cassdir_root(args)
+        _warn_partial_statistics(spark, root, names, "compact")
+        report = compact_dir(
+            spark, root, args.out, filenames=names,
+            sstables_per_table=args.sstables_per_table,
+            key_type=args.key_type,
+        )
+        out.append(("Compaction", _render(
+            report,
+            {"bytes_in": "bytes", "bytes_out": "bytes",
+             "bytes_reclaimed": "bytes"},
+            order=["keyspace", "table_name"])))
+        for title, table in out:
+            sys.stdout.write(f"{title}\n{table}\n")
+        return 0
     elif args.command == "lookup":
         # the point-read path (sources/lookup.py): bloom -> summary ->
         # index window -> data block, per sstable -- inherently a

@@ -1,0 +1,148 @@
+"""Offline compaction: decode -> merge -> purge -> WRITE back real sstables.
+
+The reference only SIMULATES compaction (``purge`` reports reclaimable
+bytes per partition, `cassandra/PurgeStatisticBackend.java:70-257`); with
+the sink (``sources/pyds_writer.py``) this engine can EXECUTE it: read a
+table's sstables, reconcile every copy through the one shared merge
+formulation (``operators/purge.merge_enriched``: LWW rank +
+partition/row/range/complex tombstone shadowing + droppable-tombstone
+purge at ``gc_before``), and write the surviving records back as fresh
+sstables -- Cassandra's own major-compaction semantics, run by Spark.
+
+What survives (exactly the ``survives`` column purge_stats aggregates):
+- one LWW winner per merge identity (path-folded collection cells keep
+  per-entry identities);
+- cells not shadowed by a newer partition/row/range/complex deletion;
+- tombstones and deletion markers whose local_deletion_time has NOT
+  passed ``gc_before`` (they must keep shadowing other replicas);
+- partition-deletion headers collapse to the strongest per partition
+  (the writer's invariant).
+A purged range tombstone is dropped whole -- the purge SIZE model's
+boundary-remnant half-marker is an accounting rule for the reference's
+report, not a record that exists to write.
+
+Invariants pinned by tests/test_compaction.py:
+- READ EQUIVALENCE: the read-time merged view (partition_lookup_merged)
+  over the compacted tree equals the view over the original for every
+  key -- compaction must be invisible to reads;
+- ZERO RECLAIMABLE: purge_stats over the compacted tree (same gc_before)
+  reports merged_size == pre_size everywhere;
+- IDEMPOTENCE: compacting the compacted tree changes no records;
+- the output passes every component-integrity check.
+
+100 TB shape: the decode is the same index-driven one-pass scan the
+cfstats family pays; the merge is the purge operator's zero-extra-
+exchange broadcast-delete-map plan; the write streams one sstable per
+output partition, sized by ``sstables_per_table`` range splits on
+(keyspace, table, partition_key). Nothing corpus-sized touches the
+driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_tools_spark.constants import GC_BEFORE
+
+_OUT_COLS = [
+    "keyspace", "table_name", "partition_key", "kind", "clustering",
+    "column_name", "cell_path", "writetime", "ttl", "local_deletion_time",
+    "is_tombstone", "is_expiring", "is_counter", "cell_value",
+    "range_start", "range_end",
+]
+
+
+def compact_survivors(
+    spark: SparkSession,
+    root: str,
+    filenames=None,
+    gc_before: int = GC_BEFORE,
+) -> DataFrame:
+    """The post-compaction record set of a Cassandra data directory, in
+    writer column order: decoded cells merged through merge_enriched and
+    filtered to the survivors. The decoded frame is eagerly checkpointed
+    (the merge references it from several branches -- decode once)."""
+    from cassandra_sstable_tools_spark.operators.purge import merge_enriched
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        data_cells,
+        fold_cell_path,
+    )
+
+    decoded = data_cells(spark, root, filenames).localCheckpoint(eager=True)
+    shaped = fold_cell_path(decoded, drop=False).withColumnRenamed(
+        "phys_size", "cell_size"
+    )
+    enriched, survives = merge_enriched(shaped, gc_before=gc_before)
+    return enriched.where(survives).select(*_OUT_COLS)
+
+
+def _dir_stats(root: str) -> dict[tuple[str, str], tuple[int, int]]:
+    """(ks, tb) -> (sstable count, Data.db bytes), driver-side listing."""
+    from cassandra_sstable_tools_spark.sources.pyds import list_sstables
+
+    out: dict[tuple[str, str], tuple[int, int]] = {}
+    for r in list_sstables(root):
+        data = r["path"][: -len("Index.db")] + "Data.db"
+        if not os.path.exists(data):
+            continue
+        k = (r["keyspace"], r["table_name"])
+        n, b = out.get(k, (0, 0))
+        out[k] = (n + 1, b + os.path.getsize(data))
+    return out
+
+
+def compact_dir(
+    spark: SparkSession,
+    src_root: str,
+    out_root: str,
+    filenames=None,
+    gc_before: int = GC_BEFORE,
+    sstables_per_table: int = 1,
+    key_type: str | None = None,
+) -> DataFrame:
+    """Run the compaction and return the per-table report:
+    (keyspace, table_name, sstables_in, sstables_out, bytes_in,
+    bytes_out, bytes_reclaimed). Writes into ``out_root`` (never the
+    source -- the sink is append-only and a live dir is never rewritten
+    in place); ``sstables_per_table`` controls the output range splits."""
+    from cassandra_sstable_tools_spark.sources.pyds import register
+
+    if os.path.abspath(out_root) == os.path.abspath(src_root):
+        raise ValueError(
+            "compact_dir writes a NEW tree: out_root must differ from "
+            "src_root (point Cassandra at the output, or move it back "
+            "after verification)"
+        )
+    if sstables_per_table < 1:
+        raise ValueError("sstables_per_table must be >= 1")
+    before = _dir_stats(src_root)
+    surv = compact_survivors(spark, src_root, filenames, gc_before)
+    register(spark)
+    num = max(1, len(before) * sstables_per_table)
+    writer = (
+        surv.repartitionByRange(
+            num, "keyspace", "table_name", "partition_key"
+        )
+        .write.format("cassandra-sstable")
+        .mode("append")
+    )
+    if key_type:
+        writer = writer.option("key_type", key_type)
+    writer.save(out_root)
+    after = _dir_stats(out_root)
+    rows = []
+    for k in sorted(set(before) | set(after)):
+        n_in, b_in = before.get(k, (0, 0))
+        n_out, b_out = after.get(k, (0, 0))
+        rows.append(
+            (k[0], k[1], n_in, n_out, b_in, b_out, b_in - b_out)
+        )
+    return spark.createDataFrame(
+        rows,
+        "keyspace string, table_name string, sstables_in int, "
+        "sstables_out int, bytes_in bigint, bytes_out bigint, "
+        "bytes_reclaimed bigint",
+    )

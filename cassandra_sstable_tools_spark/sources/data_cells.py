@@ -1951,6 +1951,28 @@ ORACLES = _oracles()
 # --------------------------------------------------------------------------
 
 
+def fold_cell_path(df: DataFrame, drop: bool = True) -> DataFrame:
+    """(column_name, cell_path) -> one ``cell_name`` merge identity:
+    path-addressed collection cells fold as ``m0[k3]`` so two map cells
+    under DIFFERENT paths never LWW-collide (they are distinct CQL map
+    entries), while same-path copies still reconcile. Shared by the purge
+    input shaping and the read-time merged view -- the one place the fold
+    rule lives. ``drop=False`` keeps the original columns alongside (the
+    compaction rewrite merges on the fold but writes the originals
+    back)."""
+    out = df.withColumn(
+        "cell_name",
+        F.when(
+            F.col("cell_path").isNotNull(),
+            F.concat(
+                F.col("column_name"), F.lit("["),
+                F.col("cell_path"), F.lit("]"),
+            ),
+        ).otherwise(F.col("column_name")),
+    )
+    return out.drop("column_name", "cell_path") if drop else out
+
+
 def _decoded_purge_cells(spark: SparkSession, root: str, filenames=None) -> DataFrame:
     """The decoded frame shaped as the purge operator's input: sizes are
     the records' REAL serialized byte spans (the reference's own size
@@ -1961,20 +1983,8 @@ def _decoded_purge_cells(spark: SparkSession, root: str, filenames=None) -> Data
     same path. Header-resident partition deletes carry NULL size (no
     stream bytes), so they steer shadowing but add no bytes; the oracle
     replays the same rules."""
-    c = (
-        data_cells(spark, root, filenames)
-        .withColumn(
-            "cell_name",
-            F.when(
-                F.col("cell_path").isNotNull(),
-                F.concat(
-                    F.col("column_name"), F.lit("["),
-                    F.col("cell_path"), F.lit("]"),
-                ),
-            ).otherwise(F.col("column_name")),
-        )
-        .drop("column_name", "cell_path")
-        .withColumnRenamed("phys_size", "cell_size")
+    c = fold_cell_path(data_cells(spark, root, filenames)).withColumnRenamed(
+        "phys_size", "cell_size"
     )
     # the purge operator references this frame from several branches (the
     # LWW window, the rare-row delete map, the two-level aggregate); an

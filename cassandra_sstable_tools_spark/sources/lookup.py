@@ -1154,11 +1154,17 @@ def partition_lookup_merged(
     from cassandra_sstable_tools_spark.operators.purge import merge_enriched
 
     now = NOW_SECONDS if now_seconds is None else now_seconds
-    c = (
-        partition_lookup(spark, root, keys, filenames, key_type=key_type)
-        .withColumnRenamed("column_name", "cell_name")
-        .withColumnRenamed("phys_size", "cell_size")
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        fold_cell_path,
     )
+
+    # fold the CellPath into the merge identity (r09 s2 fix): two map
+    # cells under DIFFERENT paths are distinct CQL map entries -- the bare
+    # column_name rename made them LWW-collide, silently dropping all but
+    # the latest-written entry of every collection from the merged view
+    c = fold_cell_path(
+        partition_lookup(spark, root, keys, filenames, key_type=key_type)
+    ).withColumnRenamed("phys_size", "cell_size")
     enriched, survives = merge_enriched(c, gc_before=now)
     live_kinds = ("CELL", "STATIC_CELL", "ROW_MARKER")
     return enriched.where(survives & F.col("kind").isin(*live_kinds)).select(

@@ -410,13 +410,15 @@ class SSTableWriter(DataSourceWriter):
             )
         self.keyspace = options.get("keyspace")
         self.table = options.get("table")
-        if not self.keyspace or not self.table:
+        if bool(self.keyspace) != bool(self.table):
             raise ValueError(
                 "cassandra-sstable sink needs option('keyspace', ...) and "
-                "option('table', ...)"
+                "option('table', ...) together -- or NEITHER, in which "
+                "case every row must carry keyspace/table_name columns "
+                "(identity-preserving mode, e.g. compaction rewrites)"
             )
         for ident in (self.keyspace, self.table):
-            if "/" in ident or "-" in ident:
+            if ident and ("/" in ident or "-" in ident):
                 raise ValueError(
                     f"keyspace/table name {ident!r} cannot contain '/' "
                     "or '-' (the sstable filename grammar splits on them)"
@@ -436,12 +438,29 @@ class SSTableWriter(DataSourceWriter):
         if not rows:
             return SSTableWriteMessage()
         pid = TaskContext.get().partitionId()
-        out_dir = os.path.join(self.root, self.keyspace, self.table)
-        paths = write_sstable(
-            rows, out_dir,
-            sstable_id=f"{self.run_base}x{pid:05d}",
-            key_type=self.key_type,
-        )
+        if self.keyspace:
+            groups = {(self.keyspace, self.table): rows}
+        else:
+            # identity-preserving mode: one sstable per (ks, tb) present
+            # in the task (the caller co-partitions by table + key range)
+            groups = {}
+            for row in rows:
+                ks, tb = row["keyspace"], row["table_name"]
+                if not ks or not tb:
+                    raise ValueError(
+                        "identity-preserving write: every row needs "
+                        "keyspace/table_name (or pass the options)"
+                    )
+                groups.setdefault((ks, tb), []).append(row)
+        paths: list[str] = []
+        for seq, ((ks, tb), grows) in enumerate(sorted(groups.items())):
+            paths.extend(
+                write_sstable(
+                    grows, os.path.join(self.root, ks, tb),
+                    sstable_id=f"{self.run_base}x{pid:05d}n{seq}",
+                    key_type=self.key_type,
+                )
+            )
         return SSTableWriteMessage(paths=paths, rows=len(rows))
 
     def commit(self, messages) -> None:

@@ -644,3 +644,70 @@ def test_normalize_keys_rejects_bare_string(spark):
 
     with pytest.raises(TypeError, match="LIST of keys"):
         _normalize_keys("abc")
+
+
+def test_merged_view_keeps_distinct_collection_entries(spark, sf_dir):
+    """Two live map cells under DIFFERENT CellPaths are distinct CQL map
+    entries: the merged read-time view must return BOTH (r09 s2 fix --
+    the bare column_name rename made every collection LWW-collide on its
+    base column, silently dropping all but the latest-written entry)."""
+    import pyspark.sql.functions as F
+
+    from cassandra_sstable_tools_spark.sources.data_cells import data_cells
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        partition_lookup_merged,
+    )
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    d = data_cells(spark, root)
+    # candidate partitions: >= 2 distinct live paths at one (clustering,
+    # column), and NO deletion-kind records anywhere in the partition so
+    # expectations need no shadowing model
+    del_pks = {
+        r.partition_key
+        for r in d.where(
+            F.col("kind").isin(
+                "PARTITION_DELETE", "ROW_DELETE",
+                "RANGE_TOMBSTONE_MARKER", "COMPLEX_DELETE",
+            )
+            | F.col("is_tombstone")
+        ).select("partition_key").distinct().collect()
+    }
+    multi = (
+        d.where(F.col("cell_path").isNotNull() & ~F.col("is_tombstone"))
+        .groupBy("partition_key", "clustering", "column_name")
+        .agg(F.countDistinct("cell_path").alias("n"))
+        .where("n > 1")
+        .toPandas()
+    )
+    multi = multi[~multi.partition_key.isin(del_pks)]
+    if multi.empty:
+        pytest.skip("fixture has no delete-free multi-path partitions")
+    pk, cl, col = multi.iloc[0][["partition_key", "clustering",
+                                 "column_name"]]
+    expected = (
+        d.where(
+            (F.col("partition_key") == pk) & (F.col("clustering") == cl)
+            & (F.col("column_name") == col)
+            # expired entries are absent from a read-time view
+            & ~(F.col("is_expiring")
+                & (F.col("local_deletion_time")
+                   < __import__(
+                       "cassandra_sstable_tools_spark.constants",
+                       fromlist=["NOW_SECONDS"],
+                   ).NOW_SECONDS))
+        )
+        .groupBy("cell_path")
+        .agg(F.max("writetime").alias("writetime"))
+        .toPandas()
+    )
+    assert len(expected) > 1
+    got = partition_lookup_merged(spark, root, [pk]).toPandas()
+    got = got[(got.clustering == cl)
+              & got.cell_name.str.startswith(f"{col}[")]
+    assert sorted(got.cell_name) == sorted(
+        f"{col}[{p}]" for p in expected.cell_path
+    )

@@ -269,8 +269,13 @@ def test_writer_option_validation(tmp_path):
         SSTableWriter({"path": str(tmp_path)}, overwrite=True)
     with pytest.raises(ValueError, match="needs a path"):
         SSTableWriter({}, overwrite=False)
-    with pytest.raises(ValueError, match="keyspace"):
-        SSTableWriter({"path": str(tmp_path)}, overwrite=False)
+    # NEITHER keyspace nor table = identity-preserving mode (valid);
+    # one without the other is the error
+    SSTableWriter({"path": str(tmp_path)}, overwrite=False)
+    with pytest.raises(ValueError, match="together"):
+        SSTableWriter(
+            {"path": str(tmp_path), "keyspace": "a"}, overwrite=False
+        )
     with pytest.raises(ValueError, match="cannot contain"):
         SSTableWriter(
             {"path": str(tmp_path), "keyspace": "a-b", "table": "t"},
