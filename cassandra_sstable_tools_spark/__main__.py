@@ -121,6 +121,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "partition key; 1 = major compaction)",
     )
     p.add_argument(
+        "--compression", default="none", choices=["none", "lz4"],
+        help="compact: output Data.db layout (lz4 = chunk-compressed + "
+             "CompressionInfo map, Cassandra's default)",
+    )
+    p.add_argument(
         "--bucketed", default=None, metavar="TABLE",
         help="pstats/cfstats: serve per-partition stats from a bucketed "
              "catalog table (materialized on first use; later runs and "
@@ -753,6 +758,7 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             spark, root, args.out, filenames=names,
             sstables_per_table=args.sstables_per_table,
             key_type=args.key_type,
+            compression=args.compression,
         )
         out.append(("Compaction", _render(
             report,

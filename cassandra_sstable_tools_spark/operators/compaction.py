@@ -102,6 +102,7 @@ def compact_dir(
     gc_before: int = GC_BEFORE,
     sstables_per_table: int = 1,
     key_type: str | None = None,
+    compression: str = "none",
 ) -> DataFrame:
     """Run the compaction and return the per-table report:
     (keyspace, table_name, sstables_in, sstables_out, bytes_in,
@@ -131,6 +132,8 @@ def compact_dir(
     )
     if key_type:
         writer = writer.option("key_type", key_type)
+    if compression != "none":
+        writer = writer.option("compression", compression)
     writer.save(out_root)
     after = _dir_stats(out_root)
     rows = []

@@ -52,7 +52,6 @@ from __future__ import annotations
 
 import os
 import uuid
-import zlib
 from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
@@ -218,7 +217,11 @@ def _row_to_record(row) -> dict:
 
 
 def write_sstable(
-    rows: list, out_dir: str, sstable_id: str, key_type: str | None = None
+    rows: list,
+    out_dir: str,
+    sstable_id: str,
+    key_type: str | None = None,
+    compression: str = "none",
 ) -> list[str]:
     """Encode one sstable (all components) from cell-grain rows; returns
     the written paths. Partition blocks are laid out back-to-back in
@@ -339,6 +342,10 @@ def write_sstable(
                 min_cl = cb if min_cl is None else min(min_cl, cb)
                 max_cl = cb if max_cl is None else max(max_cl, cb)
 
+    if compression not in ("none", "lz4"):
+        raise ValueError(
+            f"unsupported writer compression {compression!r}: none|lz4"
+        )
     os.makedirs(out_dir, exist_ok=True)
     prefix = os.path.join(out_dir, f"{_BIG_VERSION}-{sstable_id}-big-")
     written: list[str] = []
@@ -349,7 +356,42 @@ def write_sstable(
             f.write(data)
         written.append(p)
 
-    _put("Data.db", bytes(blob))
+    if compression == "lz4":
+        # chunk-compressed Data.db + CompressionInfo chunk map; real
+        # Cassandra writes no CRC.db for compressed sstables (chunk CRCs
+        # live inline in Data.db)
+        from cassandra_sstable_tools_spark.sources.lz4_block import (
+            write_chunked_file,
+        )
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            encode_compression_info,
+        )
+
+        chunk_len = 65536
+        dpath = prefix + "Data.db"
+        with open(dpath, "wb") as f:
+            # the layout is contiguous: one block at offset 0 IS the image
+            offsets = write_chunked_file(
+                [(0, bytes(blob))], len(blob), chunk_len, f,
+                max_compressed_length=chunk_len,
+            )
+        written.append(dpath)
+        _put(
+            "CompressionInfo.db",
+            encode_compression_info(
+                len(blob), version=_BIG_VERSION, chunk_length=chunk_len,
+                options={"lz4_high_compressor_level": "3"},
+                offsets=offsets,
+            ),
+        )
+        components = sorted(
+            c for c in _ALL_COMPONENTS if c != "CRC.db"
+        ) + ["CompressionInfo.db"]
+        components = sorted(set(components))
+    else:
+        _put("Data.db", bytes(blob))
+        _put("CRC.db", encode_crc_db(prefix + "Data.db"))
+        components = list(_ALL_COMPONENTS)
     idx_offs = index_offsets(entries, version=_BIG_VERSION)
     _put(
         "Summary.db",
@@ -365,15 +407,17 @@ def write_sstable(
                          hash_count=FIXTURE_HASH_COUNT)
         ),
     )
-    _put("CRC.db", encode_crc_db(prefix + "Data.db"))
-    # ASCII decimal CRC32 of the on-disk Data.db -- the digest_check rule
+    # ASCII decimal CRC32 of the ON-DISK Data.db bytes (compressed chunks
+    # included) -- the digest_check rule
+    from cassandra_sstable_tools_spark.sources.data_db import file_crc32
+
     _put(
         "Digest.crc32",
-        str(zlib.crc32(bytes(blob)) & 0xFFFFFFFF).encode("ascii"),
+        str(file_crc32(prefix + "Data.db")).encode("ascii"),
     )
     _put(
         "TOC.txt",
-        "".join(c + "\n" for c in _ALL_COMPONENTS).encode("ascii"),
+        "".join(c + "\n" for c in components).encode("ascii"),
     )
     _put("Index.db", encode_index_db(entries))
     stats = SSTableStats(
@@ -428,6 +472,12 @@ class SSTableWriter(DataSourceWriter):
             raise ValueError(
                 f"unsupported writer key_type {self.key_type!r}"
             )
+        self.compression = options.get("compression", "none").lower()
+        if self.compression not in ("none", "lz4"):
+            raise ValueError(
+                f"unsupported writer compression {self.compression!r}: "
+                "none|lz4"
+            )
         # one random base per write job -> unique generations per append
         self.run_base = uuid.uuid4().hex[:8]
 
@@ -459,6 +509,7 @@ class SSTableWriter(DataSourceWriter):
                     grows, os.path.join(self.root, ks, tb),
                     sstable_id=f"{self.run_base}x{pid:05d}n{seq}",
                     key_type=self.key_type,
+                    compression=self.compression,
                 )
             )
         return SSTableWriteMessage(paths=paths, rows=len(rows))
