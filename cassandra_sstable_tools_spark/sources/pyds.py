@@ -145,15 +145,19 @@ def list_sstables(root: str, filenames=None) -> list[dict]:
 @dataclass
 class SSTablePartition(InputPartition):
     """One task's work: a full (shard of an) sstable scan, or -- when
-    ``keys`` is set -- a bloom-gated point read of just those keys.
+    ``keys`` is set -- a bloom-gated point read of just those keys, or --
+    when ``spans`` is set -- summary-floored contiguous range scans.
     ``keys`` holds (display, candidate key bytes) pairs; a display may
     carry several byte candidates when the literal is encoding-ambiguous
-    (a text key that LOOKS like a 0x-hex render)."""
+    (a text key that LOOKS like a 0x-hex render). ``spans`` holds
+    disjoint (lo_bytes, hi_bytes) byte intervals whose union is a proven
+    SUPERSET of the pushed string-range predicate (see _range_spans)."""
 
     path: str
     shard: int = 0
     n_shards: int = 1
     keys: tuple | None = None
+    spans: tuple | None = None
 
 
 def _decode_visible(index_local: str) -> bool:
@@ -188,6 +192,78 @@ def _key_candidates(literal: str, key_type: str | None) -> list[bytes]:
     return cands
 
 
+# any real partition key is at most u16-length (65535 bytes), so this
+# sentinel is strictly greater than every key: the "unbounded above" bound
+_MAX_KEY = b"\xff" * 65536
+
+
+def _range_spans(
+    lo_s: str | None, hi_s: str | None
+) -> list[tuple[bytes, bytes]]:
+    """Byte intervals whose union COVERS every key whose RENDERED form
+    falls in the string range [lo_s, hi_s] (None = unbounded). The
+    default render is UTF-8-or-0x-hex, which splits key space into two
+    order-consistent families:
+
+    - clean-UTF-8 keys render as themselves, and UTF-8 byte order equals
+      code-point string order (a designed property of UTF-8) -- so the
+      UTF-8-encoded bounds cover them exactly;
+    - other keys render '0x' + lowercase hex, and fixed-width lowercase
+      hex is order-isomorphic to the bytes -- such a render lies in
+      [lo_s, hi_s] only if the string range intersects ["0x", "0y"), and
+      then its bytes lie in the (conservatively widened) hex-decoded
+      bounds.
+
+    Overlapping intervals are merged so a downstream per-span scan never
+    emits a record twice. The result may over-cover (Spark re-applies the
+    predicate); it can never under-cover -- that is the pushdown safety
+    contract, pinned by a randomized differential."""
+    lo_u = lo_s.encode("utf-8") if lo_s is not None else b""
+    hi_u = hi_s.encode("utf-8") if hi_s is not None else _MAX_KEY
+    spans = []
+    if lo_u <= hi_u:
+        spans.append((lo_u, hi_u))
+    # hex-render family: only when [lo_s, hi_s] intersects ["0x", "0y")
+    if (lo_s is None or lo_s < "0y") and (hi_s is None or hi_s >= "0x"):
+        def _lc_prefix(s: str) -> bytes:
+            """Longest even LOWERCASE-hex prefix of the bound's hex part.
+            Renders use only [0-9a-f]; a bound character outside that
+            alphabet breaks the digit<->nibble order isomorphism
+            (bytes.fromhex would happily take 'C' as 0xc, but 'C' sorts
+            BELOW every digit's render) -- so the trustworthy prefix ends
+            at the first such character, and both bounds widen from
+            there (floor rounds down, ceil pads 0xff)."""
+            h = s[2:] if s.startswith("0x") else ""
+            n = 0
+            while n < len(h) and h[n] in "0123456789abcdef":
+                n += 1
+            return bytes.fromhex(h[: n - n % 2])
+
+        def _hex_floor(s: str) -> bytes:
+            if s is None or s <= "0x":
+                return b""
+            return _lc_prefix(s)
+
+        def _hex_ceil(s: str) -> bytes:
+            if s is None or s >= "0y":
+                return _MAX_KEY
+            if not s.startswith("0x"):
+                return b""  # s < "0x": no hex render can be <= s
+            return _lc_prefix(s) + b"\xff" * 64
+        lo_h, hi_h = _hex_floor(lo_s), _hex_ceil(hi_s)
+        if lo_h <= hi_h:
+            spans.append((lo_h, hi_h))
+    # merge overlaps so per-span scans are disjoint
+    spans.sort()
+    merged: list[tuple[bytes, bytes]] = []
+    for lo, hi in spans:
+        if merged and lo <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 class SSTableCellReader(DataSourceReader):
     """Batch reader: one InputPartition per (sstable, shard); rows are
     the 18-column cell-grain records of ``data_cells``."""
@@ -211,6 +287,9 @@ class SSTableCellReader(DataSourceReader):
         # set by pushFilters (pushdown subclass only)
         self._allowed: dict[str, set] = {}
         self._key_literals: set[str] | None = None
+        self._range_lo: str | None = None  # max of pushed lower bounds
+        self._range_hi: str | None = None  # min of pushed upper bounds
+        self._has_range = False
         self._prunable = False  # planning contradiction -> zero partitions
 
     # -- planning ---------------------------------------------------------
@@ -227,6 +306,18 @@ class SSTableCellReader(DataSourceReader):
         rows = self._listing()
         if self._key_literals is not None:
             return self._point_read_partitions(rows)
+        if self._has_range and not self.key_type:
+            # range pushdown is sound only for the DEFAULT rendering
+            # (UTF-8-or-hex -- both families order-consistent with bytes,
+            # see _range_spans); typed renders (e.g. decimal longs) order
+            # differently than their bytes, so they keep the full scan
+            spans = tuple(_range_spans(self._range_lo, self._range_hi))
+            if not spans:
+                return [SSTablePartition(path="", keys=())]
+            return [
+                SSTablePartition(path=r["path"], spans=spans)
+                for r in rows
+            ] or [SSTablePartition(path="", keys=())]
         return [
             SSTablePartition(path=r["path"], shard=s, n_shards=self.n_shards)
             for r in rows
@@ -271,6 +362,8 @@ class SSTableCellReader(DataSourceReader):
             return iter(())
         if partition.keys is not None:
             return self._read_point(partition)
+        if partition.spans is not None:
+            return self._read_spans(partition)
         from cassandra_sstable_tools_spark.sources.data_cells import (
             scan_sstable_cell_rows,
         )
@@ -280,6 +373,39 @@ class SSTableCellReader(DataSourceReader):
                 partition.path, partition.shard, partition.n_shards
             )
         )
+
+    def _read_spans(self, partition: SSTablePartition) -> Iterator[tuple]:
+        """Summary-floored contiguous range scans for the pushed spans.
+        A raw-key range is contiguous only in byte order: sstables
+        declaring any other partitioner fall back to a full scan (the
+        re-applied Spark predicate keeps results exact either way)."""
+        from cassandra_sstable_tools_spark.sources.data_cells import (
+            scan_sstable_cell_rows,
+        )
+        from cassandra_sstable_tools_spark.sources.lookup import (
+            _range_in_sstable,
+            _sstable_ctx,
+        )
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            _parse_filename,
+        )
+
+        ks, tb, ss, ver = _parse_filename(partition.path)
+        ctx = _sstable_ctx(partition.path, ver)
+        if ctx is None:
+            return
+        if ctx["partitioner"].rsplit(".", 1)[-1] != "ByteOrderedPartitioner":
+            yield from scan_sstable_cell_rows(partition.path)
+            return
+        for lo_b, hi_b in partition.spans:
+            got = _range_in_sstable(
+                partition.path, partition.path, ver, lo_b, hi_b
+            )
+            if got is None:
+                return
+            _audit, records = got
+            for rec in records:
+                yield (ks, tb, ss) + rec
 
     def _read_point(self, partition: SSTablePartition) -> Iterator[tuple]:
         """Bloom -> summary -> index-window -> data-block reads for the
@@ -334,12 +460,34 @@ class SSTableCellPushdownReader(SSTableCellReader):
     stays usable in any session."""
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
         key_sets: list[set[str]] = []
         for f in filters:
             attr = tuple(f.attribute)
             if len(attr) != 1:
                 continue
             (col,) = attr
+            if col == "partition_key" and isinstance(
+                f,
+                (GreaterThan, GreaterThanOrEqual, LessThan,
+                 LessThanOrEqual),
+            ) and isinstance(f.value, str):
+                # bounds are INCLUSIVE supersets (strict ops widen by one
+                # value -- Spark re-applies the exact predicate)
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    if self._range_lo is None or f.value > self._range_lo:
+                        self._range_lo = f.value
+                else:
+                    if self._range_hi is None or f.value < self._range_hi:
+                        self._range_hi = f.value
+                self._has_range = True
+                continue
             if isinstance(f, EqualTo):
                 vals = {f.value} if f.value is not None else None
             elif isinstance(f, In):

@@ -434,3 +434,101 @@ def test_format_registration_and_schema(registered):
     assert CassandraSSTableDataSource(
         {"path": "/tmp"}
     ).schema() == DATA_CELLS_SCHEMA
+
+
+def test_range_pushdown_matches_full_scan_filter(registered, cass_root):
+    """BETWEEN / >= / < on partition_key with pushdown: planning emits
+    span partitions (summary-floored range scans per sstable), results
+    equal the full-scan filter exactly."""
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base = data_cells(registered, cass_root)
+    keys = sorted(
+        r.partition_key
+        for r in base.select("partition_key").distinct().limit(200).collect()
+    )
+    lo, hi = keys[20], keys[150]
+    df = _read(registered, cass_root, pushdown="true")
+    for pred_df, pred_base in [
+        (df.partition_key.between(lo, hi),
+         base.partition_key.between(lo, hi)),
+        ((df.partition_key >= lo) & (df.partition_key < hi),
+         (base.partition_key >= lo) & (base.partition_key < hi)),
+        (df.partition_key > hi, base.partition_key > hi),
+        (df.partition_key <= lo, base.partition_key <= lo),
+    ]:
+        got = _norm(df.where(pred_df).toPandas())
+        exp = _norm(base.where(pred_base).toPandas())
+        assert len(exp) > 0
+        pd.testing.assert_frame_equal(got, exp)
+    # planning-level: spans present, not full scans
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    r = SSTableCellPushdownReader({"path": cass_root})
+    r.pushFilters([GreaterThanOrEqual(("partition_key",), lo),
+                   LessThanOrEqual(("partition_key",), hi)])
+    parts = [p for p in r.partitions() if p.path]
+    assert parts and all(p.spans for p in parts)
+    # empty string-range -> no real partitions
+    r2 = SSTableCellPushdownReader({"path": cass_root})
+    r2.pushFilters([GreaterThanOrEqual(("partition_key",), "zz"),
+                    LessThanOrEqual(("partition_key",), "aa")])
+    assert [p for p in r2.partitions() if p.path] == []
+
+
+def test_range_pushdown_with_typed_key_option_falls_back(
+    registered, cass_root
+):
+    """option('key_type','long') renders don't order like their bytes:
+    planning must keep the full scan (no span partitions)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    r = SSTableCellPushdownReader(
+        {"path": cass_root, "key_type": "long"}
+    )
+    r.pushFilters([GreaterThanOrEqual(("partition_key",), "300")])
+    parts = [p for p in r.partitions() if p.path]
+    assert parts and all(p.spans is None for p in parts)
+
+
+def test_range_spans_never_under_cover():
+    """Randomized coverage differential: for arbitrary key bytes and
+    arbitrary string bounds, every key whose RENDERED form satisfies the
+    string range lies inside some emitted byte span -- the pushdown
+    safety contract (over-coverage is fine; Spark re-applies)."""
+    import random
+
+    from cassandra_sstable_tools_spark.sources.pyds import _range_spans
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        render_key,
+    )
+
+    rng = random.Random(20260816)
+    pool: list[bytes] = []
+    for _ in range(300):
+        n = rng.randint(1, 12)
+        if rng.random() < 0.5:
+            pool.append(bytes(rng.randrange(256) for _ in range(n)))
+        else:
+            pool.append(
+                "".join(
+                    rng.choice("0123456789abcdefxyzABC _-")
+                    for _ in range(n)
+                ).encode("utf-8")
+            )
+    renders = [(kb, render_key(kb)) for kb in pool]
+    bound_pool = [r for _, r in renders] + [
+        "0x", "0y", "0x61", "0xzz", "a", "zz", "", "0x0102030405", "0"
+    ]
+    for _ in range(500):
+        lo = rng.choice(bound_pool) if rng.random() < 0.8 else None
+        hi = rng.choice(bound_pool) if rng.random() < 0.8 else None
+        spans = _range_spans(lo, hi)
+        for kb, r in renders:
+            if (lo is None or r >= lo) and (hi is None or r <= hi):
+                assert any(s0 <= kb <= s1 for s0, s1 in spans), (
+                    f"under-cover: key {kb!r} render {r!r} "
+                    f"bounds ({lo!r}, {hi!r}) spans {spans!r}"
+                )
+        # and spans are disjoint (no double-emit)
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 < b0
