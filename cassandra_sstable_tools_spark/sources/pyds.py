@@ -633,6 +633,13 @@ class CassandraSSTableDataSource(DataSource):
 
         return SSTableWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        from cassandra_sstable_tools_spark.sources.pyds_writer import (
+            SSTableStreamWriter,
+        )
+
+        return SSTableStreamWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent format registration for a session."""

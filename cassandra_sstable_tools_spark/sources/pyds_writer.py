@@ -54,7 +54,11 @@ import os
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 _BIG_VERSION = "nb"
 # TOC content: every component this writer emits, sorted -- the same
@@ -107,10 +111,22 @@ _REQUIRED_COLS = {
 }
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    """tmp + rename, so a reader never sees a half-written component and
+    an idempotent micro-batch REPLAY can overwrite a live file safely."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 @dataclass
 class SSTableWriteMessage(WriterCommitMessage):
     paths: list = field(default_factory=list)
     rows: int = 0
+    # deferred Statistics.db components: [(path, bytes)] -- set by the
+    # STREAMING sink's tasks, written by its driver-side commit
+    stats: list = field(default_factory=list)
 
 
 def _infer_header(records: list[dict], key_marshal: str):
@@ -222,13 +238,20 @@ def write_sstable(
     sstable_id: str,
     key_type: str | None = None,
     compression: str = "none",
-) -> list[str]:
+    defer_stats: bool = False,
+) -> tuple[list[str], tuple[str, bytes] | None]:
     """Encode one sstable (all components) from cell-grain rows; returns
-    the written paths. Partition blocks are laid out back-to-back in
-    key-byte order; every component derives from the REAL encoded bytes
-    (positions, summary offsets, bloom membership, CRCs, histograms), so
-    the written sstable is indistinguishable from a planted fixture to
-    every reader in this engine."""
+    (written paths, deferred stats). Partition blocks are laid out
+    back-to-back in key-byte order; every component derives from the REAL
+    encoded bytes (positions, summary offsets, bloom membership, CRCs,
+    histograms), so the written sstable is indistinguishable from a
+    planted fixture to every reader in this engine.
+
+    ``defer_stats=True`` skips writing Statistics.db and returns its
+    (path, bytes) instead -- Statistics.db presence IS this engine's
+    visibility gate, so a coordinator (the streaming sink's commit) can
+    make a whole batch of sstables visible together, after every task
+    succeeded."""
     from cassandra_sstable_tools_spark.sources.bloom import (
         FIXTURE_HASH_COUNT,
         build_filter,
@@ -352,8 +375,7 @@ def write_sstable(
 
     def _put(component: str, data: bytes) -> None:
         p = prefix + component
-        with open(p, "wb") as f:
-            f.write(data)
+        _atomic_write(p, data)
         written.append(p)
 
     if compression == "lz4":
@@ -369,12 +391,13 @@ def write_sstable(
 
         chunk_len = 65536
         dpath = prefix + "Data.db"
-        with open(dpath, "wb") as f:
+        with open(dpath + ".tmp", "wb") as f:
             # the layout is contiguous: one block at offset 0 IS the image
             offsets = write_chunked_file(
                 [(0, bytes(blob))], len(blob), chunk_len, f,
                 max_compressed_length=chunk_len,
             )
+        os.replace(dpath + ".tmp", dpath)
         written.append(dpath)
         _put(
             "CompressionInfo.db",
@@ -433,11 +456,13 @@ def write_sstable(
     )
     # Statistics.db LAST: its presence is what makes the sstable visible
     # to this engine's readers and the streaming source
-    _put(
-        "Statistics.db",
-        encode_statistics_db(stats, version=_BIG_VERSION, header=header),
+    stats_blob = encode_statistics_db(
+        stats, version=_BIG_VERSION, header=header
     )
-    return written
+    if defer_stats:
+        return written, (prefix + "Statistics.db", stats_blob)
+    _put("Statistics.db", stats_blob)
+    return written, None
 
 
 class SSTableWriter(DataSourceWriter):
@@ -503,21 +528,89 @@ class SSTableWriter(DataSourceWriter):
                     )
                 groups.setdefault((ks, tb), []).append(row)
         paths: list[str] = []
+        stats: list[tuple[str, bytes]] = []
         for seq, ((ks, tb), grows) in enumerate(sorted(groups.items())):
-            paths.extend(
-                write_sstable(
-                    grows, os.path.join(self.root, ks, tb),
-                    sstable_id=f"{self.run_base}x{pid:05d}n{seq}",
-                    key_type=self.key_type,
-                    compression=self.compression,
-                )
+            got, deferred = write_sstable(
+                grows, os.path.join(self.root, ks, tb),
+                sstable_id=self._sstable_id(pid, seq),
+                key_type=self.key_type,
+                compression=self.compression,
+                defer_stats=self._defer_stats,
             )
-        return SSTableWriteMessage(paths=paths, rows=len(rows))
+            paths.extend(got)
+            if deferred is not None:
+                stats.append(deferred)
+        return SSTableWriteMessage(paths=paths, rows=len(rows), stats=stats)
+
+    _defer_stats = False
+
+    def _sstable_id(self, pid: int, seq: int) -> str:
+        return f"{self.run_base}x{pid:05d}n{seq}"
 
     def commit(self, messages) -> None:
         pass  # tasks finalize themselves (Statistics.db-last visibility)
 
     def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for p in getattr(m, "paths", []) or []:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
+class SSTableStreamWriter(SSTableWriter, DataSourceStreamWriter):
+    """``writeStream.format("cassandra-sstable")`` -- the memtable-flush
+    analogue: each micro-batch flushes as fresh sstables.
+
+    Exactly-once across retries AND restarts, by construction:
+    - generations embed the batch id (``b<batchId>p<partition>``), so a
+      REPLAYED batch rewrites the exact same filenames with the exact
+      same bytes (the encoder sorts; components are pure functions of
+      the rows) through atomic per-file replaces -- no duplicates;
+    - tasks defer Statistics.db (this engine's visibility gate) into
+      their commit messages; the driver-side ``commit`` writes them in
+      ascending generation order only after EVERY task succeeded. A
+      concurrent reader's listing therefore sees a generation-ordered
+      PREFIX of the batch, which is exactly what the streaming reader's
+      per-table watermark needs to never skip an sstable -- so a
+      directory can be tailed by one stream while another writes it.
+
+    Batch-id generations are lexicographically monotonic (zero-padded),
+    so the streaming READER's watermark advances correctly over a tree
+    this sink produces."""
+
+    def __init__(self, options, overwrite: bool = False):
+        super().__init__(options, overwrite=False)
+
+    _defer_stats = True
+
+    def _sstable_id(self, pid: int, seq: int) -> str:
+        from pyspark import TaskContext
+
+        batch = TaskContext.get().getLocalProperty("streaming.sql.batchId")
+        if batch is None:
+            raise RuntimeError(
+                "streaming sstable sink: no streaming.sql.batchId in the "
+                "task context (not running inside a micro-batch?)"
+            )
+        return f"b{int(batch):012d}p{pid:05d}n{seq}"
+
+    def commit(self, messages, batchId: int) -> None:
+        stats = sorted(
+            (path, blob)
+            for m in messages
+            if m is not None
+            for path, blob in getattr(m, "stats", []) or []
+        )
+        for path, blob in stats:  # ascending generation order (see above)
+            _atomic_write(path, blob)
+
+    def abort(self, messages, batchId: int) -> None:
+        # nothing of this batch is visible (no Statistics.db written);
+        # remove the invisible partials
         for m in messages:
             if m is None:
                 continue

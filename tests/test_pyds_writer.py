@@ -389,3 +389,132 @@ def test_lz4_compressed_write_round_trips(registered, cass_root, tmp_path):
         exp.where(exp.partition_key == key).select(*hit.columns).toPandas()
     )
     pd.testing.assert_frame_equal(_norm(hit), exp)
+
+
+# -- streaming sink --------------------------------------------------------
+
+
+_CELLS_NOID_SCHEMA = (
+    "partition_key string, kind string, clustering string, "
+    "column_name string, cell_path string, writetime bigint, ttl int, "
+    "local_deletion_time bigint, is_tombstone boolean, "
+    "is_expiring boolean, is_counter boolean, cell_value bigint, "
+    "range_start string, range_end string"
+)
+
+
+def _mk_batch(i: int, n: int = 40) -> pd.DataFrame:
+    return pd.DataFrame({
+        "partition_key": [f"k{i:02d}{j:04d}" for j in range(n)],
+        "kind": ["CELL"] * n,
+        "clustering": [f"r{j}" for j in range(n)],
+        "column_name": ["c0"] * n,
+        "cell_path": [None] * n,
+        "writetime": pd.array([1000 + j for j in range(n)], dtype="Int64"),
+        "ttl": pd.array([None] * n, dtype="Int32"),
+        "local_deletion_time": pd.array([None] * n, dtype="Int64"),
+        "is_tombstone": [False] * n,
+        "is_expiring": [False] * n,
+        "is_counter": [False] * n,
+        "cell_value": pd.array(list(range(n)), dtype="Int64"),
+        "range_start": [None] * n,
+        "range_end": [None] * n,
+    })
+
+
+def test_stream_sink_flushes_microbatches_exactly_once(
+    registered, tmp_path
+):
+    """Each micro-batch flushes as sstables with batch-id generations;
+    a checkpoint restart replays nothing (same names, same bytes)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    registered.createDataFrame(_mk_batch(0), _CELLS_NOID_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+
+    def start():
+        return (
+            registered.readStream.schema(_CELLS_NOID_SCHEMA).parquet(src)
+            .writeStream.format("cassandra-sstable")
+            .option("keyspace", "sks").option("table", "stb")
+            .option("checkpointLocation", ckpt)
+            .start(out)
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert data_cells(registered, out).count() == 40
+        registered.createDataFrame(
+            _mk_batch(1), _CELLS_NOID_SCHEMA
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert data_cells(registered, out).count() == 80
+    finally:
+        q.stop()
+    ids = {
+        r.sstable_id
+        for r in data_cells(registered, out)
+        .select("sstable_id").distinct().collect()
+    }
+    assert all(i.startswith("b00000000000") for i in ids)
+    batches = {i.split("p")[0] for i in ids}
+    assert len(batches) == 2  # one generation family per micro-batch
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        assert data_cells(registered, out).count() == 80  # no replay dupes
+    finally:
+        q2.stop()
+    # every written sstable became VISIBLE (its deferred Statistics.db
+    # landed at commit) and is fully healthy
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        toc_checks,
+    )
+
+    toc = toc_checks(registered, out).toPandas()
+    assert len(toc) == len(ids) and bool(toc["complete"].all())
+
+
+def test_stream_to_stream_replication_loop(registered, cass_root, tmp_path):
+    """The full loop: a cassandra-sstable READ stream tails the source
+    tree, a cassandra-sstable WRITE stream (identity-preserving mode)
+    flushes what arrives into a replica tree -- and the replica decodes
+    to the same records (fresh generations aside). Each read task is one
+    source sstable, so even per-partition deletion headers survive
+    unchanged (no cross-sstable collapse)."""
+    out = str(tmp_path / "replica")
+    q = (
+        registered.readStream.format("cassandra-sstable").load(cass_root)
+        .drop("sstable_id", "phys_size")
+        .writeStream.format("cassandra-sstable")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start(out)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    drop = ["sstable_id", "phys_size"]
+    a = _norm(data_cells(registered, cass_root).drop(*drop).toPandas())
+    b = _norm(data_cells(registered, out).drop(*drop).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+    # identity preserved: same keyspace/table directories as the source
+    src_tables = {
+        (r["keyspace"], r["table_name"])
+        for r in __import__(
+            "cassandra_sstable_tools_spark.sources.pyds",
+            fromlist=["list_sstables"],
+        ).list_sstables(cass_root)
+    }
+    rep_tables = {
+        (r["keyspace"], r["table_name"])
+        for r in __import__(
+            "cassandra_sstable_tools_spark.sources.pyds",
+            fromlist=["list_sstables"],
+        ).list_sstables(out)
+    }
+    assert rep_tables == src_tables
