@@ -705,6 +705,31 @@ def ds_pointread_cassdir(spark, sf_dir: str):
     return df.where(df.partition_key.isin(keys))
 
 
+def ds_rangeread_cassdir(spark, sf_dir: str):
+    """The range-pushdown certificate: a partition_key BETWEEN through
+    the FORMAT with pushdown on -- planning emits summary-floored span
+    scans (see _range_spans) -- hash-matched against the same ``decoded``
+    oracle frame under the same BETWEEN (the fixed range the
+    partition_range_cassdir certificate uses)."""
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        _RANGE_HI,
+        _RANGE_LO,
+    )
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("pushdown", "true")
+        .load(root)
+    )
+    return df.where(df.partition_key.between(_RANGE_LO, _RANGE_HI))
+
+
 _RT_COLS = (
     "partition_key, kind, clustering, column_name, cell_path, writetime, "
     "ttl, local_deletion_time, is_tombstone, is_expiring, is_counter, "
@@ -756,12 +781,21 @@ def _staged():
         ORACLES as _DC_ORACLES,
         _phys_ctes,
     )
-    from cassandra_sstable_tools_spark.sources.lookup import _KEY_PREFIX
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        _KEY_PREFIX,
+        _RANGE_HI,
+        _RANGE_LO,
+    )
 
     pointread_oracle = with_adapter(
         f",{_phys_ctes()}\n"
         "SELECT * FROM decoded "
         f"WHERE substr(md5(partition_key), 1, 1) = '{_KEY_PREFIX}'"
+    )
+    rangeread_oracle = with_adapter(
+        f",{_phys_ctes()}\n"
+        "SELECT * FROM decoded "
+        f"WHERE partition_key BETWEEN '{_RANGE_LO}' AND '{_RANGE_HI}'"
     )
     roundtrip_oracle = with_adapter(
         f",{_phys_ctes()}\n"
@@ -781,12 +815,14 @@ def _staged():
         {
             "ds_cells_cassdir": ds_cells_cassdir,
             "ds_pointread_cassdir": ds_pointread_cassdir,
+            "ds_rangeread_cassdir": ds_rangeread_cassdir,
             "ds_write_roundtrip_cassdir": ds_write_roundtrip_cassdir,
         },
         {
             # bit-identical to the mapInPandas certificate's frame
             "ds_cells_cassdir": _DC_ORACLES["data_cells_cassdir"],
             "ds_pointread_cassdir": pointread_oracle,
+            "ds_rangeread_cassdir": rangeread_oracle,
             "ds_write_roundtrip_cassdir": roundtrip_oracle,
         },
     )
