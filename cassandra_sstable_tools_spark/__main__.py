@@ -754,11 +754,16 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         names = args.filenames.split(",") if args.filenames else None
         root = _scoped_cassdir_root(args)
         _warn_partial_statistics(spark, root, names, "compact")
+        # --keyspace narrows the root (when given); --table WITHOUT
+        # --keyspace cannot narrow a path, so it scopes the compaction
+        # and its report inside compact_dir (review finding: every other
+        # cassandra-dir command applies the same table-only predicate)
         report = compact_dir(
             spark, root, args.out, filenames=names,
             sstables_per_table=args.sstables_per_table,
             key_type=args.key_type,
             compression=args.compression,
+            table=args.table if not args.keyspace else None,
         )
         out.append(("Compaction", _render(
             report,

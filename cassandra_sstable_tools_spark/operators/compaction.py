@@ -79,12 +79,25 @@ def compact_survivors(
     return enriched.where(survives).select(*_OUT_COLS)
 
 
-def _dir_stats(root: str) -> dict[tuple[str, str], tuple[int, int]]:
-    """(ks, tb) -> (sstable count, Data.db bytes), driver-side listing."""
+def _dir_stats(
+    root: str,
+    filenames=None,
+    keyspace: str | None = None,
+    table: str | None = None,
+) -> dict[tuple[str, str], tuple[int, int]]:
+    """(ks, tb) -> (sstable count, Data.db bytes), driver-side listing,
+    under the same -f/scope the compaction itself honors -- a scoped run
+    must not report bytes it never read (review finding)."""
     from cassandra_sstable_tools_spark.sources.pyds import list_sstables
 
     out: dict[tuple[str, str], tuple[int, int]] = {}
-    for r in list_sstables(root):
+    if not os.path.isdir(root):
+        return out
+    for r in list_sstables(root, filenames):
+        if keyspace and r["keyspace"] != keyspace:
+            continue
+        if table and r["table_name"] != table:
+            continue
         data = r["path"][: -len("Index.db")] + "Data.db"
         if not os.path.exists(data):
             continue
@@ -103,12 +116,18 @@ def compact_dir(
     sstables_per_table: int = 1,
     key_type: str | None = None,
     compression: str = "none",
+    keyspace: str | None = None,
+    table: str | None = None,
 ) -> DataFrame:
     """Run the compaction and return the per-table report:
     (keyspace, table_name, sstables_in, sstables_out, bytes_in,
     bytes_out, bytes_reclaimed). Writes into ``out_root`` (never the
     source -- the sink is append-only and a live dir is never rewritten
-    in place); ``sstables_per_table`` controls the output range splits."""
+    in place); ``sstables_per_table`` controls the output range splits;
+    ``keyspace``/``table`` scope both the compaction and the report (the
+    CLI's table-only scope, which root narrowing cannot express). A
+    non-empty out_root is allowed (append semantics): the report counts
+    only THIS run's output."""
     from cassandra_sstable_tools_spark.sources.pyds import register
 
     if os.path.abspath(out_root) == os.path.abspath(src_root):
@@ -119,8 +138,13 @@ def compact_dir(
         )
     if sstables_per_table < 1:
         raise ValueError("sstables_per_table must be >= 1")
-    before = _dir_stats(src_root)
+    before = _dir_stats(src_root, filenames, keyspace, table)
+    out_pre = _dir_stats(out_root)
     surv = compact_survivors(spark, src_root, filenames, gc_before)
+    if keyspace:
+        surv = surv.where(F.col("keyspace") == keyspace)
+    if table:
+        surv = surv.where(F.col("table_name") == table)
     register(spark)
     num = max(1, len(before) * sstables_per_table)
     writer = (
@@ -137,9 +161,11 @@ def compact_dir(
     writer.save(out_root)
     after = _dir_stats(out_root)
     rows = []
-    for k in sorted(set(before) | set(after)):
+    for k in sorted(set(before) | (set(after) - set(out_pre))):
         n_in, b_in = before.get(k, (0, 0))
-        n_out, b_out = after.get(k, (0, 0))
+        n_all, b_all = after.get(k, (0, 0))
+        n_pre, b_pre = out_pre.get(k, (0, 0))
+        n_out, b_out = n_all - n_pre, b_all - b_pre
         rows.append(
             (k[0], k[1], n_in, n_out, b_in, b_out, b_in - b_out)
         )

@@ -718,6 +718,7 @@ def _range_in_sstable(
     lo_b: bytes,
     hi_b: bytes,
     chunk_bytes: int = 64 << 10,
+    ctx: dict | None = None,
 ) -> tuple[dict, list[tuple]] | None:
     """All partitions with lo_b <= key <= hi_b from one sstable. A raw-key
     range is CONTIGUOUS only in byte order, so this requires
@@ -726,7 +727,9 @@ def _range_in_sstable(
     without ALLOW FILTERING; use data_cells + a filter there). The summary
     floors the scan to one sampled window before lo; the index streams
     from there and stops at the first key past hi; the matched partitions'
-    data blocks are one contiguous byte span, decoded block by block."""
+    data blocks are one contiguous byte span, decoded block by block.
+    ``ctx`` lets a caller that already opened the component set (the
+    DataSource's span reader) skip the re-parse."""
     from cassandra_sstable_tools_spark.sources.data_cells import (
         decode_partition_block,
     )
@@ -735,7 +738,8 @@ def _range_in_sstable(
         render_typed,
     )
 
-    ctx = _sstable_ctx(index_local, ver)
+    if ctx is None:
+        ctx = _sstable_ctx(index_local, ver)
     if ctx is None:
         return None
     if ctx["partitioner"].rsplit(".", 1)[-1] != "ByteOrderedPartitioner":

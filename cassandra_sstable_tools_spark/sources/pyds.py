@@ -249,7 +249,11 @@ def _range_spans(
                 return _MAX_KEY
             if not s.startswith("0x"):
                 return b""  # s < "0x": no hex render can be <= s
-            return _lc_prefix(s) + b"\xff" * 64
+            # pad with the FULL max-key width: a 64-byte pad under-covered
+            # a key carrying 65+ 0xff bytes after the trusted prefix
+            # (review finding) -- comparisons short-circuit, so the wide
+            # sentinel costs nothing
+            return _lc_prefix(s) + _MAX_KEY
         lo_h, hi_h = _hex_floor(lo_s), _hex_ceil(hi_s)
         if lo_h <= hi_h:
             spans.append((lo_h, hi_h))
@@ -390,16 +394,27 @@ class SSTableCellReader(DataSourceReader):
             _parse_filename,
         )
 
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            uses_default_key_render,
+        )
+
         ks, tb, ss, ver = _parse_filename(partition.path)
         ctx = _sstable_ctx(partition.path, ver)
         if ctx is None:
             return
-        if ctx["partitioner"].rsplit(".", 1)[-1] != "ByteOrderedPartitioner":
+        if (
+            ctx["partitioner"].rsplit(".", 1)[-1] != "ByteOrderedPartitioner"
+            # the span math models the DEFAULT rendering; a typed key
+            # validator in the sstable's own header renders (and the
+            # re-applied predicate compares) in an order unrelated to the
+            # key bytes, so spans could UNDER-cover -- full-scan instead
+            or not uses_default_key_render(ctx["header"].key_type)
+        ):
             yield from scan_sstable_cell_rows(partition.path)
             return
         for lo_b, hi_b in partition.spans:
             got = _range_in_sstable(
-                partition.path, partition.path, ver, lo_b, hi_b
+                partition.path, partition.path, ver, lo_b, hi_b, ctx=ctx
             )
             if got is None:
                 return

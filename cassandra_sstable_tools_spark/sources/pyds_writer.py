@@ -113,11 +113,30 @@ _REQUIRED_COLS = {
 
 def _atomic_write(path: str, data: bytes) -> None:
     """tmp + rename, so a reader never sees a half-written component and
-    an idempotent micro-batch REPLAY can overwrite a live file safely."""
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    an idempotent micro-batch REPLAY can overwrite a live file safely.
+    The tmp name is attempt-unique: concurrent attempts of one task
+    (speculation, zombie retries) must never truncate each other's
+    in-flight tmp (review finding)."""
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+def _check_ident(name: str, what: str) -> str:
+    if not name or "/" in name or "-" in name or name in (".", ".."):
+        raise ValueError(
+            f"{what} {name!r} cannot be empty or contain '/' or '-' "
+            "(the sstable filename grammar splits on them)"
+        )
+    return name
 
 
 @dataclass
@@ -487,11 +506,8 @@ class SSTableWriter(DataSourceWriter):
                 "(identity-preserving mode, e.g. compaction rewrites)"
             )
         for ident in (self.keyspace, self.table):
-            if ident and ("/" in ident or "-" in ident):
-                raise ValueError(
-                    f"keyspace/table name {ident!r} cannot contain '/' "
-                    "or '-' (the sstable filename grammar splits on them)"
-                )
+            if ident:
+                _check_ident(ident, "keyspace/table name")
         self.key_type = options.get("key_type")
         if self.key_type not in _KEY_TYPE_MARSHAL:
             raise ValueError(
@@ -520,12 +536,17 @@ class SSTableWriter(DataSourceWriter):
             # in the task (the caller co-partitions by table + key range)
             groups = {}
             for row in rows:
-                ks, tb = row["keyspace"], row["table_name"]
-                if not ks or not tb:
+                if not row["keyspace"] or not row["table_name"]:
                     raise ValueError(
                         "identity-preserving write: every row needs "
                         "keyspace/table_name (or pass the options)"
                     )
+                # row-carried identities face the same filename-grammar
+                # validation the option path gets -- and since they build
+                # filesystem paths, also the traversal rejects ('/',
+                # '..'): a hostile row must not write outside the root
+                ks = _check_ident(row["keyspace"], "row keyspace")
+                tb = _check_ident(row["table_name"], "row table_name")
                 groups.setdefault((ks, tb), []).append(row)
         paths: list[str] = []
         stats: list[tuple[str, bytes]] = []
@@ -583,6 +604,13 @@ class SSTableStreamWriter(SSTableWriter, DataSourceStreamWriter):
     this sink produces."""
 
     def __init__(self, options, overwrite: bool = False):
+        if overwrite:
+            raise ValueError(
+                "cassandra-sstable stream sink is APPEND-only: "
+                "complete/update output modes would re-flush whole "
+                "aggregates as fresh generations every batch; use "
+                "outputMode('append')"
+            )
         super().__init__(options, overwrite=False)
 
     _defer_stats = True

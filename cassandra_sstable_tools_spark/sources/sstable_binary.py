@@ -399,6 +399,17 @@ _MARSHAL_RENDERERS = {
 }
 
 
+def uses_default_key_render(marshal_type: str | None) -> bool:
+    """True when ``render_typed`` falls back to the UTF-8-or-hex
+    heuristic for this validator -- the rendering model the DataSource's
+    range-span pushdown math assumes. Typed validators (LongType etc.)
+    render in an order unrelated to their bytes, so span planning must
+    not trust them."""
+    if not marshal_type:
+        return True
+    return _MARSHAL_RENDERERS.get(marshal_type.rsplit(".", 1)[-1]) is None
+
+
 def render_typed(v: bytes, marshal_type: str | None) -> str:
     """Value display under a marshal type from the sstable's OWN
     SerializationHeader -- how the reference renders through the table's

@@ -503,7 +503,13 @@ def test_range_spans_never_under_cover():
     )
 
     rng = random.Random(20260816)
-    pool: list[bytes] = []
+    pool: list[bytes] = [
+        # long runs of 0xff after a short prefix: the ceil-pad width
+        # regression (a 64-byte pad under-covered 65+ trailing 0xff)
+        b"\xff" * 70,
+        b"\x61" + b"\xff" * 80,
+        bytes.fromhex("0102") + b"\xff" * 66,
+    ]
     for _ in range(300):
         n = rng.randint(1, 12)
         if rng.random() < 0.5:
@@ -517,7 +523,8 @@ def test_range_spans_never_under_cover():
             )
     renders = [(kb, render_key(kb)) for kb in pool]
     bound_pool = [r for _, r in renders] + [
-        "0x", "0y", "0x61", "0xzz", "a", "zz", "", "0x0102030405", "0"
+        "0x", "0y", "0x61", "0xzz", "a", "zz", "", "0x0102030405", "0",
+        "0xg", "0x61g", "0x2eC6Ae",  # bounds leaving the render alphabet
     ]
     for _ in range(500):
         lo = rng.choice(bound_pool) if rng.random() < 0.8 else None
@@ -532,3 +539,48 @@ def test_range_spans_never_under_cover():
         # and spans are disjoint (no double-emit)
         for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
             assert a1 < b0
+
+
+def test_range_pushdown_falls_back_on_typed_header_validator(
+    registered, tmp_path
+):
+    """A tree whose OWN header declares a typed key validator renders
+    (and string-compares) keys in an order unrelated to their bytes --
+    the span reader must full-scan it (review finding: the typed check
+    gated only on the reader OPTION, not the sstable's header)."""
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pdf = pd.DataFrame(
+        {
+            "partition_key": [str(n) for n in (90, 300, 1000, 2500)],
+            "kind": ["CELL"] * 4,
+            "clustering": [f"r{i}" for i in range(4)],
+            "column_name": ["c0"] * 4,
+            "cell_path": [None] * 4,
+            "writetime": pd.array([1, 2, 3, 4], dtype="Int64"),
+            "ttl": pd.array([None] * 4, dtype="Int32"),
+            "local_deletion_time": pd.array([None] * 4, dtype="Int64"),
+            "is_tombstone": [False] * 4,
+            "is_expiring": [False] * 4,
+            "is_counter": [False] * 4,
+            "cell_value": pd.array([1, 2, 3, 4], dtype="Int64"),
+            "range_start": [None] * 4,
+            "range_end": [None] * 4,
+        }
+    )
+    out = str(tmp_path / "typed")
+    (
+        registered.createDataFrame(pdf).coalesce(1)
+        .write.format("cassandra-sstable")
+        .option("keyspace", "tks").option("table", "ttb")
+        .option("key_type", "long")
+        .mode("append").save(out)
+    )
+    df = _read(registered, out, pushdown="true")
+    base = data_cells(registered, out)
+    # '1000' >= '300' is FALSE in string order; the decimal renders that
+    # DO satisfy the predicate ('300', '90') have byte encodings the span
+    # math cannot model -- only the header-validator fallback returns them
+    got = _norm(df.where(df.partition_key >= "300").toPandas())
+    exp = _norm(base.where(base.partition_key >= "300").toPandas())
+    assert set(exp.partition_key) == {"300", "90"}
+    pd.testing.assert_frame_equal(got, exp)

@@ -276,7 +276,7 @@ def test_writer_option_validation(tmp_path):
         SSTableWriter(
             {"path": str(tmp_path), "keyspace": "a"}, overwrite=False
         )
-    with pytest.raises(ValueError, match="cannot contain"):
+    with pytest.raises(ValueError, match="cannot be empty or contain"):
         SSTableWriter(
             {"path": str(tmp_path), "keyspace": "a-b", "table": "t"},
             overwrite=False,
@@ -461,7 +461,9 @@ def test_stream_sink_flushes_microbatches_exactly_once(
     }
     assert all(i.startswith("b00000000000") for i in ids)
     batches = {i.split("p")[0] for i in ids}
-    assert len(batches) == 2  # one generation family per micro-batch
+    # one generation family per micro-batch; the file source may split
+    # an append into several batches, so >= the two appends
+    assert len(batches) >= 2
 
     q2 = start()
     try:
@@ -518,3 +520,116 @@ def test_stream_to_stream_replication_loop(registered, cass_root, tmp_path):
         ).list_sstables(out)
     }
     assert rep_tables == src_tables
+
+
+def test_stream_sink_rejects_non_append_modes(registered, tmp_path):
+    """complete/update output modes would re-flush whole aggregates as
+    fresh generations every batch -- refused loudly (review finding: the
+    overwrite flag was silently dropped)."""
+    src = str(tmp_path / "src")
+    registered.createDataFrame(_mk_batch(0), _CELLS_NOID_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    agg = (
+        registered.readStream.schema(_CELLS_NOID_SCHEMA).parquet(src)
+        .groupBy("kind").count()
+    )
+    with pytest.raises(Exception, match="APPEND-only|append"):
+        (
+            agg.writeStream.format("cassandra-sstable")
+            .outputMode("complete")
+            .option("keyspace", "sks").option("table", "stb")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start(str(tmp_path / "out"))
+        ).processAllAvailable()
+
+
+def test_identity_preserving_rows_are_validated(tmp_path):
+    """Row-carried keyspace/table_name build filesystem paths: traversal
+    and filename-grammar violations fail loud (review finding)."""
+    from pyspark import TaskContext
+
+    w = SSTableWriter({"path": str(tmp_path)}, overwrite=False)
+
+    def row(ks, tb):
+        return {
+            "keyspace": ks, "table_name": tb, "partition_key": "k",
+            "kind": "ROW_MARKER", "clustering": "r", "column_name": None,
+            "cell_path": None, "writetime": 1, "ttl": None,
+            "local_deletion_time": None, "is_tombstone": False,
+            "is_expiring": False, "is_counter": False, "cell_value": None,
+            "range_start": None, "range_end": None,
+        }
+
+    class _FakeCtx:
+        def partitionId(self):
+            return 0
+
+    orig = TaskContext.get
+    TaskContext.get = staticmethod(lambda: _FakeCtx())
+    try:
+        for ks, tb in [("../evil", "t"), ("ks", "a/b"), ("ks", "a-b"),
+                       ("..", "t"), ("", "t")]:
+            with pytest.raises(ValueError,
+                               match="cannot be empty or contain|needs"):
+                w.write(iter([row(ks, tb)]))
+    finally:
+        TaskContext.get = orig
+
+
+def test_compact_report_honors_scope_and_preexisting_out(
+    registered, cass_root, tmp_path
+):
+    """-f and table scope must bound the report's bytes_in; a second run
+    into the same out dir reports only ITS OWN output (review finding:
+    the report inventoried the whole source and all pre-existing
+    output)."""
+    import glob as _glob
+
+    from cassandra_sstable_tools_spark.operators.compaction import (
+        compact_dir,
+    )
+    from cassandra_sstable_tools_spark.sources.pyds import list_sstables
+
+    rows = list_sstables(cass_root)
+    tables = sorted({r["table_name"] for r in rows})
+    one_table = tables[0]
+    out = str(tmp_path / "out")
+    rep = compact_dir(
+        registered, cass_root, out, table=one_table
+    ).toPandas()
+    assert list(rep["table_name"]) == [one_table]
+    n_src = sum(1 for r in rows if r["table_name"] == one_table)
+    assert int(rep["sstables_in"].sum()) == n_src
+    written_1 = len(_glob.glob(f"{out}/*/{one_table}/*-Data.db"))
+    assert int(rep["sstables_out"].sum()) == written_1
+    # only the scoped table was written at all
+    assert {
+        r["table_name"] for r in list_sstables(out)
+    } == {one_table}
+
+    # second scoped run into the SAME out dir: report counts only the
+    # new sstables, not the first run's
+    rep2 = compact_dir(
+        registered, cass_root, out, table=one_table
+    ).toPandas()
+    assert int(rep2["sstables_out"].sum()) == (
+        len(_glob.glob(f"{out}/*/{one_table}/*-Data.db")) - written_1
+    )
+    assert int(rep2["sstables_out"].sum()) > 0
+
+    # -f scoping bounds bytes_in to the named file(s): -f matches by
+    # BASENAME across tables (the reference's semantics), so expect one
+    # per table carrying that generation
+    one_file = os.path.basename(sorted(
+        _glob.glob(f"{cass_root}/*/*/*-Data.db")
+    )[0])
+    n_named = sum(
+        1 for p in _glob.glob(f"{cass_root}/*/*/*-Data.db")
+        if os.path.basename(p) == one_file
+    )
+    rep3 = compact_dir(
+        registered, cass_root, str(tmp_path / "out3"),
+        filenames=[one_file],
+    ).toPandas()
+    assert int(rep3["sstables_in"].sum()) == n_named < len(rows)
