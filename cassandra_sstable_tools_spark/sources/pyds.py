@@ -284,9 +284,20 @@ class SSTableCellReader(DataSourceReader):
             if files_opt
             else None
         )
-        self.n_shards = int(options.get("shards_per_sstable", "1"))
-        if self.n_shards < 1:
+        shards_opt = options.get("shards_per_sstable")
+        self.n_shards = int(shards_opt) if shards_opt is not None else None
+        if self.n_shards is not None and self.n_shards < 1:
             raise ValueError("shards_per_sstable must be >= 1")
+        # byte-bounded auto-splits (the FileScan maxPartitionBytes idea):
+        # without an explicit shards_per_sstable, each sstable splits into
+        # ceil(Data.db bytes / target) summary-seek shards, so one giant
+        # sstable stops gating wall-clock on a single task (measured at a
+        # 10x tree: 57s single-task -> ~15s; SCALE.md r09 s2)
+        self.target_split_bytes = int(
+            options.get("target_split_bytes", str(256 << 20))
+        )
+        if self.target_split_bytes < 1 << 20:
+            raise ValueError("target_split_bytes must be >= 1 MiB")
         self.key_type = options.get("key_type")
         # set by pushFilters (pushdown subclass only)
         self._allowed: dict[str, set] = {}
@@ -323,10 +334,24 @@ class SSTableCellReader(DataSourceReader):
                 for r in rows
             ] or [SSTablePartition(path="", keys=())]
         return [
-            SSTablePartition(path=r["path"], shard=s, n_shards=self.n_shards)
+            SSTablePartition(path=r["path"], shard=s, n_shards=k)
             for r in rows
-            for s in range(self.n_shards)
+            for k in (self._shards_for(r["path"]),)
+            for s in range(k)
         ] or [SSTablePartition(path="", keys=())]
+
+    def _shards_for(self, index_path: str) -> int:
+        """Split count for one sstable: the explicit option wins; else
+        ceil(Data.db bytes / target_split_bytes), capped so a pathological
+        file cannot explode the task count."""
+        if self.n_shards is not None:
+            return self.n_shards
+        data = index_path[: -len("Index.db")] + "Data.db"
+        try:
+            size = os.path.getsize(data)
+        except OSError:
+            return 1
+        return max(1, min(256, -(-size // self.target_split_bytes)))
 
     def _point_read_partitions(self, rows: list[dict]) -> list[InputPartition]:
         """Point-read planning: bloom-probe every candidate key against
@@ -612,8 +637,12 @@ class CassandraSSTableDataSource(DataSource):
     a first-class Spark source. Options:
 
     - ``files``: comma-separated Data.db basenames (the reference's -f)
-    - ``shards_per_sstable``: split each sstable into N contiguous-range
-      tasks (summary-seek slices; default 1)
+    - ``shards_per_sstable``: split each sstable into exactly N
+      contiguous-range tasks (summary-seek slices); overrides auto-split
+    - ``target_split_bytes``: byte-bounded AUTO-splits (default 256 MiB,
+      the FileScan maxPartitionBytes idea) -- each sstable plans
+      ceil(bytes/target) shards, so one giant sstable never gates
+      wall-clock on a single task
     - ``pushdown``: 'true' enables planning-time filter pushdown (needs
       session conf spark.sql.python.filterPushdown.enabled=true)
     - ``key_type``: typed partition_key literal encoding for pushdown

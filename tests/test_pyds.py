@@ -584,3 +584,32 @@ def test_range_pushdown_falls_back_on_typed_header_validator(
     exp = _norm(base.where(base.partition_key >= "300").toPandas())
     assert set(exp.partition_key) == {"300", "90"}
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_byte_bounded_auto_splits(registered, cass_root):
+    """Without an explicit shards_per_sstable, planning splits each
+    sstable by Data.db bytes (target_split_bytes, FileScan-style):
+    a small target multiplies tasks, results stay bit-identical."""
+    r = SSTableCellReader(
+        {"path": cass_root, "target_split_bytes": str(1 << 20)}
+    )
+    parts = [p for p in r.partitions() if p.path]
+    n_files = len(list_sstables(cass_root))
+    assert len(parts) > n_files  # fixture Data.db files exceed 1 MiB
+    by_file: dict[str, int] = {}
+    for p in parts:
+        by_file[p.path] = p.n_shards
+        assert 1 <= p.n_shards <= 256
+    assert any(k > 1 for k in by_file.values())
+
+    got = _norm(
+        _read(registered, cass_root, target_split_bytes=str(1 << 20))
+        .toPandas()
+    )
+    exp = _norm(data_cells(registered, cass_root).toPandas())
+    pd.testing.assert_frame_equal(got, exp)
+
+    with pytest.raises(Exception, match="target_split_bytes"):
+        SSTableCellReader(
+            {"path": cass_root, "target_split_bytes": "1000"}
+        ).partitions()
