@@ -116,9 +116,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "sstable tree here (must differ from the source dir)",
     )
     p.add_argument(
-        "--sstables-per-table", type=int, default=1,
+        "--sstables-per-table", type=int, default=None,
         help="compact: output sstables per table (range splits on "
-             "partition key; 1 = major compaction)",
+             "partition key; 1 = major compaction). Default: byte-derived "
+             "-- ceil(input bytes / 256 MiB) splits, so one task never "
+             "materializes a whole table",
     )
     p.add_argument(
         "--compression", default="none", choices=["none", "lz4"],

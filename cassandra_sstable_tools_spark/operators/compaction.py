@@ -51,7 +51,7 @@ _OUT_COLS = [
     "keyspace", "table_name", "partition_key", "kind", "clustering",
     "column_name", "cell_path", "writetime", "ttl", "local_deletion_time",
     "is_tombstone", "is_expiring", "is_counter", "cell_value",
-    "range_start", "range_end",
+    "range_start", "range_end", "value_len", "value_bytes", "value_marshal",
 ]
 
 
@@ -63,15 +63,21 @@ def compact_survivors(
 ) -> DataFrame:
     """The post-compaction record set of a Cassandra data directory, in
     writer column order: decoded cells merged through merge_enriched and
-    filtered to the survivors. The decoded frame is eagerly checkpointed
-    (the merge references it from several branches -- decode once)."""
+    filtered to the survivors. The decode is the LOSSLESS with_values
+    frame -- the survivors carry their raw payload bytes and marshal
+    types, so the rewrite preserves every value byte-exactly for ANY
+    schema (r10; previously non-long payloads silently wrote as EMPTY).
+    The decoded frame is eagerly checkpointed (the merge references it
+    from several branches -- decode once)."""
     from cassandra_sstable_tools_spark.operators.purge import merge_enriched
     from cassandra_sstable_tools_spark.sources.data_cells import (
         data_cells,
         fold_cell_path,
     )
 
-    decoded = data_cells(spark, root, filenames).localCheckpoint(eager=True)
+    decoded = data_cells(
+        spark, root, filenames, with_values=True
+    ).localCheckpoint(eager=True)
     shaped = fold_cell_path(decoded, drop=False).withColumnRenamed(
         "phys_size", "cell_size"
     )
@@ -113,21 +119,30 @@ def compact_dir(
     out_root: str,
     filenames=None,
     gc_before: int = GC_BEFORE,
-    sstables_per_table: int = 1,
+    sstables_per_table: int | None = None,
     key_type: str | None = None,
     compression: str = "none",
     keyspace: str | None = None,
     table: str | None = None,
+    target_sstable_bytes: int = 256 << 20,
+    clustering_type: str | None = None,
 ) -> DataFrame:
     """Run the compaction and return the per-table report:
     (keyspace, table_name, sstables_in, sstables_out, bytes_in,
     bytes_out, bytes_reclaimed). Writes into ``out_root`` (never the
     source -- the sink is append-only and a live dir is never rewritten
-    in place); ``sstables_per_table`` controls the output range splits;
-    ``keyspace``/``table`` scope both the compaction and the report (the
-    CLI's table-only scope, which root narrowing cannot express). A
-    non-empty out_root is allowed (append semantics): the report counts
-    only THIS run's output."""
+    in place); ``keyspace``/``table`` scope both the compaction and the
+    report (the CLI's table-only scope, which root narrowing cannot
+    express). A non-empty out_root is allowed (append semantics): the
+    report counts only THIS run's output.
+
+    Output sizing: the writer holds ONE sstable's records in task memory,
+    so the split count must track input volume. By default each table
+    plans ``ceil(bytes_in / target_sstable_bytes)`` output range splits
+    (the write-side mirror of the reader's byte-bounded
+    ``target_split_bytes`` -- r09 verdict: the old one-sstable-per-table
+    default materialized a whole table's survivors in one task, an OOM
+    cliff at 100x). An explicit ``sstables_per_table`` overrides."""
     from cassandra_sstable_tools_spark.sources.pyds import register
 
     if os.path.abspath(out_root) == os.path.abspath(src_root):
@@ -136,8 +151,10 @@ def compact_dir(
             "src_root (point Cassandra at the output, or move it back "
             "after verification)"
         )
-    if sstables_per_table < 1:
+    if sstables_per_table is not None and sstables_per_table < 1:
         raise ValueError("sstables_per_table must be >= 1")
+    if target_sstable_bytes < 1 << 20:
+        raise ValueError("target_sstable_bytes must be >= 1 MiB")
     before = _dir_stats(src_root, filenames, keyspace, table)
     out_pre = _dir_stats(out_root)
     surv = compact_survivors(spark, src_root, filenames, gc_before)
@@ -146,7 +163,14 @@ def compact_dir(
     if table:
         surv = surv.where(F.col("table_name") == table)
     register(spark)
-    num = max(1, len(before) * sstables_per_table)
+    if sstables_per_table is not None:
+        num = max(1, len(before) * sstables_per_table)
+    else:
+        # byte-derived: survivors can only shrink vs input, so input
+        # bytes bound each output split under the target
+        num = max(1, sum(
+            -(-b // target_sstable_bytes) for _n, b in before.values()
+        ))
     writer = (
         surv.repartitionByRange(
             num, "keyspace", "table_name", "partition_key"
@@ -156,6 +180,8 @@ def compact_dir(
     )
     if key_type:
         writer = writer.option("key_type", key_type)
+    if clustering_type:
+        writer = writer.option("clustering_type", clustering_type)
     if compression != "none":
         writer = writer.option("compression", compression)
     writer.save(out_root)

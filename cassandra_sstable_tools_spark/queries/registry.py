@@ -69,6 +69,7 @@ def _modules():
         data_db,
         lookup,
         murmur3_fixture,
+        pyds,
         sstable_binary,
         statistics_db,
         summary_db,
@@ -94,7 +95,7 @@ def _modules():
         pipeline, events,
         timeseries, multimodal, catalog, salting, stateful, events_stream,
         sstable_binary, statistics_db, data_db, bpe, data_cells,
-        summary_db, bloom, crc_db, lookup, murmur3_fixture,
+        summary_db, bloom, crc_db, lookup, murmur3_fixture, pyds,
     ]
 
 

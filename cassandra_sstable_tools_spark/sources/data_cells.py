@@ -343,15 +343,28 @@ DATA_CELLS_SCHEMA = (
     "column_name string, cell_path string, writetime bigint, ttl int, "
     "local_deletion_time bigint, is_tombstone boolean, "
     "is_expiring boolean, is_counter boolean, cell_value bigint, "
-    "range_start string, range_end string, phys_size bigint"
+    "range_start string, range_end string, phys_size bigint, "
+    "value_len bigint"
 )
 
 _COLS = [
     "keyspace", "table_name", "sstable_id", "partition_key", "kind",
     "clustering", "column_name", "cell_path", "writetime", "ttl",
     "local_deletion_time", "is_tombstone", "is_expiring", "is_counter",
-    "cell_value", "range_start", "range_end", "phys_size",
+    "cell_value", "range_start", "range_end", "phys_size", "value_len",
 ]
+
+# the LOSSLESS frame (``data_cells(..., with_values=True)``): the raw cell
+# payload bytes and the column's marshal type ride along, so a rewrite
+# (sink / executed compaction) can round-trip EVERY payload byte-exactly
+# and re-declare the original column types -- ``cell_value`` alone drops
+# any payload that is not an 8-byte long (the r09 verdict's silent-EMPTY
+# defect). ``value_len`` stays in the base frame as the loud marker: a
+# writer seeing value_len != 8 with no value_bytes refuses by name.
+DATA_CELLS_VALUES_SCHEMA = (
+    DATA_CELLS_SCHEMA + ", value_bytes binary, value_marshal string"
+)
+_COLS_VALUES = _COLS + ["value_bytes", "value_marshal"]
 
 
 @dataclass(slots=True)
@@ -372,9 +385,15 @@ class _Rec:
     # serialized byte span of this record on disk (see decode docstring for
     # the attribution rules); None for header-resident partition deletes
     phys_size: int | None = None
-    # raw bytes, populated only under decode_partition_block(keep_values=
-    # True) -- the schema-discovery/tooling path; never in the record frame
+    # on-disk payload length in bytes (None = empty value); ALWAYS decoded
+    # -- this is the frame's loud payload marker (value_len != 8 means
+    # cell_value could not carry the payload)
+    value_len: int | None = None
+    # raw bytes + the column's marshal type, populated only under
+    # decode_partition_block(keep_values=True) -- the lossless
+    # rewrite/schema-discovery path
     value_bytes: bytes | None = None
+    value_marshal: str | None = None
     clustering_vals: tuple | None = None
 
 
@@ -638,7 +657,9 @@ def decode_partition_block(
                 is_counter=ctype == COUNTER_TYPE,
                 cell_value=None if value is None else _value_as_long(value),
                 phys_size=r.off - cell_start,
+                value_len=None if value is None else len(value),
                 value_bytes=value if keep_values else None,
+                value_marshal=ctype if keep_values else None,
                 clustering_vals=clust_vals,
             ))
 
@@ -775,13 +796,72 @@ def _utf8_or_none(s: str | None) -> bytes | None:
     return None if s is None else s.encode("utf-8")
 
 
+# inverse of render_typed for ONE clustering component -- the writer's
+# typed-clustering encode (marshal class name -> display parser). Only
+# types whose renderer this engine models are invertible; everything else
+# refuses loudly rather than writing bytes that re-render differently.
+_CLUSTERING_ENCODERS = {
+    "UTF8Type": _utf8_or_none,
+    "AsciiType": lambda s: s.encode("ascii"),
+    "LongType": lambda s: int(s).to_bytes(8, "big", signed=True),
+    "Int32Type": lambda s: int(s).to_bytes(4, "big", signed=True),
+    "ShortType": lambda s: int(s).to_bytes(2, "big", signed=True),
+    "ByteType": lambda s: int(s).to_bytes(1, "big", signed=True),
+    "UUIDType": lambda s: __import__("uuid").UUID(s).bytes,
+    "TimeUUIDType": lambda s: __import__("uuid").UUID(s).bytes,
+    "BytesType": lambda s: bytes.fromhex(s[2:] if s.startswith("0x") else s),
+}
+
+
+def clustering_value_bytes(display: str | None, ctype: str | None) -> bytes | None:
+    """display -> clustering value bytes under the header's clustering
+    type, verified to re-render as the same display (a mis-inversion
+    fails LOUD instead of writing a clustering that reads back
+    differently -- same contract as the writer's partition-key inverse)."""
+    if display is None:
+        return None
+    cls = (ctype or "").rsplit(".", 1)[-1] or "UTF8Type"
+    if cls in ("UTF8Type", ""):
+        return display.encode("utf-8")  # identity round-trip by construction
+    enc = _CLUSTERING_ENCODERS.get(cls)
+    if enc is None:
+        raise ValueError(
+            f"clustering type {ctype!r} has no display inverse in this "
+            f"writer (supported: {sorted(_CLUSTERING_ENCODERS)})"
+        )
+    try:
+        b = enc(display)
+    except (ValueError, OverflowError) as ex:
+        raise ValueError(
+            f"clustering display {display!r} does not parse as {cls} ({ex})"
+        ) from ex
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        render_typed as _rt,
+    )
+
+    if _rt(b, ctype) != display:
+        raise ValueError(
+            f"clustering display {display!r} does not survive the {cls} "
+            f"encoding round-trip (re-renders as {_rt(b, ctype)!r})"
+        )
+    return b
+
+
 def encode_unfiltereds(
     records: list[dict],
     h: SerializationHeaderInfo,
+    strict_spans: bool = True,
 ) -> bytes:
     """Serialize already-filtered encodable records of ONE partition, in
     stream order (statics first, then by (clustering, writetime)), END
-    marker included. Raises if any record exceeds its cost bound."""
+    marker included.
+
+    ``strict_spans`` (the FIXTURE materializer contract) raises when a
+    record exceeds its per-kind cost bound or needs a multi-byte
+    bodySize/prevSize vint -- the assumptions the SQL span oracle prices
+    with. The SINK passes False: real payloads are arbitrary-length, the
+    format's vints handle any size, and written trees are never
+    span-oracle-priced (the round-trip certificate drops phys_size)."""
     codec = _Codec(h)
     reg_idx = {name: i for i, (name, _) in enumerate(h.regular_columns)}
     sta_idx = {name: i for i, (name, _) in enumerate(h.static_columns)}
@@ -795,14 +875,18 @@ def encode_unfiltereds(
     out = bytearray()
     prev_size = 0
     for rec in sorted(records, key=sort_key):
-        blob = _encode_one(rec, h, codec, reg_idx, sta_idx, prev_size)
-        bound = record_cost_bound(rec["kind"])
-        if len(blob) > bound:
-            raise ValueError(
-                f"encoded {rec['kind']} record takes {len(blob)} bytes, "
-                f"over its {bound}-byte budget bound -- fixture contract "
-                "violated"
-            )
+        blob = _encode_one(
+            rec, h, codec, reg_idx, sta_idx, prev_size,
+            strict_spans=strict_spans,
+        )
+        if strict_spans:
+            bound = record_cost_bound(rec["kind"])
+            if len(blob) > bound:
+                raise ValueError(
+                    f"encoded {rec['kind']} record takes {len(blob)} bytes, "
+                    f"over its {bound}-byte budget bound -- fixture contract "
+                    "violated"
+                )
         out += blob
         prev_size = len(blob)
     out.append(END_OF_PARTITION)
@@ -815,11 +899,13 @@ def _row_blob(
     clustering_blob: bytes,
     body: bytes,
     prev_size: int,
+    strict_spans: bool = True,
 ) -> bytes:
     # the span oracle prices bodySize and prevUnfilteredSize as 1-byte
     # vints; the cost bounds keep both < 128, and this assert keeps the
-    # assumption loud rather than silently breaking the size formula
-    if len(body) >= 128 or prev_size >= 128:
+    # assumption loud rather than silently breaking the size formula.
+    # (Non-strict -- the sink -- writes format-correct multi-byte vints.)
+    if strict_spans and (len(body) >= 128 or prev_size >= 128):
         raise ValueError(
             f"row body {len(body)} / prev {prev_size} exceeds the 1-byte "
             "vint assumption of the span oracle"
@@ -833,7 +919,10 @@ def _row_blob(
     return bytes(head + body)
 
 
-def _encode_one(rec, h, codec, reg_idx, sta_idx, prev_size: int) -> bytes:
+def _encode_one(
+    rec, h, codec, reg_idx, sta_idx, prev_size: int,
+    strict_spans: bool = True,
+) -> bytes:
     kind = rec["kind"]
     if kind == "RANGE_TOMBSTONE_MARKER":
         # open INCL_START + close INCL_END pair, deletion on both sides
@@ -849,9 +938,11 @@ def _encode_one(rec, h, codec, reg_idx, sta_idx, prev_size: int) -> bytes:
             head = bytearray([IS_MARKER, kind_ord])
             head += struct.pack(">H", min(len(h.clustering_types), 1))
             head += _enc_clustering_values(
-                [_utf8_or_none(val)], h.clustering_types[:1]
+                [clustering_value_bytes(val, h.clustering_types[0]
+                                        if h.clustering_types else None)],
+                h.clustering_types[:1],
             )
-            if len(deletion) >= 128 or psz >= 128:
+            if strict_spans and (len(deletion) >= 128 or psz >= 128):
                 raise ValueError(
                     f"marker body {len(deletion)} / prev {psz} exceeds the "
                     "1-byte vint assumption of the span oracle"
@@ -868,18 +959,23 @@ def _encode_one(rec, h, codec, reg_idx, sta_idx, prev_size: int) -> bytes:
     ext = IS_STATIC if static else 0
     if not static:
         clustering_blob = _enc_clustering_values(
-            [_utf8_or_none(rec["clustering"])], h.clustering_types
+            [clustering_value_bytes(rec["clustering"],
+                                    h.clustering_types[0]
+                                    if h.clustering_types else None)],
+            h.clustering_types,
         )
     if kind == "ROW_DELETE":
         body = codec.enc_ts(rec["writetime"]) + codec.enc_ldt(
             rec["local_deletion_time"]
         ) + _enc_subset([], len(h.regular_columns))
-        return _row_blob(HAS_DELETION, ext, clustering_blob, body, prev_size)
+        return _row_blob(HAS_DELETION, ext, clustering_blob, body, prev_size,
+                         strict_spans=strict_spans)
     if kind == "ROW_MARKER":
         body = codec.enc_ts(rec["writetime"]) + _enc_subset(
             [], len(h.regular_columns)
         )
-        return _row_blob(HAS_TIMESTAMP, ext, clustering_blob, body, prev_size)
+        return _row_blob(HAS_TIMESTAMP, ext, clustering_blob, body, prev_size,
+                         strict_spans=strict_spans)
     if kind == "COMPLEX_DELETE":
         # a row whose only content is one complex column's deletion: the
         # row-level flag announces it, the column block carries the
@@ -895,13 +991,17 @@ def _encode_one(rec, h, codec, reg_idx, sta_idx, prev_size: int) -> bytes:
             + write_unsigned_vint(0)
         )
         return _row_blob(
-            HAS_COMPLEX_DELETION, ext, clustering_blob, body, prev_size
+            HAS_COMPLEX_DELETION, ext, clustering_blob, body, prev_size,
+            strict_spans=strict_spans,
         )
 
-    # CELL / STATIC_CELL: one-cell row, cell-level timestamp
+    # CELL / STATIC_CELL: one-cell row, cell-level timestamp. Counter
+    # naming is SYMMETRIC across static and regular cells (*_ctr suffix =
+    # CounterColumnType) -- statics previously skipped the suffix, so a
+    # static counter silently renamed across a round-trip (r09 advice).
     tomb = bool(rec["is_tombstone"])
     expiring = rec["ttl"] is not None
-    counter = bool(rec["is_counter"]) and not static
+    counter = bool(rec["is_counter"])
     path = rec.get("cell_path") if not static and not counter else None
     name = rec["cell_name"] + ("_ctr" if counter else "")
     idx_map, columns = (
@@ -918,8 +1018,14 @@ def _encode_one(rec, h, codec, reg_idx, sta_idx, prev_size: int) -> bytes:
     if expiring:
         cflags |= CELL_IS_EXPIRING
     value: bytes | None = None
-    if not tomb and rec["cell_size"] is not None:
-        value = struct.pack(">q", rec["cell_size"])
+    if not tomb:
+        vb = rec.get("value_bytes")
+        if vb is not None:
+            # the LOSSLESS path: raw payload bytes from a with_values
+            # decode (or a caller-built binary column) round-trip exactly
+            value = bytes(vb)
+        elif rec["cell_size"] is not None:
+            value = struct.pack(">q", rec["cell_size"])
     if value is None:
         cflags |= CELL_HAS_EMPTY_VALUE
     cell.append(cflags)
@@ -954,7 +1060,8 @@ def _encode_one(rec, h, codec, reg_idx, sta_idx, prev_size: int) -> bytes:
         # one-cell count, then the CellPath-addressed cell
         body += write_unsigned_vint(1)
     body += bytes(cell)
-    return _row_blob(0, ext, clustering_blob, body, prev_size)
+    return _row_blob(0, ext, clustering_blob, body, prev_size,
+                     strict_spans=strict_spans)
 
 
 # --------------------------------------------------------------------------
@@ -1074,14 +1181,17 @@ def scan_sstable_cell_rows(
     index_path: str,
     shard: int = 0,
     n_shards: int = 1,
+    with_values: bool = False,
 ) -> list[tuple]:
-    """Decode ONE sstable's (shard of) cell records into 18-field tuples
-    in ``_COLS`` order -- the per-task body shared by the ``data_cells``
-    mapInPandas scan and the Python DataSource read path
-    (``sources/pyds.py``). ``index_path`` may be a ``file:`` URI or a
-    POSIX path. Returns [] when the sstable lacks the components cell
-    decoding needs (Data.db / Statistics.db -- the skip rule); raises,
-    naming file and byte offset, on corruption.
+    """Decode ONE sstable's (shard of) cell records into tuples in
+    ``_COLS`` order (``_COLS_VALUES`` under ``with_values=True``, which
+    appends the raw payload bytes + marshal type for lossless rewrites)
+    -- the per-task body shared by the ``data_cells`` mapInPandas scan
+    and the Python DataSource read path (``sources/pyds.py``).
+    ``index_path`` may be a ``file:`` URI or a POSIX path. Returns []
+    when the sstable lacks the components cell decoding needs (Data.db /
+    Statistics.db -- the skip rule); raises, naming file and byte offset,
+    on corruption.
 
     Sharding (``n_shards > 1``): contiguous position ranges. With a
     Summary.db present the shard SEEKS to its sampled index slice and
@@ -1183,18 +1293,22 @@ def scan_sstable_cell_rows(
             dat.seek(pos)
             block = dat.read(end - pos)
             pk, recs = decode_partition_block(
-                block, header, source=data_path, base=pos
+                block, header, source=data_path, base=pos,
+                keep_values=with_values,
             )
             for rec in recs:
-                rows.append((
+                row = (
                     ks, tb, ss, pk, rec.kind, rec.clustering,
                     rec.column_name, rec.cell_path,
                     rec.writetime, rec.ttl,
                     rec.ldt, rec.is_tombstone, rec.is_expiring,
                     rec.is_counter, rec.cell_value,
                     rec.range_start, rec.range_end,
-                    rec.phys_size,
-                ))
+                    rec.phys_size, rec.value_len,
+                )
+                if with_values:
+                    row += (rec.value_bytes, rec.value_marshal)
+                rows.append(row)
     finally:
         dat.close()
     return rows
@@ -1205,6 +1319,7 @@ def data_cells(
     root: str,
     filenames=None,
     shards_per_sstable: int = 1,
+    with_values: bool = False,
 ) -> DataFrame:
     """Cell-grain records from REAL Data.db files under a Cassandra data
     directory. One task per sstable (default); per sstable: Statistics.db
@@ -1278,6 +1393,9 @@ def data_cells(
             max(1, n_files), F.col("path")
         )
 
+    cols = _COLS_VALUES if with_values else _COLS
+    schema = DATA_CELLS_VALUES_SCHEMA if with_values else DATA_CELLS_SCHEMA
+
     def scan(batches) -> Iterator:
         import pandas as pd
 
@@ -1285,16 +1403,18 @@ def data_cells(
             rows: list[tuple] = []
             for path, shard in zip(pdf["path"], pdf["shard"]):
                 rows.extend(
-                    scan_sstable_cell_rows(path, int(shard), n_shards)
+                    scan_sstable_cell_rows(
+                        path, int(shard), n_shards, with_values=with_values
+                    )
                 )
-            pdf_out = pd.DataFrame(rows, columns=_COLS)
+            pdf_out = pd.DataFrame(rows, columns=cols)
             for c in ("writetime", "local_deletion_time", "cell_value",
-                      "phys_size"):
+                      "phys_size", "value_len"):
                 pdf_out[c] = pdf_out[c].astype("Int64")
             pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
             yield pdf_out
 
-    return files.mapInPandas(scan, DATA_CELLS_SCHEMA)
+    return files.mapInPandas(scan, schema)
 
 
 def decodable_sstables(spark: SparkSession, root: str, filenames=None) -> DataFrame:
@@ -1780,7 +1900,13 @@ stream_recs AS (
                      AND NOT coalesce(e.is_tombstone, FALSE)
                 THEN CAST(e.cell_size AS BIGINT) END AS cell_value,
            e.range_start, e.range_end,
-           CAST({_span_sql()} AS BIGINT) AS phys_size
+           CAST({_span_sql()} AS BIGINT) AS phys_size,
+           -- fixture payloads are 8-byte longs: value_len is 8 exactly
+           -- where a value serializes (non-tombstone cell with a payload)
+           CASE WHEN e.kind IN ('CELL', 'STATIC_CELL')
+                     AND NOT coalesce(e.is_tombstone, FALSE)
+                     AND e.cell_size IS NOT NULL
+                THEN CAST(8 AS BIGINT) END AS value_len
     FROM enc_rec e
     JOIN enc_part USING (keyspace, table_name, sstable_id, partition_key)
     JOIN enc_mins m USING (keyspace, table_name, sstable_id)
@@ -1799,7 +1925,8 @@ header_deletes AS (
            CAST(NULL AS BIGINT) AS cell_value,
            CAST(NULL AS VARCHAR) AS range_start,
            CAST(NULL AS VARCHAR) AS range_end,
-           CAST(NULL AS BIGINT) AS phys_size
+           CAST(NULL AS BIGINT) AS phys_size,
+           CAST(NULL AS BIGINT) AS value_len
     FROM cells c
     JOIN phys_sst USING (keyspace, table_name, sstable_id)
     JOIN per_part p USING (keyspace, table_name, sstable_id, partition_key)

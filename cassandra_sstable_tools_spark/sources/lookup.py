@@ -221,12 +221,13 @@ class _IndexCursor:
 
 def _rec_tuple(pk: str, rec) -> tuple:
     """One decoded record in data_cells column order (minus the identity
-    prefix) -- the ONE place the 15-field shape lives for the read paths."""
+    prefix) -- the ONE place the 16-field shape lives for the read paths."""
     return (
         pk, rec.kind, rec.clustering, rec.column_name, rec.cell_path,
         rec.writetime,
         rec.ttl, rec.ldt, rec.is_tombstone, rec.is_expiring, rec.is_counter,
         rec.cell_value, rec.range_start, rec.range_end, rec.phys_size,
+        rec.value_len,
     )
 
 
@@ -559,7 +560,7 @@ def partition_lookup(
                 rows.extend((ks, tb, ss) + r for r in recs)
             pdf_out = pd.DataFrame(rows, columns=_COLS)
             for c in ("writetime", "local_deletion_time", "cell_value",
-                      "phys_size"):
+                      "phys_size", "value_len"):
                 pdf_out[c] = pdf_out[c].astype("Int64")
             pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
             yield pdf_out
@@ -985,7 +986,7 @@ def token_range_scan(
                 rows.extend((ks, tb, ss) + r for r in recs)
             pdf_out = pd.DataFrame(rows, columns=_COLS)
             for c in ("writetime", "local_deletion_time", "cell_value",
-                      "phys_size"):
+                      "phys_size", "value_len"):
                 pdf_out[c] = pdf_out[c].astype("Int64")
             pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
             yield pdf_out
@@ -1084,7 +1085,7 @@ def partition_range_scan(
                 rows.extend((ks, tb, ss) + r for r in recs)
             pdf_out = pd.DataFrame(rows, columns=_COLS)
             for c in ("writetime", "local_deletion_time", "cell_value",
-                      "phys_size"):
+                      "phys_size", "value_len"):
                 pdf_out[c] = pdf_out[c].astype("Int64")
             pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
             yield pdf_out

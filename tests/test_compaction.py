@@ -60,8 +60,11 @@ def test_compacted_tree_decodes_to_the_survivor_set(
     out, _ = compacted
     exp = _norm(compact_survivors(spark, cass_root).drop(
         "keyspace", "table_name").toPandas())
+    # decode the compacted tree LOSSLESSLY: value_bytes must round-trip
+    # byte-exactly (the r09 verdict's silent-EMPTY defect would fail here)
     got = _norm(
-        data_cells(spark, out).drop(*_IDENT, "phys_size").toPandas()
+        data_cells(spark, out, with_values=True)
+        .drop(*_IDENT, "phys_size").toPandas()
     )
     pd.testing.assert_frame_equal(exp, got)
 
@@ -198,3 +201,81 @@ def test_cli_compact(spark, sf_dir, cass_root, tmp_path, capsys):
         spark=spark,
     )
     assert rc2 == 2
+
+
+# --------------------------------------------------------------------------
+# r10: payload-safe compaction (variable-length values) + byte-derived
+# output sizing
+# --------------------------------------------------------------------------
+
+_UTF8 = "org.apache.cassandra.db.marshal.UTF8Type"
+
+
+def _plant_text_tree(spark, root, n_keys=40, payload=None):
+    """A tree with a variable-length UTF8 regular column -- the schema
+    shape the r09 verdict's silent-EMPTY defect ate."""
+    from cassandra_sstable_tools_spark.sources.pyds_writer import (
+        write_sstable,
+    )
+
+    rows = []
+    for i in range(n_keys):
+        body = payload(i) if payload else f"text payload #{i} {'x' * (i % 37)}"
+        rows.append(dict(
+            partition_key=f"k{i:04d}", kind="CELL", clustering="r0",
+            column_name="body", cell_path=None, writetime=1000 + i,
+            ttl=None, local_deletion_time=None, is_tombstone=False,
+            is_expiring=False, is_counter=False, cell_value=None,
+            range_start=None, range_end=None,
+            value_len=len(body.encode() if isinstance(body, str) else body),
+            value_bytes=body.encode() if isinstance(body, str) else body,
+            value_marshal=_UTF8,
+        ))
+    half = len(rows) // 2
+    write_sstable(rows[:half], f"{root}/tks/ttb", sstable_id="1")
+    write_sstable(rows[half:], f"{root}/tks/ttb", sstable_id="2")
+    return rows
+
+
+def test_compact_preserves_text_payloads(spark, tmp_path):
+    """decode(compact(tree)) keeps every UTF8 payload byte-exactly --
+    the r09 verdict's Done criterion for What's-wrong #1."""
+    src = str(tmp_path / "src")
+    rows = _plant_text_tree(spark, src)
+    out = str(tmp_path / "out")
+    report = compact_dir(spark, src, out).toPandas()
+    assert int(report["sstables_in"].sum()) == 2
+    got = data_cells(spark, out, with_values=True).select(
+        "partition_key", "value_bytes", "value_len"
+    ).toPandas()
+    exp = {r["partition_key"]: r["value_bytes"] for r in rows}
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert bytes(r["value_bytes"]) == exp[r["partition_key"]]
+        assert int(r["value_len"]) == len(exp[r["partition_key"]])
+
+
+def test_compact_output_splits_scale_with_input_bytes(spark, tmp_path):
+    """compact_dir's default output split count derives from input bytes
+    (ceil(bytes_in / target_sstable_bytes)) so one task never
+    materializes a whole table -- the r09 verdict's OOM-cliff fix; an
+    explicit sstables_per_table still overrides."""
+    src = str(tmp_path / "src")
+    # ~2.6 MB of payloads -> 3 splits at the 1 MiB floor
+    _plant_text_tree(
+        spark, src, n_keys=60, payload=lambda i: ("p%04d" % i) * 9000
+    )
+    out = str(tmp_path / "out")
+    report = compact_dir(
+        spark, src, out, target_sstable_bytes=1 << 20
+    ).toPandas()
+    bytes_in = int(report["bytes_in"].sum())
+    want = -(-bytes_in // (1 << 20))
+    assert want >= 2
+    assert int(report["sstables_out"].sum()) == want
+    # explicit override: the old major-compaction shape
+    out1 = str(tmp_path / "out1")
+    report1 = compact_dir(
+        spark, src, out1, sstables_per_table=1
+    ).toPandas()
+    assert int(report1["sstables_out"].sum()) == 1

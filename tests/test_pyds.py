@@ -613,3 +613,133 @@ def test_byte_bounded_auto_splits(registered, cass_root):
         SSTableCellReader(
             {"path": cass_root, "target_split_bytes": "1000"}
         ).partitions()
+
+
+# --------------------------------------------------------------------------
+# r10: unparseable typed literals, planning-I/O threshold, late-finalizing
+# generations
+# --------------------------------------------------------------------------
+
+
+def test_unparseable_typed_literal_returns_empty(registered, cass_root):
+    """partition_key = 'abc' under key_type=long: the literal cannot
+    equal any typed render, so pushdown planning yields zero candidates
+    (and zero rows) instead of crashing with the encoder's ValueError --
+    the same query without pushdown returns zero rows (r09 advice)."""
+    from cassandra_sstable_tools_spark.sources.pyds import _key_candidates
+
+    assert _key_candidates("not-a-long", "long") == []
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        registered.read.format("cassandra-sstable")
+        .option("pushdown", "true")
+        .option("key_type", "long")
+        .load(cass_root)
+    )
+    assert df.where(df.partition_key == "not-a-long").count() == 0
+
+
+def test_bloom_prune_threshold_bounds_planning_io(registered, cass_root):
+    """Planning reads Filter.db per surviving sstable only BELOW
+    bloom_prune_max_files; above it, planning does zero filter reads and
+    every sstable plans a point-read task (tasks bloom-check instead) --
+    results identical either way (r09 verdict #6)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from cassandra_sstable_tools_spark.sources.pyds import PLANNING_AUDIT
+
+    n = len([r for r in list_sstables(cass_root)])
+    key = data_cells(registered, cass_root).select(
+        "partition_key").first().partition_key
+
+    PLANNING_AUDIT["filter_reads"] = 0
+    r = SSTableCellPushdownReader({"path": cass_root})
+    r.pushFilters([EqualTo(("partition_key",), key)])
+    pruned = [p for p in r.partitions() if p.path]
+    assert PLANNING_AUDIT["filter_reads"] == n  # below threshold: per-file
+
+    PLANNING_AUDIT["filter_reads"] = 0
+    r2 = SSTableCellPushdownReader(
+        {"path": cass_root, "bloom_prune_max_files": "1"}
+    )
+    r2.pushFilters([EqualTo(("partition_key",), key)])
+    unpruned = [p for p in r2.partitions() if p.path]
+    assert PLANNING_AUDIT["filter_reads"] == 0  # above threshold: none
+    assert len(unpruned) >= len(pruned)
+    for p in unpruned:
+        assert p.keys  # still point-read tasks, never full scans
+
+    # end-to-end: the thresholded plan returns identical rows
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base = (
+        registered.read.format("cassandra-sstable")
+        .option("pushdown", "true").load(cass_root)
+    )
+    thr = (
+        registered.read.format("cassandra-sstable")
+        .option("pushdown", "true")
+        .option("bloom_prune_max_files", "1")
+        .load(cass_root)
+    )
+    import pandas as pd
+
+    a = base.where(base.partition_key == key).toPandas()
+    b = thr.where(thr.partition_key == key).toPandas()
+    norm = lambda d: d.sort_values(by=list(d.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(norm(a), norm(b))
+
+
+def test_stream_picks_up_late_finalizing_lower_generation(
+    registered, cass_root, tmp_path
+):
+    """Flush and compaction finalize (rename) in any order: a LOWER
+    generation becoming visible after a higher one advanced the
+    table's watermark was permanently skipped by the r09 single-
+    watermark offsets; the r10 tracked-window offsets pick it up in the
+    next batch (r09 advice)."""
+    from cassandra_sstable_tools_spark.sources.pyds import (
+        SSTableStreamReader,
+    )
+
+    src = sorted(glob.glob(f"{cass_root}/*/*"))[0]
+    ks, tb = src.split("/")[-2:]
+    live = str(tmp_path / "live")
+    tdir = f"{live}/{ks}/{tb}"
+    os.makedirs(tdir)
+    gens = sorted(
+        {os.path.basename(c).split("-")[1] for c in glob.glob(f"{src}/*")}
+    )
+    assert len(gens) >= 2
+    # the HIGHER generation finalizes first
+    _copy_gen(src, tdir, gens[1])
+    reader = SSTableStreamReader({"path": live})
+    o1 = reader.latestOffset()
+    # ... then the LOWER one appears (late-finalizing flush)
+    _copy_gen(src, tdir, gens[0])
+    o2 = reader.latestOffset()
+    emitted = [p.path for p in reader.partitions(o1, o2) if p.path]
+    assert any(f"-{gens[0]}-" in p for p in emitted)
+    # and exactly once: the next (o2, o3) window does not re-emit it
+    o3 = reader.latestOffset()
+    again = [p.path for p in reader.partitions(o2, o3) if p.path]
+    assert not again
+
+
+def test_stream_legacy_watermark_offsets_still_read(tmp_path):
+    """Pre-r10 checkpoints ({'w': {table: watermark}}) keep their exact
+    old semantics through _claims."""
+    from cassandra_sstable_tools_spark.sources.pyds import (
+        SSTableStreamReader,
+    )
+
+    legacy = {"w": {"ks/tb": _gen_key("5")}}
+    claims = SSTableStreamReader._claims
+    assert claims(legacy, "ks/tb", _gen_key("5"))
+    assert claims(legacy, "ks/tb", _gen_key("3"))
+    assert not claims(legacy, "ks/tb", _gen_key("6"))
+    assert not claims(legacy, "other/t", _gen_key("1"))
+    new = {"s": {"ks/tb": [_gen_key("4"), _gen_key("6")]}}
+    assert claims(new, "ks/tb", _gen_key("4"))
+    assert claims(new, "ks/tb", _gen_key("6"))
+    assert claims(new, "ks/tb", _gen_key("2"))   # below the window floor
+    assert not claims(new, "ks/tb", _gen_key("5"))  # in-window, unseen
