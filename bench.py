@@ -105,6 +105,15 @@ SECONDARY = [
     # cfstats_global_cassdir trajectory (measured FASTER: one task per
     # sstable by construction, no listing-bin co-location).
     "ds_cells_scan",
+    # r10: the two pushdown paths as recurring rows (r09 verdict #7 --
+    # they had scale spot-checks but no trajectory, so a PLANNING
+    # regression, e.g. in the bloom pre-prune threshold or the span
+    # math, was invisible). Registered queries ds_pointread_cassdir /
+    # ds_rangeread_cassdir: point reads through pushed IN + driver bloom
+    # prune; range spans through the summary floor. Bars in BASELINE.md
+    # §r10.
+    "ds_pointread_cassdir",
+    "ds_rangeread_cassdir",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
