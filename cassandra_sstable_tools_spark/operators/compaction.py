@@ -52,6 +52,7 @@ _OUT_COLS = [
     "column_name", "cell_path", "writetime", "ttl", "local_deletion_time",
     "is_tombstone", "is_expiring", "is_counter", "cell_value",
     "range_start", "range_end", "value_len", "value_bytes", "value_marshal",
+    "clustering_marshal",
 ]
 
 

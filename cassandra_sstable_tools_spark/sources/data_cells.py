@@ -362,9 +362,10 @@ _COLS = [
 # defect). ``value_len`` stays in the base frame as the loud marker: a
 # writer seeing value_len != 8 with no value_bytes refuses by name.
 DATA_CELLS_VALUES_SCHEMA = (
-    DATA_CELLS_SCHEMA + ", value_bytes binary, value_marshal string"
+    DATA_CELLS_SCHEMA
+    + ", value_bytes binary, value_marshal string, clustering_marshal string"
 )
-_COLS_VALUES = _COLS + ["value_bytes", "value_marshal"]
+_COLS_VALUES = _COLS + ["value_bytes", "value_marshal", "clustering_marshal"]
 
 
 @dataclass(slots=True)
@@ -1282,6 +1283,7 @@ def scan_sstable_cell_rows(
         hi = (int(shard) + 1) * npos // n_shards
         tail = None
     rows: list[tuple] = []
+    h_clustering = list(header.clustering_types)
     dat, data_len = open_data_file(data_path, comp_path, ver)
     tail_end = data_len if tail is None else tail
     try:
@@ -1307,7 +1309,11 @@ def scan_sstable_cell_rows(
                     rec.phys_size, rec.value_len,
                 )
                 if with_values:
-                    row += (rec.value_bytes, rec.value_marshal)
+                    # clustering_marshal: the sstable's OWN clustering
+                    # types (comma-joined), constant per sstable -- lets
+                    # a rewrite re-declare typed clustering automatically
+                    row += (rec.value_bytes, rec.value_marshal,
+                            ",".join(h_clustering) or None)
                 rows.append(row)
     finally:
         dat.close()

@@ -890,7 +890,7 @@ def ds_write_roundtrip_cassdir(spark, sf_dir: str):
     root = materialize_index_files(spark, sf_dir)
     register(spark)
     drop = ["keyspace", "table_name", "sstable_id", "phys_size"]
-    vdrop = drop + ["value_bytes", "value_marshal"]
+    vdrop = drop + ["value_bytes", "value_marshal", "clustering_marshal"]
     src = data_cells(spark, root, with_values=True).drop(*drop)
     out = tempfile.mkdtemp(prefix="sstable_sink_rt_")
     (
@@ -903,7 +903,7 @@ def ds_write_roundtrip_cassdir(spark, sf_dir: str):
     )
     if not _walk_index_files(out):
         # empty corpus wrote nothing: the typed empty frame is the answer
-        return src.drop("value_bytes", "value_marshal")
+        return src.drop("value_bytes", "value_marshal", "clustering_marshal")
     return data_cells(spark, out, with_values=True).drop(*vdrop)
 
 

@@ -266,6 +266,43 @@ def _field(row, name):
         return None
 
 
+def _clustering_marshal_for(
+    records: list[dict], clustering_type: str | None
+) -> str | None:
+    """The written header's clustering type. An explicit
+    ``clustering_type`` option (alias vocabulary, like key_type) wins;
+    otherwise AUTO-DISCOVER from the records' ``clustering_marshal``
+    column (a with_values decode carries the source header's clustering
+    types, so a compaction rewrite re-declares typed clustering with no
+    user flag). Discovery rules: two different declared types for one
+    sstable raise (a table's clustering type cannot fork); a
+    multi-component source (comma-joined) or a type outside the display
+    inverse's set falls back to UTF8 -- the written component then
+    carries the rendered display, which re-renders identically (display-
+    faithful, not layout-faithful; documented). None -> UTF8 default."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        _CLUSTERING_ENCODERS,
+    )
+
+    if clustering_type is not None:
+        return _KEY_TYPE_MARSHAL[clustering_type]
+    declared = {
+        r["clustering_marshal"]
+        for r in records
+        if r.get("clustering_marshal")
+    }
+    if len(declared) > 1:
+        raise ValueError(
+            f"records declare conflicting clustering types {sorted(declared)}"
+            " -- one sstable has one clustering layout"
+        )
+    if declared:
+        (m,) = declared
+        if "," not in m and m.rsplit(".", 1)[-1] in _CLUSTERING_ENCODERS:
+            return m
+    return None  # UTF8 default (display-faithful fallback)
+
+
 def _row_to_record(row) -> dict:
     kind = row["kind"]
     name = row["column_name"]
@@ -305,6 +342,7 @@ def _row_to_record(row) -> dict:
         "cell_size": row["cell_value"],
         "value_bytes": value_bytes,
         "value_marshal": _field(row, "value_marshal"),
+        "clustering_marshal": _field(row, "clustering_marshal"),
         "writetime": row["writetime"],
         "ttl": row["ttl"],
         "is_tombstone": row["is_tombstone"],
@@ -373,8 +411,7 @@ def write_sstable(
             f"unsupported writer key_type {key_type!r}: one of "
             f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
         )
-    clustering_marshal = _KEY_TYPE_MARSHAL.get(clustering_type)
-    if clustering_marshal is None:
+    if clustering_type is not None and clustering_type not in _KEY_TYPE_MARSHAL:
         raise ValueError(
             f"unsupported writer clustering_type {clustering_type!r}: one "
             f"of {sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
@@ -419,6 +456,7 @@ def write_sstable(
             slot["recs"].append(rec)
 
     all_recs = [r for s in by_key.values() for r in s["recs"]]
+    clustering_marshal = _clustering_marshal_for(all_recs, clustering_type)
     header = _infer_header(all_recs, key_marshal, clustering_marshal)
 
     entries: list[tuple[bytes, int]] = []

@@ -279,3 +279,53 @@ def test_compact_output_splits_scale_with_input_bytes(spark, tmp_path):
         spark, src, out1, sstables_per_table=1
     ).toPandas()
     assert int(report1["sstables_out"].sum()) == 1
+
+
+def test_compact_auto_preserves_typed_clustering(spark, tmp_path):
+    """A tree written with LongType clustering compacts WITHOUT any user
+    flag into a tree whose header re-declares LongType clustering and
+    whose displays round-trip -- the with_values frame carries the source
+    header's clustering types (clustering_marshal) and the writer
+    auto-discovers them (r09 verdict #5, the automatic leg)."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        _COLS_VALUES,
+        scan_sstable_cell_rows,
+    )
+    from cassandra_sstable_tools_spark.sources.pyds_writer import (
+        write_sstable,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        parse_serialization_header,
+    )
+
+    _LONG = "org.apache.cassandra.db.marshal.LongType"
+    src = str(tmp_path / "src")
+    rows = [
+        dict(
+            partition_key=f"k{i}", kind="CELL", clustering=str(100 - i),
+            column_name="c0", cell_path=None, writetime=1000 + i, ttl=None,
+            local_deletion_time=None, is_tombstone=False, is_expiring=False,
+            is_counter=False, cell_value=i, range_start=None,
+            range_end=None, value_len=8,
+            value_bytes=i.to_bytes(8, "big"), value_marshal=_LONG,
+        )
+        for i in range(8)
+    ]
+    write_sstable(rows, f"{src}/lks/ltb", sstable_id="1",
+                  clustering_type="long")
+    out = str(tmp_path / "out")
+    compact_dir(spark, src, out)  # no clustering_type flag
+    idx = sorted(
+        __import__("glob").glob(f"{out}/lks/ltb/*-Index.db")
+    )
+    assert len(idx) == 1
+    with open(idx[0][: -len("Index.db")] + "Statistics.db", "rb") as f:
+        hdr = parse_serialization_header(f.read(), version="nb",
+                                         source="stats")
+    assert hdr.clustering_types == [_LONG]
+    got = scan_sstable_cell_rows(idx[0], with_values=True)
+    cl = sorted(r[_COLS_VALUES.index("clustering")] for r in got)
+    assert cl == sorted(str(100 - i) for i in range(8))
+    assert all(
+        r[_COLS_VALUES.index("clustering_marshal")] == _LONG for r in got
+    )
