@@ -108,11 +108,13 @@ SECONDARY = [
     # r10: the two pushdown paths as recurring rows (r09 verdict #7 --
     # they had scale spot-checks but no trajectory, so a PLANNING
     # regression, e.g. in the bloom pre-prune threshold or the span
-    # math, was invisible). Registered queries ds_pointread_cassdir /
-    # ds_rangeread_cassdir: point reads through pushed IN + driver bloom
-    # prune; range spans through the summary floor. Bars in BASELINE.md
-    # §r10.
-    "ds_pointread_cassdir",
+    # math, was invisible). ds_pointread_batch = a 256-key pushed IN
+    # (EXTRA_SECONDARY: bounded K keeps the POINT-READ path timed at any
+    # SF -- the registered ds_pointread_cassdir's full md5 cohort crosses
+    # the pointread_max_keys crossover at sf0.1 and would time the scan
+    # fallback instead); ds_rangeread_cassdir = the registered BETWEEN
+    # through the summary-floored span planner. Bars in BASELINE.md §r10.
+    "ds_pointread_batch",
     "ds_rangeread_cassdir",
 ]
 
@@ -194,6 +196,48 @@ def _purge_cassdir_merge(spark, sf_dir):
     )
 
 
+_DS_POINTREAD_KEYS: dict[str, list] = {}
+
+
+def _ds_pointread_batch(spark, sf_dir):
+    """A 256-key pushed IN through the pushdown DataSource: planning
+    bloom-prunes driver-side, tasks run merged-window point reads. K is
+    bounded so the row times the POINT-READ path at any SF (the full
+    cohort would cross pointread_max_keys at sf0.1 and fall back to the
+    scan). The key collect is memoized: the row measures the read path,
+    not the parquet cohort scan."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_tools_spark.sources import tpch_adapter
+    from cassandra_sstable_tools_spark.sources.lookup import _KEY_PREFIX
+    from cassandra_sstable_tools_spark.sources.pyds import register
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    keys = _DS_POINTREAD_KEYS.get(sf_dir)
+    if keys is None:
+        keys = sorted(
+            r["partition_key"]
+            for r in tpch_adapter.index_entries(spark, sf_dir)
+            .select("partition_key")
+            .where(F.md5("partition_key").startswith(_KEY_PREFIX))
+            .distinct()
+            .limit(256)
+            .collect()
+        )
+        _DS_POINTREAD_KEYS[sf_dir] = keys
+    df = (
+        spark.read.format("cassandra-sstable")
+        .option("pushdown", "true")
+        .load(root)
+    )
+    return df.where(df.partition_key.isin(keys))
+
+
 def _ds_cells_scan(spark, sf_dir):
     """The staged ds_cells_cassdir (sources/pyds.py) benched pre-
     registration: the same full cell decode as data_cells, planned and
@@ -227,6 +271,7 @@ EXTRA_SECONDARY = {
     "purge_cassdir_decode": _purge_cassdir_decode,
     "purge_cassdir_merge": _purge_cassdir_merge,
     "ds_cells_scan": _ds_cells_scan,
+    "ds_pointread_batch": _ds_pointread_batch,
 }
 
 

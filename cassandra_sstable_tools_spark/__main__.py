@@ -128,6 +128,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "CompressionInfo map, Cassandra's default)",
     )
     p.add_argument(
+        "--target-sstable-bytes", type=int, default=256 << 20,
+        help="compact: byte target per output sstable when "
+             "--sstables-per-table is not given (default 256 MiB)",
+    )
+    p.add_argument(
+        "--clustering-type", default=None, metavar="TYPE",
+        help="compact: typed clustering for the OUTPUT header (long, int, "
+             "uuid, ...). Default: auto-discovered from the source "
+             "sstables' own headers; unsupported types fall back to a "
+             "display-faithful UTF8 component",
+    )
+    p.add_argument(
         "--bucketed", default=None, metavar="TABLE",
         help="pstats/cfstats: serve per-partition stats from a bucketed "
              "catalog table (materialized on first use; later runs and "
@@ -766,6 +778,8 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             key_type=args.key_type,
             compression=args.compression,
             table=args.table if not args.keyspace else None,
+            target_sstable_bytes=args.target_sstable_bytes,
+            clustering_type=args.clustering_type,
         )
         out.append(("Compaction", _render(
             report,

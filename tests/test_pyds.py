@@ -743,3 +743,46 @@ def test_stream_legacy_watermark_offsets_still_read(tmp_path):
     assert claims(new, "ks/tb", _gen_key("6"))
     assert claims(new, "ks/tb", _gen_key("2"))   # below the window floor
     assert not claims(new, "ks/tb", _gen_key("5"))  # in-window, unseen
+
+
+def test_pointread_key_threshold_falls_back_to_scan(registered, cass_root):
+    """Above pointread_max_keys distinct pushed keys the planner keeps
+    the SCAN (per-key point reads lose to one amortized pass at large K;
+    Spark re-applies the predicate, so both plans answer identically)."""
+    from pyspark.sql.datasource import In
+
+    keys = [
+        r.partition_key
+        for r in data_cells(registered, cass_root)
+        .select("partition_key").distinct().limit(5).collect()
+    ]
+    r = SSTableCellPushdownReader(
+        {"path": cass_root, "pointread_max_keys": "2"}
+    )
+    r.pushFilters([In(("partition_key",), tuple(keys))])
+    parts = [p for p in r.partitions() if p.path]
+    assert parts and all(p.keys is None for p in parts)  # scan mode
+
+    r2 = SSTableCellPushdownReader({"path": cass_root})
+    r2.pushFilters([In(("partition_key",), tuple(keys))])
+    assert any(p.keys for p in r2.partitions() if p.path)  # point reads
+
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    a = (
+        registered.read.format("cassandra-sstable")
+        .option("pushdown", "true")
+        .option("pointread_max_keys", "2")
+        .load(cass_root)
+    )
+    b = (
+        registered.read.format("cassandra-sstable")
+        .option("pushdown", "true")
+        .load(cass_root)
+    )
+    import pandas as pd
+
+    norm = lambda d: d.sort_values(by=list(d.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        norm(a.where(a.partition_key.isin(keys)).toPandas()),
+        norm(b.where(b.partition_key.isin(keys)).toPandas()),
+    )
