@@ -811,7 +811,20 @@ _CLUSTERING_ENCODERS = {
     "UUIDType": lambda s: __import__("uuid").UUID(s).bytes,
     "TimeUUIDType": lambda s: __import__("uuid").UUID(s).bytes,
     "BytesType": lambda s: bytes.fromhex(s[2:] if s.startswith("0x") else s),
+    # r10 breadth: the sstable_binary display inverses (each verified by
+    # the clustering round-trip check below)
+    "BooleanType": lambda s: _sb().key_encoder("boolean")(s),
+    "SimpleDateType": lambda s: _sb().key_encoder("date")(s),
+    "TimeType": lambda s: _sb().key_encoder("time")(s),
+    "InetAddressType": lambda s: _sb().key_encoder("inet")(s),
+    "IntegerType": lambda s: _sb().key_encoder("varint")(s),
 }
+
+
+def _sb():
+    from cassandra_sstable_tools_spark.sources import sstable_binary
+
+    return sstable_binary
 
 
 def clustering_value_bytes(display: str | None, ctype: str | None) -> bytes | None:

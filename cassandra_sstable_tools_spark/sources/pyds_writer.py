@@ -89,6 +89,13 @@ _KEY_TYPE_MARSHAL = {
     "int": "org.apache.cassandra.db.marshal.Int32Type",
     "uuid": "org.apache.cassandra.db.marshal.UUIDType",
     "timeuuid": "org.apache.cassandra.db.marshal.TimeUUIDType",
+    "smallint": "org.apache.cassandra.db.marshal.ShortType",
+    "tinyint": "org.apache.cassandra.db.marshal.ByteType",
+    "boolean": "org.apache.cassandra.db.marshal.BooleanType",
+    "date": "org.apache.cassandra.db.marshal.SimpleDateType",
+    "time": "org.apache.cassandra.db.marshal.TimeType",
+    "inet": "org.apache.cassandra.db.marshal.InetAddressType",
+    "varint": "org.apache.cassandra.db.marshal.IntegerType",
 }
 
 

@@ -23,7 +23,8 @@ result feeds key rendering before any distributed scan plans.
 
 Scope / honesty:
 - CQL types map to the typed key renderers where one exists (bigint,
-  int, uuid, timeuuid, text/varchar/ascii; multi-column partition keys
+  int, uuid, timeuuid, text/varchar/ascii, and — r10 — date, time,
+  inet, varint, boolean, smallint, tinyint; multi-column partition keys
   compose as composite(...)); anything else returns None and the caller
   keeps the UTF-8-or-hex fallback -- never a guessed mis-render.
 - An explicit ``--key-type`` always wins over discovery (the operator
@@ -37,18 +38,26 @@ from __future__ import annotations
 
 import os
 
-# CQL type name -> key_renderer/key_encoder type name (sstable_binary)
+# CQL type name -> key_renderer/key_encoder type name (sstable_binary).
+# r10: date/time upgraded from their raw-integer stand-ins to the exact
+# validator displays (yyyy-MM-dd / HH:MM:SS.nnnnnnnnn), and the r10
+# renderer-breadth types join (smallint/tinyint/boolean/inet/varint).
 _CQL_TO_KEYTYPE = {
     "bigint": "long",
     "counter": "long",
-    "time": "long",
+    "time": "time",
     "int": "int",
-    "date": "int",
+    "date": "date",
     "uuid": "uuid",
     "timeuuid": "timeuuid",
     "text": "string",
     "varchar": "string",
     "ascii": "string",
+    "smallint": "smallint",
+    "tinyint": "tinyint",
+    "boolean": "boolean",
+    "inet": "inet",
+    "varint": "varint",
 }
 
 

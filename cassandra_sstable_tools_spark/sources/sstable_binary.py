@@ -396,7 +396,95 @@ _MARSHAL_RENDERERS = {
     "ShortType": _render_fixed(
         2, lambda b: str(int.from_bytes(b, "big", signed=True))
     ),
+    "ByteType": _render_fixed(
+        1, lambda b: str(int.from_bytes(b, "big", signed=True))
+    ),
+    # r10 breadth (each exact in its regime, fallback elsewhere -- the
+    # never-a-guessed-mis-render rule): date/time/inet/varint/decimal.
+    # TimestampType stays on the fallback deliberately: Java's
+    # TimestampSerializer display format is not reproducible here with
+    # certainty, and a near-miss render is worse than the heuristic.
+    "SimpleDateType": _render_fixed(4, lambda b: _render_simple_date(b)),
+    "TimeType": _render_fixed(8, lambda b: _render_time_nanos(b)),
+    "InetAddressType": lambda b: _render_inet(b),
+    "IntegerType": lambda b: _render_varint(b),
+    "DecimalType": lambda b: _render_decimal(b),
 }
+
+
+def _render_simple_date(v: bytes) -> str:
+    """SimpleDateType (CQL date): unsigned u32 days with 2^31 = epoch;
+    ISO yyyy-MM-dd (LocalDate.ofEpochDay). Python's date covers years
+    1..9999 -- the full CQL-visible range; beyond it, fallback."""
+    import datetime
+
+    days = int.from_bytes(v, "big") - (1 << 31)
+    try:
+        return (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+        ).isoformat()
+    except OverflowError:
+        return render_key(v)
+
+
+def _render_time_nanos(v: bytes) -> str:
+    """TimeType (CQL time): signed long nanos-of-day;
+    TimeSerializer.toString's %02d:%02d:%02d.%09d. Out-of-range values
+    (corrupt) fall back."""
+    n = int.from_bytes(v, "big", signed=True)
+    if not 0 <= n < 86_400_000_000_000:
+        return render_key(v)
+    s, nano = divmod(n, 1_000_000_000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    return "%02d:%02d:%02d.%09d" % (h, m, sec, nano)
+
+
+def _render_inet(v: bytes) -> str:
+    """InetAddressType: 4-byte dotted quad; 16-byte Java
+    Inet6Address.getHostAddress groups (lowercase hex, no zero
+    compression) -- except IPv4-mapped ::ffff:a.b.c.d, which Java's
+    InetAddress.getByAddress returns as an Inet4Address (dotted quad)."""
+    if len(v) == 4:
+        return ".".join(str(b) for b in v)
+    if len(v) == 16:
+        if v[:10] == b"\x00" * 10 and v[10:12] == b"\xff\xff":
+            return ".".join(str(b) for b in v[12:])
+        return ":".join(
+            "%x" % int.from_bytes(v[i:i + 2], "big") for i in range(0, 16, 2)
+        )
+    return render_key(v)
+
+
+def _render_varint(v: bytes) -> str:
+    """IntegerType (CQL varint): arbitrary-length signed big-endian
+    two's complement."""
+    if not v:
+        return render_key(v)
+    return str(int.from_bytes(v, "big", signed=True))
+
+
+def _render_decimal(v: bytes) -> str:
+    """DecimalType: [int32 scale][varint unscaled] rendered with
+    BigDecimal.toString's PLAIN-notation rules -- exact parity in the
+    plain regime (scale >= 0 and adjusted exponent >= -6, the spec's own
+    condition); the scientific regime falls back to the heuristic rather
+    than guess Java's E-notation spelling."""
+    if len(v) < 5:
+        return render_key(v)
+    scale = int.from_bytes(v[:4], "big", signed=True)
+    unscaled = int.from_bytes(v[4:], "big", signed=True)
+    if scale < 0:
+        return render_key(v)
+    digits = str(abs(unscaled))
+    if len(digits) - 1 - scale < -6:  # adjusted exponent < -6: scientific
+        return render_key(v)
+    sign = "-" if unscaled < 0 else ""
+    if scale == 0:
+        return sign + digits
+    if len(digits) > scale:
+        return sign + digits[:-scale] + "." + digits[-scale:]
+    return sign + "0." + "0" * (scale - len(digits)) + digits
 
 
 def uses_default_key_render(marshal_type: str | None) -> bool:
@@ -1510,6 +1598,18 @@ def key_renderer(key_type: str | None):
         "int": fixed(4, lambda b: str(int.from_bytes(b, "big", signed=True))),
         "uuid": fixed(16, lambda b: str(__import__("uuid").UUID(bytes=b))),
         "timeuuid": fixed(16, lambda b: str(__import__("uuid").UUID(bytes=b))),
+        # r10 breadth, symmetric with key_encoder's inverses
+        "smallint": fixed(
+            2, lambda b: str(int.from_bytes(b, "big", signed=True))
+        ),
+        "tinyint": fixed(
+            1, lambda b: str(int.from_bytes(b, "big", signed=True))
+        ),
+        "boolean": fixed(1, lambda b: str(b[0] != 0).lower()),
+        "date": fixed(4, _render_simple_date),
+        "time": fixed(8, _render_time_nanos),
+        "inet": _render_inet,
+        "varint": _render_varint,
     }
     if key_type in simple:
         return simple[key_type]
@@ -1542,6 +1642,62 @@ def key_renderer(key_type: str | None):
     )
 
 
+def _encode_boolean(s: str) -> bytes:
+    if s == "true":
+        return b"\x01"
+    if s == "false":
+        return b"\x00"
+    raise ValueError(f"boolean display must be true|false, got {s!r}")
+
+
+def _encode_simple_date(s: str) -> bytes:
+    import datetime
+
+    d = datetime.date.fromisoformat(s)
+    days = (d - datetime.date(1970, 1, 1)).days
+    return ((days + (1 << 31)) & 0xFFFFFFFF).to_bytes(4, "big")
+
+
+def _encode_time_nanos(s: str) -> bytes:
+    # the canonical TimeSerializer display: HH:MM:SS.nnnnnnnnn
+    import re
+
+    m = re.fullmatch(r"(\d{2}):(\d{2}):(\d{2})\.(\d{9})", s)
+    if not m:
+        raise ValueError(
+            f"time display must be HH:MM:SS.nnnnnnnnn, got {s!r}"
+        )
+    h, mi, sec, nano = (int(g) for g in m.groups())
+    if h > 23 or mi > 59 or sec > 59:
+        raise ValueError(f"time display out of range: {s!r}")
+    n = ((h * 3600 + mi * 60 + sec) * 1_000_000_000) + nano
+    return n.to_bytes(8, "big", signed=True)
+
+
+def _encode_inet(s: str) -> bytes:
+    parts4 = s.split(".")
+    if len(parts4) == 4:
+        vals = [int(p) for p in parts4]
+        if any(not 0 <= x <= 255 for x in vals):
+            raise ValueError(f"inet display out of range: {s!r}")
+        return bytes(vals)
+    groups = s.split(":")
+    if len(groups) == 8:
+        vals = [int(g, 16) for g in groups]
+        if any(not 0 <= x <= 0xFFFF for x in vals):
+            raise ValueError(f"inet display out of range: {s!r}")
+        return b"".join(x.to_bytes(2, "big") for x in vals)
+    raise ValueError(
+        f"inet display must be dotted-quad or 8 hex groups, got {s!r}"
+    )
+
+
+def _encode_varint(s: str) -> bytes:
+    n = int(s)
+    length = max(1, (n.bit_length() + 8) // 8)  # minimal two's complement
+    return n.to_bytes(length, "big", signed=True)
+
+
 def key_encoder(key_type: str | None):
     """display string -> partition key BYTES under the key validator type
     -- the inverse of ``key_renderer``, used by the point-read path to
@@ -1564,6 +1720,20 @@ def key_encoder(key_type: str | None):
         return lambda s: int(s).to_bytes(4, "big", signed=True)
     if key_type in ("uuid", "timeuuid"):
         return lambda s: __import__("uuid").UUID(s).bytes
+    if key_type == "smallint":
+        return lambda s: int(s).to_bytes(2, "big", signed=True)
+    if key_type == "tinyint":
+        return lambda s: int(s).to_bytes(1, "big", signed=True)
+    if key_type == "boolean":
+        return _encode_boolean
+    if key_type == "date":
+        return _encode_simple_date
+    if key_type == "time":
+        return _encode_time_nanos
+    if key_type == "inet":
+        return _encode_inet
+    if key_type == "varint":
+        return _encode_varint
     if key_type.startswith("composite(") and key_type.endswith(")"):
         parts = [p.strip() for p in key_type[len("composite(") : -1].split(",")]
         encoders = [key_encoder(p) for p in parts]

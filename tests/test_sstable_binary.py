@@ -16,9 +16,12 @@ import pytest
 from cassandra_sstable_tools_spark.sources.sstable_binary import (
     binary_index_entries,
     encode_index_db,
+    key_encoder,
+    key_renderer,
     materialize_index_files,
     parse_index_db,
     read_unsigned_vint,
+    render_typed,
     write_unsigned_vint,
 )
 
@@ -624,3 +627,140 @@ def test_toc_check_torn_copy_differentials(spark, sf_dir, tmp_path):
     for_tb = os.path.basename(os.path.dirname(foreign))
     assert got[(for_tb, for_id)]["extra"] >= 1
     assert not got[(for_tb, for_id)]["complete"]
+
+
+# --------------------------------------------------------------------------
+# r10 renderer breadth: date/time/inet/varint/decimal/tinyint, exact in
+# their regimes, fallback elsewhere; encoder inverses round-trip
+# --------------------------------------------------------------------------
+
+
+def _m(name):
+    return f"org.apache.cassandra.db.marshal.{name}"
+
+
+def test_render_simple_date():
+    epoch = (1 << 31).to_bytes(4, "big")
+    assert render_typed(epoch, _m("SimpleDateType")) == "1970-01-01"
+    d = ((1 << 31) + 19_000).to_bytes(4, "big")
+    assert render_typed(d, _m("SimpleDateType")) == "2022-01-08"
+    neg = ((1 << 31) - 1).to_bytes(4, "big")
+    assert render_typed(neg, _m("SimpleDateType")) == "1969-12-31"
+    # out of Python's date range: fallback, never a wrong date
+    assert render_typed(b"\x00\x00\x00\x00", _m("SimpleDateType")).startswith("0x")
+    # wrong width: fallback
+    assert render_typed(b"\x01\x02", _m("SimpleDateType")) == "0x0102"
+
+
+def test_render_time_nanos():
+    n = ((8 * 3600 + 12 * 60 + 54) * 1_000_000_000 + 123_456_789)
+    assert (
+        render_typed(n.to_bytes(8, "big"), _m("TimeType"))
+        == "08:12:54.123456789"
+    )
+    assert render_typed((0).to_bytes(8, "big"), _m("TimeType")) == "00:00:00.000000000"
+    over = (86_400_000_000_000).to_bytes(8, "big")
+    assert render_typed(over, _m("TimeType")).startswith("0x")
+
+
+def test_render_inet():
+    assert render_typed(bytes([10, 0, 0, 1]), _m("InetAddressType")) == "10.0.0.1"
+    v6 = bytes.fromhex("20010db8000000000000000000000001")
+    # Java Inet6Address.getHostAddress: no zero compression
+    assert render_typed(v6, _m("InetAddressType")) == "2001:db8:0:0:0:0:0:1"
+    mapped = b"\x00" * 10 + b"\xff\xff" + bytes([192, 168, 0, 9])
+    # Java returns an Inet4Address for v4-mapped bytes
+    assert render_typed(mapped, _m("InetAddressType")) == "192.168.0.9"
+    assert render_typed(b"\x01\x02\x03", _m("InetAddressType")) == "0x010203"
+
+
+def test_render_varint_and_tinyint():
+    assert render_typed(b"\x7b", _m("IntegerType")) == "123"
+    assert render_typed(b"\xff", _m("IntegerType")) == "-1"
+    big = (10**30).to_bytes(13, "big")
+    assert render_typed(big, _m("IntegerType")) == str(10**30)
+    assert render_typed(b"\x80", _m("ByteType")) == "-128"
+
+
+def test_render_decimal_plain_regime_and_fallbacks():
+    def dec(scale, unscaled):
+        n = unscaled.to_bytes(
+            max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
+        )
+        return scale.to_bytes(4, "big", signed=True) + n
+
+    t = _m("DecimalType")
+    assert render_typed(dec(0, 123), t) == "123"
+    assert render_typed(dec(2, 12345), t) == "123.45"
+    assert render_typed(dec(5, 123), t) == "0.00123"
+    assert render_typed(dec(5, -123), t) == "-0.00123"
+    assert render_typed(dec(2, 0), t) == "0.00"
+    # BigDecimal's scientific regime (adjusted exponent < -6): fallback,
+    # never a guessed E-notation spelling
+    assert render_typed(dec(9, 123), t).startswith("0x")
+    # negative scale (always scientific in Java): fallback
+    assert render_typed(dec(-2, 123), t).startswith("0x")
+
+
+def test_new_key_encoders_round_trip():
+    cases = [
+        ("date", "2022-01-08"),
+        ("date", "1969-12-31"),
+        ("time", "08:12:54.123456789"),
+        ("time", "00:00:00.000000000"),
+        ("inet", "10.0.0.1"),
+        ("inet", "2001:db8:0:0:0:0:0:1"),
+        ("varint", str(10**30)),
+        ("varint", "-1"),
+        ("boolean", "true"),
+        ("boolean", "false"),
+        ("smallint", "-32768"),
+        ("tinyint", "-128"),
+    ]
+    for alias, display in cases:
+        b = key_encoder(alias)(display)
+        assert key_renderer(alias)(b) == display, (alias, display)
+    # unparseable displays are loud
+    import pytest as _pytest
+
+    for alias, bad in [("date", "not-a-date"), ("time", "8:1:2"),
+                       ("inet", "999.0.0.1"), ("boolean", "TRUE")]:
+        with _pytest.raises(ValueError):
+            key_encoder(alias)(bad)
+
+
+def test_typed_clustering_new_types_round_trip(tmp_path):
+    """The new display inverses work as writer clustering types."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        _COLS_VALUES,
+        scan_sstable_cell_rows,
+    )
+    from cassandra_sstable_tools_spark.sources.pyds_writer import (
+        write_sstable,
+    )
+
+    for alias, displays in [
+        ("date", ["1999-12-31", "2022-01-08"]),
+        ("time", ["00:00:00.000000000", "23:59:59.999999999"]),
+        ("inet", ["10.0.0.1", "10.0.0.2"]),
+        ("varint", ["-5", "7"]),
+    ]:
+        rows = [
+            dict(
+                partition_key="k", kind="CELL", clustering=cl,
+                column_name="c0", cell_path=None, writetime=1000 + i,
+                ttl=None, local_deletion_time=None, is_tombstone=False,
+                is_expiring=False, is_counter=False, cell_value=i,
+                range_start=None, range_end=None, value_len=8,
+                value_bytes=i.to_bytes(8, "big"), value_marshal=None,
+            )
+            for i, cl in enumerate(displays)
+        ]
+        out = str(tmp_path / alias)
+        write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                      clustering_type=alias)
+        got = scan_sstable_cell_rows(
+            f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+        )
+        cl = sorted(r[_COLS_VALUES.index("clustering")] for r in got)
+        assert cl == sorted(displays), alias
