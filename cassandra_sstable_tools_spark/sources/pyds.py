@@ -909,6 +909,13 @@ def ds_write_roundtrip_cassdir(spark, sf_dir: str):
     vdrop = drop + ["value_bytes", "value_marshal", "clustering_marshal"]
     src = data_cells(spark, root, with_values=True).drop(*drop)
     out = tempfile.mkdtemp(prefix="sstable_sink_rt_")
+    # the returned frame evaluates lazily, so the tree cannot be removed
+    # here; reap it at interpreter exit (repeated driver/bench runs were
+    # accumulating one orphan tree per invocation)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     (
         src.repartitionByRange(2, "partition_key")
         .write.format(FORMAT_NAME)
