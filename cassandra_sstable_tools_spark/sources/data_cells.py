@@ -684,6 +684,11 @@ def decode_partition_block(
                         ldt=cd_ldt,
                         is_tombstone=True,
                         phys_size=r.off - blk_start,
+                        # carry the column type so a rewrite re-declares
+                        # it even when the deletion is the column's only
+                        # survivor (review finding: the map<text,bigint>
+                        # default silently re-typed such columns)
+                        value_marshal=ctype if keep_values else None,
                     ))
                     cell_spans.append(r.off - blk_start)
             col_cells = r.vint()
@@ -801,62 +806,62 @@ def _utf8_or_none(s: str | None) -> bytes | None:
 # typed-clustering encode (marshal class name -> display parser). Only
 # types whose renderer this engine models are invertible; everything else
 # refuses loudly rather than writing bytes that re-render differently.
-_CLUSTERING_ENCODERS = {
-    "UTF8Type": _utf8_or_none,
-    "AsciiType": lambda s: s.encode("ascii"),
-    "LongType": lambda s: int(s).to_bytes(8, "big", signed=True),
-    "Int32Type": lambda s: int(s).to_bytes(4, "big", signed=True),
-    "ShortType": lambda s: int(s).to_bytes(2, "big", signed=True),
-    "ByteType": lambda s: int(s).to_bytes(1, "big", signed=True),
-    "UUIDType": lambda s: __import__("uuid").UUID(s).bytes,
-    "TimeUUIDType": lambda s: __import__("uuid").UUID(s).bytes,
-    "BytesType": lambda s: bytes.fromhex(s[2:] if s.startswith("0x") else s),
-    # r10 breadth: the sstable_binary display inverses (each verified by
-    # the clustering round-trip check below)
-    "BooleanType": lambda s: _sb().key_encoder("boolean")(s),
-    "SimpleDateType": lambda s: _sb().key_encoder("date")(s),
-    "TimeType": lambda s: _sb().key_encoder("time")(s),
-    "InetAddressType": lambda s: _sb().key_encoder("inet")(s),
-    "IntegerType": lambda s: _sb().key_encoder("varint")(s),
+# marshal class -> the shared sstable_binary display inverse (one
+# implementation per type, keyed by its key_encoder alias -- a review
+# finding removed the hand-rolled numeric/uuid duplicates that could
+# drift from the alias implementations)
+_MARSHAL_ENCODER_ALIASES = {
+    "AsciiType": "string",
+    "LongType": "long",
+    "Int32Type": "int",
+    "ShortType": "smallint",
+    "ByteType": "tinyint",
+    "UUIDType": "uuid",
+    "TimeUUIDType": "timeuuid",
+    "BytesType": "hex",
+    "BooleanType": "boolean",
+    "SimpleDateType": "date",
+    "TimeType": "time",
+    "InetAddressType": "inet",
+    "IntegerType": "varint",
 }
+_CLUSTERING_ENCODERS = _MARSHAL_ENCODER_ALIASES  # public name (writer docs)
 
 
-def _sb():
-    from cassandra_sstable_tools_spark.sources import sstable_binary
-
-    return sstable_binary
-
-
+@__import__("functools").lru_cache(maxsize=65536)
 def clustering_value_bytes(display: str | None, ctype: str | None) -> bytes | None:
-    """display -> clustering value bytes under the header's clustering
-    type, verified to re-render as the same display (a mis-inversion
-    fails LOUD instead of writing a clustering that reads back
-    differently -- same contract as the writer's partition-key inverse)."""
+    """display -> value bytes under a marshal type, verified to re-render
+    as the same display (a mis-inversion fails LOUD instead of writing a
+    value that reads back differently -- same contract as the writer's
+    partition-key inverse). Serves the writer's clustering components AND
+    complex-column cell paths. Memoized: clustering/path displays repeat
+    heavily, and write_sstable encodes each record's display twice (stats
+    min/max + the cell codec)."""
     if display is None:
         return None
     cls = (ctype or "").rsplit(".", 1)[-1] or "UTF8Type"
     if cls in ("UTF8Type", ""):
         return display.encode("utf-8")  # identity round-trip by construction
-    enc = _CLUSTERING_ENCODERS.get(cls)
-    if enc is None:
+    alias = _MARSHAL_ENCODER_ALIASES.get(cls)
+    if alias is None:
         raise ValueError(
-            f"clustering type {ctype!r} has no display inverse in this "
-            f"writer (supported: {sorted(_CLUSTERING_ENCODERS)})"
+            f"type {ctype!r} has no display inverse in this writer "
+            f"(supported: {sorted(_MARSHAL_ENCODER_ALIASES)})"
         )
-    try:
-        b = enc(display)
-    except (ValueError, OverflowError) as ex:
-        raise ValueError(
-            f"clustering display {display!r} does not parse as {cls} ({ex})"
-        ) from ex
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
-        render_typed as _rt,
+        key_encoder,
     )
 
-    if _rt(b, ctype) != display:
+    try:
+        b = key_encoder(alias)(display)
+    except (ValueError, OverflowError) as ex:
         raise ValueError(
-            f"clustering display {display!r} does not survive the {cls} "
-            f"encoding round-trip (re-renders as {_rt(b, ctype)!r})"
+            f"display {display!r} does not parse as {cls} ({ex})"
+        ) from ex
+    if render_typed(b, ctype) != display:
+        raise ValueError(
+            f"display {display!r} does not survive the {cls} encoding "
+            f"round-trip (re-renders as {render_typed(b, ctype)!r})"
         )
     return b
 
@@ -1054,7 +1059,13 @@ def _encode_one(
                 f"record carries a cell_path but column {name!r} has "
                 f"simple type {ctype}"
             )
-        pb = path.encode("utf-8")
+        # the display was rendered through the column's PATH type (a
+        # map's key type, a set's element type, ...), so it must be
+        # INVERTED through the same type -- a UTF-8 re-encode of e.g. an
+        # Int32 path display would write 2 bytes under a header that
+        # declares 4 and silently corrupt the rewrite (review finding);
+        # clustering_value_bytes refuses loudly for non-invertible types
+        pb = clustering_value_bytes(path, _path_type_of(ctype))
         cell += write_unsigned_vint(len(pb)) + pb
     elif is_complex_type(ctype):
         raise ValueError(

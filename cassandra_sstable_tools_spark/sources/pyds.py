@@ -190,14 +190,24 @@ def _key_candidates(literal: str, key_type: str | None) -> list[bytes]:
 
     if key_type:
         try:
-            return [key_encoder(key_type)(literal)]
-        except ValueError:
+            cands = [key_encoder(key_type)(literal)]
+        except (ValueError, OverflowError):
             # an unparseable typed literal (partition_key = 'abc' under
-            # key_type=long) cannot equal ANY typed render, so zero
-            # candidates is provably correct -- the same query without
-            # pushdown returns zero rows, and pushdown must not turn
-            # that into a planning crash (r09 advice)
+            # key_type=long, or an over-range '300' under tinyint --
+            # int.to_bytes raises OverflowError, not ValueError) cannot
+            # equal ANY typed render, so zero candidates is provably
+            # correct -- the same query without pushdown returns zero
+            # rows, and pushdown must not turn that into a planning
+            # crash (r09 advice + review finding)
             return []
+        if key_type == "inet" and len(cands[0]) == 4:
+            # a dotted-quad display also matches the 16-byte IPv4-MAPPED
+            # on-disk form (Java's InetAddress.getByAddress renders
+            # ::ffff:a.b.c.d as an Inet4Address, so both encodings
+            # re-render to this literal); probe both or the mapped key
+            # silently misses (review finding)
+            cands.append(b"\x00" * 10 + b"\xff\xff" + cands[0])
+        return cands
     cands = [literal.encode("utf-8")]
     if literal.startswith("0x") and len(literal) % 2 == 0:
         try:
@@ -927,7 +937,11 @@ def ds_write_roundtrip_cassdir(spark, sf_dir: str):
     if not _walk_index_files(out):
         # empty corpus wrote nothing: the typed empty frame is the answer
         return src.drop("value_bytes", "value_marshal", "clustering_marshal")
-    return data_cells(spark, out, with_values=True).drop(*vdrop)
+    # the re-decode needs only the base frame (value_len rides it); a
+    # with_values decode here would carry every payload byte through
+    # Arrow just to drop it driver-side (review finding)
+    del vdrop
+    return data_cells(spark, out).drop(*drop)
 
 
 def _staged():

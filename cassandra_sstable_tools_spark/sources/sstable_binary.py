@@ -1694,7 +1694,11 @@ def _encode_inet(s: str) -> bytes:
 
 def _encode_varint(s: str) -> bytes:
     n = int(s)
-    length = max(1, (n.bit_length() + 8) // 8)  # minimal two's complement
+    # MINIMAL two's complement (BigInteger.toByteArray): bit_length of a
+    # negative counts magnitude bits, so size from ~n for negatives --
+    # (n.bit_length()+8)//8 over-sized -128 to b'\xff\x80' where Cassandra
+    # stores b'\x80', making pushdown point reads miss it (review finding)
+    length = ((n if n >= 0 else ~n).bit_length() // 8) + 1
     return n.to_bytes(length, "big", signed=True)
 
 

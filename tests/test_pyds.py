@@ -786,3 +786,17 @@ def test_pointread_key_threshold_falls_back_to_scan(registered, cass_root):
         norm(a.where(a.partition_key.isin(keys)).toPandas()),
         norm(b.where(b.partition_key.isin(keys)).toPandas()),
     )
+
+
+def test_key_candidates_overrange_and_mapped_inet():
+    """Planning never crashes on an unencodable typed literal (over-range
+    raises OverflowError, not ValueError), and a dotted-quad inet literal
+    probes BOTH its 4-byte and 16-byte IPv4-mapped encodings (Java
+    renders both as the quad)."""
+    from cassandra_sstable_tools_spark.sources.pyds import _key_candidates
+
+    assert _key_candidates("300", "tinyint") == []
+    assert _key_candidates("9" * 25, "long") == []
+    cands = _key_candidates("192.168.0.9", "inet")
+    assert bytes([192, 168, 0, 9]) in cands
+    assert (b"\x00" * 10 + b"\xff\xff" + bytes([192, 168, 0, 9])) in cands

@@ -786,3 +786,69 @@ def test_typed_clustering_round_trips(registered, tmp_path):
     with pytest.raises(ValueError, match="does not parse as LongType"):
         write_sstable([bad], f"{out}b/ks/tb", sstable_id="1",
                       clustering_type="long")
+
+
+_MAP_INT_LONG = (
+    "org.apache.cassandra.db.marshal.MapType("
+    "org.apache.cassandra.db.marshal.Int32Type,"
+    "org.apache.cassandra.db.marshal.LongType)"
+)
+
+
+def test_typed_cell_paths_round_trip(registered, tmp_path):
+    """Complex-column cell paths encode through the column's PATH type
+    (a map's key type), not a UTF-8 re-encode of the display -- the
+    review-caught corruption wrote 2 bytes under an Int32 path header."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        _COLS_VALUES,
+        scan_sstable_cell_rows,
+    )
+
+    rows = [
+        _vrow("alpha", "m1", (7).to_bytes(8, "big"), _MAP_INT_LONG,
+              cell_path="42", cell_value=7),
+        _vrow("alpha", "m1", (9).to_bytes(8, "big"), _MAP_INT_LONG,
+              cell_path="-3", cell_value=9, wt=1001),
+    ]
+    out = str(tmp_path / "ptree")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1")
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    paths = sorted(r[_COLS_VALUES.index("cell_path")] for r in got)
+    assert paths == ["-3", "42"]
+    # a non-invertible path display refuses loudly, never writes garbage
+    bad = _vrow("alpha", "m1", (1).to_bytes(8, "big"), _MAP_INT_LONG,
+                cell_path="not-an-int", cell_value=1)
+    with pytest.raises(ValueError, match="does not parse as Int32Type"):
+        write_sstable([bad], f"{out}b/ks/tb", sstable_id="1")
+
+
+def test_complex_delete_keeps_declared_column_type(registered, tmp_path):
+    """A complex column whose only survivor is its COMPLEX_DELETE keeps
+    the SOURCE-declared type in the rewritten header (review finding:
+    the map<text,bigint> default silently re-typed it)."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        _COLS_VALUES,
+        scan_sstable_cell_rows,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        parse_serialization_header,
+    )
+
+    cd = _vrow("alpha", "m1", None, _MAP_INT_LONG,
+               cell_value=None, is_tombstone=True)
+    cd["kind"] = "COMPLEX_DELETE"
+    cd["local_deletion_time"] = 1_600_000_000
+    out = str(tmp_path / "cdtree")
+    write_sstable([cd], f"{out}/ks/tb", sstable_id="1")
+    with open(f"{out}/ks/tb/nb-1-big-Statistics.db", "rb") as f:
+        hdr = parse_serialization_header(f.read(), version="nb",
+                                         source="stats")
+    assert dict(hdr.regular_columns)["m1"] == _MAP_INT_LONG
+    # and the deletion itself round-trips with its marshal carried
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    assert [r[_COLS_VALUES.index("kind")] for r in got] == ["COMPLEX_DELETE"]
+    assert got[0][_COLS_VALUES.index("value_marshal")] == _MAP_INT_LONG

@@ -764,3 +764,17 @@ def test_typed_clustering_new_types_round_trip(tmp_path):
         )
         cl = sorted(r[_COLS_VALUES.index("clustering")] for r in got)
         assert cl == sorted(displays), alias
+
+
+def test_varint_minimal_twos_complement_boundaries():
+    """BigInteger.toByteArray minimality at byte boundaries -- the
+    review-caught over-sizing made pushdown point reads miss -128."""
+    enc = key_encoder("varint")
+    assert enc("-128") == b"\x80"
+    assert enc("-32768") == b"\x80\x00"
+    assert enc("-129") == b"\xff\x7f"
+    assert enc("127") == b"\x7f"
+    assert enc("128") == b"\x00\x80"
+    assert enc("0") == b"\x00"
+    for s in ["-128", "-32768", "-129", "127", "128", "0", str(-(2**63))]:
+        assert key_renderer("varint")(enc(s)) == s
