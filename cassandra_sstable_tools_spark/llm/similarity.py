@@ -1716,3 +1716,69 @@ ORACLES["ann_ivfpq_recall"] = _recall_oracle(ORACLES["ann_ivfpq_topk"])
 QUERIES["ann_ivf_recall"] = ann_ivf_recall
 QUERIES["ann_lsh_recall"] = ann_lsh_recall
 QUERIES["ann_ivfpq_recall"] = ann_ivfpq_recall
+
+
+# --------------------------------------------------------------------------
+# STAGED for r11 (SURVEY §2.9 convention): the SemDeDup-style keep-list --
+# the decision frame a semantic-dedup pass actually applies to a corpus
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector semantic-dedup decision (SemDeDup shape: Abbas et al.
+    2023, arXiv:2303.09540 -- keep one representative per group of
+    semantically near-identical items): connected components over the
+    embedding near-dup graph pick cluster_id = min vec_id, and ``keep``
+    is true for singletons and each cluster's representative. This is
+    the KEEP-LIST composition of embedding_dedup_clusters -- the frame a
+    pipeline joins against its corpus to drop semantic duplicates.
+    Plan shape: the banded near-dup join + the O(log n) CC operator +
+    one broadcast-scale left join (clusters are a small fraction of any
+    real corpus); nothing corpus-sized shuffles beyond the pair join."""
+    from cassandra_sstable_tools_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = _quantized(spark, sf_dir).select("vec_id")
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    clusters = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+    return emb.join(F.broadcast(clusters), "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("vec_id") == F.col("cluster_id"))
+        ).alias("keep"),
+    )
+
+
+STAGED_QUERIES = {"semantic_dedup_keep": semantic_dedup_keep}
+STAGED_ORACLES = {
+    "semantic_dedup_keep": f"""
+WITH RECURSIVE {_NEARDUP_CTES},
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM neardup_pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM neardup_pairs
+),
+cnodes AS (SELECT DISTINCT src FROM edges),
+reach(src, lbl) AS (
+    SELECT src, src FROM cnodes
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.src = e.dst
+),
+clusters AS (
+    SELECT src AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY 1
+),
+universe AS (
+    SELECT DISTINCT vec_id FROM elems
+)
+SELECT u.vec_id, c.cluster_id,
+       (c.cluster_id IS NULL OR u.vec_id = c.cluster_id) AS keep
+FROM universe u LEFT JOIN clusters c USING (vec_id)
+""",
+}

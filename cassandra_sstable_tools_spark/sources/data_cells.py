@@ -2319,3 +2319,50 @@ GROUP BY 1, 2, 3""")
 
 QUERIES["cfstats_ttl_cassdir"] = cfstats_ttl_cassdir
 ORACLES["cfstats_ttl_cassdir"] = _ttl_oracle()
+
+
+# --------------------------------------------------------------------------
+# STAGED for r11 (SURVEY §2.9 convention): the value_len payload column at
+# an aggregate grain -- per-column payload-byte statistics over the decoded
+# frame, the analytic a capacity planner asks of real value data
+# --------------------------------------------------------------------------
+
+
+def cfstats_payload_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column payload statistics from the DECODED frame's value_len
+    (r10): cell count, payload-carrying count, total and max payload
+    bytes per (keyspace, table, column). The value_len column exists so
+    rewrites can never silently drop payloads; this query certifies it
+    at the aggregate grain a capacity report consumes."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    cells = data_cells(spark, root).where(
+        F.col("kind").isin("CELL", "STATIC_CELL")
+    )
+    return cells.groupBy("keyspace", "table_name", "column_name").agg(
+        F.count("*").alias("cells"),
+        F.count("value_len").alias("payloads"),
+        F.sum("value_len").alias("payload_bytes"),
+        F.max("value_len").alias("max_payload"),
+    )
+
+
+def _payload_oracle() -> str:
+    from cassandra_sstable_tools_spark.oracles import with_adapter
+
+    return with_adapter(f""",{_phys_ctes()}
+SELECT keyspace, table_name, column_name,
+       CAST(count(*) AS BIGINT) AS cells,
+       CAST(count(value_len) AS BIGINT) AS payloads,
+       CAST(sum(value_len) AS BIGINT) AS payload_bytes,
+       CAST(max(value_len) AS BIGINT) AS max_payload
+FROM decoded
+WHERE kind IN ('CELL', 'STATIC_CELL')
+GROUP BY 1, 2, 3""")
+
+
+STAGED_QUERIES = {"cfstats_payload_cassdir": cfstats_payload_cassdir}
+STAGED_ORACLES = {"cfstats_payload_cassdir": _payload_oracle()}
