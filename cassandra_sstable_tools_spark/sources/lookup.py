@@ -496,8 +496,15 @@ def _normalize_keys(keys, key_type=None) -> list[tuple[str, bytes]]:
     for k in keys:
         if isinstance(k, bytes):
             out.append((render_key(k), k))
-        else:
-            out.append((k, enc(k)))
+            continue
+        kb = enc(k)
+        out.append((k, kb))
+        if key_type == "inet" and len(kb) == 4:
+            # a dotted-quad display also matches the 16-byte IPv4-MAPPED
+            # on-disk form (Java renders ::ffff:a.b.c.d as an
+            # Inet4Address, i.e. as this same quad) -- probe both, same
+            # rule as the DataSource planner's _key_candidates
+            out.append((k, b"\x00" * 10 + b"\xff\xff" + kb))
     if not out:
         raise ValueError("partition_lookup needs at least one key")
     return out

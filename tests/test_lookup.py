@@ -711,3 +711,19 @@ def test_merged_view_keeps_distinct_collection_entries(spark, sf_dir):
     assert sorted(got.cell_name) == sorted(
         f"{col}[{p}]" for p in expected.cell_path
     )
+
+
+def test_inet_lookup_probes_mapped_form():
+    """A dotted-quad -k literal under --key-type inet probes BOTH the
+    4-byte and the 16-byte IPv4-mapped encodings (Java renders both as
+    the quad) -- same dual-candidate rule as the DataSource planner."""
+    from cassandra_sstable_tools_spark.sources.lookup import _normalize_keys
+
+    got = _normalize_keys(["192.168.0.9"], key_type="inet")
+    assert ("192.168.0.9", bytes([192, 168, 0, 9])) in got
+    assert (
+        "192.168.0.9",
+        b"\x00" * 10 + b"\xff\xff" + bytes([192, 168, 0, 9]),
+    ) in got
+    # non-inet types keep the single exact candidate
+    assert len(_normalize_keys(["7"], key_type="long")) == 1
