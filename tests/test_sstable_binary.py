@@ -778,3 +778,77 @@ def test_varint_minimal_twos_complement_boundaries():
     assert enc("0") == b"\x00"
     for s in ["-128", "-32768", "-129", "127", "128", "0", str(-(2**63))]:
         assert key_renderer("varint")(enc(s)) == s
+
+
+# --------------------------------------------------------------------------
+# r10 property tests: typed display <-> bytes inverses are exact inverses
+# over their whole domains (hypothesis)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(n=st.integers(min_value=-(10**40), max_value=10**40))
+@settings(max_examples=300, deadline=None)
+def test_varint_display_roundtrip_property(n):
+    b = key_encoder("varint")(str(n))
+    assert key_renderer("varint")(b) == str(n)
+    # minimality: BigInteger.toByteArray never emits a redundant
+    # leading byte (0x00 before a clear sign bit / 0xff before a set one)
+    if len(b) > 1:
+        assert not (b[0] == 0 and b[1] < 0x80)
+        assert not (b[0] == 0xFF and b[1] >= 0x80)
+
+
+@given(days=st.integers(min_value=-719162, max_value=2932896))
+@settings(max_examples=300, deadline=None)
+def test_date_bytes_roundtrip_property(days):
+    # full Python-date range: year 1 (-719162) .. year 9999 (2932896)
+    raw = ((days + (1 << 31)) & 0xFFFFFFFF).to_bytes(4, "big")
+    disp = render_typed(raw, "org.apache.cassandra.db.marshal.SimpleDateType")
+    assert not disp.startswith("0x")
+    assert key_encoder("date")(disp) == raw
+
+
+@given(n=st.integers(min_value=0, max_value=86_399_999_999_999))
+@settings(max_examples=300, deadline=None)
+def test_time_bytes_roundtrip_property(n):
+    raw = n.to_bytes(8, "big")
+    disp = render_typed(raw, "org.apache.cassandra.db.marshal.TimeType")
+    assert key_encoder("time")(disp) == raw
+
+
+@given(raw=st.binary(min_size=4, max_size=4) | st.binary(min_size=16, max_size=16))
+@settings(max_examples=300, deadline=None)
+def test_inet_bytes_roundtrip_property(raw):
+    disp = render_typed(raw, "org.apache.cassandra.db.marshal.InetAddressType")
+    back = key_encoder("inet")(disp)
+    if len(raw) == 16 and raw[:12] == b"\x00" * 10 + b"\xff\xff":
+        # v4-mapped renders as the quad (Java behavior): the primary
+        # encoding is the 4-byte form, the mapped form is the second
+        # candidate both lookup paths probe
+        assert back == raw[12:]
+    else:
+        assert back == raw
+
+
+@given(scale=st.integers(min_value=0, max_value=20),
+       unscaled=st.integers(min_value=-(10**25), max_value=10**25))
+@settings(max_examples=300, deadline=None)
+def test_decimal_plain_regime_is_injective_and_parses(scale, unscaled):
+    from decimal import Decimal
+
+    n = unscaled.to_bytes(
+        max(1, ((unscaled if unscaled >= 0 else ~unscaled).bit_length() // 8) + 1),
+        "big", signed=True,
+    )
+    raw = scale.to_bytes(4, "big", signed=True) + n
+    disp = render_typed(raw, "org.apache.cassandra.db.marshal.DecimalType")
+    digits = str(abs(unscaled))
+    if len(digits) - 1 - scale < -6:
+        assert disp.startswith("0x")  # scientific regime: fallback
+    else:
+        # plain regime: the display IS the exact decimal value
+        assert Decimal(disp) == Decimal(unscaled).scaleb(-scale)
+        assert "." in disp or scale == 0
