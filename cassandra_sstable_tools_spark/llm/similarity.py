@@ -1719,8 +1719,8 @@ QUERIES["ann_ivfpq_recall"] = ann_ivfpq_recall
 
 
 # --------------------------------------------------------------------------
-# STAGED for r11 (SURVEY §2.9 convention): the SemDeDup-style keep-list --
-# the decision frame a semantic-dedup pass actually applies to a corpus
+# Registered r11 (staged r10, SURVEY §2.9 convention): the SemDeDup-style
+# keep-list -- the decision frame a semantic-dedup pass applies to a corpus
 # --------------------------------------------------------------------------
 
 
@@ -1733,8 +1733,14 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KEEP-LIST composition of embedding_dedup_clusters -- the frame a
     pipeline joins against its corpus to drop semantic duplicates.
     Plan shape: the banded near-dup join + the O(log n) CC operator +
-    one broadcast-scale left join (clusters are a small fraction of any
-    real corpus); nothing corpus-sized shuffles beyond the pair join."""
+    one equi-keyed left join. The keep-list join carries NO broadcast
+    hint (r10 judge finding): the clusters frame has one row per
+    near-dup node, which is data-dependent and unbounded by design (a
+    mass-duplicated page makes it corpus-sized -- the very adversary the
+    banding cap defends against), so a forced broadcast would OOM the
+    driver at scale. A plain shuffle join on ``vec_id`` is linear and
+    always safe, and AQE still broadcasts at runtime when the measured
+    build side actually fits under the threshold."""
     from cassandra_sstable_tools_spark.operators.graph import (
         connected_components,
     )
@@ -1745,7 +1751,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("vec_id"),
         F.col("component").cast("bigint").alias("cluster_id"),
     )
-    return emb.join(F.broadcast(clusters), "vec_id", "left").select(
+    return emb.join(clusters, "vec_id", "left").select(
         "vec_id",
         "cluster_id",
         (
@@ -1755,9 +1761,8 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_QUERIES = {"semantic_dedup_keep": semantic_dedup_keep}
-STAGED_ORACLES = {
-    "semantic_dedup_keep": f"""
+QUERIES["semantic_dedup_keep"] = semantic_dedup_keep
+ORACLES["semantic_dedup_keep"] = f"""
 WITH RECURSIVE {_NEARDUP_CTES},
 edges AS (
     SELECT vec_a AS src, vec_b AS dst FROM neardup_pairs
@@ -1780,5 +1785,4 @@ universe AS (
 SELECT u.vec_id, c.cluster_id,
        (c.cluster_id IS NULL OR u.vec_id = c.cluster_id) AS keep
 FROM universe u LEFT JOIN clusters c USING (vec_id)
-""",
-}
+"""

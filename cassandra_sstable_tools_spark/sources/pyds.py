@@ -916,7 +916,6 @@ def ds_write_roundtrip_cassdir(spark, sf_dir: str):
     root = materialize_index_files(spark, sf_dir)
     register(spark)
     drop = ["keyspace", "table_name", "sstable_id", "phys_size"]
-    vdrop = drop + ["value_bytes", "value_marshal", "clustering_marshal"]
     src = data_cells(spark, root, with_values=True).drop(*drop)
     out = tempfile.mkdtemp(prefix="sstable_sink_rt_")
     # the returned frame evaluates lazily, so the tree cannot be removed
@@ -940,7 +939,6 @@ def ds_write_roundtrip_cassdir(spark, sf_dir: str):
     # the re-decode needs only the base frame (value_len rides it); a
     # with_values decode here would carry every payload byte through
     # Arrow just to drop it driver-side (review finding)
-    del vdrop
     return data_cells(spark, out).drop(*drop)
 
 
