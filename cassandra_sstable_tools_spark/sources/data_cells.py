@@ -866,6 +866,159 @@ def clustering_value_bytes(display: str | None, ctype: str | None) -> bytes | No
     return b
 
 
+# --------------------------------------------------------------------------
+# Comparator model: the writer must order rows (and Statistics.db min/max
+# bounds) by the DECLARED comparator, not by display strings -- under
+# LongType, '10' < '2' lexically but 2 < 10 numerically, and a misordered
+# tree silently breaks Cassandra slice reads and merges (r10 ADVICE).
+# --------------------------------------------------------------------------
+
+# marshal classes whose ENCODED bytes already memcmp in comparator order
+_IDENTITY_CMP = frozenset({
+    "UTF8Type",      # UTF-8 byte order == code-point order
+    "AsciiType",
+    "BytesType",     # unsigned byte comparison by definition
+    "BooleanType",   # 0x00 false < 0x01 true
+    "SimpleDateType",  # unsigned 32-bit (epoch-centered) comparison
+    "InetAddressType",  # unsigned byte comparison
+})
+# signed fixed-width big-endian: numeric order == byte order with the
+# sign bit flipped
+_SIGNED_FIXED_CMP = frozenset({
+    "LongType", "Int32Type", "ShortType", "ByteType",
+    "TimeType",       # long nanos-of-day, signed long comparison
+    "TimestampType",  # long millis-since-epoch, signed long comparison
+})
+
+
+def _uuid_timestamp_key(b: bytes) -> bytes:
+    """v1 wire layout scatters the 60-bit timestamp (time_low 0-3,
+    time_mid 4-5, version|time_hi 6-7); reassemble it big-endian so
+    memcmp order == timestamp order."""
+    return bytes((b[6] & 0x0F, b[7], b[4], b[5], b[0], b[1], b[2], b[3]))
+
+
+def comparator_key(vb: bytes | None, ctype: str | None) -> bytes:
+    """Encoded component bytes -> a memcmp key whose unsigned-byte order
+    equals the declared comparator's order. Total over the writable type
+    set (everything ``clustering_value_bytes`` can produce); anything
+    else refuses loudly -- a wrong sort order is silent corruption, the
+    one failure mode this writer never risks. None (null component) and
+    the empty value both map to b'' (both sort before every value)."""
+    if not vb:
+        return b""
+    cls = (ctype or "").rsplit(".", 1)[-1] or "UTF8Type"
+    if cls in _IDENTITY_CMP:
+        return vb
+    if cls in _SIGNED_FIXED_CMP:
+        return bytes([vb[0] ^ 0x80]) + vb[1:]
+    if cls == "IntegerType":
+        # minimal two's-complement varint: negatives sort below
+        # positives; within a sign, magnitude grows with LENGTH (longer
+        # positive is bigger, longer negative is smaller), then same-
+        # length two's-complement bytes compare unsigned correctly
+        if vb[0] & 0x80:
+            return b"\x00" + struct.pack(">I", 0xFFFFFFFF - len(vb)) + vb
+        return b"\x01" + struct.pack(">I", len(vb)) + vb
+    if cls == "TimeUUIDType":
+        return _uuid_timestamp_key(vb) + vb
+    if cls == "UUIDType":
+        # version first; v1 by reassembled timestamp; ties (and other
+        # versions) by unsigned bytes -- msb bytes are version-equal and
+        # timestamp-equal at that point, so raw bytes reduce to the lsb
+        # comparison Cassandra does
+        v = (vb[6] >> 4) & 0x0F
+        if v == 1:
+            return bytes([v]) + _uuid_timestamp_key(vb) + vb
+        return bytes([v]) + vb
+    raise ValueError(
+        f"no comparator model for clustering type {ctype!r} -- refusing "
+        "to guess a sort order (a misordered sstable is silent corruption)"
+    )
+
+
+def split_clustering_display(display: str) -> list[str]:
+    """Inverse of ``_display_clustering``'s ':'-join for composite
+    clusterings: split on unescaped ':', unescape '\\:' back to ':'.
+    The caller must verify the round-trip re-renders identically -- the
+    join escapes only ':' (not backslash itself), so a component ending
+    in a literal backslash is ambiguous; the verify makes that loud."""
+    parts: list[str] = []
+    cur: list[str] = []
+    i = 0
+    while i < len(display):
+        c = display[i]
+        if c == "\\" and i + 1 < len(display) and display[i + 1] == ":":
+            cur.append(":")
+            i += 2
+        elif c == ":":
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+        else:
+            cur.append(c)
+            i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def clustering_components(
+    display: str | None, types: list[str], full_arity: bool = True
+) -> list[bytes | None]:
+    """Rendered clustering display -> per-component encoded bytes under
+    the header's declared types, verified to re-render as the SAME
+    display (loud refusal on any mismatch -- same contract as
+    ``clustering_value_bytes``). Single-component headers take the
+    display whole (the historical unescaped path); multi-component
+    headers split on unescaped ':'. ``full_arity=False`` (markers)
+    accepts prefix bounds with fewer components than the header; rows
+    require the full arity. Empty per-component displays encode as null
+    (null and empty render identically, and the format's header bits
+    keep either readable). A None display is all-null: full header arity
+    for rows, a single null component for bounds (the historical marker
+    encoding)."""
+    if display is None:
+        return [None] * (len(types) if full_arity else min(1, len(types)))
+    if len(types) <= 1:
+        return [clustering_value_bytes(
+            display, types[0] if types else None)]
+    parts = split_clustering_display(display)
+    if len(parts) > len(types):
+        raise ValueError(
+            f"clustering display {display!r} has {len(parts)} components "
+            f"but the header declares {len(types)}"
+        )
+    if full_arity and len(parts) != len(types):
+        raise ValueError(
+            f"row clustering display {display!r} has arity {len(parts)} "
+            f"!= header arity {len(types)} (rows carry full clustering)"
+        )
+    vals = [
+        None if p == "" else clustering_value_bytes(p, types[i])
+        for i, p in enumerate(parts)
+    ]
+    back = _display_clustering(vals, types[: len(parts)])
+    if back != display:
+        raise ValueError(
+            f"clustering display {display!r} does not survive the "
+            f"multi-component encoding round-trip (re-renders as {back!r})"
+        )
+    return vals
+
+
+def clustering_comparator_tuple(
+    display: str | None, types: list[str], full_arity: bool = True
+) -> tuple[bytes, ...]:
+    """Sortable key for one clustering position: per-component comparator
+    keys as a tuple (prefix bounds sort before the rows they cover, the
+    INCL_START convention). Serves the encoder's row sort and the
+    writer's Statistics.db min/max bound selection."""
+    vals = clustering_components(display, types, full_arity=full_arity)
+    return tuple(
+        comparator_key(v, types[i]) for i, v in enumerate(vals)
+    )
+
+
 def encode_unfiltereds(
     records: list[dict],
     h: SerializationHeaderInfo,
@@ -886,10 +1039,21 @@ def encode_unfiltereds(
     sta_idx = {name: i for i, (name, _) in enumerate(h.static_columns)}
 
     def sort_key(rec: dict):
+        # comparator-aware (r10 ADVICE): rows serialize in the DECLARED
+        # comparator's order -- display-string order misorders every
+        # signed numeric type ('10' < '2' lexically) and a misordered
+        # tree silently breaks Cassandra slice reads. Markers sort at
+        # their open bound; prefix bounds sort before covered rows.
         static = rec["kind"] == "STATIC_CELL"
-        ckey = rec["range_start"] if rec["kind"] == "RANGE_TOMBSTONE_MARKER" \
-            else rec["clustering"]
-        return (0 if static else 1, ckey or "", rec["writetime"] or 0)
+        marker = rec["kind"] == "RANGE_TOMBSTONE_MARKER"
+        ckey = rec["range_start"] if marker else rec["clustering"]
+        if static or ckey is None:
+            ct: tuple[bytes, ...] = ()
+        else:
+            ct = clustering_comparator_tuple(
+                ckey, h.clustering_types, full_arity=not marker
+            )
+        return (0 if static else 1, ct, rec["writetime"] or 0)
 
     out = bytearray()
     prev_size = 0
@@ -954,12 +1118,14 @@ def _encode_one(
             (KIND_INCL_START_BOUND, rec["range_start"]),
             (KIND_INCL_END_BOUND, rec["range_end"]),
         ):
+            # bounds may be PREFIXES of the clustering (fewer components)
+            vals = clustering_components(
+                val, h.clustering_types, full_arity=False
+            )
             head = bytearray([IS_MARKER, kind_ord])
-            head += struct.pack(">H", min(len(h.clustering_types), 1))
+            head += struct.pack(">H", len(vals))
             head += _enc_clustering_values(
-                [clustering_value_bytes(val, h.clustering_types[0]
-                                        if h.clustering_types else None)],
-                h.clustering_types[:1],
+                vals, h.clustering_types[: len(vals)]
             )
             if strict_spans and (len(deletion) >= 128 or psz >= 128):
                 raise ValueError(
@@ -978,9 +1144,7 @@ def _encode_one(
     ext = IS_STATIC if static else 0
     if not static:
         clustering_blob = _enc_clustering_values(
-            [clustering_value_bytes(rec["clustering"],
-                                    h.clustering_types[0]
-                                    if h.clustering_types else None)],
+            clustering_components(rec["clustering"], h.clustering_types),
             h.clustering_types,
         )
     if kind == "ROW_DELETE":
@@ -2322,9 +2486,9 @@ ORACLES["cfstats_ttl_cassdir"] = _ttl_oracle()
 
 
 # --------------------------------------------------------------------------
-# STAGED for r11 (SURVEY §2.9 convention): the value_len payload column at
-# an aggregate grain -- per-column payload-byte statistics over the decoded
-# frame, the analytic a capacity planner asks of real value data
+# Registered r11 (staged r10, SURVEY §2.9 convention): the value_len payload
+# column at an aggregate grain -- per-column payload-byte statistics over the
+# decoded frame, the analytic a capacity planner asks of real value data
 # --------------------------------------------------------------------------
 
 
@@ -2364,5 +2528,5 @@ WHERE kind IN ('CELL', 'STATIC_CELL')
 GROUP BY 1, 2, 3""")
 
 
-STAGED_QUERIES = {"cfstats_payload_cassdir": cfstats_payload_cassdir}
-STAGED_ORACLES = {"cfstats_payload_cassdir": _payload_oracle()}
+QUERIES["cfstats_payload_cassdir"] = cfstats_payload_cassdir
+ORACLES["cfstats_payload_cassdir"] = _payload_oracle()

@@ -17,8 +17,11 @@ domain: ``cell_value`` 8-byte longs only, and a record whose
 ``value_len`` says its payload was anything else REFUSES by name (r10:
 previously such payloads silently wrote as EMPTY values). Clustering is
 UTF8 by default; ``option("clustering_type", ...)`` declares a typed
-single-component clustering (long/int/uuid/...), encoded through the
-display inverse and verified to re-render identically. Counter columns
+clustering (long/int/uuid/...; COMMA-SEPARATED aliases declare a
+composite, e.g. ``"long,text"``), encoded through the display inverses
+and verified to re-render identically. Rows and Statistics.db min/max
+bounds order by the DECLARED comparator (sign-aware for numeric types,
+timestamp-reassembled for v1 UUIDs), never by display strings. Counter columns
 are named ``*_ctr`` (the codec's naming convention for counter-ness,
 statics included); markers / row / partition deletions as before.
 Encodability is per-record LOUD: a row outside the domain names itself
@@ -164,7 +167,7 @@ class SSTableWriteMessage(WriterCommitMessage):
 
 
 def _infer_header(records: list[dict], key_marshal: str,
-                  clustering_marshal: str | None = None):
+                  clustering_marshals: list[str] | None = None):
     """SerializationHeaderInfo from the task's records: column set and
     types. A record carrying ``value_marshal`` (a with_values decode)
     declares its column's EXACT marshal type, so rewrites preserve the
@@ -257,12 +260,27 @@ def _infer_header(records: list[dict], key_marshal: str,
         ),
         min_ttl=min_ttl or 0,
         key_type=key_marshal,
-        clustering_types=[
-            clustering_marshal or "org.apache.cassandra.db.marshal.UTF8Type"
-        ],
+        clustering_types=(
+            clustering_marshals
+            or ["org.apache.cassandra.db.marshal.UTF8Type"]
+        ),
         static_columns=sorted((n, t) for n, (t, _) in statics.items()),
         regular_columns=sorted((n, t) for n, (t, _) in regulars.items()),
     )
+
+
+def _bound_components(bound) -> list[bytes]:
+    """(comparator key, component values) -> Statistics.db bound list:
+    the component bytes up to the first null (nulls cannot serialize as
+    bound values; the surviving prefix is a valid conservative bound)."""
+    if bound is None:
+        return []
+    out: list[bytes] = []
+    for v in bound[1]:
+        if v is None:
+            break
+        out.append(v)
+    return out
 
 
 def _field(row, name):
@@ -273,26 +291,31 @@ def _field(row, name):
         return None
 
 
-def _clustering_marshal_for(
+def _clustering_marshals_for(
     records: list[dict], clustering_type: str | None
-) -> str | None:
-    """The written header's clustering type. An explicit
-    ``clustering_type`` option (alias vocabulary, like key_type) wins;
+) -> list[str] | None:
+    """The written header's clustering types (one per component). An
+    explicit ``clustering_type`` option wins -- alias vocabulary like
+    key_type, COMMA-SEPARATED for composite clusterings ('long,text');
     otherwise AUTO-DISCOVER from the records' ``clustering_marshal``
     column (a with_values decode carries the source header's clustering
-    types, so a compaction rewrite re-declares typed clustering with no
-    user flag). Discovery rules: two different declared types for one
-    sstable raise (a table's clustering type cannot fork); a
-    multi-component source (comma-joined) or a type outside the display
-    inverse's set falls back to UTF8 -- the written component then
-    carries the rendered display, which re-renders identically (display-
-    faithful, not layout-faithful; documented). None -> UTF8 default."""
+    types comma-joined, so a compaction rewrite re-declares typed
+    clustering -- single or composite -- with no user flag). Discovery
+    rules: two different declared layouts for one sstable raise (a
+    table's clustering cannot fork); any component type outside the
+    display inverse's set falls back to a single UTF8 component -- the
+    written component then carries the rendered display, which
+    re-renders identically (display-faithful, not layout-faithful;
+    documented). None -> single UTF8 default."""
     from cassandra_sstable_tools_spark.sources.data_cells import (
         _CLUSTERING_ENCODERS,
     )
 
     if clustering_type is not None:
-        return _KEY_TYPE_MARSHAL[clustering_type]
+        return [
+            _KEY_TYPE_MARSHAL[a.strip()]
+            for a in clustering_type.split(",")
+        ]
     declared = {
         r["clustering_marshal"]
         for r in records
@@ -305,9 +328,14 @@ def _clustering_marshal_for(
         )
     if declared:
         (m,) = declared
-        if "," not in m and m.rsplit(".", 1)[-1] in _CLUSTERING_ENCODERS:
-            return m
-    return None  # UTF8 default (display-faithful fallback)
+        parts = m.split(",")
+        # every component must be a modeled simple type: a parenthesized
+        # type (MapType(a,b)) splits into non-class fragments and falls
+        # through to the UTF8 fallback, never to a misdeclared header
+        if all(p.rsplit(".", 1)[-1] in _CLUSTERING_ENCODERS or
+               p.rsplit(".", 1)[-1] == "UTF8Type" for p in parts):
+            return parts
+    return None  # single UTF8 default (display-faithful fallback)
 
 
 def _row_to_record(row) -> dict:
@@ -389,7 +417,8 @@ def write_sstable(
     )
     from cassandra_sstable_tools_spark.sources.crc_db import encode_crc_db
     from cassandra_sstable_tools_spark.sources.data_cells import (
-        clustering_value_bytes,
+        clustering_comparator_tuple,
+        clustering_components,
         encode_unfiltereds,
         record_encodable,
     )
@@ -418,11 +447,15 @@ def write_sstable(
             f"unsupported writer key_type {key_type!r}: one of "
             f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
         )
-    if clustering_type is not None and clustering_type not in _KEY_TYPE_MARSHAL:
-        raise ValueError(
-            f"unsupported writer clustering_type {clustering_type!r}: one "
-            f"of {sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
-        )
+    if clustering_type is not None:
+        # comma-separated alias list declares a COMPOSITE clustering
+        for alias in clustering_type.split(","):
+            if alias.strip() not in _KEY_TYPE_MARSHAL:
+                raise ValueError(
+                    f"unsupported writer clustering_type {alias.strip()!r} "
+                    f"(in {clustering_type!r}): one of "
+                    f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
+                )
 
     by_key: dict[bytes, dict] = {}
     for row in rows:
@@ -463,8 +496,9 @@ def write_sstable(
             slot["recs"].append(rec)
 
     all_recs = [r for s in by_key.values() for r in s["recs"]]
-    clustering_marshal = _clustering_marshal_for(all_recs, clustering_type)
-    header = _infer_header(all_recs, key_marshal, clustering_marshal)
+    clustering_marshals = _clustering_marshals_for(all_recs, clustering_type)
+    header = _infer_header(all_recs, key_marshal, clustering_marshals)
+    cl_types = header.clustering_types
 
     entries: list[tuple[bytes, int]] = []
     blob = bytearray()
@@ -503,10 +537,17 @@ def write_sstable(
             if cl is not None:
                 # min/max clustering in Statistics.db store the ENCODED
                 # component bytes (what the decoder's typed display
-                # re-renders); byte-order min/max, like the key order
-                cb = clustering_value_bytes(cl, clustering_marshal)
-                min_cl = cb if min_cl is None else min(min_cl, cb)
-                max_cl = cb if max_cl is None else max(max_cl, cb)
+                # re-renders). Bounds are selected by the DECLARED
+                # comparator's order, NOT raw byte order -- under signed
+                # types raw min/max inverts ({-3,2,10} -> min 2, max -3)
+                # and a Cassandra reader using inverted bounds for slice
+                # exclusion would wrongly skip the sstable (r10 ADVICE)
+                ck = clustering_comparator_tuple(cl, cl_types)
+                vals = clustering_components(cl, cl_types)
+                if min_cl is None or ck < min_cl[0]:
+                    min_cl = (ck, vals)
+                if max_cl is None or ck > max_cl[0]:
+                    max_cl = (ck, vals)
 
     if compression not in ("none", "lz4"):
         raise ValueError(
@@ -606,8 +647,12 @@ def write_sstable(
         column_count_hist=sorted(ccount_hist.items()),
         min_timestamp=ts_lo if ts_lo is not None else 0,
         max_timestamp=ts_hi if ts_hi is not None else 0,
-        min_clustering=[min_cl] if min_cl is not None else [],
-        max_clustering=[max_cl] if max_cl is not None else [],
+        # full component tuples of the comparator-min/max positions;
+        # truncated at the first null component (a null cannot serialize
+        # as a bound value -- the remaining prefix is still a valid,
+        # conservative bound)
+        min_clustering=_bound_components(min_cl),
+        max_clustering=_bound_components(max_cl),
         total_columns_set=total_cells,
         total_rows=total_rows,
     )
@@ -652,11 +697,13 @@ class SSTableWriter(DataSourceWriter):
                 f"unsupported writer key_type {self.key_type!r}"
             )
         self.clustering_type = options.get("clustering_type")
-        if self.clustering_type not in _KEY_TYPE_MARSHAL:
-            raise ValueError(
-                f"unsupported writer clustering_type "
-                f"{self.clustering_type!r}"
-            )
+        if self.clustering_type is not None:
+            for alias in self.clustering_type.split(","):
+                if alias.strip() not in _KEY_TYPE_MARSHAL:
+                    raise ValueError(
+                        f"unsupported writer clustering_type "
+                        f"{alias.strip()!r} (in {self.clustering_type!r})"
+                    )
         self.compression = options.get("compression", "none").lower()
         if self.compression not in ("none", "lz4"):
             raise ValueError(

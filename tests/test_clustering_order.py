@@ -1,0 +1,244 @@
+"""Comparator-aware clustering order (r10 ADVICE, high + medium).
+
+Typed clusterings must serialize in the DECLARED comparator's order, not
+display-string order: under LongType, '10' < '2' lexically but 2 < 10
+numerically, so a display-sorted writer emits rows out of order -- which
+silently breaks Cassandra slice reads and merges when compact_dir output
+is handed to a real node. Statistics.db min/max clustering has the same
+trap: raw byte min/max of signed big-endian longs puts 2 below -3.
+
+These tests pin (a) the ``comparator_key`` model per marshal type against
+semantic order, (b) the ADVICE repro: LongType clusterings -3, 2, 10
+write in numeric file order with stats bounds (-3, 10), and (c) the
+multi-component typed round-trip (r10 verdict missing #2).
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from cassandra_sstable_tools_spark.sources import data_cells as dc
+from cassandra_sstable_tools_spark.sources.data_cells import (
+    _COLS_VALUES,
+    clustering_components,
+    clustering_value_bytes,
+    comparator_key,
+    scan_sstable_cell_rows,
+)
+from cassandra_sstable_tools_spark.sources.pyds_writer import write_sstable
+from cassandra_sstable_tools_spark.sources.statistics_db import (
+    parse_serialization_header,
+    parse_statistics_db,
+)
+
+_M = "org.apache.cassandra.db.marshal."
+_LONG = _M + "LongType"
+_UTF8 = _M + "UTF8Type"
+
+_CL = _COLS_VALUES.index("clustering")
+
+
+def _vrow(pk, col, vb, marshal, wt=1000, clustering="r0", **kw):
+    base = dict(
+        partition_key=pk, kind="CELL", clustering=clustering,
+        column_name=col, cell_path=None, writetime=wt, ttl=None,
+        local_deletion_time=None, is_tombstone=False, is_expiring=False,
+        is_counter=False, cell_value=None, range_start=None, range_end=None,
+        value_len=None if vb is None else len(vb),
+        value_bytes=vb, value_marshal=marshal,
+    )
+    base.update(kw)
+    return base
+
+
+# -- (a) comparator model vs semantic order --------------------------------
+# displays listed in SEMANTIC (comparator) order per type; the test
+# encodes each and asserts the comparator keys sort identically.
+
+_ORDERED_DISPLAYS = {
+    "LongType": ["-9223372036854775808", "-3", "0", "2", "10",
+                 "9223372036854775807"],
+    "Int32Type": ["-2147483648", "-10", "-1", "0", "7", "2147483647"],
+    "ShortType": ["-32768", "-2", "0", "1", "32767"],
+    "ByteType": ["-128", "-1", "0", "5", "127"],
+    "IntegerType": ["-340282366920938463463374607431768211456", "-256",
+                    "-255", "-2", "-1", "0", "1", "127", "128", "255",
+                    "256", "340282366920938463463374607431768211455"],
+    "BooleanType": ["false", "true"],
+    "SimpleDateType": ["1600-01-01", "1969-12-31", "1970-01-01",
+                       "1970-01-02", "9999-12-31"],
+    "TimeType": ["00:00:00.000000001", "01:02:03.000000000",
+                 "23:59:59.999999999"],
+    "UTF8Type": ["", "a", "ab", "b", "é"],
+    "AsciiType": ["", "A", "a", "b"],
+    "BytesType": ["0x00", "0x0001", "0x01", "0xff"],
+    "InetAddressType": ["0.0.0.1", "10.0.0.1", "255.255.255.255"],
+}
+
+
+@pytest.mark.parametrize("cls", sorted(_ORDERED_DISPLAYS))
+def test_comparator_key_matches_semantic_order(cls):
+    ctype = _M + cls
+    encoded = [clustering_value_bytes(d, ctype)
+               for d in _ORDERED_DISPLAYS[cls]]
+    keys = [comparator_key(b, ctype) for b in encoded]
+    assert keys == sorted(keys), (
+        f"{cls}: comparator keys disagree with semantic order: {keys}"
+    )
+    # strictly increasing: distinct values must map to distinct keys
+    assert len(set(keys)) == len(keys)
+
+
+def test_comparator_key_timeuuid_orders_by_timestamp():
+    """v1 UUIDs compare by their 60-bit timestamp first; raw-byte order
+    disagrees (time_low leads the wire layout)."""
+    import uuid as _uuid
+
+    def v1(ts_60bit, clock=0x1234, node=0x1) -> str:
+        time_low = ts_60bit & 0xFFFFFFFF
+        time_mid = (ts_60bit >> 32) & 0xFFFF
+        time_hi = ((ts_60bit >> 48) & 0x0FFF) | 0x1000
+        return str(_uuid.UUID(fields=(
+            time_low, time_mid, time_hi, 0x80 | (clock >> 8),
+            clock & 0xFF, node)))
+    # increasing timestamps, chosen so raw-byte order DISAGREES:
+    # later ts has a smaller time_low (the leading wire bytes)
+    displays = [v1(0x0000000000000002), v1(0x0000000100000001),
+                v1(0x0000000200000000)]
+    ctype = _M + "TimeUUIDType"
+    encoded = [clustering_value_bytes(d, ctype) for d in displays]
+    assert encoded != sorted(encoded), "fixture must defeat raw-byte order"
+    keys = [comparator_key(b, ctype) for b in encoded]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
+def test_comparator_key_refuses_unmodeled_types():
+    with pytest.raises(ValueError, match="no comparator model"):
+        comparator_key(b"\x00", _M + "DurationType")
+
+
+# -- (b) the ADVICE repro: typed rows serialize in comparator order --------
+
+
+def test_long_clustering_writes_in_numeric_order(tmp_path):
+    """LongType clusterings -3, 2, 10: file order must be numeric (the
+    r10 ADVICE repro wrote -3, 10, 2 -- display order), and Statistics.db
+    min/max clustering must be (-3, 10), not the raw-byte (2, -3)."""
+    rows = [
+        _vrow("alpha", "c0", (7).to_bytes(8, "big"), _LONG,
+              clustering=d, wt=1000 + i)
+        for i, d in enumerate(["10", "-3", "2"])
+    ]
+    out = str(tmp_path / "t")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  clustering_type="long")
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    assert [r[_CL] for r in got] == ["-3", "2", "10"]
+    with open(f"{out}/ks/tb/nb-1-big-Statistics.db", "rb") as f:
+        blob = f.read()
+    st = parse_statistics_db(blob, version="nb", source="stats")
+    assert dc.render_typed(st.min_clustering[0], _LONG) == "-3"
+    assert dc.render_typed(st.max_clustering[0], _LONG) == "10"
+
+
+# -- (c) multi-component typed clustering round-trip (verdict missing #2) --
+
+
+def test_multi_component_typed_clustering_round_trips(tmp_path):
+    """A (long, text) clustering declared via clustering_type='long,text'
+    round-trips decode(write(tree)) display-exactly, re-declares BOTH
+    component types in the written header, orders rows by (numeric,
+    lexical), and bounds Statistics.db min/max with full component
+    tuples."""
+    disp = ["-3:zz", "-3:aa", "10:b", "2:x"]           # insertion order
+    want = ["-3:aa", "-3:zz", "2:x", "10:b"]           # comparator order
+    rows = [
+        _vrow("alpha", "c0", (7).to_bytes(8, "big"), _LONG,
+              clustering=d, wt=1000 + i)
+        for i, d in enumerate(disp)
+    ]
+    out = str(tmp_path / "t")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  clustering_type="long,text")
+    with open(f"{out}/ks/tb/nb-1-big-Statistics.db", "rb") as f:
+        blob = f.read()
+    hdr = parse_serialization_header(blob, version="nb", source="stats")
+    assert hdr.clustering_types == [_LONG, _UTF8]
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    assert [r[_CL] for r in got] == want
+    st = parse_statistics_db(blob, version="nb", source="stats")
+    assert len(st.min_clustering) == 2 and len(st.max_clustering) == 2
+    assert dc.render_typed(st.min_clustering[0], _LONG) == "-3"
+    assert st.min_clustering[1] == b"aa"
+    assert dc.render_typed(st.max_clustering[0], _LONG) == "10"
+    assert st.max_clustering[1] == b"b"
+
+
+def test_multi_component_compaction_auto_rediscovers(spark, tmp_path):
+    """decode(compact(tree)) over a (long, text) clustering: the
+    with_values frame carries the comma-joined source types and the
+    compaction rewrite re-declares BOTH with no user flag; every display
+    survives byte-exactly (the verdict's done-criterion)."""
+    from cassandra_sstable_tools_spark.operators.compaction import (
+        compact_dir,
+    )
+
+    disp = ["7:aa", "-1:bb", "7:ab"]
+    rows = [
+        _vrow(f"k{i}", "c0", (i).to_bytes(8, "big"), _LONG,
+              clustering=d, wt=1000 + i)
+        for i, d in enumerate(disp)
+    ]
+    src = str(tmp_path / "src")
+    write_sstable(rows, f"{src}/ks/tb", sstable_id="1",
+                  clustering_type="long,text")
+    out = str(tmp_path / "out")
+    compact_dir(spark, src, out)  # no clustering flag: auto-discovery
+    idx = sorted(glob.glob(f"{out}/ks/tb/*-Index.db"))
+    assert len(idx) == 1
+    with open(idx[0][: -len("Index.db")] + "Statistics.db", "rb") as f:
+        hdr = parse_serialization_header(f.read(), version="nb",
+                                         source="stats")
+    assert hdr.clustering_types == [_LONG, _UTF8]
+    got = scan_sstable_cell_rows(idx[0], with_values=True)
+    assert sorted(r[_CL] for r in got) == sorted(disp)
+    assert all(
+        r[_COLS_VALUES.index("clustering_marshal")] == f"{_LONG},{_UTF8}"
+        for r in got
+    )
+
+
+def test_row_clustering_arity_must_match_header(tmp_path):
+    """Under a 2-component declaration a ROW display with 1 component
+    refuses loudly (Cassandra rows carry full clustering arity)."""
+    rows = [_vrow("alpha", "c0", b"\0" * 8, _LONG, clustering="5")]
+    with pytest.raises(ValueError, match="arity"):
+        write_sstable(rows, str(tmp_path / "t") + "/ks/tb",
+                      sstable_id="1", clustering_type="long,text")
+
+
+def test_ambiguous_escape_refuses_loudly(tmp_path):
+    """A display whose unescape does not re-render identically (the
+    backslash-colon ambiguity of the ':'-join) refuses instead of
+    silently writing different components."""
+    rows = [_vrow("alpha", "c0", b"\0" * 8, _LONG,
+                  clustering="a\\:b")]  # 1 part after unescape -> arity 1
+    with pytest.raises(ValueError):
+        write_sstable(rows, str(tmp_path / "t") + "/ks/tb",
+                      sstable_id="1", clustering_type="text,text")
+
+
+def test_clustering_components_prefix_bound():
+    """Markers may carry FEWER components than the header (prefix
+    bounds); clustering_components returns the prefix."""
+    types = [_LONG, _UTF8]
+    vals = clustering_components("5", types, full_arity=False)
+    assert vals == [clustering_value_bytes("5", _LONG)]
+    full = clustering_components("5:x", types, full_arity=True)
+    assert full == [clustering_value_bytes("5", _LONG), b"x"]
