@@ -282,6 +282,23 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
+    # $SPARK_GRAFT_BENCH_ONLY=<name,...>: scope to a subset (headline or
+    # secondary rows) -- the same-box worktree differential
+    # (tools/bench_differential.py, BASELINE.md r11 triage) times only the
+    # rows under suspicion on both checkouts
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    secondary_names = [
+        n for n in SECONDARY if n in qs or n in EXTRA_SECONDARY
+    ]
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted
+                   if n not in names and n not in secondary_names]
+        if unknown:
+            raise SystemExit(f"bench: unknown SPARK_GRAFT_BENCH_ONLY "
+                             f"queries {unknown}")
+        names = [n for n in names if n in wanted]
+        secondary_names = [n for n in secondary_names if n in wanted]
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     # Global warm-up pass: the first queries in the list otherwise pay
@@ -326,8 +343,7 @@ def main() -> None:
         timings[name] = run_one(name, N_RUNS)
     secondary = {
         name: run_one(name, SECONDARY_RUNS)
-        for name in SECONDARY
-        if name in qs or name in EXTRA_SECONDARY
+        for name in secondary_names
     }
     measured = [t for t in timings.values() if t is not None]
     total = round(sum(measured), 3)

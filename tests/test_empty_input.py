@@ -33,6 +33,11 @@ import pyarrow.parquet as pq
 import pytest
 from conftest import SF_DIR, assert_matches_oracle
 
+# the slowest suite tier (~3 x 170 oracle comparisons): excluded from the
+# default run by pytest.ini addopts; the round-exit gate runs it once per
+# round with -m "degenerate or not degenerate" (see pytest.ini)
+pytestmark = pytest.mark.degenerate
+
 from cassandra_sstable_tools_spark.queries import registry
 from cassandra_sstable_tools_spark.sources.tpch_adapter import TPCH_TABLES
 
