@@ -822,6 +822,10 @@ _MARSHAL_ENCODER_ALIASES = {
     "BooleanType": "boolean",
     "SimpleDateType": "date",
     "TimeType": "time",
+    # r11: the documented-approximate ISO-8601 render (see
+    # sstable_binary._render_timestamp's exactness caveat) is a verified
+    # bijection, so timestamp clusterings/paths are writable too
+    "TimestampType": "timestamp",
     "InetAddressType": "inet",
     "IntegerType": "varint",
 }

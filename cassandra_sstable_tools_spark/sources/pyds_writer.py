@@ -97,9 +97,42 @@ _KEY_TYPE_MARSHAL = {
     "boolean": "org.apache.cassandra.db.marshal.BooleanType",
     "date": "org.apache.cassandra.db.marshal.SimpleDateType",
     "time": "org.apache.cassandra.db.marshal.TimeType",
+    "timestamp": "org.apache.cassandra.db.marshal.TimestampType",
     "inet": "org.apache.cassandra.db.marshal.InetAddressType",
     "varint": "org.apache.cassandra.db.marshal.IntegerType",
 }
+
+
+def marshal_for_key_type(key_type: str | None) -> str:
+    """Writer key_type alias -> the marshal class the header declares.
+    ``composite(a,b,...)`` (the key_renderer/key_encoder vocabulary)
+    declares CompositeType with each component's marshal -- the r11
+    second half of multi-component typed layouts: composite PARTITION
+    keys round-trip alongside composite clusterings. Unknown aliases and
+    nested composites fail loud."""
+    m = _KEY_TYPE_MARSHAL.get(key_type)
+    if m is not None:
+        return m
+    if key_type and key_type.startswith("composite(") \
+            and key_type.endswith(")"):
+        inner = [a.strip() for a in key_type[len("composite("):-1]
+                 .split(",")]
+        ms = []
+        for a in inner:
+            im = _KEY_TYPE_MARSHAL.get(a) if a else None
+            if im is None:
+                raise ValueError(
+                    f"unsupported composite key component {a!r} (in "
+                    f"{key_type!r}): one of "
+                    f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
+                )
+            ms.append(im)
+        return ("org.apache.cassandra.db.marshal.CompositeType("
+                + ",".join(ms) + ")")
+    raise ValueError(
+        f"unsupported writer key_type {key_type!r}: one of "
+        f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)} or composite(...)"
+    )
 
 
 def _key_bytes(display: str, key_type: str | None) -> bytes:
@@ -441,12 +474,7 @@ def write_sstable(
         encode_summary_db,
     )
 
-    key_marshal = _KEY_TYPE_MARSHAL.get(key_type)
-    if key_marshal is None:
-        raise ValueError(
-            f"unsupported writer key_type {key_type!r}: one of "
-            f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
-        )
+    key_marshal = marshal_for_key_type(key_type)
     if clustering_type is not None:
         # comma-separated alias list declares a COMPOSITE clustering
         for alias in clustering_type.split(","):
@@ -692,10 +720,7 @@ class SSTableWriter(DataSourceWriter):
             if ident:
                 _check_ident(ident, "keyspace/table name")
         self.key_type = options.get("key_type")
-        if self.key_type not in _KEY_TYPE_MARSHAL:
-            raise ValueError(
-                f"unsupported writer key_type {self.key_type!r}"
-            )
+        marshal_for_key_type(self.key_type)  # loud on unknown aliases
         self.clustering_type = options.get("clustering_type")
         if self.clustering_type is not None:
             for alias in self.clustering_type.split(","):

@@ -58,6 +58,9 @@ _CQL_TO_KEYTYPE = {
     "boolean": "boolean",
     "inet": "inet",
     "varint": "varint",
+    # r11: the documented-approximate ISO-8601 instant render (see
+    # sstable_binary._render_timestamp's exactness caveat)
+    "timestamp": "timestamp",
 }
 
 

@@ -401,15 +401,48 @@ _MARSHAL_RENDERERS = {
     ),
     # r10 breadth (each exact in its regime, fallback elsewhere -- the
     # never-a-guessed-mis-render rule): date/time/inet/varint/decimal.
-    # TimestampType stays on the fallback deliberately: Java's
-    # TimestampSerializer display format is not reproducible here with
-    # certainty, and a near-miss render is worse than the heuristic.
+    # r11: TimestampType renders an EXPLICITLY-APPROXIMATE ISO-8601 UTC
+    # instant (see _render_timestamp) -- the engine's own documented
+    # spelling, property-tested invertible, never claimed byte-identical
+    # to Java's TimestampSerializer (whose display format is not
+    # reproducible here with certainty). Readable beats hex for the most
+    # common clustering type in real time-series tables (r10 verdict).
+    "TimestampType": _render_fixed(8, lambda b: _render_timestamp(b)),
     "SimpleDateType": _render_fixed(4, lambda b: _render_simple_date(b)),
     "TimeType": _render_fixed(8, lambda b: _render_time_nanos(b)),
     "InetAddressType": lambda b: _render_inet(b),
     "IntegerType": lambda b: _render_varint(b),
     "DecimalType": lambda b: _render_decimal(b),
 }
+
+
+def _render_timestamp(v: bytes) -> str:
+    """TimestampType (CQL timestamp): signed long millis since epoch,
+    rendered 'YYYY-MM-DDTHH:MM:SS.mmmZ' -- an ISO-8601 UTC instant.
+
+    EXACTNESS CAVEAT (documented, deliberate): Java's TimestampSerializer
+    display depends on locale/format machinery this environment cannot
+    reproduce with certainty, so unlike the other typed renders this one
+    is NOT claimed byte-identical to Cassandra tooling output; it is the
+    engine's own deterministic spelling, chosen because a readable
+    approximate instant serves users better than the hex fallback for
+    the most common clustering type in time-series tables. The inverse
+    (`key_encoder('timestamp')`) accepts exactly this spelling, and the
+    pair is property-tested as an exact bijection over the full
+    Python-datetime range; values outside year 1..9999 fall back."""
+    import datetime
+
+    ms = int.from_bytes(v, "big", signed=True)
+    sec, milli = divmod(ms, 1000)  # floor divmod: -1ms -> (-1s, 999ms)
+    try:
+        dt = datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(seconds=sec)
+    except OverflowError:
+        return render_key(v)
+    return "%04d-%02d-%02dT%02d:%02d:%02d.%03dZ" % (
+        dt.year, dt.month, dt.day, dt.hour, dt.minute, dt.second, milli
+    )
 
 
 def _render_simple_date(v: bytes) -> str:
@@ -495,18 +528,78 @@ def uses_default_key_render(marshal_type: str | None) -> bool:
     not trust them."""
     if not marshal_type:
         return True
+    if marshal_type.startswith(_COMPOSITE_MARSHAL):
+        # r11: composite keys render per-component typed -- their display
+        # order is unrelated to byte order, so span math must not trust it
+        return False
     return _MARSHAL_RENDERERS.get(marshal_type.rsplit(".", 1)[-1]) is None
+
+
+_COMPOSITE_MARSHAL = "org.apache.cassandra.db.marshal.CompositeType("
+
+
+def _split_marshal_params(s: str) -> list[str]:
+    """Split a marshal parameter list on TOP-LEVEL commas only --
+    'LongType,MapType(a,b)' has two parameters, not three."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _render_composite_typed(v: bytes, inner: list[str]) -> str | None:
+    """CompositeType bytes ([u16 len][bytes][eoc byte] per component) ->
+    the ':'-joined per-component typed display, escaping literal colons
+    (the exact convention of key_renderer('composite(...)'), so the two
+    rendering paths agree byte-for-byte). None on any structural
+    mismatch -- the caller falls back to the heuristic, never guesses."""
+    outs: list[str] = []
+    off = 0
+    for t in inner:
+        if off + 2 > len(v):
+            return None
+        n = int.from_bytes(v[off:off + 2], "big")
+        off += 2
+        if off + n + 1 > len(v):
+            return None
+        outs.append(render_typed(v[off:off + n], t).replace(":", "\\:"))
+        off += n + 1  # end-of-component byte
+    if off != len(v):
+        return None
+    return ":".join(outs)
 
 
 def render_typed(v: bytes, marshal_type: str | None) -> str:
     """Value display under a marshal type from the sstable's OWN
     SerializationHeader -- how the reference renders through the table's
     validator (`cassandra/ColumnFamilyBackend.java:164-166`) without any
-    schema flags: fixed-width numeric/uuid/bool types render typed, text
-    and unknown/parameterized types keep the UTF-8-or-hex heuristic
-    (which IS the right rendering for text, and the safe one for types
-    this engine doesn't model)."""
+    schema flags: fixed-width numeric/uuid/bool types render typed,
+    CompositeType renders per-component ':'-joined (r11), text and other
+    unknown/parameterized types keep the UTF-8-or-hex heuristic (which
+    IS the right rendering for text, and the safe one for types this
+    engine doesn't model)."""
     if marshal_type:
+        if marshal_type.startswith(_COMPOSITE_MARSHAL) and \
+                marshal_type.endswith(")"):
+            s = _render_composite_typed(
+                v, _split_marshal_params(
+                    marshal_type[len(_COMPOSITE_MARSHAL):-1]
+                )
+            )
+            if s is not None:
+                return s
+            return render_key(v)
         r = _MARSHAL_RENDERERS.get(marshal_type.rsplit(".", 1)[-1])
         if r is not None:
             return r(v)
@@ -1608,6 +1701,7 @@ def key_renderer(key_type: str | None):
         "boolean": fixed(1, lambda b: str(b[0] != 0).lower()),
         "date": fixed(4, _render_simple_date),
         "time": fixed(8, _render_time_nanos),
+        "timestamp": fixed(8, _render_timestamp),
         "inet": _render_inet,
         "varint": _render_varint,
     }
@@ -1674,6 +1768,32 @@ def _encode_time_nanos(s: str) -> bytes:
     return n.to_bytes(8, "big", signed=True)
 
 
+def _encode_timestamp(s: str) -> bytes:
+    """Inverse of _render_timestamp: the engine's documented ISO-8601
+    spelling only (strict -- a loose parser would accept displays the
+    renderer never emits and break the round-trip verification)."""
+    import datetime
+    import re
+
+    m = re.fullmatch(
+        r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})\.(\d{3})Z", s
+    )
+    if not m:
+        raise ValueError(
+            "timestamp display must be YYYY-MM-DDTHH:MM:SS.mmmZ (this "
+            f"engine's documented ISO-8601 render), got {s!r}"
+        )
+    y, mo, d, h, mi, sec, milli = (int(g) for g in m.groups())
+    dt = datetime.datetime(
+        y, mo, d, h, mi, sec, tzinfo=datetime.timezone.utc
+    )
+    delta = dt - datetime.datetime(
+        1970, 1, 1, tzinfo=datetime.timezone.utc
+    )
+    ms = (delta.days * 86400 + delta.seconds) * 1000 + milli
+    return ms.to_bytes(8, "big", signed=True)
+
+
 def _encode_inet(s: str) -> bytes:
     parts4 = s.split(".")
     if len(parts4) == 4:
@@ -1734,6 +1854,8 @@ def key_encoder(key_type: str | None):
         return _encode_simple_date
     if key_type == "time":
         return _encode_time_nanos
+    if key_type == "timestamp":
+        return _encode_timestamp
     if key_type == "inet":
         return _encode_inet
     if key_type == "varint":

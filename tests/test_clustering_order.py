@@ -242,3 +242,85 @@ def test_clustering_components_prefix_bound():
     assert vals == [clustering_value_bytes("5", _LONG)]
     full = clustering_components("5:x", types, full_arity=True)
     assert full == [clustering_value_bytes("5", _LONG), b"x"]
+
+
+# -- composite PARTITION keys (the other half of r10 verdict missing #2) --
+
+
+def test_composite_partition_key_round_trips(tmp_path):
+    """key_type='composite(long,text)': displays encode through the
+    CompositeType layout ([u16 len][bytes][eoc] per component), the
+    header declares CompositeType(LongType,UTF8Type), and the decoded
+    frame re-renders every key display-exactly (render_typed learned
+    composite marshals)."""
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        parse_serialization_header,
+    )
+
+    _PK = _COLS_VALUES.index("partition_key")
+    keys = ["7:alpha", "-3:be\\:ta", "100:z"]
+    rows = [
+        _vrow(k, "c0", (i).to_bytes(8, "big"), _LONG, wt=1000 + i)
+        for i, k in enumerate(keys)
+    ]
+    out = str(tmp_path / "t")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  key_type="composite(long,text)")
+    with open(f"{out}/ks/tb/nb-1-big-Statistics.db", "rb") as f:
+        hdr = parse_serialization_header(f.read(), version="nb",
+                                         source="stats")
+    assert hdr.key_type == (
+        "org.apache.cassandra.db.marshal.CompositeType("
+        f"{_LONG},{_UTF8})"
+    )
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    assert sorted(r[_PK] for r in got) == sorted(keys)
+
+
+def test_composite_partition_key_point_read(spark, tmp_path):
+    """A written composite-key tree serves point reads through the
+    bloom -> summary -> index -> data path with the composite encoder."""
+    from cassandra_sstable_tools_spark.sources.lookup import (
+        partition_lookup,
+    )
+
+    keys = [f"{i}:k{i:03d}" for i in range(20)]
+    rows = [
+        _vrow(k, "c0", (i).to_bytes(8, "big"), _LONG, wt=1000 + i)
+        for i, k in enumerate(keys)
+    ]
+    out = str(tmp_path / "t")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  key_type="composite(long,text)")
+    got = partition_lookup(
+        spark, out, ["7:k007"], key_type="composite(long,text)"
+    ).toPandas()
+    assert set(got["partition_key"]) == {"7:k007"}
+
+
+def test_composite_key_type_validation_is_loud(tmp_path):
+    rows = [_vrow("1:a", "c0", b"\0" * 8, _LONG)]
+    with pytest.raises(ValueError, match="composite key component"):
+        write_sstable(rows, str(tmp_path / "t") + "/ks/tb",
+                      sstable_id="1", key_type="composite(long,wat)")
+
+
+def test_render_typed_composite_marshal_fallbacks():
+    """Structurally-invalid composite bytes fall back to the heuristic,
+    never a wrong per-component render."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        render_typed,
+    )
+
+    comp = (f"org.apache.cassandra.db.marshal.CompositeType({_LONG},"
+            f"{_UTF8})")
+    enc = (
+        (2).to_bytes(2, "big") + b"xx" + b"\x00"  # wrong width for long
+    )
+    assert render_typed(b"\x01", comp).startswith("0x")   # truncated
+    assert render_typed(enc + enc + b"x", comp).startswith("0x")  # trailing
+    good = ((8).to_bytes(2, "big") + (7).to_bytes(8, "big") + b"\x00"
+            + (1).to_bytes(2, "big") + b"a" + b"\x00")
+    assert render_typed(good, comp) == "7:a"

@@ -852,3 +852,121 @@ def test_decimal_plain_regime_is_injective_and_parses(scale, unscaled):
         # plain regime: the display IS the exact decimal value
         assert Decimal(disp) == Decimal(unscaled).scaleb(-scale)
         assert "." in disp or scale == 0
+
+
+# --------------------------------------------------------------------------
+# r11: TimestampType -- the documented-approximate ISO-8601 render
+# (never claimed TimestampSerializer-identical; see the module caveat)
+# --------------------------------------------------------------------------
+
+
+def test_render_timestamp():
+    t = _m("TimestampType")
+    assert render_typed((0).to_bytes(8, "big", signed=True), t) \
+        == "1970-01-01T00:00:00.000Z"
+    ms = 1646130672345  # 2022-03-01 10:31:12.345 UTC
+    assert render_typed(ms.to_bytes(8, "big", signed=True), t) \
+        == "2022-03-01T10:31:12.345Z"
+    # negative millis floor correctly into the previous second
+    assert render_typed((-1).to_bytes(8, "big", signed=True), t) \
+        == "1969-12-31T23:59:59.999Z"
+    # out of Python's datetime range: fallback, never a wrong instant
+    big = (1 << 62).to_bytes(8, "big", signed=True)
+    assert render_typed(big, t).startswith("0x")
+    # wrong width: fallback
+    assert render_typed(b"\x01\x02", t) == "0x0102"
+
+
+def test_timestamp_encoder_round_trip_and_strictness():
+    enc = key_encoder("timestamp")
+    for disp in ["1970-01-01T00:00:00.000Z", "2022-03-01T10:31:12.345Z",
+                 "1969-12-31T23:59:59.999Z", "0001-01-01T00:00:00.000Z",
+                 "9999-12-31T23:59:59.999Z"]:
+        assert key_renderer("timestamp")(enc(disp)) == disp
+    import pytest as _pytest
+    # strict: spellings the renderer never emits are refused, so the
+    # writer's re-render verification can never pass on a near-miss
+    for bad in ["2022-03-01 10:31:12.345Z", "2022-03-01T10:31:12Z",
+                "2022-03-01T10:31:12.345", "2022-13-01T00:00:00.000Z"]:
+        with _pytest.raises(ValueError):
+            enc(bad)
+
+
+@given(ms=st.integers(min_value=-62135596800000,
+                      max_value=253402300799999))
+@settings(max_examples=300, deadline=None)
+def test_timestamp_display_roundtrip_property(ms):
+    # full Python-datetime range: 0001-01-01T00:00:00.000Z ..
+    # 9999-12-31T23:59:59.999Z
+    raw = ms.to_bytes(8, "big", signed=True)
+    disp = render_typed(raw, "org.apache.cassandra.db.marshal.TimestampType")
+    assert not disp.startswith("0x")
+    assert key_encoder("timestamp")(disp) == raw
+
+
+def test_typed_timestamp_clustering_round_trips(tmp_path):
+    """Timestamp clusterings write through the inverse, re-render
+    identically, and order chronologically (comparator = signed long)."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        _COLS_VALUES,
+        scan_sstable_cell_rows,
+    )
+    from cassandra_sstable_tools_spark.sources.pyds_writer import (
+        write_sstable,
+    )
+
+    displays = ["2022-03-01T10:31:12.345Z", "1969-12-31T23:59:59.999Z",
+                "1970-01-01T00:00:00.000Z"]
+    rows = [
+        dict(
+            partition_key="k", kind="CELL", clustering=cl,
+            column_name="c0", cell_path=None, writetime=1000 + i,
+            ttl=None, local_deletion_time=None, is_tombstone=False,
+            is_expiring=False, is_counter=False, cell_value=i,
+            range_start=None, range_end=None, value_len=8,
+            value_bytes=i.to_bytes(8, "big"), value_marshal=None,
+        )
+        for i, cl in enumerate(displays)
+    ]
+    out = str(tmp_path / "ts")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  clustering_type="timestamp")
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    # file order is CHRONOLOGICAL, not insertion or display-lexical
+    assert [r[_COLS_VALUES.index("clustering")] for r in got] == [
+        "1969-12-31T23:59:59.999Z", "1970-01-01T00:00:00.000Z",
+        "2022-03-01T10:31:12.345Z",
+    ]
+
+
+def test_timestamp_clustering_renders_in_sstables_listing(spark, tmp_path):
+    """The `sstables` listing surface (statistics_metadata) renders a
+    TimestampType tree's min/max clustering as the readable ISO instant,
+    not hex (r10 verdict missing #3's done-criterion)."""
+    from cassandra_sstable_tools_spark.sources.pyds_writer import (
+        write_sstable,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        statistics_metadata,
+    )
+
+    displays = ["2022-03-01T10:31:12.345Z", "1969-12-31T23:59:59.999Z"]
+    rows = [
+        dict(
+            partition_key="k", kind="CELL", clustering=cl,
+            column_name="c0", cell_path=None, writetime=1000 + i,
+            ttl=None, local_deletion_time=None, is_tombstone=False,
+            is_expiring=False, is_counter=False, cell_value=i,
+            range_start=None, range_end=None, value_len=8,
+            value_bytes=i.to_bytes(8, "big"), value_marshal=None,
+        )
+        for i, cl in enumerate(displays)
+    ]
+    out = str(tmp_path / "ts")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  clustering_type="timestamp")
+    row = statistics_metadata(spark, out).collect()[0]
+    assert row.min_clustering == "1969-12-31T23:59:59.999Z"
+    assert row.max_clustering == "2022-03-01T10:31:12.345Z"
