@@ -608,6 +608,38 @@ class SSTableCellPushdownReader(SSTableCellReader):
         return filters
 
 
+def _parse_rescan_gens(spec: str | None) -> dict:
+    """``rescan_gens`` option -> {table: "*" | frozenset(gen keys)}.
+    Format: ';'-separated ``ks/tb:GENS`` where GENS is '*' or a
+    ','-separated list of sstable ids (encoded through _gen_key, same as
+    the offsets). Malformed specs fail loud at reader construction."""
+    if not spec:
+        return {}
+    out: dict = {}
+    for entry in spec.split(";"):
+        entry = entry.strip()
+        if not entry:
+            continue
+        table, sep, gens = entry.partition(":")
+        table = table.strip()
+        if not sep or not table or "/" not in table:
+            raise ValueError(
+                f"rescan_gens entry {entry!r} must be 'ks/tb:*' or "
+                "'ks/tb:gen,gen,...'"
+            )
+        gens = gens.strip()
+        if gens == "*":
+            out[table] = "*"
+            continue
+        ids = [g.strip() for g in gens.split(",") if g.strip()]
+        if not ids:
+            raise ValueError(
+                f"rescan_gens entry {entry!r} lists no generations"
+            )
+        out[table] = frozenset(_gen_key(g) for g in ids)
+    return out
+
+
 def _gen_key(sstable_id: str) -> str:
     """Watermark-sortable encoding of an sstable generation: classic
     integer generations order numerically ('i' + 20 digits), 4.1+
@@ -634,13 +666,26 @@ class SSTableStreamReader(DataSourceStreamReader):
     compaction FINALIZE in any order, so a lower-generation sstable can
     become visible after a higher one advanced the watermark -- with the
     tracked window it is simply absent from ``seen`` and gets picked up
-    by the next batch. The residual (documented) miss is a file arriving
-    more than ``grace_generations`` generations late (e.g. an
-    out-of-band ``nodetool refresh`` of historical files): restart with
-    startingOffsets=earliest for those. Offset size is
-    O(tables x grace), independent of file count. Legacy ``{"w": ...}``
-    single-watermark offsets (pre-r10 checkpoints) are read as a
-    one-entry window, preserving their exact old semantics."""
+    by the next batch. Offset size is O(tables x grace), independent of
+    file count. Legacy ``{"w": ...}`` single-watermark offsets (pre-r10
+    checkpoints) are read as a one-entry window, preserving their exact
+    old semantics.
+
+    Out-of-band refresh recovery (r11): a file arriving MORE than
+    ``grace_generations`` generations late (e.g. ``nodetool refresh`` of
+    historical files) falls below a full window's floor, which both
+    offsets claim -- invisible to the window algebra. The
+    ``rescan_gens`` option recovers it WITHOUT checkpoint surgery:
+    ``option("rescan_gens", "ks/tb:*")`` re-emits every visible
+    below-floor generation of that table once; ``"ks/tb:12,13;ks/tb2:7"``
+    re-emits exactly those generations (when below the floor -- gens
+    still inside the tracked window were processed normally and are
+    never duplicated). One-shot by construction: each new offset records the
+    matching generations under ``rr`` (claimed-as-rescanned), so a
+    committed offset carrying ``rr`` never re-emits them again; only
+    offsets minted BEFORE the option was set (no ``rr``) trigger the
+    re-emit. While the option is set, offsets grow by O(matching gens) --
+    remove it after the recovery batch commits (documented recipe)."""
 
     def __init__(self, options):
         self.root = options.get("path")
@@ -657,20 +702,48 @@ class SSTableStreamReader(DataSourceStreamReader):
         self.grace = int(options.get("grace_generations", "32"))
         if self.grace < 1:
             raise ValueError("grace_generations must be >= 1")
+        self._rescan = _parse_rescan_gens(options.get("rescan_gens"))
 
-    def _snapshot(self) -> dict[str, list[str]]:
-        """table -> sorted gen keys of the last ``grace`` visible
-        sstables (the tracked window; max = the table's watermark)."""
+    def _list_gens(self) -> dict[str, list[str]]:
+        """table -> sorted gen keys of ALL visible sstables."""
         seen: dict[str, list[str]] = {}
         for r in list_sstables(self.root):
             if not _decode_visible(r["path"]):
                 continue
             t = f"{r['keyspace']}/{r['table_name']}"
             seen.setdefault(t, []).append(_gen_key(r["sstable_id"]))
-        return {t: sorted(g)[-self.grace:] for t, g in seen.items()}
+        return {t: sorted(g) for t, g in seen.items()}
 
-    @staticmethod
-    def _claims(offset: dict, table: str, g: str) -> bool:
+    def _snapshot(self) -> dict[str, list[str]]:
+        """table -> the last ``grace`` visible gen keys (the tracked
+        window; max = the table's watermark)."""
+        return {t: g[-self.grace:] for t, g in self._list_gens().items()}
+
+    def _with_rescan(self, offset: dict) -> dict:
+        """Record the rescan_gens-matching visible generations in the
+        offset (``rr``): an offset carrying a gen under ``rr`` claims it
+        normally, so the forced re-emit happens exactly once -- against
+        committed offsets minted before the option was set."""
+        if not self._rescan:
+            return offset
+        gens = self._list_gens()
+        rr: dict[str, list[str]] = {}
+        for t, spec in self._rescan.items():
+            avail = gens.get(t, [])
+            if spec == "*":
+                floor = offset.get("s", {}).get(t, [""])[0] if \
+                    offset.get("s", {}).get(t) else ""
+                hit = [g for g in avail if g < floor]
+            else:
+                hit = [g for g in avail if g in spec]
+            if hit:
+                rr[t] = hit
+        if rr:
+            offset = dict(offset)
+            offset["rr"] = rr
+        return offset
+
+    def _claims(self, offset: dict, table: str, g: str) -> bool:
         """Does ``offset`` claim generation ``g`` of ``table`` as already
         processed? Membership in the tracked window always claims;
         BELOW-the-floor claims only when the window is FULL (a non-full
@@ -678,7 +751,9 @@ class SSTableStreamReader(DataSourceStreamReader):
         below its max is precisely the late-finalizing file the window
         exists to catch). The window size rides in the offset (``k``) so
         a grace reconfiguration cannot re-emit files a FULL old window
-        had already claimed below its floor."""
+        had already claimed below its floor. Under ``rescan_gens``, a
+        matching below-floor gen is claimed only when the offset records
+        it as rescanned (``rr``) -- see _with_rescan."""
         legacy = offset.get("w")
         if legacy is not None:
             wm = legacy.get(table, "")
@@ -689,16 +764,21 @@ class SSTableStreamReader(DataSourceStreamReader):
         if g in seen:
             return True
         full = len(seen) >= offset.get("k", len(seen))
-        return full and g < seen[0]
+        base = full and g < seen[0]
+        if base and self._rescan:
+            spec = self._rescan.get(table)
+            if spec is not None and (spec == "*" or g in spec):
+                return g in offset.get("rr", {}).get(table, [])
+        return base
 
     def initialOffset(self) -> dict:
-        return {
+        return self._with_rescan({
             "s": self._snapshot() if self._start_latest else {},
             "k": self.grace,
-        }
+        })
 
     def latestOffset(self) -> dict:
-        return {"s": self._snapshot(), "k": self.grace}
+        return self._with_rescan({"s": self._snapshot(), "k": self.grace})
 
     def partitions(
         self, start: dict, end: dict
