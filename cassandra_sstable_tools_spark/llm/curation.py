@@ -444,3 +444,51 @@ FROM documents
 GROUP BY 1, 2
 """
 QUERIES["dataset_split_stats"] = dataset_split_stats
+
+
+# --------------------------------------------------------------------------
+# STAGED for r12 (SURVEY §2.9 convention): stratified per-source sampling
+# -- the per-source cap a mixture pipeline applies before training (keep a
+# bounded, DETERMINISTIC sample from every crawl source; rand() would
+# break retries, speculation, and the oracle).
+# --------------------------------------------------------------------------
+
+STRATA_SAMPLE_K = 5
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K documents per source, selected deterministically by md5 of the
+    doc id (a uniform, reproducible pseudo-order) -- the exact sample a
+    retry or a different cluster layout reproduces bit-for-bit.
+
+    Plan shape: top_n_per_group_salted (operators/topn.py) -- at 100 TB
+    a 'source' is a whole crawl (billions of rows), so the naive
+    per-group window would sort one source inside ONE task; the salted
+    two-phase rank bounds every window partition at ~group/buckets rows
+    and stays exact (each survivor beats its own bucket)."""
+    from cassandra_sstable_tools_spark.operators.topn import (
+        top_n_per_group_salted,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.md5(F.col("doc_id").cast("string")).alias("pick_h"),
+    )
+    return top_n_per_group_salted(
+        d, ["source"], ["pick_h", "doc_id"], n=STRATA_SAMPLE_K,
+        rank_col="pick_rank",
+    ).select("source", "doc_id", "pick_rank")
+
+
+STAGED_QUERIES = {"stratified_sample": stratified_sample}
+STAGED_ORACLES = {
+    "stratified_sample": f"""
+SELECT source, doc_id,
+       CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INT) AS pick_rank
+FROM documents
+QUALIFY pick_rank <= {STRATA_SAMPLE_K}
+"""
+}

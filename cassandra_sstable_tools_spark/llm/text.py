@@ -399,3 +399,142 @@ FROM flags
 GROUP BY 1
 """
 QUERIES["source_quality_matrix"] = source_quality_matrix
+
+
+# --------------------------------------------------------------------------
+# STAGED for r12 (SURVEY §2.9 convention): BM25 keyword relevance -- the
+# retrieval-shaped selection a targeted-training-data pipeline runs against
+# a crawl ("give me the top documents about X" as a corpus filter).
+# Robertson/Sparck Jones BM25 (public formula, Lucene's +1 idf smoothing).
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "filter")  # fixed query, like the ANN seeds
+BM25_TOPK = 100
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K documents by BM25 over a fixed query-term set.
+
+    Plan shape (the 100 TB story): one codegen scan computes per-doc
+    length and per-term tf via JVM higher-order functions (F.filter over
+    the token array -- no explode, no corpus x words blow-up); one 1-row
+    aggregate (N, avgdl, per-term df) broadcasts back over the scan; the
+    top-K is TakeOrderedAndProject (bounded per-task heaps), ranked by
+    the shared-ordering window of ranked_global_topk over K rows only.
+    Nothing corpus-sized shuffles; the only exchange feeds the 1-row agg.
+
+    FLOAT-ORDER CONTRACT: the BM25 score itself is a double built from
+    ln(); libm last-ulp differences between engines could flip an order
+    only if two scores differed by ~1e-15 relative, which distinct
+    integer (tf, dl) inputs cannot produce -- and IDENTICAL inputs give
+    bit-identical scores, broken deterministically by doc_id. The
+    certified frame therefore carries the integer inputs and the RANK,
+    not the raw double."""
+    from cassandra_sstable_tools_spark.operators.topn import (
+        ranked_global_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def eq_term(t: str):
+        # a 1-arg closure per term: F.filter treats a 2-parameter lambda
+        # as (element, index) and would silently bind the INDEX column
+        # over a `t=t` default argument
+        return lambda x: x == F.lit(t)
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq_term(t))).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in BM25_TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        part = idf * (tf * F.lit(BM25_K1 + 1.0)) / (
+            tf
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        score = part if score is None else score + part
+    ranked = ranked_global_topk(
+        scored.select(
+            "doc_id", "dl",
+            *[F.col(f"tf_{t}") for t in BM25_TERMS],
+            score.alias("score"),
+        ),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        BM25_TOPK,
+    )
+    return ranked.select(
+        "doc_id", "dl", *[F.col(f"tf_{t}") for t in BM25_TERMS], "rank"
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ",\n           ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = "\n         + ".join(
+        f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        f" * (CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}"
+        f" + {BM25_B} * dl / avgdl))"
+        for t in BM25_TERMS
+    )
+    tf_names = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+base AS (
+    SELECT doc_id, len(w) AS dl,
+           {tf_cols}
+    FROM toks
+),
+stats AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+           {df_cols}
+    FROM base
+),
+scored AS (
+    SELECT b.doc_id, b.dl, {tf_names},
+           {score} AS score
+    FROM base b, stats
+)
+SELECT doc_id, dl, {tf_names},
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOPK}
+"""
+
+
+STAGED_QUERIES = {"bm25_topk": bm25_topk}
+STAGED_ORACLES = {"bm25_topk": _bm25_oracle()}
