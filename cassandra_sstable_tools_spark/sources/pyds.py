@@ -757,7 +757,19 @@ class SSTableStreamReader(DataSourceStreamReader):
         legacy = offset.get("w")
         if legacy is not None:
             wm = legacy.get(table, "")
-            return bool(wm) and g <= wm
+            base = bool(wm) and g <= wm
+            if base and self._rescan:
+                # a legacy checkpoint can need the same recovery; legacy
+                # offsets never carry rr, so matching gens re-emit once
+                # and the next (new-format) offset records them. EXACT
+                # gen specs only: a single watermark cannot distinguish
+                # 'historical' from 'just processed', so '*' under a
+                # legacy offset would duplicate recent batches -- it
+                # keeps legacy semantics instead (name the generations)
+                spec = self._rescan.get(table)
+                if spec is not None and spec != "*" and g in spec:
+                    return g in offset.get("rr", {}).get(table, [])
+            return base
         seen = offset.get("s", {}).get(table)
         if not seen:
             return False

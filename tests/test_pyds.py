@@ -874,3 +874,29 @@ def test_stream_rescan_gens_option_parses_loud(tmp_path):
         with _pytest.raises(ValueError):
             SSTableStreamReader({"path": str(tmp_path),
                                  "rescan_gens": bad})
+
+
+def test_stream_rescan_exact_gens_recovers_from_legacy_checkpoint(
+    tmp_path,
+):
+    """A pre-r10 single-watermark checkpoint claims everything below its
+    watermark, so rescan_gens must apply there too -- EXACT generations
+    only ('*' cannot distinguish historical from just-processed under a
+    single watermark and keeps legacy semantics)."""
+    from cassandra_sstable_tools_spark.sources.pyds import (
+        SSTableStreamReader,
+    )
+
+    legacy = {"w": {"ks/tb": _gen_key("50")}}
+    r = SSTableStreamReader({"path": str(tmp_path),
+                             "rescan_gens": "ks/tb:7"})
+    assert not r._claims(legacy, "ks/tb", _gen_key("7"))   # re-emit
+    assert r._claims(legacy, "ks/tb", _gen_key("8"))       # untouched
+    # '*' keeps legacy claims intact (no blanket duplication)
+    r2 = SSTableStreamReader({"path": str(tmp_path),
+                              "rescan_gens": "ks/tb:*"})
+    assert r2._claims(legacy, "ks/tb", _gen_key("7"))
+    # an rr-carrying offset (the post-recovery commit) claims it again
+    done = {"w": {"ks/tb": _gen_key("50")},
+            "rr": {"ks/tb": [_gen_key("7")]}}
+    assert r._claims(done, "ks/tb", _gen_key("7"))
