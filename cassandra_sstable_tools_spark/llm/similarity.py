@@ -1786,3 +1786,123 @@ SELECT u.vec_id, c.cluster_id,
        (c.cluster_id IS NULL OR u.vec_id = c.cluster_id) AS keep
 FROM universe u LEFT JOIN clusters c USING (vec_id)
 """
+
+
+# --------------------------------------------------------------------------
+# STAGED for r12 (SURVEY §2.9 convention): quality-aware semantic-dedup
+# representatives -- semantic_dedup_keep picks min vec_id; a production
+# pass keeps the BEST document of each near-identical group instead
+# (SemDeDup + quality ranking, the usual curation composition).
+# --------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector keep decision where each semantic cluster's
+    representative is its HIGHEST-QUALITY member (doc_quality_scores'
+    integer score_ppm; ties break to the smaller id -- exact integer
+    arithmetic end to end, so the oracle hashes identically).
+
+    Plan shape: the banded near-dup join + O(log n) CC (both certified),
+    one equi-join to the quality frame, then a per-cluster argmax as
+    max_by-style aggregation -- groupBy(cluster_id).agg(max(struct)))
+    does PARTIAL (map-side) aggregation, so a mass-duplicate cluster of
+    corpus size never sorts inside one task the way a window would. No
+    broadcast hints anywhere (the r10 semantic_dedup_keep lesson): both
+    joins are equi-keyed and linear; AQE broadcasts when a side fits."""
+    from cassandra_sstable_tools_spark.llm.pipeline import (
+        doc_quality_scores,
+    )
+    from cassandra_sstable_tools_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = _quantized(spark, sf_dir).select("vec_id")
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    clusters = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+    quality = doc_quality_scores(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"),
+        # a doc missing from the quality frame (degenerate regimes)
+        # ranks below every scored one, deterministically
+        F.coalesce(F.col("score_ppm"), F.lit(-(1 << 40))).alias("q"),
+    )
+    members = emb.join(clusters, "vec_id", "left").join(
+        quality, "vec_id", "left"
+    ).select(
+        "vec_id", "cluster_id",
+        F.coalesce(F.col("q"), F.lit(-(1 << 40))).alias("q"),
+    )
+    reps = (
+        members.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.max(F.struct(
+            F.col("q"), (-F.col("vec_id")).alias("neg_id")
+        )).alias("best"))
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).cast("bigint").alias("rep_id"),
+        )
+    )
+    return members.join(reps, "cluster_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("vec_id") == F.col("rep_id"))
+        ).alias("keep"),
+    )
+
+
+def _keep_best_oracle() -> str:
+    from cassandra_sstable_tools_spark.llm.pipeline import (
+        ORACLES as PIPE_ORACLES,
+    )
+
+    return f"""
+WITH RECURSIVE {_NEARDUP_CTES},
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM neardup_pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM neardup_pairs
+),
+cnodes AS (SELECT DISTINCT src FROM edges),
+reach(src, lbl) AS (
+    SELECT src, src FROM cnodes
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.src = e.dst
+),
+clusters AS (
+    SELECT src AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY 1
+),
+quality AS (
+    SELECT doc_id AS vec_id,
+           coalesce(score_ppm, -(1::BIGINT << 40)) AS q
+    FROM ({PIPE_ORACLES["doc_quality_scores"]}) qs
+),
+members AS (
+    SELECT u.vec_id, c.cluster_id,
+           coalesce(q.q, -(1::BIGINT << 40)) AS q
+    FROM (SELECT DISTINCT vec_id FROM elems) u
+    LEFT JOIN clusters c USING (vec_id)
+    LEFT JOIN quality q USING (vec_id)
+),
+reps AS (
+    SELECT cluster_id, vec_id AS rep_id FROM (
+        SELECT cluster_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY q DESC, vec_id
+               ) AS rn
+        FROM members WHERE cluster_id IS NOT NULL
+    ) ranked WHERE rn = 1
+)
+SELECT m.vec_id, m.cluster_id,
+       (m.cluster_id IS NULL OR m.vec_id = r.rep_id) AS keep
+FROM members m LEFT JOIN reps r USING (cluster_id)
+"""
+
+
+STAGED_QUERIES = {"dedup_keep_best": dedup_keep_best}
+STAGED_ORACLES = {"dedup_keep_best": _keep_best_oracle()}
