@@ -599,3 +599,59 @@ def test_semantic_dedup_keep_no_forced_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_bm25_single_scan_broadcast_stats_bounded_topk(spark, sf_dir):
+    """bm25_topk: the 1-row stats frame broadcasts back over the scan
+    (BroadcastNestedLoopJoin on a 1-row build side, not a shuffle), the
+    top-K plans TakeOrderedAndProject (bounded per-task heaps), and the
+    tf computation stays in JVM higher-order functions (no Python)."""
+    from cassandra_sstable_tools_spark.llm.text import bm25_topk
+    from cassandra_sstable_tools_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stratified_sample_two_phase_windows(spark, sf_dir):
+    """stratified_sample: the salted two-phase rank plans exactly two
+    Window nodes -- (source, salt) then (source) over the bounded
+    survivors -- never one corpus-wide per-source sort."""
+    from cassandra_sstable_tools_spark.llm.curation import (
+        stratified_sample,
+    )
+    from cassandra_sstable_tools_spark.plans.audit import tree_node_count
+
+    df = stratified_sample(spark, sf_dir)
+    assert tree_node_count(df, "Window") == 2
+
+
+def test_dedup_keep_best_argmax_is_aggregate_not_window(spark, sf_dir):
+    """dedup_keep_best: the per-cluster argmax must plan as a partial+
+    final AGGREGATE (map-side combine absorbs a corpus-sized mass-dup
+    cluster), never a per-cluster window sort; and no broadcast hint
+    forces a join (same contract as semantic_dedup_keep)."""
+    from cassandra_sstable_tools_spark.llm.similarity import (
+        dedup_keep_best,
+    )
+    from cassandra_sstable_tools_spark.plans.audit import (
+        formatted_plan,
+        tree_node_count,
+    )
+
+    df = dedup_keep_best(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the CC operator uses windows internally; the REPS argmax must not
+    # add a row_number-over-cluster pass: pin no rank function at all
+    assert "row_number" not in plan, plan
+    assert tree_node_count(df, "Aggregate") >= 2  # partial + final
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_nb = formatted_plan(dedup_keep_best(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan_nb, plan_nb
