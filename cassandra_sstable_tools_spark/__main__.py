@@ -135,9 +135,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "--clustering-type", default=None, metavar="TYPE",
         help="compact: typed clustering for the OUTPUT header (long, int, "
-             "uuid, ...). Default: auto-discovered from the source "
-             "sstables' own headers; unsupported types fall back to a "
-             "display-faithful UTF8 component",
+             "uuid, timestamp, ...; comma-separated aliases declare a "
+             "COMPOSITE clustering, e.g. 'long,text'). Default: "
+             "auto-discovered from the source sstables' own headers "
+             "(single or composite); unsupported types fall back to a "
+             "display-faithful UTF8 component. Rows and stats bounds "
+             "order by the declared comparator, never display strings",
     )
     p.add_argument(
         "--bucketed", default=None, metavar="TABLE",
