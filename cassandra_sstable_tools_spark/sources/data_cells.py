@@ -968,7 +968,7 @@ def split_clustering_display(display: str) -> list[str]:
 
 def clustering_components(
     display: str | None, types: list[str], full_arity: bool = True
-) -> list[bytes | None]:
+) -> tuple[bytes | None, ...]:
     """Rendered clustering display -> per-component encoded bytes under
     the header's declared types, verified to re-render as the SAME
     display (loud refusal on any mismatch -- same contract as
@@ -980,12 +980,24 @@ def clustering_components(
     (null and empty render identically, and the format's header bits
     keep either readable). A None display is all-null: full header arity
     for rows, a single null component for bounds (the historical marker
-    encoding)."""
+    encoding).
+
+    Memoized (like ``clustering_value_bytes``): the writer touches each
+    record's clustering 3x (sort key, stats bounds, cell encode) and
+    displays repeat heavily, so the uncached triple-walk cost the encode
+    path ~30% wall at 1M records (measured r11)."""
+    return _components_cached(display, tuple(types), full_arity)
+
+
+@__import__("functools").lru_cache(maxsize=65536)
+def _components_cached(
+    display: str | None, types: tuple[str, ...], full_arity: bool
+) -> tuple[bytes | None, ...]:
     if display is None:
-        return [None] * (len(types) if full_arity else min(1, len(types)))
+        return (None,) * (len(types) if full_arity else min(1, len(types)))
     if len(types) <= 1:
-        return [clustering_value_bytes(
-            display, types[0] if types else None)]
+        return (clustering_value_bytes(
+            display, types[0] if types else None),)
     parts = split_clustering_display(display)
     if len(parts) > len(types):
         raise ValueError(
@@ -1001,13 +1013,13 @@ def clustering_components(
         None if p == "" else clustering_value_bytes(p, types[i])
         for i, p in enumerate(parts)
     ]
-    back = _display_clustering(vals, types[: len(parts)])
+    back = _display_clustering(list(vals), list(types[: len(parts)]))
     if back != display:
         raise ValueError(
             f"clustering display {display!r} does not survive the "
             f"multi-component encoding round-trip (re-renders as {back!r})"
         )
-    return vals
+    return tuple(vals)
 
 
 def clustering_comparator_tuple(
@@ -1016,8 +1028,16 @@ def clustering_comparator_tuple(
     """Sortable key for one clustering position: per-component comparator
     keys as a tuple (prefix bounds sort before the rows they cover, the
     INCL_START convention). Serves the encoder's row sort and the
-    writer's Statistics.db min/max bound selection."""
-    vals = clustering_components(display, types, full_arity=full_arity)
+    writer's Statistics.db min/max bound selection. Memoized alongside
+    ``clustering_components`` (same 3x-per-record hot path)."""
+    return _comparator_tuple_cached(display, tuple(types), full_arity)
+
+
+@__import__("functools").lru_cache(maxsize=65536)
+def _comparator_tuple_cached(
+    display: str | None, types: tuple[str, ...], full_arity: bool
+) -> tuple[bytes, ...]:
+    vals = _components_cached(display, types, full_arity)
     return tuple(
         comparator_key(v, types[i]) for i, v in enumerate(vals)
     )
