@@ -452,14 +452,22 @@ def _display_clustering(
     per-column displays for composite clusterings (NULL components render
     empty, matching the composite key-renderer convention). ``types``
     (the header's clustering types) upgrade each component to its
-    validator-typed display."""
+    validator-typed display.
+
+    Under a MULTI-component header even an arity-1 value (a prefix
+    bound) renders through the escaped-join branch (r11 review finding:
+    the unescaped single render made 1-component bound 'a:b' collide
+    with 2-component ('a','b'), so a compaction rewrite silently
+    re-split a text bound containing ':' into two components -- the
+    escape keeps the display INJECTIVE per header, and the writer's
+    split+re-render verify is sound again)."""
     if not vals:
         return None
 
     def t(i: int) -> str | None:
         return types[i] if types and i < len(types) else None
 
-    if len(vals) == 1:
+    if len(vals) == 1 and (types is None or len(types) <= 1):
         return _display(vals[0], t(0))
     # escape literal colons per component so the joined rendering stays
     # INJECTIVE -- downstream merge identities (row_key, the purge LWW
@@ -925,12 +933,22 @@ def comparator_key(vb: bytes | None, ctype: str | None) -> bytes:
             return b"\x00" + struct.pack(">I", 0xFFFFFFFF - len(vb)) + vb
         return b"\x01" + struct.pack(">I", len(vb)) + vb
     if cls == "TimeUUIDType":
+        # timestamp order is the certain part; the EQUAL-timestamp
+        # tiebreak here compares the remaining bytes unsigned. CAVEAT
+        # (documented, r11 review): historical Cassandra TimeUUIDType
+        # carries a legacy signed-byte quirk in its non-timestamp
+        # comparison that cannot be verified in this environment; two
+        # v1 UUIDs sharing one 100ns timestamp whose first differing
+        # clockseq/node byte straddles 0x80 could order differently on
+        # a real node. The tiebreak only breaks ties WITHIN one
+        # timestamp tick of one partition's clustering -- order across
+        # distinct timestamps (the semantic order) is exact.
         return _uuid_timestamp_key(vb) + vb
     if cls == "UUIDType":
         # version first; v1 by reassembled timestamp; ties (and other
         # versions) by unsigned bytes -- msb bytes are version-equal and
         # timestamp-equal at that point, so raw bytes reduce to the lsb
-        # comparison Cassandra does
+        # comparison (same equal-timestamp caveat as TimeUUIDType above)
         v = (vb[6] >> 4) & 0x0F
         if v == 1:
             return bytes([v]) + _uuid_timestamp_key(vb) + vb
@@ -943,27 +961,16 @@ def comparator_key(vb: bytes | None, ctype: str | None) -> bytes:
 
 def split_clustering_display(display: str) -> list[str]:
     """Inverse of ``_display_clustering``'s ':'-join for composite
-    clusterings: split on unescaped ':', unescape '\\:' back to ':'.
-    The caller must verify the round-trip re-renders identically -- the
-    join escapes only ':' (not backslash itself), so a component ending
-    in a literal backslash is ambiguous; the verify makes that loud."""
-    parts: list[str] = []
-    cur: list[str] = []
-    i = 0
-    while i < len(display):
-        c = display[i]
-        if c == "\\" and i + 1 < len(display) and display[i + 1] == ":":
-            cur.append(":")
-            i += 2
-        elif c == ":":
-            parts.append("".join(cur))
-            cur = []
-            i += 1
-        else:
-            cur.append(c)
-            i += 1
-    parts.append("".join(cur))
-    return parts
+    clusterings -- the SHARED escaping-protocol split (one
+    implementation with the composite key path, r11 review). The caller
+    must verify the round-trip re-renders identically -- the join
+    escapes only ':' (not backslash itself), so a component ending in a
+    literal backslash is ambiguous; the verify makes that loud."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        split_unescaped_colons,
+    )
+
+    return split_unescaped_colons(display)
 
 
 def clustering_components(
@@ -1013,7 +1020,9 @@ def _components_cached(
         None if p == "" else clustering_value_bytes(p, types[i])
         for i, p in enumerate(parts)
     ]
-    back = _display_clustering(list(vals), list(types[: len(parts)]))
+    # re-render with the FULL header types: the arity-1-under-multi
+    # escape rule keys off the header arity, not the value arity
+    back = _display_clustering(list(vals), list(types))
     if back != display:
         raise ValueError(
             f"clustering display {display!r} does not survive the "
@@ -1067,7 +1076,11 @@ def encode_unfiltereds(
         # comparator's order -- display-string order misorders every
         # signed numeric type ('10' < '2' lexically) and a misordered
         # tree silently breaks Cassandra slice reads. Markers sort at
-        # their open bound; prefix bounds sort before covered rows.
+        # their open bound; prefix bounds sort before covered rows; and
+        # at EQUAL clustering the bound sorts before the row it shadows
+        # (Cassandra's INCL_START < row rule -- r11 review finding: the
+        # writetime tiebreak could serialize a deletion AFTER the row
+        # at exactly the position it covers).
         static = rec["kind"] == "STATIC_CELL"
         marker = rec["kind"] == "RANGE_TOMBSTONE_MARKER"
         ckey = rec["range_start"] if marker else rec["clustering"]
@@ -1077,7 +1090,8 @@ def encode_unfiltereds(
             ct = clustering_comparator_tuple(
                 ckey, h.clustering_types, full_arity=not marker
             )
-        return (0 if static else 1, ct, rec["writetime"] or 0)
+        return (0 if static else 1, ct, 0 if marker else 1,
+                rec["writetime"] or 0)
 
     out = bytearray()
     prev_size = 0

@@ -703,6 +703,8 @@ class SSTableStreamReader(DataSourceStreamReader):
         if self.grace < 1:
             raise ValueError("grace_generations must be >= 1")
         self._rescan = _parse_rescan_gens(options.get("rescan_gens"))
+        # monotonic rescanned-set accumulator (see _with_rescan)
+        self._rr_acc: dict[str, set] = {}
 
     def _list_gens(self) -> dict[str, list[str]]:
         """table -> sorted gen keys of ALL visible sstables."""
@@ -723,11 +725,14 @@ class SSTableStreamReader(DataSourceStreamReader):
         """Record the rescan_gens-matching visible generations in the
         offset (``rr``): an offset carrying a gen under ``rr`` claims it
         normally, so the forced re-emit happens exactly once -- against
-        committed offsets minted before the option was set."""
+        committed offsets minted before the option was set. rr is
+        MONOTONIC across this reader's offsets (accumulated in
+        ``_rr_acc``): a gen transiently invisible at one mint must not
+        drop out of rr, or its reappearance would be claimed by the end
+        offset but not the start and re-emit a duplicate (r11 review)."""
         if not self._rescan:
             return offset
         gens = self._list_gens()
-        rr: dict[str, list[str]] = {}
         for t, spec in self._rescan.items():
             avail = gens.get(t, [])
             if spec == "*":
@@ -737,10 +742,10 @@ class SSTableStreamReader(DataSourceStreamReader):
             else:
                 hit = [g for g in avail if g in spec]
             if hit:
-                rr[t] = hit
-        if rr:
+                self._rr_acc.setdefault(t, set()).update(hit)
+        if self._rr_acc:
             offset = dict(offset)
-            offset["rr"] = rr
+            offset["rr"] = {t: sorted(g) for t, g in self._rr_acc.items()}
         return offset
 
     def _claims(self, offset: dict, table: str, g: str) -> bool:

@@ -135,6 +135,22 @@ def marshal_for_key_type(key_type: str | None) -> str:
     )
 
 
+def validate_clustering_type(clustering_type: str | None) -> None:
+    """Loud validation of the (possibly comma-separated composite)
+    clustering_type alias list -- ONE implementation for the
+    write_sstable and SSTableWriter option paths (r11 review: the
+    duplicated loops could drift)."""
+    if clustering_type is None:
+        return
+    for alias in clustering_type.split(","):
+        if alias.strip() not in _KEY_TYPE_MARSHAL:
+            raise ValueError(
+                f"unsupported writer clustering_type {alias.strip()!r} "
+                f"(in {clustering_type!r}): one of "
+                f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
+            )
+
+
 def _key_bytes(display: str, key_type: str | None) -> bytes:
     """Inverse of the frame's partition_key rendering. Default render is
     UTF-8-or-0x-hex, so a 0x literal decodes as hex; typed displays go
@@ -475,15 +491,7 @@ def write_sstable(
     )
 
     key_marshal = marshal_for_key_type(key_type)
-    if clustering_type is not None:
-        # comma-separated alias list declares a COMPOSITE clustering
-        for alias in clustering_type.split(","):
-            if alias.strip() not in _KEY_TYPE_MARSHAL:
-                raise ValueError(
-                    f"unsupported writer clustering_type {alias.strip()!r} "
-                    f"(in {clustering_type!r}): one of "
-                    f"{sorted(k for k in _KEY_TYPE_MARSHAL if k)}"
-                )
+    validate_clustering_type(clustering_type)
 
     by_key: dict[bytes, dict] = {}
     for row in rows:
@@ -722,13 +730,7 @@ class SSTableWriter(DataSourceWriter):
         self.key_type = options.get("key_type")
         marshal_for_key_type(self.key_type)  # loud on unknown aliases
         self.clustering_type = options.get("clustering_type")
-        if self.clustering_type is not None:
-            for alias in self.clustering_type.split(","):
-                if alias.strip() not in _KEY_TYPE_MARSHAL:
-                    raise ValueError(
-                        f"unsupported writer clustering_type "
-                        f"{alias.strip()!r} (in {self.clustering_type!r})"
-                    )
+        validate_clustering_type(self.clustering_type)
         self.compression = options.get("compression", "none").lower()
         if self.compression not in ("none", "lz4"):
             raise ValueError(

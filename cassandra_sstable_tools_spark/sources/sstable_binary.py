@@ -558,26 +558,41 @@ def _split_marshal_params(s: str) -> list[str]:
     return parts
 
 
-def _render_composite_typed(v: bytes, inner: list[str]) -> str | None:
-    """CompositeType bytes ([u16 len][bytes][eoc byte] per component) ->
-    the ':'-joined per-component typed display, escaping literal colons
-    (the exact convention of key_renderer('composite(...)'), so the two
-    rendering paths agree byte-for-byte). None on any structural
-    mismatch -- the caller falls back to the heuristic, never guesses."""
-    outs: list[str] = []
+def walk_composite(v: bytes, n: int) -> list[bytes] | None:
+    """THE CompositeType structural walk ([u16 len][bytes][eoc byte] per
+    component, exactly ``n`` components consuming every byte) -> the
+    component byte slices, or None on any structural mismatch. One
+    implementation serves both rendering paths -- the alias-typed
+    key_renderer('composite(...)') and the marshal-typed render_typed --
+    so the two can never drift (r11 review)."""
+    comps: list[bytes] = []
     off = 0
-    for t in inner:
+    for _ in range(n):
         if off + 2 > len(v):
             return None
-        n = int.from_bytes(v[off:off + 2], "big")
+        ln = int.from_bytes(v[off:off + 2], "big")
         off += 2
-        if off + n + 1 > len(v):
+        if off + ln + 1 > len(v):
             return None
-        outs.append(render_typed(v[off:off + n], t).replace(":", "\\:"))
-        off += n + 1  # end-of-component byte
+        comps.append(v[off:off + ln])
+        off += ln + 1  # end-of-component byte
     if off != len(v):
         return None
-    return ":".join(outs)
+    return comps
+
+
+def _render_composite_typed(v: bytes, inner: list[str]) -> str | None:
+    """CompositeType bytes -> the ':'-joined per-component typed display,
+    escaping literal colons (the exact convention of
+    key_renderer('composite(...)')). None on structural mismatch -- the
+    caller falls back to the heuristic, never guesses."""
+    comps = walk_composite(v, len(inner))
+    if comps is None:
+        return None
+    return ":".join(
+        render_typed(c, t).replace(":", "\\:")
+        for c, t in zip(comps, inner)
+    )
 
 
 def render_typed(v: bytes, marshal_type: str | None) -> str:
@@ -1712,28 +1727,48 @@ def key_renderer(key_type: str | None):
         renderers = [key_renderer(p) for p in parts]
 
         def render_composite(key: bytes) -> str:
-            outs = []
-            off = 0
-            for r in renderers:
-                if off + 2 > len(key):
-                    return "0x" + key.hex()
-                n = int.from_bytes(key[off : off + 2], "big")
-                off += 2
-                if off + n + 1 > len(key):
-                    return "0x" + key.hex()
-                # escape literal colons so the rendering stays the exact
-                # inverse of key_encoder's unescaped-':' split
-                outs.append(r(key[off : off + n]).replace(":", "\\:"))
-                off += n + 1  # the end-of-component byte
-            if off != len(key):
+            comps = walk_composite(key, len(renderers))
+            if comps is None:
                 return "0x" + key.hex()
-            return ":".join(outs)
+            # escape literal colons so the rendering stays the exact
+            # inverse of key_encoder's unescaped-':' split
+            return ":".join(
+                r(c).replace(":", "\\:") for r, c in zip(renderers, comps)
+            )
 
         return render_composite
     raise ValueError(
         f"unsupported --key-type {key_type!r} (string, long, int, uuid, "
         "timeuuid, composite(...))"
     )
+
+
+def split_unescaped_colons(s: str) -> list[str]:
+    """THE ':'-escaping protocol's split: separate on bare ':', unescape
+    '\\:' back to ':'. One implementation serves both sides of the
+    protocol -- composite KEY displays (key_encoder/key_renderer) and
+    composite CLUSTERING displays (data_cells) -- so the two paths can
+    never drift apart (r11 review). Note the documented ambiguity: the
+    join escapes only ':', not backslash itself, so a component ENDING
+    in a literal backslash is unrepresentable; every caller verifies the
+    re-render and refuses loudly on mismatch."""
+    comps: list[str] = []
+    cur: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i + 1 < len(s) and s[i + 1] == ":":
+            cur.append(":")
+            i += 2
+            continue
+        if ch == ":":
+            comps.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    comps.append("".join(cur))
+    return comps
 
 
 def _encode_boolean(s: str) -> bytes:
@@ -1868,22 +1903,7 @@ def key_encoder(key_type: str | None):
             # split on unescaped ':' only -- a text component containing a
             # colon writes it as '\:' (r08 ADVICE #4: without an escape,
             # such keys were unrepresentable)
-            comps: list[str] = []
-            cur: list[str] = []
-            i = 0
-            while i < len(s):
-                ch = s[i]
-                if ch == "\\" and i + 1 < len(s) and s[i + 1] == ":":
-                    cur.append(":")
-                    i += 2
-                    continue
-                if ch == ":":
-                    comps.append("".join(cur))
-                    cur = []
-                else:
-                    cur.append(ch)
-                i += 1
-            comps.append("".join(cur))
+            comps = split_unescaped_colons(s)
             if len(comps) != len(encoders):
                 raise ValueError(
                     f"composite key {s!r} has {len(comps)} components, "

@@ -324,3 +324,69 @@ def test_render_typed_composite_marshal_fallbacks():
     good = ((8).to_bytes(2, "big") + (7).to_bytes(8, "big") + b"\x00"
             + (1).to_bytes(2, "big") + b"a" + b"\x00")
     assert render_typed(good, comp) == "7:a"
+
+
+# -- r11 session review findings (confirmed repros, regression-pinned) -----
+
+
+def test_single_component_colon_bound_stays_single(tmp_path):
+    """Review finding #1: under a (text,text) header, a 1-component
+    bound display containing ':' used to silently re-split into 2
+    components (the unescaped single render collided with the escaped
+    join). The display is now injective per header: arity-1 values
+    render ESCAPED under multi-component headers, and a decode(write)
+    round-trip preserves both the display and the bound ARITY."""
+    rows = [
+        _vrow("alpha", "c0", b"\0" * 8, _LONG, clustering="x:y"),
+        dict(
+            partition_key="alpha", kind="RANGE_TOMBSTONE_MARKER",
+            clustering=None, column_name=None, cell_path=None,
+            writetime=999, ttl=None, local_deletion_time=100,
+            is_tombstone=False, is_expiring=False, is_counter=False,
+            cell_value=None, range_start="a\\:b", range_end="a\\:b",
+            value_len=None, value_bytes=None, value_marshal=None,
+        ),
+    ]
+    out = str(tmp_path / "t")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  clustering_type="text,text")
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    by_kind = {r[_COLS_VALUES.index("kind")]: r for r in got}
+    # the row's 2-component clustering round-trips
+    assert by_kind["CELL"][_CL] == "x:y"
+    # the marker's 1-component bound containing ':' round-trips as ONE
+    # escaped component, not a silent 2-component re-split
+    rs = _COLS_VALUES.index("range_start")
+    assert by_kind["RANGE_TOMBSTONE_MARKER"][rs] == "a\\:b"
+    # and the components really differ: 'a\\:b' (1 comp) vs 'a:b' (2)
+    one = clustering_components("a\\:b", [_UTF8, _UTF8],
+                                full_arity=False)
+    two = clustering_components("a:b", [_UTF8, _UTF8], full_arity=False)
+    assert tuple(one) == (b"a:b",) and tuple(two) == (b"a", b"b")
+
+
+def test_marker_sorts_before_equal_clustering_row(tmp_path):
+    """Review finding #2: an open bound equal to a row's clustering must
+    serialize BEFORE the row it shadows (Cassandra's INCL_START < row),
+    regardless of writetimes."""
+    rows = [
+        _vrow("alpha", "c0", b"\0" * 8, _LONG, clustering="5", wt=1000),
+        dict(
+            partition_key="alpha", kind="RANGE_TOMBSTONE_MARKER",
+            clustering=None, column_name=None, cell_path=None,
+            writetime=2000, ttl=None, local_deletion_time=100,
+            is_tombstone=False, is_expiring=False, is_counter=False,
+            cell_value=None, range_start="5", range_end="9",
+            value_len=None, value_bytes=None, value_marshal=None,
+        ),
+    ]
+    out = str(tmp_path / "t")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  clustering_type="long")
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    kinds = [r[_COLS_VALUES.index("kind")] for r in got]
+    assert kinds[0] == "RANGE_TOMBSTONE_MARKER" and "CELL" in kinds[1:]
