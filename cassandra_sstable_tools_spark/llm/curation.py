@@ -480,9 +480,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "pick_rank")
 
 
-STAGED_QUERIES = {"stratified_sample": stratified_sample}
-STAGED_ORACLES = {
-    "stratified_sample": f"""
+QUERIES["stratified_sample"] = stratified_sample
+ORACLES["stratified_sample"] = f"""
 SELECT source, doc_id,
        CAST(row_number() OVER (
            PARTITION BY source
@@ -491,4 +490,3 @@ SELECT source, doc_id,
 FROM documents
 QUALIFY pick_rank <= {STRATA_SAMPLE_K}
 """
-}

@@ -1904,5 +1904,5 @@ FROM members m LEFT JOIN reps r USING (cluster_id)
 """
 
 
-STAGED_QUERIES = {"dedup_keep_best": dedup_keep_best}
-STAGED_ORACLES = {"dedup_keep_best": _keep_best_oracle()}
+QUERIES["dedup_keep_best"] = dedup_keep_best
+ORACLES["dedup_keep_best"] = _keep_best_oracle()

@@ -536,5 +536,5 @@ QUALIFY rank <= {BM25_TOPK}
 """
 
 
-STAGED_QUERIES = {"bm25_topk": bm25_topk}
-STAGED_ORACLES = {"bm25_topk": _bm25_oracle()}
+QUERIES["bm25_topk"] = bm25_topk
+ORACLES["bm25_topk"] = _bm25_oracle()
