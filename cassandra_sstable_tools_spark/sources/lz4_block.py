@@ -1,11 +1,14 @@
-"""Pure-Python LZ4 BLOCK codec + Cassandra chunk framing.
+"""Pure-Python chunk codecs (LZ4 BLOCK + Deflate) + Cassandra chunk framing.
 
 Compression is on by default in real clusters, so every point-read path
 (partition headers, cell streams, digest-adjacent verification) must reach
-through the CompressionInfo.db chunk map and an LZ4 block decode; the
-container has no lz4 wheel, and the format is public (the LZ4 block spec
-and Apache Cassandra's ``LZ4Compressor`` / ``CompressedSequentialWriter``
-framing), so both live here in stdlib Python.
+through the CompressionInfo.db chunk map and a block decode; the
+container has no lz4 wheel, and the formats are public (the LZ4 block spec,
+RFC 1950/1951 deflate, and Apache Cassandra's ``LZ4Compressor`` /
+``DeflateCompressor`` / ``CompressedSequentialWriter`` framing), so they
+live here in stdlib Python. The chunk layer dispatches on the compressor
+class name CompressionInfo.db records (``check_compressor``): LZ4 and
+Deflate decode; Snappy/Zstd refuse loudly BY NAME at open time.
 
 LZ4 block format (spec-complete decoder):
 
@@ -50,6 +53,33 @@ _LEN_HEADER = 4
 _CHECKSUM = 4
 # a match copies at least 4 bytes (the LZ4 "minmatch")
 _MIN_MATCH = 4
+
+# Compressor dispatch (CompressionInfo.db stores the ICompressor class
+# simple name; reference semantics: cassandra-all's CompressionParams
+# registry, transparent to every command). LZ4 is the cluster default;
+# Deflate is java.util.zip -- `new Deflater()` / `new Inflater()` with
+# nowrap=false, i.e. a ZLIB-wrapped (RFC 1950) stream, exactly Python
+# zlib's default framing, and UNLIKE LZ4 it carries no 4-byte decompressed-
+# length prefix (that header is LZ4Compressor's own, not the chunk
+# writer's). Snappy/Zstd need codecs this container doesn't ship and the
+# formats aren't re-implementable responsibly here -- refuse BY NAME so a
+# Zstd tree reads "unsupported compressor ZstdCompressor", never a
+# misleading "corrupt LZ4 block".
+LZ4 = "LZ4Compressor"
+DEFLATE = "DeflateCompressor"
+SUPPORTED_COMPRESSORS = (LZ4, DEFLATE)
+
+
+def check_compressor(name: str, source: str = "<bytes>") -> str:
+    """Validate a CompressionInfo.db compressor name at OPEN time (before
+    any chunk is touched) -> the name; loud named ValueError otherwise."""
+    if name not in SUPPORTED_COMPRESSORS:
+        raise ValueError(
+            f"unsupported compressor {name!r} in {source}: this engine "
+            f"decodes {', '.join(SUPPORTED_COMPRESSORS)}; Snappy/Zstd "
+            "chunk codecs are not implemented"
+        )
+    return name
 
 
 def lz4_decompress(src: bytes, expected_len: int, source: str = "<bytes>") -> bytes:
@@ -191,10 +221,45 @@ def lz4_compress_fixture(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_chunk(data: bytes) -> bytes:
-    """One Cassandra on-disk chunk: LE length header + LZ4 + BE CRC32."""
-    body = struct.pack("<i", len(data)) + lz4_compress_fixture(data)
+def encode_chunk(data: bytes, compressor: str = LZ4) -> bytes:
+    """One Cassandra on-disk chunk, checksummed: LZ4 = LE length header +
+    LZ4 block; Deflate = a zlib-wrapped stream (no length header, matching
+    java.util.zip defaults). CRC32 covers the compressed body either way."""
+    if compressor == DEFLATE:
+        body = zlib.compress(data)
+    else:
+        body = struct.pack("<i", len(data)) + lz4_compress_fixture(data)
     return body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def _deflate_decompress_consumed(
+    src: bytes, expected_len: int, source: str = "<bytes>"
+) -> tuple[bytes, int]:
+    """Decode one zlib-wrapped (RFC 1950) deflate stream from the head of
+    ``src`` -> (exactly ``expected_len`` bytes, consumed source length);
+    tolerant of trailing non-stream bytes (the padded-last-chunk extent,
+    same contract as lz4_decompress_consumed)."""
+    d = zlib.decompressobj()
+    try:
+        data = d.decompress(src, expected_len + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt deflate chunk {source}: {e}") from None
+    if len(data) > expected_len:
+        raise ValueError(
+            f"corrupt deflate chunk {source}: stream exceeds the expected "
+            f"{expected_len} bytes"
+        )
+    if not d.eof:
+        raise ValueError(
+            f"corrupt deflate chunk {source}: stream ends before its "
+            f"BFINAL block ({len(data)}/{expected_len} bytes out)"
+        )
+    if len(data) != expected_len:
+        raise ValueError(
+            f"corrupt deflate chunk {source}: {len(data)} bytes out, "
+            f"expected {expected_len}"
+        )
+    return data, len(src) - len(d.unused_data)
 
 
 def decode_chunk(
@@ -202,6 +267,7 @@ def decode_chunk(
     expected_len: int,
     max_compressed_length: int | None,
     source: str = "<bytes>",
+    compressor: str = LZ4,
 ) -> bytes:
     """One on-disk chunk -> decompressed bytes. ``raw`` starts at the
     chunk's offset and may extend BEYOND its true end (the last chunk's
@@ -211,14 +277,36 @@ def decode_chunk(
     inside the chunk stays loud.
 
     Two layouts, tried in order:
-    - compressed: [LE length header == expected_len][LZ4 producing exactly
-      expected_len bytes][CRC32 of header+LZ4];
+    - compressed (dispatch on the CompressionInfo.db compressor name):
+      LZ4 = [LE length header == expected_len][LZ4 producing exactly
+      expected_len bytes][CRC32 of header+LZ4]; Deflate = [one zlib
+      stream producing exactly expected_len bytes][CRC32 of it];
     - raw (formats >= "na" store an incompressible chunk uncompressed):
       [expected_len data bytes][CRC32 of them] -- only attempted when the
       compressed parse fails structurally, and only accepted when its own
       checksum verifies, so a false match is cryptographically unlikely."""
+    check_compressor(compressor, source)
     comp_err: Exception | None = None
-    if len(raw) >= _LEN_HEADER + _CHECKSUM:
+    if compressor == DEFLATE:
+        try:
+            data, end = _deflate_decompress_consumed(
+                raw, expected_len, source=source
+            )
+            if end + _CHECKSUM > len(raw):
+                raise ValueError(
+                    f"corrupt chunk {source}: checksum past chunk extent"
+                )
+            stored = raw[end : end + _CHECKSUM]
+            crc = zlib.crc32(raw[:end]) & 0xFFFFFFFF
+            if struct.unpack(">I", stored)[0] != crc:
+                raise ValueError(
+                    f"corrupt chunk {source}: checksum mismatch "
+                    f"(stored {stored.hex()}, computed {crc:08x})"
+                )
+            return data
+        except ValueError as e:
+            comp_err = e
+    elif len(raw) >= _LEN_HEADER + _CHECKSUM:
         (dlen,) = struct.unpack("<i", raw[:_LEN_HEADER])
         if dlen == expected_len:
             try:
@@ -278,6 +366,7 @@ class CompressedRangeReader:
         offsets: list[int],
         max_compressed_length: int | None,
         source: str = "<file>",
+        compressor: str = LZ4,
     ):
         if chunk_length <= 0:
             raise ValueError(f"corrupt chunk map {source}: chunkLength 0")
@@ -288,6 +377,10 @@ class CompressedRangeReader:
         self.offsets = offsets
         self.max_compressed_length = max_compressed_length
         self.source = source
+        # refuse unimplemented codecs at OPEN, before any chunk read --
+        # a Snappy/Zstd tree must fail naming the compressor, never with
+        # a downstream "corrupt LZ4 block"
+        self.compressor = check_compressor(compressor, source)
         self._cache: tuple[int, bytes] | None = None
 
     def _chunk(self, ci: int) -> bytes:
@@ -316,6 +409,7 @@ class CompressedRangeReader:
         data = decode_chunk(
             raw, expected, self.max_compressed_length,
             source=f"{self.source}#chunk{ci}",
+            compressor=self.compressor,
         )
         self._cache = (ci, data)
         return data
@@ -352,14 +446,17 @@ def write_chunked_file(
     chunk_length: int,
     out_fobj,
     max_compressed_length: int | None = None,
+    compressor: str = LZ4,
 ) -> list[int]:
     """Fixture writer: materialize a chunk-compressed Data.db whose
     UNCOMPRESSED image is ``data_length`` zero bytes overlaid with
     ``data_blocks`` ([(offset, bytes)], sorted, non-overlapping). Chunks
     are generated lazily (one chunk buffer in memory, never the whole
     image -- the image can be GBs while its interesting bytes are KBs)
-    and every chunk is LZ4-compressed; returns the chunk offsets for
-    CompressionInfo.db."""
+    and every chunk is compressed with ``compressor`` (LZ4 default,
+    Deflate for planting DeflateCompressor trees); returns the chunk
+    offsets for CompressionInfo.db."""
+    check_compressor(compressor)
     blocks = sorted(data_blocks)
     offsets: list[int] = []
     pos = 0
@@ -381,7 +478,7 @@ def write_chunked_file(
                 bi += 1
             else:
                 break  # block spills into the next chunk
-        chunk = encode_chunk(bytes(buf))
+        chunk = encode_chunk(bytes(buf), compressor=compressor)
         if (
             max_compressed_length is not None
             and len(chunk) - _CHECKSUM >= max_compressed_length
@@ -443,12 +540,18 @@ def open_data_file(data_path: str, comp_path: str, version: str):
     f = open(data_path, "rb")
     if not os.path.exists(comp_path):
         return f, os.path.getsize(data_path)
-    with open(comp_path, "rb") as cf:
-        chunk_len, data_len, max_comp, offsets = parse_compression_info_full(
-            cf.read(), version=version, source=comp_path
+    try:
+        with open(comp_path, "rb") as cf:
+            chunk_len, data_len, max_comp, offsets, compressor = (
+                parse_compression_info_full(
+                    cf.read(), version=version, source=comp_path
+                )
+            )
+        reader = CompressedRangeReader(
+            f, os.path.getsize(data_path), chunk_len, data_len, offsets,
+            max_comp, source=data_path, compressor=compressor,
         )
-    reader = CompressedRangeReader(
-        f, os.path.getsize(data_path), chunk_len, data_len, offsets,
-        max_comp, source=data_path,
-    )
+    except Exception:
+        f.close()
+        raise
     return _RangeFile(reader), data_len

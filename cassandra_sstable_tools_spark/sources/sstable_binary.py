@@ -877,15 +877,20 @@ def parse_compression_info(
 
 def parse_compression_info_full(
     content: bytes, version: str = _DEFAULT_VERSION, source: str = "<bytes>"
-) -> tuple[int, int, int | None, list[int]]:
+) -> tuple[int, int, int | None, list[int], str]:
     """Full CompressionInfo.db parse -> (chunkLength, dataLength,
-    maxCompressedLength or None pre-"na", [chunk offsets]). The offsets
-    are absolute positions in the compressed Data.db; chunk i occupies
-    [offsets[i], offsets[i+1]) (last chunk ends at the file length), each
-    chunk including its trailing 4-byte checksum."""
+    maxCompressedLength or None pre-"na", [chunk offsets], compressor
+    simple class name). The offsets are absolute positions in the
+    compressed Data.db; chunk i occupies [offsets[i], offsets[i+1]) (last
+    chunk ends at the file length), each chunk including its trailing
+    4-byte checksum. The compressor name is what Cassandra's
+    CompressionParams serializer writeUTF'd (e.g. "LZ4Compressor",
+    "DeflateCompressor", "SnappyCompressor", "ZstdCompressor") -- the
+    chunk layer dispatches on it (lz4_block.decode_chunk) and refuses
+    unimplemented codecs BY NAME instead of misreporting a corrupt block."""
     try:
         off = 0
-        _, off = _read_java_utf(content, off, source)  # compressor name
+        compressor, off = _read_java_utf(content, off, source)
         n_opts = int.from_bytes(content[off : off + 4], "big")
         off += 4
         if n_opts > 1000:
@@ -923,7 +928,7 @@ def parse_compression_info_full(
         ]
         if any(b > a for a, b in zip(offsets[1:], offsets)):
             raise ValueError("chunk offsets not monotonically increasing")
-        return chunk_length, data_length, max_compressed, offsets
+        return chunk_length, data_length, max_compressed, offsets, compressor
     except (ValueError, IndexError) as e:
         raise ValueError(f"corrupt CompressionInfo.db {source}: {e}") from None
 
