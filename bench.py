@@ -116,6 +116,10 @@ SECONDARY = [
     # through the summary-floored span planner. Bars in BASELINE.md §r10.
     "ds_pointread_batch",
     "ds_rangeread_cassdir",
+    # r12: the write path's controlled encode kernel (see _compact_encode)
+    # -- the one perf blind spot named by the r11 verdict. Bar in
+    # BASELINE.md §r12.
+    "compact_encode",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -146,6 +150,73 @@ def _ann_index_build(spark, sf_dir):
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     return spark.range(1).selectExpr(f"{rewritten} as lists_rewritten")
+
+
+_ENCODE_ROWS_CACHE: dict[str, list] = {}
+
+
+def _compact_encode(spark, sf_dir):
+    """The write path's controlled kernel row (r11 verdict #3): encode a
+    FIXED in-memory cell-grain record set through write_sstable to a tmpfs
+    target. Full end-to-end compact wall-clock proved unusable on this box
+    (24-105s same-code spreads, disk/writeback order-sensitivity; SCALE.md
+    r11) while the pure-CPU A/B resolved a +29%->+4% comparator effect --
+    this row productizes that A/B so the next writer-grade change is
+    measured, not argued. 150k cells over 3k partitions x 10 typed-long
+    clusterings (signed, display-shuffled: the comparator sort/bounds/
+    encode memo does real work) x 5 columns; record generation is memoized
+    so timed runs pay ONLY encode + component derivation + tmpfs write."""
+    import shutil
+    import tempfile
+
+    from cassandra_sstable_tools_spark.sources.pyds_writer import (
+        write_sstable,
+    )
+
+    rows = _ENCODE_ROWS_CACHE.get("rows")
+    if rows is None:
+        rows = []
+        for p in range(3000):
+            pk = f"bench{p:06d}"
+            for c in range(10):
+                ck = str(((c * 7919 + p) % 1000) - 500)
+                for col in range(5):
+                    rows.append({
+                        "partition_key": pk,
+                        "clustering": ck,
+                        "kind": "CELL",
+                        "column_name": f"c{col}",
+                        "cell_value": (p * 31 + c * 7 + col) % 100_000,
+                        "value_bytes": None,
+                        "value_len": None,
+                        "value_marshal": None,
+                        "clustering_marshal": None,
+                        "writetime": 1_700_000_000_000_000 + p,
+                        "ttl": 600 if col == 4 else None,
+                        "is_tombstone": col == 3 and c % 5 == 0,
+                        "is_counter": False,
+                        # tombstones AND expiring (TTL) cells both carry a
+                        # local deletion time (record_encodable's rule)
+                        "local_deletion_time": (
+                            1_700_000_000
+                            if (col == 4 or (col == 3 and c % 5 == 0))
+                            else None
+                        ),
+                        "range_start": None,
+                        "range_end": None,
+                        "cell_path": None,
+                    })
+        _ENCODE_ROWS_CACHE["rows"] = rows
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="bench_enc_", dir=base)
+    try:
+        paths, _ = write_sstable(
+            rows, out, "000042", clustering_type="long",
+        )
+        n = len(paths)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.range(1).selectExpr(f"{n} as components_written")
 
 
 _PURGE_DECODED_CACHE: dict[str, object] = {}
@@ -266,6 +337,7 @@ def _partition_lookup_batch(spark, sf_dir):
 # queries, but benched with bars so their perf trajectory is tracked like
 # everything else.
 EXTRA_SECONDARY = {
+    "compact_encode": _compact_encode,
     "ann_index_build": _ann_index_build,
     "partition_lookup_batch": _partition_lookup_batch,
     "purge_cassdir_decode": _purge_cassdir_decode,
