@@ -836,6 +836,9 @@ _MARSHAL_ENCODER_ALIASES = {
     "TimestampType": "timestamp",
     "InetAddressType": "inet",
     "IntegerType": "varint",
+    # r12: decimal clusterings (the r11 verdict's most plausible refused
+    # type) -- plain-notation displays only (the renderer's exact regime)
+    "DecimalType": "decimal",
 }
 _CLUSTERING_ENCODERS = _MARSHAL_ENCODER_ALIASES  # public name (writer docs)
 
@@ -932,6 +935,41 @@ def comparator_key(vb: bytes | None, ctype: str | None) -> bytes:
         if vb[0] & 0x80:
             return b"\x00" + struct.pack(">I", 0xFFFFFFFF - len(vb)) + vb
         return b"\x01" + struct.pack(">I", len(vb)) + vb
+    if cls == "DecimalType":
+        # DecimalType.compareCustom == BigDecimal.compareTo: NUMERIC
+        # comparison, scale-insensitive ('1.50' == '1.5'). Memcmp key:
+        # sign class byte (neg 0x00 < zero 0x01 < pos 0x02), then for
+        # nonzero values a sign-flipped int64 "adjusted exponent" (the
+        # power of 10 of the leading digit; NEGATED for negatives so a
+        # larger magnitude sorts smaller), then the normalized mantissa
+        # digits (trailing zeros stripped -- '0.d...' in [0.1, 1), where
+        # lexicographic digit order == numeric order; digits COMPLEMENTED
+        # for negatives), then a terminator picked per sign so a mantissa
+        # that PREFIXES a longer one sorts on the next digit correctly
+        # (0x00 < '0'..'9' for positives, 0xFF > '9' for negatives).
+        if len(vb) < 5:
+            raise ValueError(
+                f"malformed DecimalType value ({len(vb)} bytes; "
+                "[int32 scale][unscaled] needs >= 5)"
+            )
+        scale = int.from_bytes(vb[:4], "big", signed=True)
+        unscaled = int.from_bytes(vb[4:], "big", signed=True)
+        if unscaled == 0:
+            return b"\x01"
+        digits = str(abs(unscaled))
+        norm = digits.rstrip("0")
+        exp = len(digits) - scale
+        if unscaled > 0:
+            ekey = struct.pack(">q", exp)
+            return (
+                b"\x02" + bytes([ekey[0] ^ 0x80]) + ekey[1:]
+                + norm.encode("ascii") + b"\x00"
+            )
+        ekey = struct.pack(">q", -exp)
+        comp = bytes(0x39 - (d - 0x30) + 0x30 for d in norm.encode("ascii"))
+        return (
+            b"\x00" + bytes([ekey[0] ^ 0x80]) + ekey[1:] + comp + b"\xff"
+        )
     if cls == "TimeUUIDType":
         # timestamp order is the certain part; the EQUAL-timestamp
         # tiebreak here compares the remaining bytes unsigned. CAVEAT

@@ -100,6 +100,9 @@ _KEY_TYPE_MARSHAL = {
     "timestamp": "org.apache.cassandra.db.marshal.TimestampType",
     "inet": "org.apache.cassandra.db.marshal.InetAddressType",
     "varint": "org.apache.cassandra.db.marshal.IntegerType",
+    # r12: decimal joins the clustering/key vocabulary (comparator model
+    # in data_cells.comparator_key; plain-notation displays only)
+    "decimal": "org.apache.cassandra.db.marshal.DecimalType",
 }
 
 

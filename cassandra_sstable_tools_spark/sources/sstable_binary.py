@@ -62,6 +62,7 @@ path -- the same independent-encoder playbook the PNG decoder used.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1724,6 +1725,7 @@ def key_renderer(key_type: str | None):
         "timestamp": fixed(8, _render_timestamp),
         "inet": _render_inet,
         "varint": _render_varint,
+        "decimal": _render_decimal,
     }
     if key_type in simple:
         return simple[key_type]
@@ -1862,6 +1864,29 @@ def _encode_varint(s: str) -> bytes:
     return n.to_bytes(length, "big", signed=True)
 
 
+_PLAIN_DECIMAL = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+def _encode_decimal(s: str) -> bytes:
+    """Inverse of ``_render_decimal``'s plain-notation regime:
+    [int32 scale][minimal two's-complement unscaled]. Only plain displays
+    the renderer itself produces are accepted (scale >= 0, adjusted
+    exponent >= -6); anything else -- scientific notation, '-0.0',
+    leading zeros -- fails the caller's re-render verify loudly rather
+    than writing bytes that read back differently (the one byte form per
+    value rule: BigDecimal carries scale, so '1.50' and '1.5' are
+    DIFFERENT byte forms that both round-trip)."""
+    if not _PLAIN_DECIMAL.match(s):
+        raise ValueError(f"not a plain-notation decimal: {s!r}")
+    whole, _, frac = s.partition(".")
+    scale = len(frac)
+    unscaled = int(whole + frac)
+    length = ((unscaled if unscaled >= 0 else ~unscaled).bit_length() // 8) + 1
+    return scale.to_bytes(4, "big", signed=True) + unscaled.to_bytes(
+        length, "big", signed=True
+    )
+
+
 def key_encoder(key_type: str | None):
     """display string -> partition key BYTES under the key validator type
     -- the inverse of ``key_renderer``, used by the point-read path to
@@ -1900,6 +1925,8 @@ def key_encoder(key_type: str | None):
         return _encode_inet
     if key_type == "varint":
         return _encode_varint
+    if key_type == "decimal":
+        return _encode_decimal
     if key_type.startswith("composite(") and key_type.endswith(")"):
         parts = [p.strip() for p in key_type[len("composite(") : -1].split(",")]
         encoders = [key_encoder(p) for p in parts]

@@ -75,6 +75,11 @@ _ORDERED_DISPLAYS = {
     "AsciiType": ["", "A", "a", "b"],
     "BytesType": ["0x00", "0x0001", "0x01", "0xff"],
     "InetAddressType": ["0.0.0.1", "10.0.0.1", "255.255.255.255"],
+    # r12: BigDecimal.compareTo order -- sign, then adjusted exponent,
+    # then mantissa; display order and byte order both disagree with it
+    "DecimalType": ["-1000000", "-999999.999", "-2.5", "-2.25", "-0.001",
+                    "0", "0.0001", "0.00011", "0.25", "0.3", "2",
+                    "10.5", "999999999999999999999.00001"],
 }
 
 
@@ -117,6 +122,57 @@ def test_comparator_key_timeuuid_orders_by_timestamp():
 def test_comparator_key_refuses_unmodeled_types():
     with pytest.raises(ValueError, match="no comparator model"):
         comparator_key(b"\x00", _M + "DurationType")
+
+
+def test_decimal_comparator_randomized_differential():
+    """1k random plain-notation decimals: comparator_key memcmp order
+    must equal Python Decimal numeric order, and scale variants of one
+    value ('1.5' vs '1.50' vs '1.500') must share ONE key
+    (BigDecimal.compareTo is scale-insensitive)."""
+    import random
+    from decimal import Decimal
+
+    ctype = _M + "DecimalType"
+    rng = random.Random(20260816)
+    displays = set()
+    while len(displays) < 1000:
+        whole = rng.randint(-(10 ** rng.randint(0, 12)),
+                            10 ** rng.randint(0, 12))
+        if rng.random() < 0.8:
+            frac = rng.randint(0, 10 ** rng.randint(1, 8) - 1)
+            width = rng.randint(len(str(frac)), len(str(frac)) + 2)
+            d = f"{whole}.{str(frac).zfill(width)}"
+        else:
+            d = str(whole)
+        try:
+            clustering_value_bytes(d, ctype)
+        except ValueError:
+            continue  # not the renderer's plain regime (e.g. '-0.0')
+        displays.add(d)
+    items = [
+        (Decimal(d), comparator_key(clustering_value_bytes(d, ctype), ctype))
+        for d in displays
+    ]
+    by_num = [k for _, k in sorted(items, key=lambda t: (t[0], t[1]))]
+    assert by_num == sorted(by_num)
+    # equal values (different scales) collapse to one comparator key
+    for base in ("1.5", "-30", "0", "0.07"):
+        variants = [base, base + ("" if "." in base else ".") + "0",
+                    base + ("" if "." in base else ".") + "00"]
+        keys = {
+            comparator_key(clustering_value_bytes(v, ctype), ctype)
+            for v in variants
+            if _roundtrips(v, ctype)
+        }
+        assert len(keys) == 1, (base, keys)
+
+
+def _roundtrips(display, ctype):
+    try:
+        clustering_value_bytes(display, ctype)
+        return True
+    except ValueError:
+        return False
 
 
 # -- (b) the ADVICE repro: typed rows serialize in comparator order --------
@@ -212,6 +268,64 @@ def test_multi_component_compaction_auto_rediscovers(spark, tmp_path):
         r[_COLS_VALUES.index("clustering_marshal")] == f"{_LONG},{_UTF8}"
         for r in got
     )
+
+
+def test_decimal_clustering_writes_in_numeric_order(tmp_path):
+    """r12 (r11 verdict #6): decimal clusterings round-trip through the
+    writer in BigDecimal order -- '-2.5' < '0.25' < '2' < '10.5' even
+    though display order puts '10.5' first and raw [scale][unscaled]
+    byte order is unrelated to numeric order -- with Statistics.db
+    bounds picked by the comparator."""
+    _DEC = _M + "DecimalType"
+    disp = ["10.5", "-2.5", "2", "0.25"]
+    rows = [
+        _vrow("alpha", "c0", (7).to_bytes(8, "big"), _LONG,
+              clustering=d, wt=1000 + i)
+        for i, d in enumerate(disp)
+    ]
+    out = str(tmp_path / "t")
+    write_sstable(rows, f"{out}/ks/tb", sstable_id="1",
+                  clustering_type="decimal")
+    got = scan_sstable_cell_rows(
+        f"{out}/ks/tb/nb-1-big-Index.db", with_values=True
+    )
+    assert [r[_CL] for r in got] == ["-2.5", "0.25", "2", "10.5"]
+    with open(f"{out}/ks/tb/nb-1-big-Statistics.db", "rb") as f:
+        blob = f.read()
+    hdr = parse_serialization_header(blob, version="nb", source="stats")
+    assert hdr.clustering_types == [_DEC]
+    st = parse_statistics_db(blob, version="nb", source="stats")
+    assert dc.render_typed(st.min_clustering[0], _DEC) == "-2.5"
+    assert dc.render_typed(st.max_clustering[0], _DEC) == "10.5"
+
+
+def test_decimal_clustering_compaction_round_trip(spark, tmp_path):
+    """decode(compact(tree)) over a decimal clustering: auto-discovery
+    re-declares DecimalType and every display survives byte-exactly."""
+    from cassandra_sstable_tools_spark.operators.compaction import (
+        compact_dir,
+    )
+
+    _DEC = _M + "DecimalType"
+    disp = ["0.001", "-99999.5", "3"]
+    rows = [
+        _vrow(f"k{i}", "c0", (i).to_bytes(8, "big"), _LONG,
+              clustering=d, wt=1000 + i)
+        for i, d in enumerate(disp)
+    ]
+    src = str(tmp_path / "src")
+    write_sstable(rows, f"{src}/ks/tb", sstable_id="1",
+                  clustering_type="decimal")
+    out = str(tmp_path / "out")
+    compact_dir(spark, src, out)  # no clustering flag: auto-discovery
+    idx = sorted(glob.glob(f"{out}/ks/tb/*-Index.db"))
+    assert len(idx) == 1
+    with open(idx[0][: -len("Index.db")] + "Statistics.db", "rb") as f:
+        hdr = parse_serialization_header(f.read(), version="nb",
+                                         source="stats")
+    assert hdr.clustering_types == [_DEC]
+    got = scan_sstable_cell_rows(idx[0], with_values=True)
+    assert sorted(r[_CL] for r in got) == sorted(disp)
 
 
 def test_row_clustering_arity_must_match_header(tmp_path):
