@@ -1,14 +1,15 @@
-"""Pure-Python chunk codecs (LZ4 BLOCK + Deflate) + Cassandra chunk framing.
+"""Pure-Python chunk codecs (LZ4 BLOCK, Deflate, Snappy) + Cassandra framing.
 
 Compression is on by default in real clusters, so every point-read path
 (partition headers, cell streams, digest-adjacent verification) must reach
 through the CompressionInfo.db chunk map and a block decode; the
 container has no lz4 wheel, and the formats are public (the LZ4 block spec,
-RFC 1950/1951 deflate, and Apache Cassandra's ``LZ4Compressor`` /
-``DeflateCompressor`` / ``CompressedSequentialWriter`` framing), so they
-live here in stdlib Python. The chunk layer dispatches on the compressor
-class name CompressionInfo.db records (``check_compressor``): LZ4 and
-Deflate decode; Snappy/Zstd refuse loudly BY NAME at open time.
+RFC 1950/1951 deflate, google/snappy's format_description.txt, and Apache
+Cassandra's ``LZ4Compressor`` / ``DeflateCompressor`` / ``SnappyCompressor``
+/ ``CompressedSequentialWriter`` framing), so they live here in stdlib
+Python. The chunk layer dispatches on the compressor class name
+CompressionInfo.db records (``check_compressor``): LZ4, Deflate and Snappy
+decode; Zstd refuses loudly BY NAME at open time.
 
 LZ4 block format (spec-complete decoder):
 
@@ -56,18 +57,23 @@ _MIN_MATCH = 4
 
 # Compressor dispatch (CompressionInfo.db stores the ICompressor class
 # simple name; reference semantics: cassandra-all's CompressionParams
-# registry, transparent to every command). LZ4 is the cluster default;
+# registry, transparent to every command). LZ4 is the cluster default.
 # Deflate is java.util.zip -- `new Deflater()` / `new Inflater()` with
 # nowrap=false, i.e. a ZLIB-wrapped (RFC 1950) stream, exactly Python
 # zlib's default framing, and UNLIKE LZ4 it carries no 4-byte decompressed-
 # length prefix (that header is LZ4Compressor's own, not the chunk
-# writer's). Snappy/Zstd need codecs this container doesn't ship and the
-# formats aren't re-implementable responsibly here -- refuse BY NAME so a
-# Zstd tree reads "unsupported compressor ZstdCompressor", never a
-# misleading "corrupt LZ4 block".
+# writer's). Snappy is the PUBLIC raw block format (google/snappy
+# format_description.txt: LE-base-128 uncompressed-length preamble, then
+# literal/copy tagged elements) -- what org.xerial's Snappy.rawCompress
+# emits -- decoded spec-complete below like LZ4. Zstd would need the full
+# FSE/Huffman entropy machinery; re-implementing THAT from scratch risks
+# exactly the silent misparse this repo's doctrine forbids, so it refuses
+# BY NAME: a Zstd tree reads "unsupported compressor ZstdCompressor",
+# never a misleading "corrupt LZ4 block".
 LZ4 = "LZ4Compressor"
 DEFLATE = "DeflateCompressor"
-SUPPORTED_COMPRESSORS = (LZ4, DEFLATE)
+SNAPPY = "SnappyCompressor"
+SUPPORTED_COMPRESSORS = (LZ4, DEFLATE, SNAPPY)
 
 
 def check_compressor(name: str, source: str = "<bytes>") -> str:
@@ -76,8 +82,8 @@ def check_compressor(name: str, source: str = "<bytes>") -> str:
     if name not in SUPPORTED_COMPRESSORS:
         raise ValueError(
             f"unsupported compressor {name!r} in {source}: this engine "
-            f"decodes {', '.join(SUPPORTED_COMPRESSORS)}; Snappy/Zstd "
-            "chunk codecs are not implemented"
+            f"decodes {', '.join(SUPPORTED_COMPRESSORS)}; the Zstd "
+            "chunk codec is not implemented"
         )
     return name
 
@@ -224,12 +230,174 @@ def lz4_compress_fixture(data: bytes) -> bytes:
 def encode_chunk(data: bytes, compressor: str = LZ4) -> bytes:
     """One Cassandra on-disk chunk, checksummed: LZ4 = LE length header +
     LZ4 block; Deflate = a zlib-wrapped stream (no length header, matching
-    java.util.zip defaults). CRC32 covers the compressed body either way."""
+    java.util.zip defaults); Snappy = a raw snappy block (its own varint
+    length preamble). CRC32 covers the compressed body in every case."""
     if compressor == DEFLATE:
         body = zlib.compress(data)
+    elif compressor == SNAPPY:
+        body = snappy_compress_fixture(data)
     else:
         body = struct.pack("<i", len(data)) + lz4_compress_fixture(data)
     return body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def snappy_decompress_consumed(
+    src: bytes, expected_len: int, source: str = "<bytes>"
+) -> tuple[bytes, int]:
+    """Spec-complete raw-Snappy block decode (google/snappy
+    format_description.txt) from the head of ``src`` -> (exactly
+    ``expected_len`` bytes, consumed source length); tolerant of trailing
+    non-block bytes (the padded-last-chunk extent, same contract as the
+    LZ4/deflate decoders). Format: LE-base-128 varint uncompressed length,
+    then tagged elements -- tag&3: 0 literal (6-bit length-1, 60..63 add
+    1..4 LE extension bytes), 1 copy len 4..11 / 11-bit offset (3 high
+    bits in the tag, 1 trailing byte), 2 copy len 1..64 / LE16 offset,
+    3 copy len 1..64 / LE32 offset. Copies may overlap the output tail
+    (the RLE trick) -- byte-wise semantics."""
+    out = bytearray()
+    i, n = 0, len(src)
+
+    def err(msg: str) -> ValueError:
+        return ValueError(
+            f"corrupt snappy block {source}: {msg} at byte {i}"
+        )
+
+    # uncompressed-length preamble (little-endian base 128, max 5 bytes)
+    plen = 0
+    shift = 0
+    while True:
+        if i >= n:
+            raise err("truncated length preamble")
+        b = src[i]
+        i += 1
+        plen |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 31:
+            raise err("length preamble exceeds 32 bits")
+    if plen != expected_len:
+        raise ValueError(
+            f"corrupt snappy block {source}: preamble length {plen} != "
+            f"expected {expected_len}"
+        )
+    while len(out) < expected_len:
+        if i >= n:
+            raise err(
+                f"block ends at {len(out)}/{expected_len} output bytes"
+            )
+        tag = src[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            l6 = tag >> 2
+            if l6 < 60:
+                length = l6 + 1
+            else:
+                nb = l6 - 59  # 1..4 extension bytes, little-endian
+                if i + nb > n:
+                    raise err("truncated literal length extension")
+                length = int.from_bytes(src[i : i + nb], "little") + 1
+                i += nb
+            if i + length > n:
+                raise err("literal runs past the block")
+            out += src[i : i + length]
+            i += length
+        else:
+            if kind == 1:
+                length = ((tag >> 2) & 0x7) + 4
+                if i >= n:
+                    raise err("truncated copy offset")
+                offset = ((tag >> 5) << 8) | src[i]
+                i += 1
+            elif kind == 2:
+                length = (tag >> 2) + 1
+                if i + 2 > n:
+                    raise err("truncated copy offset")
+                offset = int.from_bytes(src[i : i + 2], "little")
+                i += 2
+            else:
+                length = (tag >> 2) + 1
+                if i + 4 > n:
+                    raise err("truncated copy offset")
+                offset = int.from_bytes(src[i : i + 4], "little")
+                i += 4
+            if offset == 0:
+                raise err("copy offset 0")
+            if offset > len(out):
+                raise err(
+                    f"copy offset {offset} reaches before the output start"
+                )
+            if offset >= length:
+                start = len(out) - offset
+                out += out[start : start + length]
+            else:  # overlapping copy: byte-wise semantics
+                for _ in range(length):
+                    out.append(out[-offset])
+    if len(out) != expected_len:
+        raise err(
+            f"element overruns the declared length "
+            f"({len(out)} > {expected_len})"
+        )
+    return bytes(out), i
+
+
+def _snappy_emit_literal(out: bytearray, data: bytes) -> None:
+    pos = 0
+    while pos < len(data):
+        span = data[pos : pos + (1 << 24)]  # 3 extension bytes is plenty
+        ln = len(span) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            nb = (ln.bit_length() + 7) // 8
+            out.append((59 + nb) << 2)
+            out += ln.to_bytes(nb, "little")
+        out += span
+        pos += len(span)
+
+
+def snappy_compress_fixture(data: bytes) -> bytes:
+    """Deterministic valid-Snappy encoder for fixture chunks (the
+    LZ4-fixture playbook): zero runs become offset-1 copies after a
+    1-byte literal, everything else is literals. Any spec decoder can
+    decompress the result; it is NOT a general-purpose matcher."""
+    out = bytearray()
+    n = len(data)
+    # preamble: uncompressed length, LE base 128
+    v = n
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    lit_start = 0
+    for m in _ZERO_RUN.finditer(data):
+        i = m.start()
+        run = m.end() - i
+        if run < _MIN_MATCH + 1:
+            continue
+        # the literal includes the run's FIRST byte, so the offset-1 copy
+        # always has a previous byte to repeat (run-at-offset-0 included;
+        # snappy has no LZ4-style end-of-block restrictions)
+        _snappy_emit_literal(out, data[lit_start : i + 1])
+        rest = run - 1
+        while rest:
+            take = min(rest, 64)
+            if take >= 4 and take <= 11:
+                out.append(0x01 | ((take - 4) << 2))  # copy1, offset 1
+                out.append(1)
+            else:
+                out.append(0x02 | ((take - 1) << 2))  # copy2, offset 1
+                out += (1).to_bytes(2, "little")
+            rest -= take
+        lit_start = m.end()
+    if lit_start < n:
+        _snappy_emit_literal(out, data[lit_start:])
+    return bytes(out)
 
 
 def _deflate_decompress_consumed(
@@ -280,18 +448,22 @@ def decode_chunk(
     - compressed (dispatch on the CompressionInfo.db compressor name):
       LZ4 = [LE length header == expected_len][LZ4 producing exactly
       expected_len bytes][CRC32 of header+LZ4]; Deflate = [one zlib
-      stream producing exactly expected_len bytes][CRC32 of it];
+      stream producing exactly expected_len bytes][CRC32 of it]; Snappy =
+      [one raw snappy block, preamble == expected_len][CRC32 of it];
     - raw (formats >= "na" store an incompressible chunk uncompressed):
       [expected_len data bytes][CRC32 of them] -- only attempted when the
       compressed parse fails structurally, and only accepted when its own
       checksum verifies, so a false match is cryptographically unlikely."""
     check_compressor(compressor, source)
     comp_err: Exception | None = None
-    if compressor == DEFLATE:
+    if compressor in (DEFLATE, SNAPPY):
+        decoder = (
+            _deflate_decompress_consumed
+            if compressor == DEFLATE
+            else snappy_decompress_consumed
+        )
         try:
-            data, end = _deflate_decompress_consumed(
-                raw, expected_len, source=source
-            )
+            data, end = decoder(raw, expected_len, source=source)
             if end + _CHECKSUM > len(raw):
                 raise ValueError(
                     f"corrupt chunk {source}: checksum past chunk extent"

@@ -588,9 +588,10 @@ def write_sstable(
                 if max_cl is None or ck > max_cl[0]:
                     max_cl = (ck, vals)
 
-    if compression not in ("none", "lz4"):
+    if compression not in ("none", "lz4", "deflate", "snappy"):
         raise ValueError(
-            f"unsupported writer compression {compression!r}: none|lz4"
+            f"unsupported writer compression {compression!r}: "
+            "none|lz4|deflate|snappy"
         )
     os.makedirs(out_dir, exist_ok=True)
     prefix = os.path.join(out_dir, f"{_BIG_VERSION}-{sstable_id}-big-")
@@ -601,13 +602,20 @@ def write_sstable(
         _atomic_write(p, data)
         written.append(p)
 
-    if compression == "lz4":
+    if compression != "none":
         # chunk-compressed Data.db + CompressionInfo chunk map; real
         # Cassandra writes no CRC.db for compressed sstables (chunk CRCs
         # live inline in Data.db)
         from cassandra_sstable_tools_spark.sources.lz4_block import (
+            DEFLATE,
+            LZ4,
+            SNAPPY,
             write_chunked_file,
         )
+
+        chunk_compressor = {
+            "lz4": LZ4, "deflate": DEFLATE, "snappy": SNAPPY,
+        }[compression]
         from cassandra_sstable_tools_spark.sources.sstable_binary import (
             encode_compression_info,
         )
@@ -627,6 +635,7 @@ def write_sstable(
                 offsets = write_chunked_file(
                     [(0, bytes(blob))], len(blob), chunk_len, f,
                     max_compressed_length=chunk_len,
+                    compressor=chunk_compressor,
                 )
             os.replace(tmp, dpath)
         finally:
@@ -640,7 +649,11 @@ def write_sstable(
             "CompressionInfo.db",
             encode_compression_info(
                 len(blob), version=_BIG_VERSION, chunk_length=chunk_len,
-                options={"lz4_high_compressor_level": "3"},
+                compressor=chunk_compressor,
+                options=(
+                    {"lz4_high_compressor_level": "3"}
+                    if compression == "lz4" else {}
+                ),
                 offsets=offsets,
             ),
         )
@@ -735,10 +748,10 @@ class SSTableWriter(DataSourceWriter):
         self.clustering_type = options.get("clustering_type")
         validate_clustering_type(self.clustering_type)
         self.compression = options.get("compression", "none").lower()
-        if self.compression not in ("none", "lz4"):
+        if self.compression not in ("none", "lz4", "deflate", "snappy"):
             raise ValueError(
                 f"unsupported writer compression {self.compression!r}: "
-                "none|lz4"
+                "none|lz4|deflate|snappy"
             )
         # one random base per write job -> unique generations per append
         self.run_base = uuid.uuid4().hex[:8]

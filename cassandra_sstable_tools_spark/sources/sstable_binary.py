@@ -887,8 +887,9 @@ def parse_compression_info_full(
     4-byte checksum. The compressor name is what Cassandra's
     CompressionParams serializer writeUTF'd (e.g. "LZ4Compressor",
     "DeflateCompressor", "SnappyCompressor", "ZstdCompressor") -- the
-    chunk layer dispatches on it (lz4_block.decode_chunk) and refuses
-    unimplemented codecs BY NAME instead of misreporting a corrupt block."""
+    chunk layer dispatches on it (lz4_block.decode_chunk; LZ4, Deflate
+    and Snappy decode) and refuses unimplemented codecs (Zstd) BY NAME
+    instead of misreporting a corrupt block."""
     try:
         off = 0
         compressor, off = _read_java_utf(content, off, source)
