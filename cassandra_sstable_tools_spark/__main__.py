@@ -123,9 +123,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "materializes a whole table",
     )
     p.add_argument(
-        "--compression", default="none", choices=["none", "lz4"],
-        help="compact: output Data.db layout (lz4 = chunk-compressed + "
-             "CompressionInfo map, Cassandra's default)",
+        "--compression", default="none",
+        choices=["none", "lz4", "deflate", "snappy"],
+        help="compact: output Data.db layout (lz4/deflate/snappy = "
+             "chunk-compressed + CompressionInfo map; lz4 is Cassandra's "
+             "cluster default)",
     )
     p.add_argument(
         "--target-sstable-bytes", type=int, default=256 << 20,

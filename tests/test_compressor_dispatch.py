@@ -338,6 +338,44 @@ def test_zstd_tree_refused_by_name_not_corrupt_lz4(spark, sf_dir, tmp_path):
 # sink: option("compression", "deflate"/"snappy") writes decodable trees
 # --------------------------------------------------------------------------
 
+def test_compact_dir_deflate_output_round_trips(spark, sf_dir, tmp_path):
+    """EXECUTED compaction with --compression deflate: the rewritten tree
+    carries DeflateCompressor chunk maps and decodes record-identical to
+    an uncompressed compaction of the same source."""
+    from cassandra_sstable_tools_spark.operators.compaction import (
+        compact_dir,
+    )
+    from cassandra_sstable_tools_spark.sources.data_cells import data_cells
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+        parse_compression_info_full,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    plain_out = str(tmp_path / "plain")
+    defl_out = str(tmp_path / "defl")
+    compact_dir(spark, root, plain_out)
+    compact_dir(spark, root, defl_out, compression="deflate")
+    maps = []
+    for dp, _, fs in os.walk(defl_out):
+        maps += [os.path.join(dp, f) for f in fs
+                 if f.endswith("-CompressionInfo.db")]
+    assert maps, "deflate compaction wrote no chunk maps"
+    for p in maps:
+        with open(p, "rb") as f:
+            *_, name = parse_compression_info_full(f.read(), version="nb")
+        assert name == L.DEFLATE
+    want = _frame(
+        data_cells(spark, plain_out, with_values=True)
+        .drop("sstable_id", "position", "phys_size")
+    )
+    got = _frame(
+        data_cells(spark, defl_out, with_values=True)
+        .drop("sstable_id", "position", "phys_size")
+    )
+    assert got == want and len(got) > 0
+
+
 @pytest.mark.parametrize("compression", ["deflate", "snappy"])
 def test_writer_compression_options_round_trip(tmp_path, compression):
     """write_sstable(compression=deflate|snappy) emits a chunked Data.db +
