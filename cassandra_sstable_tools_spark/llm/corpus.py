@@ -476,3 +476,100 @@ SELECT doc_id, source, sample_key, rank FROM (
 ) WHERE rank <= {SAMPLE_TOP_K}
 """
 QUERIES["per_source_sample_topk"] = per_source_sample_topk
+
+
+def doc_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram-LM-style quality signal: how CORPUS-TYPICAL a
+    document's word bigrams are. The CCNet-style LM-perplexity filter's
+    exact-arithmetic surrogate: instead of mean log P(w2|w1) (floats the
+    driver hash cannot certify), the report carries the integer sums the
+    probability is made of -- per doc, the number of bigrams, the summed
+    corpus frequency of its bigrams, the summed corpus frequency of their
+    LEFT words, and typicality_ppm = (sum_bf * 1e6) DIV sum_uf, an
+    integer-DIV ratio in [0, 1e6] (bf(w1 w2) <= uf(w1) per row).
+    Boilerplate/repeated text scores high; gibberish or rare-token soup
+    scores low. Docs with < 2 words carry no bigrams and drop out
+    (documented; the oracle mirrors).
+
+    Scale posture: ONE bigram-grain explode (linear in corpus tokens);
+    bigram/unigram counts are map-side-combined aggregates; the two
+    frequency joins key on token strings (many-to-one: no fan-out; the
+    stopword-skew path is AQE's skew-join case); final agg at doc grain.
+    No windows, no driver-side state, nothing corpus-bounded in one task.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    pair = (
+        "transform(sequence(0, size(w) - 2), "
+        "i -> struct(w[i] AS w1, concat_ws(' ', w[i], w[i+1]) AS bigram))"
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("w") >= 2, F.expr(pair)).otherwise(
+                F.expr("array()").cast(
+                    "array<struct<w1:string,bigram:string>>"
+                )
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.bigram")
+    bf = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("bf"))
+    uni = (
+        docs.select(F.explode("w").alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("uf"))
+        .withColumnRenamed("word", "w1")
+    )
+    return (
+        bg.join(bf, "bigram")
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("bf").cast("bigint").alias("sum_bigram_freq"),
+            F.sum("uf").cast("bigint").alias("sum_left_freq"),
+        )
+        .withColumn(
+            "typicality_ppm",
+            F.expr("(sum_bigram_freq * 1000000) DIV sum_left_freq").cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+STAGED_QUERIES = {"doc_bigram_typicality": doc_bigram_typicality}
+STAGED_ORACLES = {
+    "doc_bigram_typicality": r"""
+WITH words AS (
+    SELECT doc_id,
+           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1
+               AS pos,
+           unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+),
+uni AS (
+    SELECT word, count(*) AS uf FROM words
+    WHERE length(word) >= 1 GROUP BY 1
+),
+bg AS (
+    SELECT w1.doc_id, w1.word AS w1, concat(w1.word, ' ', w2.word) AS bigram
+    FROM words w1
+    JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+),
+bf AS (SELECT bigram, count(*) AS bf FROM bg GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(f.bf) AS BIGINT) AS sum_bigram_freq,
+       CAST(sum(u.uf) AS BIGINT) AS sum_left_freq,
+       CAST((CAST(sum(f.bf) AS BIGINT) * 1000000)
+            // CAST(sum(u.uf) AS BIGINT) AS BIGINT) AS typicality_ppm
+FROM bg g
+JOIN bf f USING (bigram)
+JOIN uni u ON u.word = g.w1
+GROUP BY g.doc_id
+"""
+}

@@ -984,6 +984,88 @@ def compression_data_lengths(
     )
 
 
+def compression_chunk_maps(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
+    """Full CompressionInfo.db chunk-map facts per COMPRESSED sstable:
+    (keyspace, table_name, sstable_id, compressor, chunk_length, n_chunks,
+    uncompressed_length). Same directory-listing-shaped scan as
+    ``compression_data_lengths`` (the component is KBs per sstable) but
+    parses the WHOLE header incl. the compressor class name and the chunk
+    offset array -- the inputs a compression report needs."""
+    bf = _filter_files(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-CompressionInfo.db")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path", "content"),
+        filenames,
+        "CompressionInfo.db",
+    )
+
+    def parse_files(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                ks, tb, ss, ver = _parse_filename(
+                    path, component="CompressionInfo.db"
+                )
+                chunk_len, data_len, _mc, offsets, name = (
+                    parse_compression_info_full(
+                        bytes(content), ver, source=path
+                    )
+                )
+                rows.append(
+                    (ks, tb, ss, name, chunk_len, len(offsets), data_len)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "keyspace", "table_name", "sstable_id", "compressor",
+                    "chunk_length", "n_chunks", "uncompressed_length",
+                ],
+            )
+
+    return bf.mapInPandas(
+        parse_files,
+        "keyspace string, table_name string, sstable_id string, "
+        "compressor string, chunk_length bigint, n_chunks bigint, "
+        "uncompressed_length bigint",
+    )
+
+
+def compression_report_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sstable compression report from a Cassandra data directory:
+    the compressor class name, chunk geometry and the physical
+    compression ratio (disk bytes per million uncompressed bytes --
+    integer DIV on both engines, so the certificate is float-free).
+    Reference parity: sstablemetadata-style compression facts resolved
+    from CompressionMetadata (the reference reads them through
+    cassandra-all); the r12 compressor-dispatch work makes the NAME a
+    first-class analytic column. Two 1-row-per-sstable frames, broadcast
+    join, no shuffle."""
+    root = materialize_index_files(spark, sf_dir)
+    keys = ["keyspace", "table_name", "sstable_id"]
+    maps = compression_chunk_maps(spark, root)
+    disk = _data_db_meta(spark, root).select(*keys, "disk_length")
+    return (
+        maps.join(F.broadcast(disk), keys)
+        .select(
+            *keys,
+            "compressor",
+            "chunk_length",
+            "n_chunks",
+            "uncompressed_length",
+            "disk_length",
+            F.expr(
+                "(disk_length * 1000000) DIV uncompressed_length"
+            ).cast("bigint").alias("ratio_ppm"),
+        )
+    )
+
+
 def _data_db_meta(spark: SparkSession, root: str, filenames=None) -> DataFrame:
     """(keyspace, table_name, sstable_id, disk_length, file_timestamp) from
     Data.db file METADATA -- one listing, no contents.
@@ -1591,6 +1673,33 @@ QUERIES = {
     "sstables_cassdir": sstables_cassdir,
 }
 ORACLES = _oracles()
+
+
+# r12 staged (SURVEY §2.9 convention: oracle-green + plan-clean before a
+# later round's registration window). The planted compressed subset is
+# parity-chosen with chunk_length 65536 and Data.db truncated to
+# (len*3)//5, so every report column is metadata-predictable; integer DIV
+# keeps the ratio float-free on both engines.
+def _compression_report_oracle() -> str:
+    from cassandra_sstable_tools_spark.oracles import with_adapter
+
+    return with_adapter(f"""
+SELECT s.keyspace, s.table_name, s.sstable_id,
+       'LZ4Compressor' AS compressor,
+       CAST(65536 AS BIGINT) AS chunk_length,
+       CAST((s.uncompressed_length + 65535) // 65536 AS BIGINT) AS n_chunks,
+       s.uncompressed_length AS uncompressed_length,
+       CAST((s.uncompressed_length * 3) // 5 AS BIGINT) AS disk_length,
+       CAST(((s.uncompressed_length * 3) // 5) * 1000000
+            // s.uncompressed_length AS BIGINT) AS ratio_ppm
+FROM sstables_meta s
+WHERE s.uncompressed_length IS NOT NULL
+  AND {compressed_parity_sql("s")}
+""")
+
+
+STAGED_QUERIES = {"compression_report_cassdir": compression_report_cassdir}
+STAGED_ORACLES = {"compression_report_cassdir": _compression_report_oracle()}
 
 
 # --------------------------------------------------------------------------

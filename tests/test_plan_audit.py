@@ -655,3 +655,51 @@ def test_dedup_keep_best_argmax_is_aggregate_not_window(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" not in plan_nb, plan_nb
+
+
+def test_doc_bigram_typicality_aggregates_no_window_no_hint(spark, sf_dir):
+    """doc_bigram_typicality (r13 staged): frequency joins carry NO
+    broadcast hint (the bigram/unigram count frames are corpus-sized --
+    a hint-forced broadcast is the semantic_dedup_keep r10 defect all
+    over again), the per-doc rollup is a partial+final AGGREGATE, and
+    no window sort appears anywhere."""
+    from cassandra_sstable_tools_spark.llm.corpus import (
+        doc_bigram_typicality,
+    )
+    from cassandra_sstable_tools_spark.plans.audit import (
+        formatted_plan,
+        tree_node_count,
+    )
+
+    df = doc_bigram_typicality(spark, sf_dir)
+    assert tree_node_count(df, "Window") == 0
+    assert tree_node_count(df, "Aggregate") >= 2  # partial + final
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_nb = formatted_plan(doc_bigram_typicality(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan_nb, plan_nb
+
+
+def test_compression_report_broadcasts_the_listing(spark, sf_dir):
+    """compression_report_cassdir (r13 staged): both inputs are
+    1-row-per-sstable frames; the Data.db listing side is explicitly
+    broadcast (metadata-only, always tiny), so the join never shuffles
+    the parsed chunk maps."""
+    from cassandra_sstable_tools_spark.plans.audit import (
+        formatted_plan,
+        tree_node_count,
+    )
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        compression_report_cassdir,
+    )
+
+    df = compression_report_cassdir(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert tree_node_count(df, "SortMergeJoin") == 0
