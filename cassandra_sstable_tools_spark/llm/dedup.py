@@ -895,3 +895,82 @@ FROM hs a JOIN hs b ON b.h = a.h AND a.source < b.source
 GROUP BY 1, 2
 """
 QUERIES["source_overlap_matrix"] = source_overlap_matrix
+
+
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cost report of near-dup dedup: how many documents and
+    words each source keeps once every minhash-LSH duplicate cluster
+    collapses to one representative (keep = unclustered, or the cluster's
+    min-doc_id member -- cluster_id IS that min by construction). The
+    rollup every curation run reads before shipping a dedup: "which
+    sources is this erasing?". Integer-DIV ppm ratios keep the
+    certificate float-free; an all-blank source's word ratio is NULL
+    (never a divide-by-zero).
+
+    Scale posture: the clusters input is the registered dedup_clusters
+    pipeline (bucket-capped band join + O(log n) CC); this adds one
+    LEFT join at doc grain (clusters frame is near-dup-only, so the join
+    is small-side) and one per-source aggregate with map-side combine."""
+    from cassandra_sstable_tools_spark.llm.text import _word_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _word_count(F.col("text")).alias("nw")
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    keep = F.col("cluster_id").isNull() | (
+        F.col("doc_id") == F.col("cluster_id")
+    )
+    return (
+        d.join(clusters, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+            F.sum(keep.cast("int")).cast("bigint").alias("kept_docs"),
+            F.sum("nw").cast("bigint").alias("total_words"),
+            F.sum(F.when(keep, F.col("nw")).otherwise(F.lit(0)))
+            .cast("bigint").alias("kept_words"),
+        )
+        .withColumn(
+            "kept_docs_ppm",
+            F.expr("(kept_docs * 1000000) DIV total_docs").cast("bigint"),
+        )
+        .withColumn(
+            "kept_words_ppm",
+            F.when(
+                F.col("total_words") == 0, F.lit(None).cast("bigint")
+            ).otherwise(
+                F.expr("(kept_words * 1000000) DIV total_words")
+                .cast("bigint")
+            ),
+        )
+    )
+
+
+_NW_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_KEEP_SQL = "(c.cluster_id IS NULL OR d.doc_id = c.cluster_id)"
+
+STAGED_QUERIES = {"dedup_survivorship": dedup_survivorship}
+STAGED_ORACLES = {
+    "dedup_survivorship": f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS total_docs,
+       CAST(sum(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_docs,
+       CAST(sum(d.nw) AS BIGINT) AS total_words,
+       CAST(sum(CASE WHEN {_KEEP_SQL} THEN d.nw ELSE 0 END) AS BIGINT)
+           AS kept_words,
+       CAST((CAST(sum(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // count(*) AS BIGINT) AS kept_docs_ppm,
+       CASE WHEN sum(d.nw) = 0 THEN NULL
+            ELSE CAST((CAST(sum(CASE WHEN {_KEEP_SQL} THEN d.nw ELSE 0 END)
+                            AS BIGINT) * 1000000)
+                      // CAST(sum(d.nw) AS BIGINT) AS BIGINT)
+       END AS kept_words_ppm
+FROM (SELECT doc_id, source, {_NW_SQL} AS nw FROM documents) d
+LEFT JOIN ({{CLUSTERS}}) c ON c.doc_id = d.doc_id
+GROUP BY 1
+""".replace("{CLUSTERS}", ORACLES["dedup_clusters"])
+}

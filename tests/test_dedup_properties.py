@@ -179,3 +179,16 @@ def test_sessionize_invariants(spark, sf_dir):
         F.col("session_start") - F.col("prev_end") <= SESSION_GAP_SECONDS
     ).count()
     assert bad == 0
+
+
+def test_dedup_survivorship_is_not_vacuous(spark, sf_dir):
+    """The survivorship report must show actual drops at fixture scale --
+    a 0-drop frame would certify the oracle vacuously (the r05 lesson:
+    fixture docs have no whole-text dups, but minhash CHUNK-grain
+    clusters exist at every SF)."""
+    from cassandra_sstable_tools_spark.llm.dedup import dedup_survivorship
+
+    pdf = dedup_survivorship(spark, sf_dir).toPandas()
+    assert (pdf["kept_docs"] < pdf["total_docs"]).any()
+    assert (pdf["kept_words"] < pdf["total_words"]).any()
+    assert (pdf["kept_docs_ppm"] < 1_000_000).any()

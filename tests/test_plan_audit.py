@@ -703,3 +703,26 @@ def test_compression_report_broadcasts_the_listing(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert tree_node_count(df, "SortMergeJoin") == 0
+
+
+def test_dedup_survivorship_aggregate_no_hint(spark, sf_dir):
+    """dedup_survivorship (r13 staged): the per-source rollup is a
+    partial+final AGGREGATE over the doc-grain LEFT join, and no
+    broadcast hint forces any join (the clusters side is data-dependent
+    -- the semantic_dedup_keep contract)."""
+    from cassandra_sstable_tools_spark.llm.dedup import dedup_survivorship
+    from cassandra_sstable_tools_spark.plans.audit import (
+        formatted_plan,
+        tree_node_count,
+    )
+
+    df = dedup_survivorship(spark, sf_dir)
+    assert tree_node_count(df, "Aggregate") >= 2
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_nb = formatted_plan(dedup_survivorship(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan_nb, plan_nb
