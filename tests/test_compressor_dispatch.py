@@ -171,6 +171,44 @@ def test_snappy_corruption_is_loud(blk, expected_len, msg):
         L.snappy_decompress_consumed(blk, expected_len)
 
 
+def test_snappy_fused_rle_overrun_still_loud():
+    """The offset-1 RLE fusion must not mask an overrun: two copies whose
+    fused total exceeds the preamble length raise exactly like the
+    unfused path would."""
+    blk = (
+        bytes([5])                      # preamble: 5 bytes
+        + bytes([0 << 2]) + b"x"        # literal 'x'
+        + bytes([0x02 | (2 << 2), 1, 0])  # copy len 3 offset 1
+        + bytes([0x02 | (2 << 2), 1, 0])  # copy len 3 offset 1 -> 7 > 5
+    )
+    with pytest.raises(ValueError, match="overruns the declared length"):
+        L.snappy_decompress_consumed(blk, 5)
+
+
+def test_snappy_fused_rle_mixed_offsets_stop_fusing():
+    """An offset-1 copy followed by an offset-2 copy: fusion must stop at
+    the offset change (fusing would repeat the wrong byte)."""
+    # 'ab' + 4x'b' (offset 1) + 'ba' (offset 2, len 2) = 'abbbbbba'... no:
+    # out after literal: 'ab'; copy1 len4 off1 -> 'abbbbb'; copy off2 len2
+    # copies 'bb'? out[-2:]='bb' -> 'abbbbbbb'. Use distinct bytes:
+    blk = (
+        bytes([8])
+        + bytes([1 << 2]) + b"ab"          # literal 'ab'
+        + bytes([0x01 | (0 << 2), 1])      # copy len 4 offset 1 -> 'bbbb'
+        + bytes([0x02 | (1 << 2), 2, 0])   # copy len 2 offset 2 -> 'bb'
+    )
+    out, _ = L.snappy_decompress_consumed(blk, 8)
+    assert out == b"abbbbbbb"
+    # and one where offset-2 copies a genuinely different pattern
+    blk = (
+        bytes([6])
+        + bytes([1 << 2]) + b"cd"          # 'cd'
+        + bytes([0x02 | (3 << 2), 2, 0])   # copy len 4 offset 2 -> 'cdcd'
+    )
+    out, _ = L.snappy_decompress_consumed(blk, 6)
+    assert out == b"cdcdcd"
+
+
 def test_snappy_fixture_randomized_roundtrip():
     import random
 
