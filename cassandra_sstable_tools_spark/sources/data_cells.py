@@ -870,6 +870,26 @@ def clustering_value_bytes(display: str | None, ctype: str | None) -> bytes | No
     try:
         b = key_encoder(alias)(display)
     except (ValueError, OverflowError) as ex:
+        # The typed renderer itself FALLS BACK to render_key outside its
+        # exact regime (wrong-width fixed types, scientific-regime
+        # decimals) -- so the inverse must mirror that fallback or a real
+        # tree carrying such a value dies mid-compaction (r12 review
+        # finding: a DecimalType clustering of 1E+3 renders '0x...' and
+        # the plain-notation parser refused it). HEX displays only: a
+        # '0x' literal whose raw bytes re-render to the same display
+        # under THIS type is unambiguously the fallback render of those
+        # bytes, so accepting them preserves the byte<->display
+        # bijection. A PRINTABLE fallback display stays refused -- it is
+        # indistinguishable from a user typo ('not-an-int' under
+        # Int32Type), and writing its UTF-8 bytes under a typed header
+        # is the garbage-write this refusal exists to prevent.
+        if display.startswith("0x"):
+            try:
+                cand = bytes.fromhex(display[2:])
+            except ValueError:
+                cand = None
+            if cand is not None and render_typed(cand, ctype) == display:
+                return cand
         raise ValueError(
             f"display {display!r} does not parse as {cls} ({ex})"
         ) from ex

@@ -466,6 +466,24 @@ def _deflate_decompress_consumed(
     return data, len(src) - len(d.unused_data)
 
 
+def _verify_chunk_crc(raw: bytes, end: int, source: str) -> None:
+    """The inline chunk checksum: CRC32 of the compressed body raw[:end],
+    stored big-endian at raw[end:end+4]. ONE implementation for every
+    codec branch of decode_chunk (review finding: the duplicated blocks
+    could drift)."""
+    if end + _CHECKSUM > len(raw):
+        raise ValueError(
+            f"corrupt chunk {source}: checksum past chunk extent"
+        )
+    stored = raw[end : end + _CHECKSUM]
+    crc = zlib.crc32(raw[:end]) & 0xFFFFFFFF
+    if struct.unpack(">I", stored)[0] != crc:
+        raise ValueError(
+            f"corrupt chunk {source}: checksum mismatch "
+            f"(stored {stored.hex()}, computed {crc:08x})"
+        )
+
+
 def decode_chunk(
     raw: bytes,
     expected_len: int,
@@ -500,17 +518,7 @@ def decode_chunk(
         )
         try:
             data, end = decoder(raw, expected_len, source=source)
-            if end + _CHECKSUM > len(raw):
-                raise ValueError(
-                    f"corrupt chunk {source}: checksum past chunk extent"
-                )
-            stored = raw[end : end + _CHECKSUM]
-            crc = zlib.crc32(raw[:end]) & 0xFFFFFFFF
-            if struct.unpack(">I", stored)[0] != crc:
-                raise ValueError(
-                    f"corrupt chunk {source}: checksum mismatch "
-                    f"(stored {stored.hex()}, computed {crc:08x})"
-                )
+            _verify_chunk_crc(raw, end, source)
             return data
         except ValueError as e:
             comp_err = e
@@ -521,18 +529,7 @@ def decode_chunk(
                 data, consumed = lz4_decompress_consumed(
                     raw[_LEN_HEADER:], expected_len, source=source
                 )
-                end = _LEN_HEADER + consumed
-                if end + _CHECKSUM > len(raw):
-                    raise ValueError(
-                        f"corrupt chunk {source}: checksum past chunk extent"
-                    )
-                stored = raw[end : end + _CHECKSUM]
-                crc = zlib.crc32(raw[:end]) & 0xFFFFFFFF
-                if struct.unpack(">I", stored)[0] != crc:
-                    raise ValueError(
-                        f"corrupt chunk {source}: checksum mismatch "
-                        f"(stored {stored.hex()}, computed {crc:08x})"
-                    )
+                _verify_chunk_crc(raw, _LEN_HEADER + consumed, source)
                 return data
             except ValueError as e:
                 comp_err = e

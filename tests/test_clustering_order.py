@@ -328,6 +328,45 @@ def test_decimal_clustering_compaction_round_trip(spark, tmp_path):
     assert sorted(r[_CL] for r in got) == sorted(disp)
 
 
+def test_decimal_scientific_regime_survives_compaction(spark, tmp_path):
+    """r12 review finding: a DecimalType clustering OUTSIDE the plain
+    display regime (scale<0 / adjusted exponent<-6) renders as the hex
+    fallback -- the encoder must accept that display back (heuristic
+    inverse + re-render verify) instead of dying mid-compaction, and the
+    comparator must still order it NUMERICALLY among plain values."""
+    import struct as _struct
+
+    from cassandra_sstable_tools_spark.operators.compaction import (
+        compact_dir,
+    )
+
+    _DEC = _M + "DecimalType"
+    # 1E+3: scale -3, unscaled 1 -> render_typed falls back to '0x...'
+    sci = _struct.pack(">i", -3) + b"\x01"
+    sci_disp = dc.render_typed(sci, _DEC)
+    assert sci_disp.startswith("0x")
+    assert clustering_value_bytes(sci_disp, _DEC) == sci
+    disp = ["999", sci_disp, "1001", "2.5"]
+    rows = [
+        _vrow(f"k{i}", "c0", (i).to_bytes(8, "big"), _LONG,
+              clustering=d, wt=1000 + i)
+        for i, d in enumerate(disp)
+    ]
+    src = str(tmp_path / "src")
+    write_sstable(rows, f"{src}/ks/tb", sstable_id="1",
+                  clustering_type="decimal")
+    out = str(tmp_path / "out")
+    compact_dir(spark, src, out)
+    idx = sorted(glob.glob(f"{out}/ks/tb/*-Index.db"))
+    assert len(idx) == 1
+    got = scan_sstable_cell_rows(idx[0], with_values=True)
+    assert sorted(r[_CL] for r in got) == sorted(disp)
+    # numeric order within one partition: 2.5 < 999 < 1E+3 < 1001
+    keys = [comparator_key(clustering_value_bytes(d, _DEC), _DEC)
+            for d in ["2.5", "999", sci_disp, "1001"]]
+    assert keys == sorted(keys) and len(set(keys)) == 4
+
+
 def test_row_clustering_arity_must_match_header(tmp_path):
     """Under a 2-component declaration a ROW display with 1 component
     refuses loudly (Cassandra rows carry full clustering arity)."""
