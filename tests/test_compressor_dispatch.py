@@ -209,6 +209,121 @@ def test_snappy_fused_rle_mixed_offsets_stop_fusing():
     assert out == b"cdcdcd"
 
 
+def _naive_snappy_decode(src: bytes, expected_len: int) -> bytes:
+    """Independent straight-from-the-spec reference decoder (byte-wise
+    copies, no fusion, no bulk replication) -- the differential partner
+    that keeps the optimized decoder honest."""
+    i = 0
+    plen = 0
+    shift = 0
+    while True:
+        b = src[i]
+        i += 1
+        plen |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    assert plen == expected_len
+    out = bytearray()
+    while len(out) < expected_len:
+        tag = src[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:
+            l6 = tag >> 2
+            if l6 < 60:
+                length = l6 + 1
+            else:
+                nb = l6 - 59
+                length = int.from_bytes(src[i : i + nb], "little") + 1
+                i += nb
+            out += src[i : i + length]
+            i += length
+        else:
+            if kind == 1:
+                length = ((tag >> 2) & 0x7) + 4
+                offset = ((tag >> 5) << 8) | src[i]
+                i += 1
+            elif kind == 2:
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(src[i : i + 2], "little")
+                i += 2
+            else:
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(src[i : i + 4], "little")
+                i += 4
+            for _ in range(length):
+                out.append(out[-offset])
+    return bytes(out)
+
+
+def test_snappy_decoder_differential_random_element_streams():
+    """Random VALID element streams (literals + copies of every kind,
+    overlapping and not, fusable offset-1 runs included), decoded by the
+    optimized decoder AND the naive spec decoder: identical output,
+    exact consumed length even with trailing CRC-shaped bytes."""
+    import random
+
+    rng = random.Random(42_12)
+    for _ in range(300):
+        body = bytearray()
+        out_len = 0
+        # build elements against a simulated output length
+        n_elems = rng.randint(1, 30)
+        first = True
+        for _ in range(n_elems):
+            if first or rng.random() < 0.4:
+                lit = bytes(
+                    rng.randrange(256) for _ in range(rng.randint(1, 90))
+                )
+                ln = len(lit) - 1
+                if ln < 60:
+                    body.append(ln << 2)
+                else:
+                    body.append(60 << 2)
+                    body.append(ln)
+                body += lit
+                out_len += len(lit)
+                first = False
+            else:
+                kind = rng.choice((1, 2, 3))
+                offset = rng.randint(1, out_len)
+                if kind == 1:
+                    length = rng.randint(4, 11)
+                    if offset > 2047:
+                        offset = rng.randint(1, 2047)
+                    body.append(0x01 | ((length - 4) << 2)
+                                | ((offset >> 8) << 5))
+                    body.append(offset & 0xFF)
+                else:
+                    length = rng.randint(1, 64)
+                    if kind == 2:
+                        body.append(0x02 | ((length - 1) << 2))
+                        body += offset.to_bytes(2, "little")
+                    else:
+                        body.append(0x03 | ((length - 1) << 2))
+                        body += offset.to_bytes(4, "little")
+                out_len += length
+        # preamble
+        pre = bytearray()
+        v = out_len
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                pre.append(b | 0x80)
+            else:
+                pre.append(b)
+                break
+        blk = bytes(pre) + bytes(body)
+        want = _naive_snappy_decode(blk, out_len)
+        got, consumed = L.snappy_decompress_consumed(
+            blk + b"\xde\xad\xbe\xef", out_len
+        )
+        assert got == want
+        assert consumed == len(blk)
+
+
 def test_snappy_fixture_randomized_roundtrip():
     import random
 
