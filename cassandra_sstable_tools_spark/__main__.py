@@ -10,6 +10,7 @@ the engine's extension surface.
     python -m cassandra_sstable_tools_spark dedup    [--sf-dir DIR]
     python -m cassandra_sstable_tools_spark ann      [--sf-dir DIR] [-n N]
     python -m cassandra_sstable_tools_spark query    [NAME] [--sf-dir DIR] [--max-rows N] [--explain]
+    python -m cassandra_sstable_tools_spark compression [--cassandra-dir DIR] [-f F1,F2]
 
 Flag parity with the reference CLI (cli/PartitionSizeStatisticsCollector
 .java:35-59): `-n` top-N size, `-f` comma-separated Data.db filename
@@ -76,7 +77,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "command",
         choices=["summary", "sstables", "pstats", "cfstats", "purge",
-                 "compact", "lookup", "clean", "dedup", "ann", "query"],
+                 "compact", "lookup", "clean", "dedup", "ann", "query",
+                 "compression"],
     )
     p.add_argument(
         "name", nargs="?", default=None,
@@ -247,12 +249,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         import os as _os
 
         if args.command not in ("pstats", "sstables", "summary", "cfstats",
-                                "purge", "lookup", "compact"):
+                                "purge", "lookup", "compact",
+                                "compression"):
             sys.stderr.write(
                 "--cassandra-dir supports the five reference commands "
-                "(pstats, sstables, summary, cfstats, purge) plus lookup "
-                "and compact; the extension commands read the parquet "
-                "corpus\n"
+                "(pstats, sstables, summary, cfstats, purge) plus lookup, "
+                "compact and compression; the other extension commands "
+                "read the parquet corpus\n"
             )
             return 2
         from cassandra_sstable_tools_spark.sources.sstable_binary import (
@@ -461,6 +464,29 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             {"disk_size": "bytes", "data_size": "bytes", "last_repaired": "ts_ms"},
             order=["keyspace", "table_name"],
         )))
+    elif args.command == "compression":
+        # per-sstable compression report (compressor name, chunk
+        # geometry, physical ratio) from the CompressionInfo chunk maps
+        from cassandra_sstable_tools_spark.sources.sstable_binary import (
+            compression_report_cassdir,
+            compression_report_from_dir,
+        )
+
+        if args.cassandra_dir:
+            names = args.filenames.split(",") if args.filenames else None
+            report = _table_scope_filter(
+                compression_report_from_dir(
+                    spark, _scoped_cassdir_root(args), filenames=names
+                ),
+                args,
+            )
+        else:
+            report = compression_report_cassdir(spark, sf)
+        out.append(("Compression (per compressed sstable)", _render(
+            report,
+            {"uncompressed_length": "bytes", "disk_length": "bytes",
+             "chunk_length": "bytes"},
+            order=["keyspace", "table_name", "sstable_id"])))
     elif args.command == "sstables":
         from cassandra_sstable_tools_spark.queries.sstables_listing import sstables_listing
 

@@ -1036,20 +1036,23 @@ def compression_chunk_maps(
     )
 
 
-def compression_report_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-sstable compression report from a Cassandra data directory:
-    the compressor class name, chunk geometry and the physical
-    compression ratio (disk bytes per million uncompressed bytes --
-    integer DIV on both engines, so the certificate is float-free).
-    Reference parity: sstablemetadata-style compression facts resolved
-    from CompressionMetadata (the reference reads them through
-    cassandra-all); the r12 compressor-dispatch work makes the NAME a
-    first-class analytic column. Two 1-row-per-sstable frames, broadcast
-    join, no shuffle."""
-    root = materialize_index_files(spark, sf_dir)
+def compression_report_from_dir(
+    spark: SparkSession, root: str, filenames=None
+) -> DataFrame:
+    """Per-sstable compression report over a REAL Cassandra data
+    directory: the compressor class name, chunk geometry and the
+    physical compression ratio (disk bytes per million uncompressed
+    bytes -- integer DIV on both engines, so the certificate is
+    float-free). Reference parity: sstablemetadata-style compression
+    facts resolved from CompressionMetadata (the reference reads them
+    through cassandra-all); the r12 compressor-dispatch work makes the
+    NAME a first-class analytic column. Two 1-row-per-sstable frames,
+    broadcast join, no shuffle."""
     keys = ["keyspace", "table_name", "sstable_id"]
-    maps = compression_chunk_maps(spark, root)
-    disk = _data_db_meta(spark, root).select(*keys, "disk_length")
+    maps = compression_chunk_maps(spark, root, filenames)
+    disk = _data_db_meta(spark, root, filenames).select(
+        *keys, "disk_length"
+    )
     return (
         maps.join(F.broadcast(disk), keys)
         .select(
@@ -1063,6 +1066,14 @@ def compression_report_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(disk_length * 1000000) DIV uncompressed_length"
             ).cast("bigint").alias("ratio_ppm"),
         )
+    )
+
+
+def compression_report_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified wrapper of ``compression_report_from_dir`` over the
+    planted fixture tree (see there for the report's semantics)."""
+    return compression_report_from_dir(
+        spark, materialize_index_files(spark, sf_dir)
     )
 
 

@@ -236,3 +236,52 @@ def test_named_snapshot_selection(spark, sf_dir, tmp_path, capsys):
          "--sf-dir", sf_dir, "-b"], spark=spark
     ) == 2
     del shutil
+
+
+def test_cli_compression_report(spark, sf_dir, capsys):
+    """`compression` renders the per-sstable chunk-map report: compressor
+    name column, one row per COMPRESSED sstable, humanized sizes."""
+    assert main(["compression", "--sf-dir", sf_dir], spark=spark) == 0
+    sections = _tables(capsys.readouterr().out)
+    rows = sections["Compression (per compressed sstable)"]
+    assert rows, "fixture tree has compressed sstables"
+    header_idx = 3  # keyspace, table_name, sstable_id, compressor, ...
+    assert {r[header_idx] for r in rows} == {"LZ4Compressor"}
+
+
+def test_cli_compression_report_cassandra_dir(spark, sf_dir, capsys):
+    """Directory mode + --keyspace scoping + a recompressed tree showing
+    DeflateCompressor by name."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_compressor_dispatch import _recompress_tree
+
+    from cassandra_sstable_tools_spark.sources import lz4_block as L
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, sf_dir)
+    assert main(["compression", "--cassandra-dir", root], spark=spark) == 0
+    rows = _tables(capsys.readouterr().out)[
+        "Compression (per compressed sstable)"
+    ]
+    assert rows and {r[3] for r in rows} == {"LZ4Compressor"}
+
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix="cli_deflate_") + "/tree"
+    try:
+        _recompress_tree(root, dst, L.DEFLATE)
+        assert main(["compression", "--cassandra-dir", dst],
+                    spark=spark) == 0
+        rows = _tables(capsys.readouterr().out)[
+            "Compression (per compressed sstable)"
+        ]
+        assert rows and {r[3] for r in rows} == {"DeflateCompressor"}
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
