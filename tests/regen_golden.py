@@ -103,6 +103,8 @@ def regen() -> None:
         ("lookup_range_cassdir",
          ["lookup", "--cassandra-dir", root,
           "--from", "000000000190", "--to", "000000000230"]),
+        # r12: per-sstable compression report off the chunk maps
+        ("compression_cassdir", ["compression", "--cassandra-dir", root]),
     ]
     for cmd, argv in cases:
         buf = io.StringIO()

@@ -283,3 +283,24 @@ def test_cli_golden_purge_cassdir(spark):
             "purge_cassdir transcript drifted from "
             "tests/golden/purge_cassdir.txt"
         )
+
+
+def test_cli_golden_compression_cassdir(spark):
+    """r12: the per-sstable compression report off the chunk maps,
+    byte-for-byte (dynamic fixture root, so not in the static
+    parametrize)."""
+    from cassandra_sstable_tools_spark.sources.sstable_binary import (
+        materialize_index_files,
+    )
+
+    root = materialize_index_files(spark, GOLDEN_SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["compression", "--cassandra-dir", root,
+                   "--sf-dir", GOLDEN_SF, "-b"], spark=spark)
+    assert rc == 0
+    with open(os.path.join(GOLDEN_DIR, "compression_cassdir.txt")) as f:
+        assert buf.getvalue() == f.read(), (
+            "compression_cassdir transcript drifted from "
+            "tests/golden/compression_cassdir.txt"
+        )
