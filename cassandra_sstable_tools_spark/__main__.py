@@ -163,11 +163,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "--cassandra-dir", default=None, metavar="DIR",
         help="ALL FIVE reference commands (pstats/sstables/summary/cfstats/"
-             "purge): read a REAL Cassandra data directory "
-             "(<dir>/<keyspace>/<table>/*-{Index,Data,Statistics,"
-             "CompressionInfo}.db) instead of the parquet fixtures -- "
-             "binary index/stats parses, full cell decode (LZ4 chunk layer "
-             "for compressed sstables); no parquet anywhere",
+             "purge) plus lookup/compact/compression: read a REAL Cassandra "
+             "data directory (<dir>/<keyspace>/<table>/*-{Index,Data,"
+             "Statistics,CompressionInfo}.db) instead of the parquet "
+             "fixtures -- binary index/stats parses, full cell decode "
+             "(LZ4/Deflate/Snappy chunk layer for compressed sstables; "
+             "Zstd refused by name); no parquet anywhere",
     )
     p.add_argument(
         "--pin-snapshot", action="store_true",
