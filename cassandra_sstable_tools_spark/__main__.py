@@ -988,9 +988,15 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
         from cassandra_sstable_tools_spark.queries import registry
 
         qs = registry.queries()
+        staged = registry.staged_queries()
         if not args.name:
             sys.stdout.write("\n".join(sorted(qs)) + "\n")
+            if staged:
+                sys.stdout.write("\n".join(
+                    f"{n} (staged)" for n in sorted(staged)) + "\n")
             return 0
+        if args.name in staged and args.name not in qs:
+            qs = {**qs, args.name: staged[args.name]}
         if args.name not in qs:
             sys.stderr.write(f"unknown query {args.name!r} (run `query` with "
                              "no name to list)\n")

@@ -157,6 +157,17 @@ def _ordered_names(base: dict[str, QuerieFn]) -> list[str]:
 # everything else the per-call plan build IS part of the honest cost.
 
 
+def staged_queries() -> dict[str, QuerieFn]:
+    """Queries built + oracle-proven but NOT yet in the driver's
+    certification window (module-level STAGED_QUERIES, SURVEY §2.9).
+    Exposed so the CLI's `query` command can run them by name before
+    their registration round; they never enter the certified ordering."""
+    out: dict[str, QuerieFn] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "STAGED_QUERIES", {}))
+    return out
+
+
 def queries() -> dict[str, QuerieFn]:
     base: dict[str, QuerieFn] = {}
     for mod in _modules():

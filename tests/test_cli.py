@@ -285,3 +285,19 @@ def test_cli_compression_report_cassandra_dir(spark, sf_dir, capsys):
         import shutil
 
         shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
+
+
+def test_cli_query_runs_staged_by_name(spark, sf_dir, capsys):
+    """A staged (oracle-proven, pre-registration) query is runnable and
+    listed with a '(staged)' tag -- pre-registration inspection."""
+    from cassandra_sstable_tools_spark.queries import registry
+
+    staged = registry.staged_queries()
+    assert staged, "round convention keeps a staged set"
+    name = sorted(staged)[0]
+    assert main(["query", "--sf-dir", sf_dir], spark=spark) == 0
+    listing = capsys.readouterr().out
+    assert f"{name} (staged)" in listing
+    assert main(["query", name, "--sf-dir", sf_dir], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert name in out and "rows" in out
