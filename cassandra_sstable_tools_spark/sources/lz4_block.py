@@ -49,6 +49,22 @@ import re
 import struct
 import zlib
 
+try:
+    # C-speed LZ4 raw-block codec: ships inside pyarrow, which the engine
+    # already requires for every Arrow-batched path (no new dependency).
+    # Used ONLY as a fast path over exact-extent chunks -- the pure
+    # decoder below remains the arbiter for any chunk the codec rejects
+    # (trailing padding, raw-stored, corrupt), so observable behavior,
+    # including every error message, is unchanged. A block both decoders
+    # accept decodes identically by the LZ4 spec (decoding is
+    # deterministic); the CRC over the full compressed extent then pins
+    # that the fast path consumed exactly the bytes the pure path would.
+    import pyarrow as _pa
+
+    _LZ4_RAW = _pa.Codec("lz4_raw")
+except Exception:  # pragma: no cover -- environments without pyarrow
+    _LZ4_RAW = None
+
 # Cassandra's LZ4Compressor prepends the decompressed length, little-endian
 _LEN_HEADER = 4
 _CHECKSUM = 4
@@ -525,6 +541,22 @@ def decode_chunk(
     elif len(raw) >= _LEN_HEADER + _CHECKSUM:
         (dlen,) = struct.unpack("<i", raw[:_LEN_HEADER])
         if dlen == expected_len:
+            if _LZ4_RAW is not None and expected_len > 0:
+                # fast path: assume the chunk extent is exact (every
+                # chunk but a length-padded last one) -- the compressed
+                # body is then raw[4:-4] and the CRC sits at the end.
+                # Any mismatch (padding, raw-stored chunk, corruption)
+                # falls through to the spec decoder, which makes the
+                # call exactly as before.
+                try:
+                    body_end = len(raw) - _CHECKSUM
+                    data = _LZ4_RAW.decompress(
+                        raw[_LEN_HEADER:body_end], expected_len
+                    ).to_pybytes()
+                    _verify_chunk_crc(raw, body_end, source)
+                    return data
+                except Exception:  # noqa: BLE001 -- pure decoder decides
+                    pass
             try:
                 data, consumed = lz4_decompress_consumed(
                     raw[_LEN_HEADER:], expected_len, source=source
