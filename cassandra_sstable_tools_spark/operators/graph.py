@@ -37,11 +37,17 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .persist()
     )
+    # Lazy checkpoint + the checksum aggregate as the materializing
+    # action: one job per round does BOTH the checkpoint write and the
+    # convergence check (the eager=True form paid a second full pass per
+    # round just to read the sum; optimization guide S1.2 -- remove
+    # passes). Blocks persist whole rows at the RDD layer, so the
+    # column-pruned aggregate above them changes nothing.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iters):
@@ -58,7 +64,7 @@ def connected_components(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:
@@ -130,7 +136,7 @@ def connected_components_star(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .where(F.col(a_col) != F.col(b_col))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the first checksum
     )
 
     def both_dirs(e: DataFrame) -> DataFrame:
@@ -157,9 +163,12 @@ def connected_components_star(
         # fuse the large-star and small-star passes into ONE materialized
         # job per iteration: the intermediate edge set is never needed by
         # name, so checkpointing it only doubled the per-round job count
+        # lazy checkpoint: the checksum right below is the materializing
+        # action, so each round is ONE job (write blocks + convergence
+        # check) instead of two full passes
         und = _star_round(
             both_dirs(_star_round(both_dirs(und), large=True)), large=False
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         cur = checksum(und)
         if cur == prev:
             break

@@ -198,6 +198,14 @@ def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
     #    an OPPOSITE-type bound of a KEPT live winner is a reference
     #    boundary marker -> floor(cs/2) survives per such bound; a
     #    degenerate rs==re marker counts its position once.
+    # Common-subexpression materialization (optimization round: the
+    # single-expression formulation inlined the winners subtree ~6x in one
+    # Project AND re-derived the kept-winner arrays PER PURGED ELEMENT
+    # inside the aggregate lambda -- visible in plans/r12/
+    # purge_top_before.txt node 18). Helper columns are multi-referenced,
+    # so CollapseProject keeps each as its own Project stage, evaluated
+    # once per delete-map row; only cheap field extractions remain inside
+    # the per-element lambdas. Values are identical by construction.
     _range = F.array_distinct(
         F.transform("rtms", lambda m: F.struct(m["rs"].alias("rs"), m["re"].alias("re")))
     )
@@ -213,10 +221,16 @@ def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
         ),
     )
     live = lambda m: F.col("pd_wt").isNull() | (m["wt"] > F.col("pd_wt"))  # noqa: E731
-    kept_w = F.filter(winners, lambda m: live(m) & (m["ldt"] >= gc_before))
-    purged_w = F.filter(winners, lambda m: live(m) & (m["ldt"] < gc_before))
-    kept_open_pos = F.transform(kept_w, lambda m: m["rs"])
-    kept_close_pos = F.transform(kept_w, lambda m: m["re"])
+    dm = delete_map_raw.withColumn("_winners", winners)
+    dm = dm.withColumn(
+        "_kept_w",
+        F.filter("_winners", lambda m: live(m) & (m["ldt"] >= gc_before)),
+    ).withColumn(
+        "_purged_w",
+        F.filter("_winners", lambda m: live(m) & (m["ldt"] < gc_before)),
+    )
+    kept_open_pos = F.transform(F.col("_kept_w"), lambda m: m["rs"])
+    kept_close_pos = F.transform(F.col("_kept_w"), lambda m: m["re"])
     # purged OPEN bound (pos=rs) meets a kept CLOSE bound; purged CLOSE
     # bound (pos=re) meets a kept OPEN bound.
     def _remnant_bounds(m):
@@ -231,9 +245,13 @@ def merge_enriched(cells: DataFrame, gc_before: int = GC_BEFORE):
         return F.floor(m["cs"] / 2) * n_bounds.cast("bigint")
 
     remnant = F.aggregate(
-        purged_w, F.lit(0).cast("bigint"), lambda acc, m: acc + _remnant_bounds(m)
+        F.col("_purged_w"), F.lit(0).cast("bigint"),
+        lambda acc, m: acc + _remnant_bounds(m),
     )
-    delete_map = broadcast(delete_map_raw.withColumn("remnant", remnant))
+    delete_map = broadcast(
+        dm.withColumn("remnant", remnant)
+        .drop("_winners", "_kept_w", "_purged_w")
+    )
 
     enriched = c.withColumn("rn", F.row_number().over(w_lww)).join(
         delete_map, _PK, "left"
