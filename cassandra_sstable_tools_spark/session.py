@@ -29,6 +29,20 @@ def get_spark(
     # sf0.1 while the machine has 128 GiB. On a real cluster this maps to
     # ordinary executor memory sizing.
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # Shuffle/spill files belong on the fastest local storage (guide S2.1:
+    # local disk bandwidth can be the shuffle's tighter limit). On this
+    # box /tmp is spinning-image-backed while /dev/shm is tmpfs; a real
+    # cluster sets SPARK_LOCAL_DIRS to its NVMe array, which (like any
+    # explicit spark.local.dir) takes precedence over this default.
+    local_dir = None
+    if (
+        "SPARK_LOCAL_DIRS" not in os.environ
+        and os.environ.get("SPARK_GRAFT_LOCAL_DIR", "auto") == "auto"
+        and os.path.isdir("/dev/shm")
+    ):
+        local_dir = "/dev/shm/spark-graft-local"
+    elif os.environ.get("SPARK_GRAFT_LOCAL_DIR", "auto") != "auto":
+        local_dir = os.environ["SPARK_GRAFT_LOCAL_DIR"] or None
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -37,6 +51,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a planned sort-merge join to a shuffled-hash
+        # join at RUNTIME when every post-shuffle partition of the build
+        # side is under this bound (default 0 = never). Decided from
+        # ACTUAL shuffle sizes, so unlike preferSortMergeJoin=false there
+        # is no estimate-driven OOM gamble at scale: an oversized build
+        # partition keeps the spilling sort-merge path. 64m matches one
+        # task's comfortable hash-map budget under the default memory
+        # sizing (guide S3.1).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Deterministic timestamps in reports.
         .config("spark.sql.session.timeZone", "UTC")
@@ -61,6 +85,8 @@ def get_spark(
         # Quieter local runs.
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
