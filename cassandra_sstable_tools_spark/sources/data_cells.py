@@ -1110,6 +1110,19 @@ def _comparator_tuple_cached(
     )
 
 
+@__import__("functools").lru_cache(maxsize=65536)
+def _clustering_blob_cached(
+    display: str | None, types: tuple[str, ...]
+) -> bytes:
+    """Full-arity row clustering display -> serialized clustering bytes.
+    The third member of the per-record memo family (components,
+    comparator tuple, now the wire blob): the encoder previously re-ran
+    the per-32 header fold + vint writes for every RECORD while displays
+    repeat per (partition, clustering) across columns."""
+    vals = _components_cached(display, types, True)
+    return _enc_clustering_values(list(vals), list(types))
+
+
 def encode_unfiltereds(
     records: list[dict],
     h: SerializationHeaderInfo,
@@ -1239,9 +1252,8 @@ def _encode_one(
     clustering_blob = b""
     ext = IS_STATIC if static else 0
     if not static:
-        clustering_blob = _enc_clustering_values(
-            clustering_components(rec["clustering"], h.clustering_types),
-            h.clustering_types,
+        clustering_blob = _clustering_blob_cached(
+            rec["clustering"], tuple(h.clustering_types)
         )
     if kind == "ROW_DELETE":
         body = codec.enc_ts(rec["writetime"]) + codec.enc_ldt(

@@ -497,24 +497,32 @@ def write_sstable(
     validate_clustering_type(clustering_type)
 
     by_key: dict[bytes, dict] = {}
+    # encode+round-trip-verify each DISTINCT key once (a cell-grain batch
+    # repeats every key per column/clustering; the verification outcome
+    # is a pure function of the display)
+    key_cache: dict[str, bytes] = {}
     for row in rows:
         rec = _row_to_record(row)
-        try:
-            kb = _key_bytes(rec["partition_key"], key_type)
-        except ValueError as ex:
-            raise ValueError(
-                f"partition_key {rec['partition_key']!r} does not survive "
-                f"the {key_type or 'default'} encoding round-trip ({ex}) "
-                "-- pass the matching key_type option"
-            ) from ex
-        back = render_typed(kb, key_marshal)
-        if back != rec["partition_key"]:
-            raise ValueError(
-                f"partition_key {rec['partition_key']!r} does not survive "
-                f"the {key_type or 'default'} encoding round-trip "
-                f"(re-renders as {back!r}) -- pass the matching key_type "
-                "option"
-            )
+        pk = rec["partition_key"]
+        kb = key_cache.get(pk)
+        if kb is None:
+            try:
+                kb = _key_bytes(pk, key_type)
+            except ValueError as ex:
+                raise ValueError(
+                    f"partition_key {pk!r} does not survive "
+                    f"the {key_type or 'default'} encoding round-trip ({ex}) "
+                    "-- pass the matching key_type option"
+                ) from ex
+            back = render_typed(kb, key_marshal)
+            if back != pk:
+                raise ValueError(
+                    f"partition_key {pk!r} does not survive "
+                    f"the {key_type or 'default'} encoding round-trip "
+                    f"(re-renders as {back!r}) -- pass the matching key_type "
+                    "option"
+                )
+            key_cache[pk] = kb
         slot = by_key.setdefault(kb, {"deletion": None, "recs": []})
         if rec["kind"] == "PARTITION_DELETE":
             # collapse to the header's single (max ldt, max writetime)
