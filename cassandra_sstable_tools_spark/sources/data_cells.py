@@ -1648,10 +1648,18 @@ def _auto_split_bytes(spark: SparkSession, total_bytes: int) -> int:
     coarser than 256 MiB (the V2 default; at 100 TB the cap rules and the
     task count grows with bytes, not cores). ``SPARK_GRAFT_DECODE_SPLIT_BYTES``
     overrides outright (deployment knob)."""
+    return auto_split_bytes(
+        total_bytes, spark.sparkContext.defaultParallelism
+    )
+
+
+def auto_split_bytes(total_bytes: int, cores: int) -> int:
+    """The shared core of the rule (also used by the V2 reader, which
+    plans without a session handle at construction time)."""
     env = os.environ.get("SPARK_GRAFT_DECODE_SPLIT_BYTES")
     if env:
         return max(1 << 20, int(env))
-    cores = max(1, spark.sparkContext.defaultParallelism)
+    cores = max(1, cores)
     per_wave = total_bytes // (2 * cores)
     return max(16 << 20, min(256 << 20, per_wave or (256 << 20)))
 

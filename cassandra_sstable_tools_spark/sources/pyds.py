@@ -318,10 +318,16 @@ class SSTableCellReader(DataSourceReader):
         # ceil(Data.db bytes / target) summary-seek shards, so one giant
         # sstable stops gating wall-clock on a single task (measured at a
         # 10x tree: 57s single-task -> ~15s; SCALE.md r09 s2)
-        self.target_split_bytes = int(
-            options.get("target_split_bytes", str(256 << 20))
-        )
-        if self.target_split_bytes < 1 << 20:
+        tsb = options.get("target_split_bytes")
+        # None -> resolved at partitions() time by the same core-filling
+        # rule the mapInPandas scan uses (data_cells._auto_split_bytes):
+        # ~2 waves across defaultParallelism, floored at 16 MiB, capped at
+        # the old fixed 256 MiB default (which an explicit option or
+        # SPARK_GRAFT_DECODE_SPLIT_BYTES still overrides).
+        self.target_split_bytes = int(tsb) if tsb is not None else None
+        if self.target_split_bytes is not None and (
+            self.target_split_bytes < 1 << 20
+        ):
             raise ValueError("target_split_bytes must be >= 1 MiB")
         self.key_type = options.get("key_type")
         # driver-side bloom pre-prune threshold: planning reads one
@@ -399,7 +405,41 @@ class SSTableCellReader(DataSourceReader):
             size = os.path.getsize(data)
         except OSError:
             return 1
-        return max(1, min(256, -(-size // self.target_split_bytes)))
+        return max(1, min(256, -(-size // self._resolved_target())))
+
+    def _resolved_target(self) -> int:
+        """Effective split-byte target: the explicit option, else the
+        shared core-filling rule over this listing's total Data.db bytes
+        and the active session's defaultParallelism (partitions() runs
+        driver-side, so the session is available; a bare construction
+        outside Spark falls back to the fixed 256 MiB)."""
+        if self.target_split_bytes is not None:
+            return self.target_split_bytes
+        from cassandra_sstable_tools_spark.sources.data_cells import (
+            auto_split_bytes,
+        )
+
+        total = 0
+        for r in self._listing():
+            try:
+                total += os.path.getsize(
+                    r["path"][: -len("Index.db")] + "Data.db"
+                )
+            except OSError:
+                pass
+        cores = 0
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                cores = sess.sparkContext.defaultParallelism
+        except Exception:  # pragma: no cover -- no active session
+            cores = 0
+        if cores <= 0:
+            return 256 << 20
+        self.target_split_bytes = auto_split_bytes(total, cores)
+        return self.target_split_bytes
 
     def _point_read_partitions(self, rows: list[dict]) -> list[InputPartition]:
         """Point-read planning: bloom-probe every candidate key against
