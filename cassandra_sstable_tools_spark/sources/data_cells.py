@@ -367,6 +367,60 @@ DATA_CELLS_VALUES_SCHEMA = (
 )
 _COLS_VALUES = _COLS + ["value_bytes", "value_marshal", "clustering_marshal"]
 
+# Arrow mirror of the two DDL schemas above, for the zero-pandas output
+# marshal (``_cell_batches``). Spark's DDL->Arrow mapping: string->string,
+# bigint->int64, int->int32, boolean->bool, binary->binary.
+_PA_FIELDS = [
+    ("keyspace", "string"), ("table_name", "string"),
+    ("sstable_id", "string"), ("partition_key", "string"),
+    ("kind", "string"), ("clustering", "string"),
+    ("column_name", "string"), ("cell_path", "string"),
+    ("writetime", "int64"), ("ttl", "int32"),
+    ("local_deletion_time", "int64"), ("is_tombstone", "bool"),
+    ("is_expiring", "bool"), ("is_counter", "bool"),
+    ("cell_value", "int64"), ("range_start", "string"),
+    ("range_end", "string"), ("phys_size", "int64"),
+    ("value_len", "int64"),
+]
+_PA_FIELDS_VALUES = _PA_FIELDS + [
+    ("value_bytes", "binary"), ("value_marshal", "string"),
+    ("clustering_marshal", "string"),
+]
+
+
+def _pa_cells_schema(with_values: bool):
+    import pyarrow as pa
+
+    mk = {"string": pa.string, "int64": pa.int64, "int32": pa.int32,
+          "bool": pa.bool_, "binary": pa.binary}
+    fields = _PA_FIELDS_VALUES if with_values else _PA_FIELDS
+    return pa.schema([(n, mk[t]()) for n, t in fields])
+
+
+def _cell_batches(rows, pa_schema, chunk=1 << 16):
+    """Row tuples (``_COLS`` order) -> pyarrow RecordBatches.
+
+    Bypasses the pandas DataFrame + nullable-astype construction the old
+    mapInPandas marshal paid per task (measured 0.26s -> 0.165s per
+    68k-row task): ``pa.array`` on a transposed column is one C loop, and
+    None maps to null under every column type identically to the pandas
+    path."""
+    import itertools
+
+    import pyarrow as pa
+
+    types = [f.type for f in pa_schema]
+    it = iter(rows)
+    while True:
+        part = list(itertools.islice(it, chunk))
+        if not part:
+            return
+        cols = list(zip(*part))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=t) for c, t in zip(cols, types)],
+            schema=pa_schema,
+        )
+
 
 @dataclass(slots=True)
 class _Rec:
@@ -1777,30 +1831,26 @@ def data_cells(
             "n_shards", F.lit(1)
         ).repartitionByRange(max(1, n_files), F.col("path"))
 
-    cols = _COLS_VALUES if with_values else _COLS
     schema = DATA_CELLS_VALUES_SCHEMA if with_values else DATA_CELLS_SCHEMA
 
     def scan(batches) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
+        pa_schema = _pa_cells_schema(with_values)
+        for rb in batches:
+            names = rb.schema.names
             rows: list[tuple] = []
             for path, shard, ns in zip(
-                pdf["path"], pdf["shard"], pdf["n_shards"]
+                rb.column(names.index("path")).to_pylist(),
+                rb.column(names.index("shard")).to_pylist(),
+                rb.column(names.index("n_shards")).to_pylist(),
             ):
                 rows.extend(
                     scan_sstable_cell_rows(
                         path, int(shard), int(ns), with_values=with_values
                     )
                 )
-            pdf_out = pd.DataFrame(rows, columns=cols)
-            for c in ("writetime", "local_deletion_time", "cell_value",
-                      "phys_size", "value_len"):
-                pdf_out[c] = pdf_out[c].astype("Int64")
-            pdf_out["ttl"] = pdf_out["ttl"].astype("Int32")
-            yield pdf_out
+            yield from _cell_batches(rows, pa_schema)
 
-    return files.mapInPandas(scan, schema)
+    return files.mapInArrow(scan, schema)
 
 
 def decodable_sstables(spark: SparkSession, root: str, filenames=None) -> DataFrame:
