@@ -539,6 +539,19 @@ def decode_chunk(
         except ValueError as e:
             comp_err = e
     elif len(raw) >= _LEN_HEADER + _CHECKSUM:
+        # Bound the work by the chunk's maximum VALID extent, not the
+        # handed extent: a length-padded tail (fixture-inflated last
+        # chunk -- measured 196 MB of padding behind a 60 KB chunk) must
+        # not make the decode slice/scan padding-proportional bytes. Any
+        # spec-valid LZ4 body producing expected_len bytes consumes at
+        # most expected_len * 256/255 + 19 (literal-extension overhead;
+        # match sequences consume fewer bytes than they produce), so
+        # clamping at a 1/64 margin never cuts a valid chunk; both
+        # decoders locate the true end inside the clamp exactly as they
+        # would in the full buffer, and the raw-stored branch below keeps
+        # the UNclamped buffer (its extent check is expected_len-exact).
+        bound = _LEN_HEADER + expected_len + (expected_len >> 6) + 64 + _CHECKSUM
+        lraw = raw if len(raw) <= bound else raw[:bound]
         (dlen,) = struct.unpack("<i", raw[:_LEN_HEADER])
         if dlen == expected_len:
             if _LZ4_RAW is not None and expected_len > 0:
@@ -549,19 +562,19 @@ def decode_chunk(
                 # falls through to the spec decoder, which makes the
                 # call exactly as before.
                 try:
-                    body_end = len(raw) - _CHECKSUM
+                    body_end = len(lraw) - _CHECKSUM
                     data = _LZ4_RAW.decompress(
-                        raw[_LEN_HEADER:body_end], expected_len
+                        lraw[_LEN_HEADER:body_end], expected_len
                     ).to_pybytes()
-                    _verify_chunk_crc(raw, body_end, source)
+                    _verify_chunk_crc(lraw, body_end, source)
                     return data
                 except Exception:  # noqa: BLE001 -- pure decoder decides
                     pass
             try:
                 data, consumed = lz4_decompress_consumed(
-                    raw[_LEN_HEADER:], expected_len, source=source
+                    lraw[_LEN_HEADER:], expected_len, source=source
                 )
-                _verify_chunk_crc(raw, _LEN_HEADER + consumed, source)
+                _verify_chunk_crc(lraw, _LEN_HEADER + consumed, source)
                 return data
             except ValueError as e:
                 comp_err = e
@@ -637,9 +650,22 @@ class CompressedRangeReader:
         expected = min(
             self.chunk_length, self.data_length - ci * self.chunk_length
         )
+        read_len = end - start
+        if self.compressor == LZ4:
+            # a length-padded extent (fixture-inflated last chunk) must
+            # not cost a padding-sized file read: clamp to the same
+            # maximum-valid-extent bound decode_chunk applies (its
+            # docstring derivation) -- never cuts a valid chunk, and the
+            # decoders locate the true end inside the clamp either way
+            bound = (
+                _LEN_HEADER + expected + (expected >> 6) + 64 + _CHECKSUM
+            )
+            # the raw-stored layout needs expected + _CHECKSUM; bound
+            # exceeds that by construction
+            read_len = min(read_len, bound)
         self.f.seek(start)
-        raw = self.f.read(end - start)
-        if len(raw) != end - start:
+        raw = self.f.read(read_len)
+        if len(raw) != read_len:
             raise ValueError(
                 f"corrupt Data.db {self.source}: chunk {ci} truncated"
             )
@@ -657,7 +683,7 @@ class CompressedRangeReader:
         if start >= self.data_length or length <= 0:
             return b""
         length = min(length, self.data_length - start)
-        out = bytearray()
+        parts: list[bytes] = []
         ci = start // self.chunk_length
         pos = start
         remaining = length
@@ -670,11 +696,17 @@ class CompressedRangeReader:
                     f"corrupt Data.db {self.source}: chunk {ci} shorter "
                     "than the chunk map promises"
                 )
-            out += chunk[lo : lo + take]
+            # whole-chunk spans (the span-batched scan's common case)
+            # append the cached chunk itself -- join copies once, instead
+            # of the old slice-then-bytearray-append double copy
+            parts.append(
+                chunk if lo == 0 and take == len(chunk)
+                else chunk[lo : lo + take]
+            )
             pos += take
             remaining -= take
             ci += 1
-        return bytes(out)
+        return parts[0] if len(parts) == 1 else b"".join(parts)
 
 
 def write_chunked_file(
