@@ -32,9 +32,25 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in `pairs`; component = min node id
     of the connected component. `pairs` rows are undirected edges."""
+    und = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    # Self-loops fold the "keep my own label" term INTO the neighbor
+    # minimum: min over labels of (neighbors + self) == least(own label,
+    # neighbor min), so each round is ONE equi-join + ONE groupBy(min)
+    # where the old formulation paid a SECOND labels-side join just to
+    # re-attach the node's own label (optimization guide S2.4 -- remove
+    # shuffles outright). Hash-partitioning the (big, static) edge side
+    # on the join key once means every round's join reuses this cached
+    # distribution and only the node-grain labels frame moves.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        und.union(
+            und.select(F.col("src").alias("src"), F.col("src").alias("dst"))
+            .distinct()
+        )
+        .repartition("dst")
         .persist()
     )
     # Lazy checkpoint + the checksum aggregate as the materializing
@@ -51,19 +67,11 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iters):
-        nbr_min = (
+        labels = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("src").alias("node"), "lbl")
             .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
@@ -86,7 +94,7 @@ def connected_components(
 # plain label propagation needs the graph diameter.
 
 
-def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+def _star_round(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One star operation over an undirected edge set held as BOTH directed
     copies (Kiveris et al., SoCC'14, Algorithms 1-2). Per center u:
     m = min(N(u) + {u}); large-star emits (v, m) for neighbors v > u;
@@ -94,7 +102,15 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     itself -- without the center emission the star's root would detach from
     its spokes and components silently shatter (caught by the differential
     test on a chain). Self-loops drop; (v <= u)-neighbor minima equal
-    full-neighborhood minima because larger neighbors can never beat u."""
+    full-neighborhood minima because larger neighbors can never beat u.
+
+    ``dedup=False`` skips the output ``distinct`` (one exchange +
+    aggregate): sound whenever the consumer is another star round followed
+    by a deduplicating one, because groupBy(min) and the min-attach join
+    are insensitive to duplicate edges and the duplicate multiplicity is
+    bounded by the round's own input size (large-star emits at most one
+    row per input directed edge, so the undeduped set never exceeds the
+    deduped previous round's edge count)."""
     mins = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
     m = F.least(F.col("nbr_min"), F.col("src"))
     tgt = F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
@@ -109,7 +125,8 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
             F.least(F.col("nbr_min"), F.col("src")).alias("b"),
         )
         out = out.union(centers)
-    return out.where(F.col("a") != F.col("b")).distinct()
+    out = out.where(F.col("a") != F.col("b"))
+    return out.distinct() if dedup else out
 
 
 def connected_components_star(
@@ -165,9 +182,14 @@ def connected_components_star(
         # name, so checkpointing it only doubled the per-round job count
         # lazy checkpoint: the checksum right below is the materializing
         # action, so each round is ONE job (write blocks + convergence
-        # check) instead of two full passes
+        # check) instead of two full passes. The INTERMEDIATE large-star
+        # output skips its distinct (dedup=False): the small-star round
+        # is duplicate-insensitive and ends in its own distinct, so the
+        # round's edge SET is unchanged while one full exchange +
+        # hash-aggregate per round disappears (guide S2.4).
         und = _star_round(
-            both_dirs(_star_round(both_dirs(und), large=True)), large=False
+            both_dirs(_star_round(both_dirs(und), large=True, dedup=False)),
+            large=False,
         ).localCheckpoint(eager=False)
         cur = checksum(und)
         if cur == prev:
@@ -311,6 +333,36 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         .persist()
     )
     sc = edges.sparkSession.sparkContext
+    # A node ABSENT from a round's contribution aggregate (no in-edges)
+    # scores exactly PR_BASE -- and the set of such nodes is CONSTANT
+    # across rounds (it is nodes minus the distinct edge destinations).
+    # Computing that remainder once turns the old per-round
+    # nodes-LEFT-JOIN-contrib (a second corpus-keyed shuffle + join every
+    # round) into a plain union with a tiny precomputed frame
+    # (optimization guide S2.4 -- remove shuffles outright). Checkpointed
+    # eagerly so the anti-join runs once, not once per round's lineage.
+    base_plan = nodes.join(
+        e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti"
+    ).select("node", F.lit(PR_BASE).cast("bigint").alias("rank"))
+    base_ckpt_ids: set = set()
+    if reliable:
+        # feeds every round's plan -- must survive executor loss like the
+        # per-round checkpoints do
+        base_ranks = base_plan.checkpoint(eager=True)
+    else:
+        before_base = _persistent_rdd_ids(sc)
+        base_ranks = base_plan.localCheckpoint(eager=True)
+        base_ckpt_ids = _new_local_ckpt_ids(sc, before_base)
+    # one-time count over the already-materialized blocks: graphs where
+    # every node has an in-edge (any undirected/bipartite edge set) have
+    # an EMPTY remainder, and unioning an empty 32-partition frame into
+    # every round's checkpoint job costs shuffle.partitions no-op TASKS
+    # per round; a small non-empty remainder reads as one task instead
+    n_base = base_ranks.count()
+    if n_base == 0:
+        base_ranks = None
+    elif n_base < 1_000_000:
+        base_ranks = base_ranks.coalesce(1)
     ranks = nodes.withColumn("rank", F.lit(PR_INIT).cast("bigint"))
     prev_ckpt_ids: set = set()
     for _ in range(rounds):
@@ -325,12 +377,12 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = contrib.select(
             "node",
-            (F.lit(PR_BASE) + F.coalesce(F.col("in_mass"), F.lit(0)))
-            .cast("bigint")
-            .alias("rank"),
+            (F.lit(PR_BASE) + F.col("in_mass")).cast("bigint").alias("rank"),
         )
+        if base_ranks is not None:
+            ranks = ranks.unionByName(base_ranks)
         # eager per-round checkpoint: each round is one shallow job over
         # the node-grain frame instead of one rounds-deep mega-plan at the
         # end (which re-optimizes and re-shuffles every prior round inside
@@ -345,10 +397,13 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             _free_checkpoint_blocks(sc, prev_ckpt_ids)
             prev_ckpt_ids = _new_local_ckpt_ids(sc, before)
     # the final ranks are already materialized off the caches -- release them;
-    # otherwise every invocation leaks two pinned frames for the session
-    # lifetime (evicting genuinely shared caches like the adapter's cells)
+    # otherwise every invocation leaks pinned frames for the session
+    # lifetime (evicting genuinely shared caches like the adapter's cells).
+    # base_ranks' union branch was materialized INTO the final checkpoint,
+    # so its blocks are dead too.
     e_deg.unpersist()
     nodes.unpersist()
+    _free_checkpoint_blocks(sc, base_ckpt_ids)
     return ranks
 
 
