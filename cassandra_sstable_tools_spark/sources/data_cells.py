@@ -470,6 +470,22 @@ class _Rec:
     clustering_vals: tuple | None = None
 
 
+# record -> row-tuple field pull, one C call per record (order = the _Rec
+# field order, which the import-time assertion below pins to match _COLS
+# minus the 4-column identity prefix)
+_REC_GET = __import__("operator").attrgetter(
+    "kind", "clustering", "column_name", "cell_path", "writetime", "ttl",
+    "ldt", "is_tombstone", "is_expiring", "is_counter", "cell_value",
+    "range_start", "range_end", "phys_size", "value_len",
+)
+_REC_GET_VALUES = __import__("operator").attrgetter(
+    "kind", "clustering", "column_name", "cell_path", "writetime", "ttl",
+    "ldt", "is_tombstone", "is_expiring", "is_counter", "cell_value",
+    "range_start", "range_end", "phys_size", "value_len", "value_bytes",
+    "value_marshal",
+)
+
+
 # clustering/bound values repeat heavily within an sstable (low-cardinality
 # clustering columns); memoize their display -- partition keys stay uncached
 # (mostly unique). Typed rendering (r09): values display through the
@@ -569,6 +585,238 @@ def _value_as_long(v: bytes) -> int | None:
 LIVE_LDT = 2_147_483_647
 LIVE_MFDA = -(1 << 63)
 
+# partition-header DeletionTime: int32 localDeletionTime + int64
+# markedForDeleteAt, big-endian; unpack_from avoids the take() slice copy
+_UNPACK_IQ = struct.Struct(">iq").unpack_from
+
+# _Rec is constructed POSITIONALLY on the hot cell path (kwargs construction
+# measured ~2x the positional cost at 60k+ cells per task); pin the field
+# order the positional sites assume so a field reorder fails at import, not
+# as silent column swaps.
+_REC_FIELDS = tuple(
+    f.name for f in __import__("dataclasses").fields(_Rec)
+)
+assert _REC_FIELDS == (
+    "kind", "clustering", "column_name", "cell_path", "writetime", "ttl",
+    "ldt", "is_tombstone", "is_expiring", "is_counter", "cell_value",
+    "range_start", "range_end", "phys_size", "value_len", "value_bytes",
+    "value_marshal", "clustering_vals",
+), _REC_FIELDS
+
+
+class _HeaderPrep:
+    """Per-header decode tables, derived once per sstable (cached on the
+    header object): per-column (name, type, complexity, fixed length,
+    counter-ness, path type) resolved ahead of the per-cell loop, and the
+    clustering types' fixed lengths -- the per-cell dict probes and
+    ``is_complex_type`` string scans the old inner loop paid per CELL
+    (optimization guide S1.2, per-task work)."""
+
+    __slots__ = ("ct_list", "ct_fixed", "reg_info", "sta_info",
+                 "full_reg", "full_sta", "min_ts", "min_ldt", "min_ttl")
+
+    def __init__(self, h: SerializationHeaderInfo):
+        self.ct_list = list(h.clustering_types)
+        self.ct_fixed = [FIXED_VALUE_LENGTHS.get(t) for t in self.ct_list]
+
+        def info(cols):
+            return [
+                (name, ctype, is_complex_type(ctype),
+                 FIXED_VALUE_LENGTHS.get(ctype), ctype == COUNTER_TYPE,
+                 _path_type_of(ctype) if is_complex_type(ctype) else None)
+                for name, ctype in cols
+            ]
+
+        self.reg_info = info(h.regular_columns)
+        self.sta_info = info(h.static_columns)
+        self.full_reg = tuple(range(len(self.reg_info)))
+        self.full_sta = tuple(range(len(self.sta_info)))
+        self.min_ts = h.min_timestamp
+        self.min_ldt = h.min_local_deletion_time
+        self.min_ttl = h.min_ttl
+
+
+def _header_prep(h: SerializationHeaderInfo) -> _HeaderPrep:
+    prep = getattr(h, "_decode_prep", None)
+    if prep is None:
+        prep = _HeaderPrep(h)
+        h._decode_prep = prep
+    return prep
+
+
+@__import__("functools").lru_cache(maxsize=4096)
+def _dec_subset_cached(bitmap: int, superset_n: int) -> tuple[int, ...]:
+    """Present-column indexes for a subset bitmap -- one sstable sees a
+    handful of distinct bitmaps but decodes one per ROW."""
+    return tuple(
+        i for i in range(superset_n) if not bitmap & (1 << i)
+    )
+
+
+def _dec_clustering_fast(
+    buf, off: int, blen: int, ct_list, ct_fixed, r: "_BlockReader",
+    arity: int,
+):
+    """``_dec_clustering_values`` with the reader primitives inlined:
+    identical wire semantics (per-32 header vint, 2 bits per value) and
+    identical errors (r.off is synced before every raise so byte offsets
+    in messages are unchanged). Returns (values, new_off)."""
+    values: list[bytes | None] = []
+    append = values.append
+    for start in range(0, arity, 32):
+        hi = min(arity, start + 32)
+        try:
+            header, off = read_unsigned_vint(buf, off)
+        except (IndexError, ValueError):
+            r.off = off
+            raise r.err("vint runs past partition block end") from None
+        for i in range(start, hi):
+            bit = (i - start) * 2
+            if header & (2 << bit):
+                append(None)
+            elif header & (1 << bit):
+                append(b"")
+            else:
+                fixed = ct_fixed[i]
+                if fixed is None:
+                    try:
+                        n, off = read_unsigned_vint(buf, off)
+                    except (IndexError, ValueError):
+                        r.off = off
+                        raise r.err(
+                            "vint runs past partition block end"
+                        ) from None
+                    if n > 1 << 24:
+                        r.off = off
+                        raise r.err(
+                            f"implausible clustering value length {n}"
+                        )
+                else:
+                    n = fixed
+                end = off + n
+                if end > blen:
+                    r.off = off
+                    raise r.err(
+                        f"read of {n} bytes runs past partition block end"
+                    )
+                append(buf[off:end])
+                off = end
+    return values, off
+
+
+def _parse_cell(
+    buf, off: int, blen: int, r: "_BlockReader",
+    name: str, ctype: str, fixed, is_ctr: bool, path_type,
+    is_complex: bool,
+    live_ts, live_ttl, live_ldt, min_ts, min_ldt, min_ttl,
+    kind: str, clustering, clust_vals, keep_values: bool,
+    recs: list, cell_spans: list,
+) -> int:
+    """One cell (simple or CellPath-addressed): the shared body of the old
+    per-row ``read_cell`` closure, hoisted to module level with the reader
+    primitives inlined. Returns the new offset; appends the record and its
+    span exactly as before."""
+    cell_start = off
+    if off >= blen:
+        r.off = off
+        raise r.err("read of 1 bytes runs past partition block end")
+    cflags = buf[off]
+    off += 1
+    if cflags & CELL_USE_ROW_TIMESTAMP:
+        c_ts = live_ts
+    else:
+        try:
+            v, off = read_unsigned_vint(buf, off)
+        except (IndexError, ValueError):
+            r.off = off
+            raise r.err("vint runs past partition block end") from None
+        if v >= 1 << 63:
+            v -= 1 << 64
+        c_ts = ((v + min_ts + (1 << 63)) & _U64) - (1 << 63)
+    deleted = bool(cflags & CELL_IS_DELETED)
+    expiring = bool(cflags & CELL_IS_EXPIRING)
+    c_ldt = c_ttl = None
+    if (deleted or expiring) and not cflags & CELL_USE_ROW_TTL:
+        try:
+            v, off = read_unsigned_vint(buf, off)
+        except (IndexError, ValueError):
+            r.off = off
+            raise r.err("vint runs past partition block end") from None
+        if v >= 1 << 63:
+            v -= 1 << 64
+        c_ldt = ((v + min_ldt + (1 << 63)) & _U64) - (1 << 63)
+    if expiring and not cflags & CELL_USE_ROW_TTL:
+        try:
+            v, off = read_unsigned_vint(buf, off)
+        except (IndexError, ValueError):
+            r.off = off
+            raise r.err("vint runs past partition block end") from None
+        if v >= 1 << 63:
+            v -= 1 << 64
+        c_ttl = v + min_ttl
+    if cflags & CELL_USE_ROW_TTL:
+        c_ldt, c_ttl = live_ldt, live_ttl
+    path = None
+    if is_complex:
+        # CellPath (collection key / set element / UDT field position):
+        # vint length + bytes, between the liveness fields and the value
+        try:
+            n, off = read_unsigned_vint(buf, off)
+        except (IndexError, ValueError):
+            r.off = off
+            raise r.err("vint runs past partition block end") from None
+        if n > 1 << 24:
+            r.off = off
+            raise r.err(f"implausible cell path length {n}")
+        end = off + n
+        if end > blen:
+            r.off = off
+            raise r.err(f"read of {n} bytes runs past partition block end")
+        path = buf[off:end]
+        off = end
+    value = None
+    if not cflags & CELL_HAS_EMPTY_VALUE:
+        if fixed is not None:
+            n = fixed
+        else:
+            try:
+                n, off = read_unsigned_vint(buf, off)
+            except (IndexError, ValueError):
+                r.off = off
+                raise r.err("vint runs past partition block end") from None
+            if n > 1 << 28:
+                r.off = off
+                raise r.err(f"implausible cell value length {n}")
+        end = off + n
+        if end > blen:
+            r.off = off
+            raise r.err(f"read of {n} bytes runs past partition block end")
+        value = buf[off:end]
+        off = end
+    cell_spans.append(off - cell_start)
+    recs.append(_Rec(
+        kind,                                              # kind
+        clustering,                                        # clustering
+        name,                                              # column_name
+        None if path is None else _display_cached(path, path_type),
+        c_ts,                                              # writetime
+        c_ttl,                                             # ttl
+        c_ldt,                                             # ldt
+        deleted,                                           # is_tombstone
+        expiring,                                          # is_expiring
+        is_ctr,                                            # is_counter
+        (struct.unpack(">q", value)[0]
+         if value is not None and len(value) == 8 else None),
+        None,                                              # range_start
+        None,                                              # range_end
+        off - cell_start,                                  # phys_size
+        None if value is None else len(value),             # value_len
+        value if keep_values else None,                    # value_bytes
+        ctype if keep_values else None,                    # value_marshal
+        clust_vals,                                        # clustering_vals
+    ))
+    return off
+
 
 def decode_partition_block(
     buf: bytes,
@@ -590,10 +838,33 @@ def decode_partition_block(
     bytes (a boundary marker's bytes go to the range it CLOSES). Header
     partition deletes have no stream bytes: phys_size is NULL."""
     r = _BlockReader(buf, source, base)
-    klen = int.from_bytes(r.take(2), "big")
-    key = r.take(klen)
+    blen = len(buf)
+    off = 0
+    prep = _header_prep(h)
+    ct_list, ct_fixed = prep.ct_list, prep.ct_fixed
+    n_ct = len(ct_list)
+    ct0 = ct_list[0] if n_ct == 1 else None
+    min_ts, min_ldt, min_ttl = prep.min_ts, prep.min_ldt, prep.min_ttl
+    _ruv = read_unsigned_vint
+    _disp = _display_cached
+
+    # klen (2-byte BE) + key + partition DeletionTime
+    if off + 2 > blen:
+        r.off = off
+        raise r.err("read of 2 bytes runs past partition block end")
+    klen = (buf[off] << 8) | buf[off + 1]
+    off += 2
+    if off + klen > blen:
+        r.off = off
+        raise r.err(f"read of {klen} bytes runs past partition block end")
+    key = buf[off : off + klen]
+    off += klen
     pk = render_typed(key, h.key_type)
-    p_ldt, p_mfda = struct.unpack(">iq", r.take(12))
+    if off + 12 > blen:
+        r.off = off
+        raise r.err("read of 12 bytes runs past partition block end")
+    p_ldt, p_mfda = _UNPACK_IQ(buf, off)
+    off += 12
     recs: list[_Rec] = []
     if (p_ldt, p_mfda) != (LIVE_LDT, LIVE_MFDA):
         recs.append(
@@ -604,157 +875,231 @@ def decode_partition_block(
     while True:
         guard += 1
         if guard > 100_000_000:
+            r.off = off
             raise r.err("unfiltered stream exceeds 1e8 entries")
-        unf_start = r.off
-        flags = r.u8()
+        unf_start = off
+        if off >= blen:
+            r.off = off
+            raise r.err("read of 1 bytes runs past partition block end")
+        flags = buf[off]
+        off += 1
         if flags & END_OF_PARTITION:
             break
         if flags & IS_MARKER:
-            kind_ord = r.u8()
-            n_vals = int.from_bytes(r.take(2), "big")
-            if n_vals > len(h.clustering_types):
+            if off >= blen:
+                r.off = off
+                raise r.err("read of 1 bytes runs past partition block end")
+            kind_ord = buf[off]
+            off += 1
+            if off + 2 > blen:
+                r.off = off
+                raise r.err("read of 2 bytes runs past partition block end")
+            n_vals = (buf[off] << 8) | buf[off + 1]
+            off += 2
+            if n_vals > n_ct:
+                r.off = off
                 raise r.err(
-                    f"bound arity {n_vals} exceeds {len(h.clustering_types)} "
+                    f"bound arity {n_vals} exceeds {n_ct} "
                     "clustering columns"
                 )
-            vals = _dec_clustering_values(r, h.clustering_types[:n_vals])
-            body_size = r.vint()
-            r.vint()  # prevUnfilteredSize (reverse iteration only)
-            body_end = r.off + body_size
+            vals, off = _dec_clustering_fast(
+                buf, off, blen, ct_list, ct_fixed, r, n_vals
+            )
+            try:
+                body_size, off = _ruv(buf, off)
+                _, off = _ruv(buf, off)  # prevUnfilteredSize (reverse only)
+            except (IndexError, ValueError):
+                r.off = off
+                raise r.err("vint runs past partition block end") from None
+            body_end = off + body_size
             marker_span = body_end - unf_start
+            # every marker kind reads 2 or 4 delta-vint deletion fields
             if kind_ord in _BOUNDARY_KINDS:
-                end_mfda, end_ldt = r.ts(h), r.ldt(h)
-                start_mfda, start_ldt = r.ts(h), r.ldt(h)
+                try:
+                    _, off = _ruv(buf, off)   # end mfda (belongs to the
+                    _, off = _ruv(buf, off)   # RT being closed; captured
+                    v, off = _ruv(buf, off)   # from its open marker)
+                    w, off = _ruv(buf, off)
+                except (IndexError, ValueError):
+                    r.off = off
+                    raise r.err("vint runs past partition block end") from None
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                start_mfda = ((v + min_ts + (1 << 63)) & _U64) - (1 << 63)
+                if w >= 1 << 63:
+                    w -= 1 << 64
+                start_ldt = ((w + min_ldt + (1 << 63)) & _U64) - (1 << 63)
                 if pending_open is not None:
                     # boundary bytes go to the range being CLOSED
                     recs.append(_rtm(pending_open, vals, marker_span,
-                                     h.clustering_types))
-                pending_open = (_display_clustering(vals, h.clustering_types),
+                                     ct_list))
+                pending_open = (_display_clustering(vals, ct_list),
                                 start_mfda, start_ldt, 0)
-                # end deletion belongs to the RT being closed; already
-                # captured from its open marker (verified equal on encode)
-                del end_mfda, end_ldt
             elif kind_ord in _OPEN_KINDS:
-                mfda, ldt = r.ts(h), r.ldt(h)
+                try:
+                    v, off = _ruv(buf, off)
+                    w, off = _ruv(buf, off)
+                except (IndexError, ValueError):
+                    r.off = off
+                    raise r.err("vint runs past partition block end") from None
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                mfda = ((v + min_ts + (1 << 63)) & _U64) - (1 << 63)
+                if w >= 1 << 63:
+                    w -= 1 << 64
+                ldt = ((w + min_ldt + (1 << 63)) & _U64) - (1 << 63)
                 if pending_open is not None:
+                    r.off = off
                     raise r.err("two open range-tombstone bounds in a row")
-                pending_open = (_display_clustering(vals, h.clustering_types), mfda,
+                pending_open = (_display_clustering(vals, ct_list), mfda,
                                 ldt, marker_span)
             elif kind_ord in _CLOSE_KINDS:
-                r.ts(h), r.ldt(h)  # close-side copy of the deletion
+                try:
+                    _, off = _ruv(buf, off)  # close-side copy of the
+                    _, off = _ruv(buf, off)  # deletion
+                except (IndexError, ValueError):
+                    r.off = off
+                    raise r.err("vint runs past partition block end") from None
                 if pending_open is None:
+                    r.off = off
                     raise r.err("close range-tombstone bound without an open")
                 recs.append(_rtm(pending_open, vals, marker_span,
-                                     h.clustering_types))
+                                     ct_list))
                 pending_open = None
             else:
+                r.off = off
                 raise r.err(f"unexpected bound kind ordinal {kind_ord}")
-            if r.off > body_end:
+            if off > body_end:
+                r.off = off
                 raise r.err("marker body overran its declared size")
-            r.off = body_end
+            off = body_end
             continue
         # ROW
         static = False
         if flags & EXTENSION_FLAG:
-            ext = r.u8()
+            if off >= blen:
+                r.off = off
+                raise r.err("read of 1 bytes runs past partition block end")
+            ext = buf[off]
+            off += 1
             if ext & HAS_SHADOWABLE_DELETION:
+                r.off = off
                 raise r.err("shadowable deletions are out of scope")
             static = bool(ext & IS_STATIC)
         clustering: str | None = None
         clust_vals: tuple | None = None
         if not static:
-            vals = _dec_clustering_values(r, h.clustering_types)
-            clustering = _display_clustering(vals, h.clustering_types)
+            vals, off = _dec_clustering_fast(
+                buf, off, blen, ct_list, ct_fixed, r, n_ct
+            )
+            if n_ct == 1:
+                v0 = vals[0]
+                clustering = None if v0 is None else _disp(v0, ct0)
+            else:
+                clustering = _display_clustering(vals, ct_list)
             if keep_values:
                 clust_vals = tuple(vals)
-        body_size = r.vint()
-        r.vint()  # prevUnfilteredSize
-        body_end = r.off + body_size
+        try:
+            body_size, off = _ruv(buf, off)
+            _, off = _ruv(buf, off)  # prevUnfilteredSize
+        except (IndexError, ValueError):
+            r.off = off
+            raise r.err("vint runs past partition block end") from None
+        body_end = off + body_size
         live_ts = live_ttl = live_ldt = None
         if flags & HAS_TIMESTAMP:
-            live_ts = r.ts(h)
+            try:
+                v, off = _ruv(buf, off)
+            except (IndexError, ValueError):
+                r.off = off
+                raise r.err("vint runs past partition block end") from None
+            if v >= 1 << 63:
+                v -= 1 << 64
+            live_ts = ((v + min_ts + (1 << 63)) & _U64) - (1 << 63)
         if flags & HAS_TTL:
-            live_ttl = r.ttl(h)
-            live_ldt = r.ldt(h)
+            try:
+                v, off = _ruv(buf, off)
+                w, off = _ruv(buf, off)
+            except (IndexError, ValueError):
+                r.off = off
+                raise r.err("vint runs past partition block end") from None
+            if v >= 1 << 63:
+                v -= 1 << 64
+            live_ttl = v + min_ttl
+            if w >= 1 << 63:
+                w -= 1 << 64
+            live_ldt = ((w + min_ldt + (1 << 63)) & _U64) - (1 << 63)
         row_del: tuple[int, int] | None = None
         if flags & HAS_DELETION:
-            row_del = (r.ts(h), r.ldt(h))
-        columns = h.static_columns if static else h.regular_columns
+            try:
+                v, off = _ruv(buf, off)
+                w, off = _ruv(buf, off)
+            except (IndexError, ValueError):
+                r.off = off
+                raise r.err("vint runs past partition block end") from None
+            if v >= 1 << 63:
+                v -= 1 << 64
+            if w >= 1 << 63:
+                w -= 1 << 64
+            row_del = (
+                ((v + min_ts + (1 << 63)) & _U64) - (1 << 63),
+                ((w + min_ldt + (1 << 63)) & _U64) - (1 << 63),
+            )
+        col_info = prep.sta_info if static else prep.reg_info
+        n_cols = len(col_info)
         if flags & HAS_ALL_COLUMNS:
-            present = list(range(len(columns)))
+            present = prep.full_sta if static else prep.full_reg
         else:
-            present = _dec_subset(r, len(columns))
+            if n_cols >= 64:
+                r.off = off
+                raise r.err("column supersets >= 64 are out of scope")
+            try:
+                bitmap, off = _ruv(buf, off)
+            except (IndexError, ValueError):
+                r.off = off
+                raise r.err("vint runs past partition block end") from None
+            if bitmap == 0:
+                present = prep.full_sta if static else prep.full_reg
+            else:
+                if bitmap >> n_cols:
+                    r.off = off
+                    raise r.err(
+                        f"column subset bitmap {bitmap:#x} wider than header"
+                    )
+                present = _dec_subset_cached(bitmap, n_cols)
         n_cells = 0
         row_first_rec = len(recs)
         cell_spans: list[int] = []
-
-        def read_cell(name: str, ctype: str, complex_col: bool) -> None:
-            nonlocal n_cells
-            cell_start = r.off
-            cflags = r.u8()
-            c_ts = live_ts if cflags & CELL_USE_ROW_TIMESTAMP else r.ts(h)
-            deleted = bool(cflags & CELL_IS_DELETED)
-            expiring = bool(cflags & CELL_IS_EXPIRING)
-            c_ldt = c_ttl = None
-            if (deleted or expiring) and not cflags & CELL_USE_ROW_TTL:
-                c_ldt = r.ldt(h)
-            if expiring and not cflags & CELL_USE_ROW_TTL:
-                c_ttl = r.ttl(h)
-            if cflags & CELL_USE_ROW_TTL:
-                c_ldt, c_ttl = live_ldt, live_ttl
-            path: bytes | None = None
-            path_type: str | None = None
-            if complex_col:
-                # CellPath (collection key / set element / UDT field
-                # position): vint length + bytes, written between the
-                # liveness fields and the value
-                path_type = _path_type_of(ctype)
-                n = r.vint()
-                if n > 1 << 24:
-                    raise r.err(f"implausible cell path length {n}")
-                path = r.take(n)
-            value: bytes | None = None
-            if not cflags & CELL_HAS_EMPTY_VALUE:
-                fixed = FIXED_VALUE_LENGTHS.get(ctype)
-                if fixed is not None:
-                    value = r.take(fixed)
-                else:
-                    n = r.vint()
-                    if n > 1 << 28:
-                        raise r.err(f"implausible cell value length {n}")
-                    value = r.take(n)
-            n_cells += 1
-            cell_spans.append(r.off - cell_start)
-            recs.append(_Rec(
-                kind="STATIC_CELL" if static else "CELL",
-                clustering=clustering,
-                column_name=name,
-                cell_path=_display(path, path_type),
-                writetime=c_ts,
-                ttl=c_ttl,
-                ldt=c_ldt,
-                is_tombstone=deleted,
-                is_expiring=expiring,
-                is_counter=ctype == COUNTER_TYPE,
-                cell_value=None if value is None else _value_as_long(value),
-                phys_size=r.off - cell_start,
-                value_len=None if value is None else len(value),
-                value_bytes=value if keep_values else None,
-                value_marshal=ctype if keep_values else None,
-                clustering_vals=clust_vals,
-            ))
+        row_kind = "STATIC_CELL" if static else "CELL"
 
         for idx in present:
-            name, ctype = columns[idx]
-            if not is_complex_type(ctype):
-                read_cell(name, ctype, False)
+            name, ctype, is_cplx, fixed, is_ctr, path_type = col_info[idx]
+            if not is_cplx:
+                off = _parse_cell(
+                    buf, off, blen, r, name, ctype, fixed, is_ctr,
+                    path_type, False, live_ts, live_ttl, live_ldt,
+                    min_ts, min_ldt, min_ttl, row_kind, clustering,
+                    clust_vals, keep_values, recs, cell_spans,
+                )
+                n_cells += 1
                 continue
             # complex column block: optional per-column complex deletion
             # (only when the ROW-level flag says any is present), then a
             # vint cell count, then CellPath-addressed cells
-            blk_start = r.off
+            blk_start = off
             if flags & HAS_COMPLEX_DELETION:
-                cd_mfda, cd_ldt = r.ts(h), r.ldt(h)
+                try:
+                    v, off = _ruv(buf, off)
+                    w, off = _ruv(buf, off)
+                except (IndexError, ValueError):
+                    r.off = off
+                    raise r.err("vint runs past partition block end") from None
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                cd_mfda = ((v + min_ts + (1 << 63)) & _U64) - (1 << 63)
+                if w >= 1 << 63:
+                    w -= 1 << 64
+                cd_ldt = ((w + min_ldt + (1 << 63)) & _U64) - (1 << 63)
                 if (cd_ldt, cd_mfda) != (LIVE_LDT, LIVE_MFDA):
                     recs.append(_Rec(
                         kind="COMPLEX_DELETE",
@@ -763,19 +1108,30 @@ def decode_partition_block(
                         writetime=cd_mfda,
                         ldt=cd_ldt,
                         is_tombstone=True,
-                        phys_size=r.off - blk_start,
+                        phys_size=off - blk_start,
                         # carry the column type so a rewrite re-declares
                         # it even when the deletion is the column's only
                         # survivor (review finding: the map<text,bigint>
                         # default silently re-typed such columns)
                         value_marshal=ctype if keep_values else None,
                     ))
-                    cell_spans.append(r.off - blk_start)
-            col_cells = r.vint()
+                    cell_spans.append(off - blk_start)
+            try:
+                col_cells, off = _ruv(buf, off)
+            except (IndexError, ValueError):
+                r.off = off
+                raise r.err("vint runs past partition block end") from None
             if col_cells > 1 << 24:
+                r.off = off
                 raise r.err(f"implausible complex cell count {col_cells}")
             for _ in range(col_cells):
-                read_cell(name, ctype, True)
+                off = _parse_cell(
+                    buf, off, blen, r, name, ctype, fixed, is_ctr,
+                    path_type, True, live_ts, live_ttl, live_ldt,
+                    min_ts, min_ldt, min_ttl, row_kind, clustering,
+                    clust_vals, keep_values, recs, cell_spans,
+                )
+                n_cells += 1
         if n_cells == 0:
             if row_del is not None:
                 recs.append(_Rec(
@@ -792,9 +1148,10 @@ def decode_partition_block(
                 kind="ROW_DELETE", clustering=clustering,
                 writetime=row_del[0], ldt=row_del[1],
             ))
-        if r.off > body_end:
+        if off > body_end:
+            r.off = off
             raise r.err("row body overran its declared size")
-        r.off = body_end
+        off = body_end
         # phys_size attribution (docstring rules): single-record rows own
         # the whole unfiltered span; otherwise the overhead (everything
         # but the cell slices) goes to the ROW_DELETE record when present,
@@ -810,6 +1167,7 @@ def decode_partition_block(
             else:
                 row_recs[0].phys_size = (row_recs[0].phys_size or 0) + overhead
     if pending_open is not None:
+        r.off = off
         raise r.err("partition ended with an unclosed range tombstone")
     return pk, recs
 
@@ -1652,6 +2010,10 @@ def scan_sstable_cell_rows(
         tail = None
     rows: list[tuple] = []
     h_clustering = list(header.clustering_types)
+    # clustering_marshal: the sstable's OWN clustering types
+    # (comma-joined), constant per sstable -- lets a rewrite re-declare
+    # typed clustering automatically
+    cmarshal = ",".join(h_clustering) or None
     dat, data_len = open_data_file(data_path, comp_path, ver)
     tail_end = data_len if tail is None else tail
     # Span batching (optimization guide S1.2 "per-task work"): partitions
@@ -1686,24 +2048,16 @@ def scan_sstable_cell_rows(
                     block, header, source=data_path, base=pos,
                     keep_values=with_values,
                 )
-                for rec in recs:
-                    row = (
-                        ks, tb, ss, pk, rec.kind, rec.clustering,
-                        rec.column_name, rec.cell_path,
-                        rec.writetime, rec.ttl,
-                        rec.ldt, rec.is_tombstone, rec.is_expiring,
-                        rec.is_counter, rec.cell_value,
-                        rec.range_start, rec.range_end,
-                        rec.phys_size, rec.value_len,
+                ident = (ks, tb, ss, pk)
+                # attrgetter pulls all record fields in one C call (the
+                # 19-attribute bytecode loop measured ~8% of the scan)
+                if with_values:
+                    rows.extend(
+                        ident + _REC_GET_VALUES(rec) + (cmarshal,)
+                        for rec in recs
                     )
-                    if with_values:
-                        # clustering_marshal: the sstable's OWN clustering
-                        # types (comma-joined), constant per sstable --
-                        # lets a rewrite re-declare typed clustering
-                        # automatically
-                        row += (rec.value_bytes, rec.value_marshal,
-                                ",".join(h_clustering) or None)
-                    rows.append(row)
+                else:
+                    rows.extend(ident + _REC_GET(rec) for rec in recs)
             i = k
     finally:
         dat.close()
@@ -2575,6 +2929,27 @@ def _decoded_purge_cells(spark: SparkSession, root: str, filenames=None) -> Data
     return c.localCheckpoint(eager=True)
 
 
+def _purge_partitioned(frame: DataFrame) -> DataFrame:
+    """One explicit pk-keyed exchange over the checkpointed decode frame.
+
+    ``localCheckpoint`` scans read back as UnknownPartitioning, so the
+    purge tail re-shuffled the corpus THREE times (the LWW window keyed
+    (pk, dedup-key) plus both final aggregation levels keyed
+    (pk, sstable) / (pk) -- ``plans/r12/purge_cassdir_merge_before2.txt``
+    Exchanges 3/20/23). Hash-partitioning once on (keyspace, table_name,
+    partition_key) -- a SUBSET of every downstream clustering key -- lets
+    the window, the delete-map aggregate and both aggregation levels all
+    reuse this single distribution (optimization guide S2.4: two
+    operations keyed the same way share one exchange). REPARTITION_BY_NUM
+    (explicit count) so AQE cannot byte-coalesce the corpus below the
+    session's parallelism (the r08 s2 lesson). The adapter-cached parquet
+    path needs none of this: its cells cache is already pk-partitioned."""
+    n = int(frame.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return frame.repartition(
+        n, F.col("keyspace"), F.col("table_name"), F.col("partition_key")
+    )
+
+
 def purge_top_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``purge`` top-N reclaimable partitions from a Cassandra data
     DIRECTORY and nothing else: full merge -> purge -> measure
@@ -2589,7 +2964,7 @@ def purge_top_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = materialize_index_files(spark, sf_dir)
-    per_part = purge_stats(_decoded_purge_cells(spark, root))
+    per_part = purge_stats(_purge_partitioned(_decoded_purge_cells(spark, root)))
     return top_n_per_group(
         per_part,
         ["keyspace", "table_name"],
@@ -2609,7 +2984,7 @@ def purge_global_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = materialize_index_files(spark, sf_dir)
-    per_part = purge_stats(_decoded_purge_cells(spark, root))
+    per_part = purge_stats(_purge_partitioned(_decoded_purge_cells(spark, root)))
     return per_part.groupBy("keyspace", "table_name").agg(
         F.count(F.lit(1)).alias("partitions"),
         F.sum("pre_size").alias("total_size"),
