@@ -251,11 +251,17 @@ def _purge_cassdir_merge(spark, sf_dir):
     from cassandra_sstable_tools_spark.operators.purge import purge_stats
     from cassandra_sstable_tools_spark.operators.topn import top_n_per_group
 
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        _purge_partitioned,
+    )
+
     frame = _PURGE_DECODED_CACHE.get(sf_dir)
     if frame is None:
         _purge_cassdir_decode(spark, sf_dir).collect()
         frame = _PURGE_DECODED_CACHE[sf_dir]
-    per_part = purge_stats(frame)
+    # same pk-keyed exchange purge_top_cassdir's tail applies -- this row
+    # stays "the exact purge_top_cassdir tail" (see _purge_partitioned)
+    per_part = purge_stats(_purge_partitioned(frame))
     return top_n_per_group(
         per_part,
         ["keyspace", "table_name"],

@@ -732,13 +732,16 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
 
             from cassandra_sstable_tools_spark.sources.data_cells import (
                 _decoded_purge_cells,
+                _purge_partitioned,
             )
 
             names = args.filenames.split(",") if args.filenames else None
             root = _scoped_cassdir_root(args)
             _warn_partial_statistics(spark, root, names, "purge")
             per_part = _table_scope_filter(
-                purge_stats(_decoded_purge_cells(spark, root, names)), args
+                purge_stats(_purge_partitioned(
+                    _decoded_purge_cells(spark, root, names)
+                )), args
             ).persist()
             try:
                 out.append(("Purge totals", _render(
