@@ -316,9 +316,21 @@ def cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = df.where(F.col("table_name") == tbl)
         return df
 
+    # part_cols deliberately EXCLUDES keyspace: the column is a constant
+    # (F.lit("ks1")), so a repartition on it plans as
+    # hashpartitioning('ks1-literal', tb, pk) -- and a literal is not
+    # semantically equal to the keyspace ATTRIBUTE downstream operators
+    # cluster on, so HashPartitioning.satisfies(ClusteredDistribution)
+    # failed and EVERY pk-grain window/groupBy over this cache silently
+    # re-shuffled the whole corpus (measured: purge_top moved 59.7 MB of
+    # shuffle across 7 job barriers where the doctrine said zero; 0.04 MB
+    # across 3 jobs after this fix). Partitioning on (table_name,
+    # partition_key) places rows identically (ks is constant) and, being
+    # a SUBSET of every downstream clustering key, actually satisfies
+    # their distributions straight off the cache.
     return _cached(
         spark, sf_dir, "cells", build,
-        part_cols=("keyspace", "table_name", "partition_key"),
+        part_cols=("table_name", "partition_key"),
     )
 
 
