@@ -891,7 +891,18 @@ def media_neardup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder, the gray kernel or the hash fold breaks the driver hash.
     Reference analog: none (LLM-pipeline extension); kernels documented in
     media_phash_real."""
-    ph = media_phash_real(planted_media(spark, sf_dir))
+    # the banding tail consumes the signature frame THREE times (the band
+    # melt plus the two side-signature re-attaches); media_phash_real is an
+    # opaque Python kernel, so without a materialization point every
+    # consumer re-ran the full PNG encode->decode->hash pipeline (measured
+    # with the noop sink: kernel 0.78s, full query 3.11s = ~3x kernel +
+    # joins). A lazy localCheckpoint computes the 24-byte/doc signatures
+    # once per run; blocks free with the plan via the ContextCleaner. The
+    # fake-grid twin (media_neardup_pairs) stays checkpoint-free -- its
+    # phash is cheap JVM expressions where a barrier would only add cost.
+    ph = media_phash_real(planted_media(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     return phash_neardup_pairs_over(ph)
 
 
