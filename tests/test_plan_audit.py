@@ -726,3 +726,31 @@ def test_dedup_survivorship_aggregate_no_hint(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" not in plan_nb, plan_nb
+
+
+def test_purge_window_reuses_cells_cache_partitioning(spark, sf_dir):
+    """r12 optimization regression pin: the cells cache is hash-partitioned
+    on (table_name, partition_key) -- attribute expressions only, because a
+    repartition column that folds to a LITERAL (keyspace = F.lit('ks1'))
+    makes HashPartitioning.satisfies(ClusteredDistribution) fail and every
+    pk-grain window/groupBy silently re-shuffles the whole corpus (measured
+    59.7 MB / 7 jobs on purge_top where the module doctrine says zero).
+    The pin is on the EXECUTED (AQE-final) plan of a WARM run (cache
+    already materialized -- the first run plans before the cache's
+    partitioning is observable and keeps the exchange; every subsequent
+    run, which is what the bench measures, must not): no exchange keyed on
+    the LWW window's dedup columns (_w0/_w1) may exist -- that exchange is
+    the regression signature, and the planner can only skip it when the
+    cache's partitioning satisfies the window's required distribution."""
+    from cassandra_sstable_tools_spark.queries.purge import QUERIES
+
+    QUERIES["purge_top"](spark, sf_dir).collect()  # materialize the cache
+    df = QUERIES["purge_top"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    offending = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "_w0" in line
+    ]
+    assert not offending, offending
