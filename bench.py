@@ -2,11 +2,19 @@
 
 Protocol (BASELINE.md): local[$SPARK_GRAFT_CPUS], AQE on, exact percentiles,
 results collected to driver. Per query: 1 warm-up run then N_RUNS timed runs
-(default 5; $SPARK_GRAFT_BENCH_RUNS overrides). Prints ONE JSON line:
+(default 5; $SPARK_GRAFT_BENCH_RUNS overrides). Prints TWO JSON lines:
+first the FULL record
   {"metric": "...", "value": <total of medians sec>, "unit": "sec",
    "queries": {name: median sec, ...},
    "spread": {name: {"min": s, "median": s, "max": s, "n": N}, ...},
    "secondary": {name: median sec, ...}, "sf": <dir>}
+then, LAST, a compact line with the same metric/value/queries/secondary but
+no per-row spread. The final line is the machine contract: it stays well
+under a 2000-byte tail capture (the r12 driver lost its whole
+round-over-round PERF table because the single full line outgrew exactly
+that window and was cut mid-line -- r12 VERDICT "Next round" #2). The full
+record directly precedes it for humans and for triage tooling; both lines
+carry the same medians.
 
 `spread` exists because a single median cannot distinguish a plan regression
 from box noise (r04: the driver's run measured 1.55x an idle-box run of the
@@ -436,7 +444,20 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Full record first (humans + triage tooling), compact contract line
+    # LAST: the driver captures a bounded tail of stdout and parses the
+    # final line -- r12's single full line outgrew a 2000-byte window and
+    # was cut mid-line, losing the round's whole PERF table. The compact
+    # line drops only the per-row spread; medians are identical.
     print(json.dumps(out))
+    compact = {k: v for k, v in out.items() if k != "spread"}
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail again
+        compact.pop("secondary", None)
+        if errors:
+            compact["errors"] = sorted(errors)  # names only
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

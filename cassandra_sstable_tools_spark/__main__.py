@@ -582,26 +582,17 @@ def _dispatch(spark, args, sf: str, out: list[tuple[str, str]]) -> int:
             # ROOT (whole directories never listed); -f prunes at the file
             # listing before any parse -- the same skip grain as the
             # reference's reader.
-            from cassandra_sstable_tools_spark.operators.window_sizes import (
-                index_partition_sizes,
-            )
             from cassandra_sstable_tools_spark.sources.sstable_binary import (
-                binary_index_entries,
-                data_file_lengths,
+                binary_index_sizes,
             )
 
             names = args.filenames.split(",") if args.filenames else None
             root = _scoped_cassdir_root(args)
-            entries = _table_scope_filter(
-                binary_index_entries(spark, root, filenames=names,
-                                     key_type=args.key_type), args
+            sizes = _table_scope_filter(
+                binary_index_sizes(spark, root, filenames=names,
+                                   key_type=args.key_type), args
             )
-            lengths = _table_scope_filter(
-                data_file_lengths(spark, root, filenames=names), args
-            )
-            c = m.collate_sizes(index_partition_sizes(
-                entries, lengths,
-            )).persist()
+            c = m.collate_sizes(sizes).persist()
             summary = m.summary_from_collated(c, approx=args.approx)
             top_size = m.top_size_from_collated(c, args.n)
             top_tables = m.top_tables_from_collated(c, args.n)

@@ -116,14 +116,40 @@ def per_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         c = _flags(tpch_adapter.cells(spark, sf_dir))
-        return c.groupBy("keyspace", "table_name", "partition_key").agg(
-            F.sum("cell_size").alias("size"),
-            F.countDistinct("sstable_id").alias("tables"),
-            F.countDistinct("row_key").alias("rows"),
-            F.sum("f_rowdel").alias("row_deletes"),
-            F.sum("f_cell").alias("cells"),
-            F.sum("f_tomb").alias("tombstones"),
-            F.sum("f_droppable").alias("droppable_tombstones"),
+        # Two-level fold (guide §2.3): the one-level form's TWO
+        # countDistincts plan an Expand (x3 row blowup of the cell scan)
+        # that every COLD first run pays -- which is what a real 100 TB job
+        # is. Level 1 groups by (pk grain, sstable_id) with the single
+        # remaining distinct (Spark 4 plans one distinct Expand-free);
+        # level 2 then counts level-1 groups for `tables` and sums the
+        # per-sstable row distincts for `rows`. Equivalent because row_key
+        # embeds sstable_id ('#'-joined; fixture/adapter sstable_ids are
+        # '#'-free and non-null), so per-sstable distincts are disjoint
+        # across level-1 groups of one partition -- and the oracle hash
+        # gate certifies it on every fixture SF.
+        l1 = c.groupBy(
+            "keyspace", "table_name", "partition_key", "sstable_id"
+        ).agg(
+            F.sum("cell_size").alias("_size"),
+            F.countDistinct("row_key").alias("_rows"),
+            F.sum("f_rowdel").alias("_row_deletes"),
+            F.sum("f_cell").alias("_cells"),
+            F.sum("f_tomb").alias("_tombstones"),
+            F.sum("f_droppable").alias("_droppable"),
+        )
+        return l1.groupBy("keyspace", "table_name", "partition_key").agg(
+            F.sum("_size").alias("size"),
+            F.count(
+                F.when(F.col("sstable_id").isNotNull(), F.lit(1))
+            ).alias("tables"),
+            # coalesce: value-identical (every group is non-empty and _rows
+            # is non-null) but pins `rows` back to NOT NULL, matching the
+            # one-level countDistinct's declared schema
+            F.coalesce(F.sum("_rows"), F.lit(0).cast("bigint")).alias("rows"),
+            F.sum("_row_deletes").alias("row_deletes"),
+            F.sum("_cells").alias("cells"),
+            F.sum("_tombstones").alias("tombstones"),
+            F.sum("_droppable").alias("droppable_tombstones"),
         )
 
     return tpch_adapter._cached(spark, sf_dir, "cfstats_per_partition", build)

@@ -2315,23 +2315,18 @@ def dir_partition_sizes(
     """(ks, tb, ss, pk, size) from Index.db position deltas -- the
     reference's own partition-size semantics (DataReader.java:118-121:
     scanner position delta) -- restricted to the cell-decodable sstable
-    universe so sizes and record counts cover the same files."""
-    from cassandra_sstable_tools_spark.operators.window_sizes import (
-        index_partition_sizes,
-    )
+    universe so sizes and record counts cover the same files. The fused
+    parse (``binary_index_sizes``) resolves deltas + tail length + the
+    decodable-universe check (Data.db + Statistics.db present) inside the
+    per-file task, so the plan carries no window exchange, length join or
+    component-listing semi join."""
     from cassandra_sstable_tools_spark.sources.sstable_binary import (
-        binary_index_entries,
-        data_file_lengths,
+        binary_index_sizes,
     )
 
-    sizes = index_partition_sizes(
-        binary_index_entries(spark, root, filenames, key_type=key_type),
-        data_file_lengths(spark, root, filenames),
-    )
-    return sizes.join(
-        F.broadcast(decodable_sstables(spark, root, filenames)),
-        ["keyspace", "table_name", "sstable_id"],
-        "semi",
+    return binary_index_sizes(
+        spark, root, filenames, key_type=key_type,
+        require_components=("Statistics.db",),
     )
 
 
@@ -3058,14 +3053,27 @@ def cfstats_rankings_from_dir(
     pkey = ["keyspace", "table_name", "partition_key"]
     if decoded is None:
         decoded = data_cells(spark, root, filenames)
-    per_part = _decoded_flags(decoded).groupBy(
-        *pkey
-    ).agg(
-        F.countDistinct("sstable_id").alias("tables"),
-        F.countDistinct("row_key").alias("rows"),
-        F.sum("f_rowdel").alias("row_deletes"),
-        F.sum("f_cell").alias("cells"),
-        F.sum("f_tomb").alias("tombstones"),
+    # two-level fold: the one-level TWO-countDistinct form plans an Expand
+    # (x3 row blowup of the decoded stream); level 1 keeps the single
+    # distinct (Expand-free), level 2 counts groups / sums partials. Same
+    # equivalence argument as queries/cfstats.per_partition: row_key embeds
+    # the ('#'-free, non-null) sstable_id, so per-sstable row distincts are
+    # disjoint within a partition.
+    l1 = _decoded_flags(decoded).groupBy(*pkey, "sstable_id").agg(
+        F.countDistinct("row_key").alias("_rows"),
+        F.sum("f_rowdel").alias("_row_deletes"),
+        F.sum("f_cell").alias("_cells"),
+        F.sum("f_tomb").alias("_tombstones"),
+    )
+    per_part = l1.groupBy(*pkey).agg(
+        F.count(
+            F.when(F.col("sstable_id").isNotNull(), F.lit(1))
+        ).alias("tables"),
+        # coalesce pins NOT NULL, matching the one-level countDistinct
+        F.coalesce(F.sum("_rows"), F.lit(0).cast("bigint")).alias("rows"),
+        F.sum("_row_deletes").alias("row_deletes"),
+        F.sum("_cells").alias("cells"),
+        F.sum("_tombstones").alias("tombstones"),
     ).persist()
     group = ["keyspace", "table_name"]
 

@@ -28,9 +28,12 @@ Format (public knowledge: Apache Cassandra ``VIntCoding`` /
 
 Partition size is NOT stored: it is the DELTA to the next entry's position,
 with the tail partition closed by the Data.db file length
-(IndexReader.java:88-98). This module only emits (key, position); the
-existing W1 window operator (operators/window_sizes.py) derives sizes, so
-the binary and parquet paths share one size-derivation code path.
+(IndexReader.java:88-98). ``binary_index_entries`` emits (key, position)
+for the W1 window operator (operators/window_sizes.py -- the shared
+size-derivation path for parquet-metadata compositions);
+``binary_index_sizes`` fuses the same delta arithmetic into the per-file
+parse task for directory-only consumers, eliminating the window exchange
+and the length join from those plans.
 
 Unsigned vint (Cassandra ``VIntCoding``): first byte carries N leading
 1-bits = N extra bytes, remaining first-byte bits are the value's high
@@ -666,6 +669,24 @@ def _local_path(path: str) -> str:
     return path
 
 
+def _header_renderer(index_local: str, ver: str):
+    """Per-sstable typed renderer off the sibling Statistics.db header
+    (POSIX path, key_type unset); unreadable/absent header -> heuristic."""
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        parse_serialization_header,
+    )
+
+    stats = index_local[: -len("Index.db")] + "Statistics.db"
+    try:
+        with open(stats, "rb") as f:
+            kt = parse_serialization_header(
+                f.read(), version=ver, source=stats
+            ).key_type
+    except Exception:  # noqa: BLE001 -- absent/corrupt header: heuristic
+        return render_key
+    return lambda b: render_typed(b, kt)
+
+
 def binary_index_entries(
     spark: SparkSession, root: str, filenames=None, key_type: str | None = None
 ) -> DataFrame:
@@ -695,23 +716,6 @@ def binary_index_entries(
     sstables and non-POSIX roots keep the UTF-8-or-hex heuristic.
     """
     render = key_renderer(key_type)
-
-    def _header_renderer(index_local: str, ver: str):
-        """Per-sstable typed renderer off the sibling header (POSIX path,
-        key_type unset); unreadable/absent header -> heuristic."""
-        from cassandra_sstable_tools_spark.sources.statistics_db import (
-            parse_serialization_header,
-        )
-
-        stats = index_local[: -len("Index.db")] + "Statistics.db"
-        try:
-            with open(stats, "rb") as f:
-                kt = parse_serialization_header(
-                    f.read(), version=ver, source=stats
-                ).key_type
-        except Exception:  # noqa: BLE001 -- absent/corrupt header: heuristic
-            return render_key
-        return lambda b: render_typed(b, kt)
 
     if _is_local_root(root):
         files = _filter_files(
@@ -1180,6 +1184,146 @@ def data_file_lengths(
     )
 
 
+INDEX_SIZES_SCHEMA = (
+    "keyspace string, table_name string, sstable_id string, "
+    "partition_key string, size bigint"
+)
+
+
+def binary_index_sizes(
+    spark: SparkSession, root: str, filenames=None, key_type: str | None = None,
+    require_components: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fused Index.db scan -> (ks, tb, ss, pk, SIZE): each parse task
+    resolves its own file's position deltas in place.
+
+    Equivalent by construction to
+    ``index_partition_sizes(binary_index_entries(...),
+    data_file_lengths(...))`` -- the parser sees a file's entries in
+    position order (sorted defensively per file, matching the W1 window's
+    ORDER BY position), so size = next position - position with the tail
+    partition closed by the sibling-resolved uncompressed length: the
+    CompressionInfo.db header's dataLength when the sstable is compressed,
+    else the Data.db byte length (exactly ``data_file_lengths``). Removes
+    the entry-grain lead() window (one Exchange + Sort) and the broadcast
+    length join from every directory-sizes plan, plus the two extra
+    component listings those frames cost (guide §2.4 remove shuffles,
+    §1.2 remove passes).
+
+    Join semantics preserved: an Index.db is always parsed (loud on
+    corruption), but its rows are emitted only when the sibling Data.db
+    exists (the window composition's inner join against the lengths frame
+    drops keyless entries the same way). ``require_components`` lists
+    extra sibling components that must also exist (e.g. Statistics.db for
+    the cell-decodable universe) -- the in-task equivalent of a broadcast
+    semi join against a component listing.
+
+    Non-POSIX roots keep the window composition (sibling reads need a
+    filesystem; binaryFile content rows do not carry one)."""
+    from cassandra_sstable_tools_spark.operators.window_sizes import (
+        index_partition_sizes,
+    )
+
+    if not _is_local_root(root):
+        sizes = index_partition_sizes(
+            binary_index_entries(spark, root, filenames, key_type=key_type),
+            data_file_lengths(spark, root, filenames),
+        )
+        for comp in require_components:
+            # mirrors data_cells.decodable_sstables' listing semi join
+            comp_files = _filter_files(
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", f"*-{comp}")
+                .option("recursiveFileLookup", "true")
+                .load(root)
+                .select("path"),
+                filenames,
+                comp,
+            )
+            pieces = "split(element_at(split(path, '/'), -1), '-')"
+            comp_ids = comp_files.select(
+                F.expr("element_at(split(path, '/'), -3)").alias("keyspace"),
+                F.expr("element_at(split(path, '/'), -2)").alias("table_name"),
+                F.expr(
+                    f"array_join(slice({pieces}, 2, size({pieces}) - 3), '-')"
+                ).alias("sstable_id"),
+            )
+            sizes = sizes.join(
+                F.broadcast(comp_ids),
+                ["keyspace", "table_name", "sstable_id"],
+                "semi",
+            )
+        return sizes
+
+    render = key_renderer(key_type)
+    files = _filter_files(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-Index.db")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path"),
+        filenames,
+        "Index.db",
+    )
+
+    def parse_local(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ks_l, tb_l, ss_l, pk_l, sz_l = [], [], [], [], []
+            for path in pdf["path"]:
+                ks, tb, ss, ver = _parse_filename(path)
+                local = _local_path(path)
+                r = (
+                    render if key_type is not None
+                    else _header_renderer(local, ver)
+                )
+                with open(local, "rb") as f:
+                    entries = list(
+                        stream_parse_index_db(f, version=ver, source=path)
+                    )
+                stem = local[: -len("Index.db")]
+                # inner-join semantics: no Data.db sibling -> no length row
+                # -> the window composition drops this sstable's entries
+                if not os.path.exists(stem + "Data.db"):
+                    continue
+                if any(
+                    not os.path.exists(stem + comp)
+                    for comp in require_components
+                ):
+                    continue
+                comp_local = stem + "CompressionInfo.db"
+                if os.path.exists(comp_local):
+                    with open(comp_local, "rb") as cf:
+                        length = parse_compression_info(
+                            cf.read(), ver,
+                            source=path[: -len("Index.db")]
+                            + "CompressionInfo.db",
+                        )
+                else:
+                    length = os.path.getsize(stem + "Data.db")
+                entries.sort(key=lambda e: e[1])
+                positions = [p for _, p in entries]
+                positions.append(length)
+                for j, (key, pos) in enumerate(entries):
+                    ks_l.append(ks)
+                    tb_l.append(tb)
+                    ss_l.append(ss)
+                    pk_l.append(r(key))
+                    sz_l.append(positions[j + 1] - pos)
+            yield pd.DataFrame(
+                {
+                    "keyspace": ks_l,
+                    "table_name": tb_l,
+                    "sstable_id": ss_l,
+                    "partition_key": pk_l,
+                    "size": pd.Series(sz_l, dtype="int64"),
+                }
+            )
+
+    return files.mapInPandas(parse_local, INDEX_SIZES_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # Fixture materialization: parquet-derived index_entries -> real .db files
 # --------------------------------------------------------------------------
@@ -1549,18 +1693,11 @@ def pstats_summary_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cassdir_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-only partition sizes: Index.db entries from the binary
-    parse, tail-closing lengths resolved from CompressionInfo.db /
-    Data.db byte lengths (``data_file_lengths``). Zero parquet inputs
-    anywhere in the plan."""
-    from cassandra_sstable_tools_spark.operators.window_sizes import (
-        index_partition_sizes,
-    )
-
+    parse, tail-closing lengths resolved in the same task from sibling
+    CompressionInfo.db / Data.db byte lengths (``binary_index_sizes``).
+    Zero parquet inputs anywhere in the plan."""
     root = materialize_index_files(spark, sf_dir)
-    return index_partition_sizes(
-        binary_index_entries(spark, root),
-        data_file_lengths(spark, root),
-    )
+    return binary_index_sizes(spark, root)
 
 
 def pstats_summary_cassdir(spark: SparkSession, sf_dir: str) -> DataFrame:

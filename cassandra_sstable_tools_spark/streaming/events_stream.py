@@ -215,11 +215,27 @@ def run_available_now(
 
     The shuffle-partition conf is scoped to the stream's lifetime (state
     partition count is read at query start; restored after) -- values are
-    unaffected, only the number of state stores per micro-batch."""
+    unaffected, only the number of state stores per micro-batch.
+
+    No-data micro-batches are disabled for the drain (also scoped): their
+    only job is watermark-driven state eviction / timeout firing, and no
+    drained query shape here emits rows from one -- the aggregations drain
+    in complete mode (re-emitted every data batch), dedup and the interval
+    join emit in the data batch that carries the row, and the stateful
+    sessionize kernel runs GroupStateTimeout.NoTimeout (a no-data batch
+    invokes no handler). Measured r13: the trailing empty batch cost a
+    full trigger cycle -- WAL commit + offset commit + per-partition state
+    store commits, ~0.36s of a 1.3s drain -- for zero output rows."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false"
     )
     try:
         q = (
@@ -232,6 +248,9 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+        )
     return spark.table(table_name)
 
 

@@ -1,6 +1,7 @@
-"""Capture .explain("formatted") for bench queries into plans/r12/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py [--suffix before|after] [--queries a,b]
+       [--round r13]
 
 Writes plans/r12/<query>_<suffix>.txt for every headline + secondary bench
 row that is a registry query (bench-only EXTRA_SECONDARY rows that wrap a
@@ -25,17 +26,16 @@ import bench  # noqa: E402
 from cassandra_sstable_tools_spark.queries import registry  # noqa: E402
 from cassandra_sstable_tools_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = Path(__file__).resolve().parents[1] / "plans" / "r12"
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset (default: all bench rows)")
     ap.add_argument("--sf-dir", default=bench.SF_DIR)
+    ap.add_argument("--round", default="r13", dest="round_name")
     args = ap.parse_args()
 
+    OUT_DIR = Path(__file__).resolve().parents[1] / "plans" / args.round_name
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     qs = registry.queries()
