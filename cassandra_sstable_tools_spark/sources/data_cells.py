@@ -1904,30 +1904,15 @@ def partition_budget_ok(psize: int, records: list[dict]) -> bool:
 # --------------------------------------------------------------------------
 
 
-def scan_sstable_cell_rows(
-    index_path: str,
-    shard: int = 0,
-    n_shards: int = 1,
-    with_values: bool = False,
-) -> list[tuple]:
-    """Decode ONE sstable's (shard of) cell records into tuples in
-    ``_COLS`` order (``_COLS_VALUES`` under ``with_values=True``, which
-    appends the raw payload bytes + marshal type for lossless rewrites)
-    -- the per-task body shared by the ``data_cells`` mapInPandas scan
-    and the Python DataSource read path (``sources/pyds.py``).
-    ``index_path`` may be a ``file:`` URI or a POSIX path. Returns []
-    when the sstable lacks the components cell decoding needs (Data.db /
-    Statistics.db -- the skip rule); raises, naming file and byte offset,
-    on corruption.
-
-    Sharding (``n_shards > 1``): contiguous position ranges. With a
-    Summary.db present the shard SEEKS to its sampled index slice and
-    streams only its own index bytes (zero duplicated I/O across shards);
-    without one it falls back to a full index stream sliced by position
-    count. Shard-invariance of the union is pinned by test."""
-    from cassandra_sstable_tools_spark.sources.lz4_block import (
-        open_data_file,
-    )
+def _scan_plan(index_path: str, shard: int, n_shards: int):
+    """The shared setup of a per-task sstable scan: component checks,
+    Statistics.db header parse, Index.db position pass (summary-seek
+    sliced when sharded). Returns None when the sstable lacks Data.db /
+    Statistics.db (the skip rule) or the shard is empty, else
+    ``(ks, tb, ss, header, positions, lo, hi, npos, tail, data_path,
+    comp_path, cmarshal)``. Extracted verbatim from the old
+    ``scan_sstable_cell_rows`` body so the tuple and columnar paths share
+    one setup (same side-effect order, same errors)."""
     from cassandra_sstable_tools_spark.sources.statistics_db import (
         parse_serialization_header,
     )
@@ -1940,7 +1925,7 @@ def scan_sstable_cell_rows(
     stats_path = base + "Statistics.db"
     comp_path = base + "CompressionInfo.db"
     if not os.path.exists(data_path) or not os.path.exists(stats_path):
-        return []
+        return None
     with open(stats_path, "rb") as f:
         header = parse_serialization_header(
             f.read(), version=ver, source=stats_path
@@ -1970,7 +1955,7 @@ def scan_sstable_cell_rows(
         lo_e = int(shard) * ns // n_shards
         hi_e = (int(shard) + 1) * ns // n_shards
         if lo_e == hi_e:
-            return []  # fewer sampled entries than shards
+            return None  # fewer sampled entries than shards
         start_off = summ.entries[lo_e][1]
         end_off = summ.entries[hi_e][1] if hi_e < ns else idx_size
         positions: list[int] = []
@@ -2008,42 +1993,92 @@ def scan_sstable_cell_rows(
         lo = int(shard) * npos // n_shards
         hi = (int(shard) + 1) * npos // n_shards
         tail = None
-    rows: list[tuple] = []
     h_clustering = list(header.clustering_types)
     # clustering_marshal: the sstable's OWN clustering types
     # (comma-joined), constant per sstable -- lets a rewrite re-declare
     # typed clustering automatically
     cmarshal = ",".join(h_clustering) or None
+    return (
+        ks, tb, ss, ver, header, positions, lo, hi, npos, tail,
+        data_path, comp_path, cmarshal,
+    )
+
+
+def _iter_block_spans(dat, positions, lo, hi, npos, tail_end):
+    """Yield ``(span_bytes, blocks)`` with ``blocks`` a list of
+    ``(file_pos, rel_off, rel_end)`` -- the span-batching read loop
+    shared by the tuple and columnar scan paths (guide S1.2: partitions
+    are decoded in file order, so consecutive partitions are fetched in
+    ~8 MiB spans and sliced in memory -- identical bytes, ~1000x fewer
+    reader calls than one seek+read per partition)."""
+    span_bytes = 8 << 20
+    i = lo
+    while i < hi:
+        k = i + 1
+        while k < hi:
+            nxt = positions[k + 1] if k + 1 < npos else tail_end
+            if nxt - positions[i] > span_bytes:
+                break
+            k += 1
+        grp_lo = positions[i]
+        grp_end = positions[k] if k < npos else tail_end
+        if grp_end <= grp_lo:
+            i = k
+            continue
+        dat.seek(grp_lo)
+        span = dat.read(grp_end - grp_lo)
+        blocks = []
+        for m in range(i, k):
+            pos = positions[m]
+            end = positions[m + 1] if m + 1 < npos else tail_end
+            if end <= pos:
+                continue  # zero-extent: offset shared with successor
+            blocks.append((pos, pos - grp_lo, end - grp_lo))
+        if blocks:
+            yield span, blocks
+        i = k
+
+
+def scan_sstable_cell_rows(
+    index_path: str,
+    shard: int = 0,
+    n_shards: int = 1,
+    with_values: bool = False,
+) -> list[tuple]:
+    """Decode ONE sstable's (shard of) cell records into tuples in
+    ``_COLS`` order (``_COLS_VALUES`` under ``with_values=True``, which
+    appends the raw payload bytes + marshal type for lossless rewrites)
+    -- the per-task body shared by the point/span read paths and, as the
+    no-C fallback, the ``data_cells`` scan and the Python DataSource read
+    path (``sources/pyds.py``; their fast path is
+    ``scan_sstable_cell_batches``). ``index_path`` may be a ``file:`` URI
+    or a POSIX path. Returns [] when the sstable lacks the components
+    cell decoding needs (Data.db / Statistics.db -- the skip rule);
+    raises, naming file and byte offset, on corruption.
+
+    Sharding (``n_shards > 1``): contiguous position ranges. With a
+    Summary.db present the shard SEEKS to its sampled index slice and
+    streams only its own index bytes (zero duplicated I/O across shards);
+    without one it falls back to a full index stream sliced by position
+    count. Shard-invariance of the union is pinned by test."""
+    from cassandra_sstable_tools_spark.sources.lz4_block import (
+        open_data_file,
+    )
+
+    plan = _scan_plan(index_path, shard, n_shards)
+    if plan is None:
+        return []
+    (ks, tb, ss, ver, header, positions, lo, hi, npos, tail,
+     data_path, comp_path, cmarshal) = plan
+    rows: list[tuple] = []
     dat, data_len = open_data_file(data_path, comp_path, ver)
     tail_end = data_len if tail is None else tail
-    # Span batching (optimization guide S1.2 "per-task work"): partitions
-    # are decoded in file order, so instead of one seek+read per partition
-    # (26k Python-level reads through the chunk facade on a 325 MB
-    # sstable) consecutive partitions are fetched in ~8 MiB spans and
-    # sliced in memory -- identical bytes, ~1000x fewer reader calls.
-    span_bytes = 8 << 20
     try:
-        i = lo
-        while i < hi:
-            k = i + 1
-            while k < hi:
-                nxt = positions[k + 1] if k + 1 < npos else tail_end
-                if nxt - positions[i] > span_bytes:
-                    break
-                k += 1
-            grp_lo = positions[i]
-            grp_end = positions[k] if k < npos else tail_end
-            if grp_end <= grp_lo:
-                i = k
-                continue
-            dat.seek(grp_lo)
-            span = dat.read(grp_end - grp_lo)
-            for m in range(i, k):
-                pos = positions[m]
-                end = positions[m + 1] if m + 1 < npos else tail_end
-                if end <= pos:
-                    continue  # zero-extent: offset shared with successor
-                block = span[pos - grp_lo : end - grp_lo]
+        for span, blocks in _iter_block_spans(
+            dat, positions, lo, hi, npos, tail_end
+        ):
+            for pos, rel_off, rel_end in blocks:
+                block = span[rel_off:rel_end]
                 pk, recs = decode_partition_block(
                     block, header, source=data_path, base=pos,
                     keep_values=with_values,
@@ -2058,10 +2093,69 @@ def scan_sstable_cell_rows(
                     )
                 else:
                     rows.extend(ident + _REC_GET(rec) for rec in recs)
-            i = k
     finally:
         dat.close()
     return rows
+
+
+def scan_sstable_cell_batches(
+    index_path: str,
+    shard: int = 0,
+    n_shards: int = 1,
+    with_values: bool = False,
+) -> Iterator:
+    """``scan_sstable_cell_rows`` as pyarrow RecordBatches through the C
+    structure-walk kernel (sources/cellwalk.py; guide §4.2 native code):
+    the walk emits columnar arrays, display strings render through the
+    same cached Python renderers, and Arrow columns are built directly --
+    no per-record Python objects. Byte-identical output and identical
+    error messages are pinned by tests/test_cellwalk.py; falls back to
+    the interpreted path (same rows through ``_cell_batches``) when the
+    kernel is unavailable (no gcc / SPARK_GRAFT_NO_CELLWALK=1) or
+    declines a block it cannot represent faithfully."""
+    from cassandra_sstable_tools_spark.sources import cellwalk
+    from cassandra_sstable_tools_spark.sources.lz4_block import (
+        open_data_file,
+    )
+
+    if not cellwalk.available():
+        yield from _cell_batches(
+            scan_sstable_cell_rows(
+                index_path, shard, n_shards, with_values=with_values
+            ),
+            _pa_cells_schema(with_values),
+        )
+        return
+    plan = _scan_plan(index_path, shard, n_shards)
+    if plan is None:
+        return
+    (ks, tb, ss, ver, header, positions, lo, hi, npos, tail,
+     data_path, comp_path, cmarshal) = plan
+    dat, data_len = open_data_file(data_path, comp_path, ver)
+    tail_end = data_len if tail is None else tail
+    try:
+        try:
+            bundle = cellwalk.walk_spans(
+                header,
+                _iter_block_spans(dat, positions, lo, hi, npos, tail_end),
+                data_path,
+                with_values,
+            )
+        except cellwalk._NeedPython:
+            # rare decline (allocator failure / ttl overflow): the
+            # interpreted kernel is the arbiter, re-scan through it
+            yield from _cell_batches(
+                scan_sstable_cell_rows(
+                    index_path, shard, n_shards, with_values=with_values
+                ),
+                _pa_cells_schema(with_values),
+            )
+            return
+    finally:
+        dat.close()
+    yield from cellwalk.assemble_batches(
+        bundle, header, ks, tb, ss, cmarshal, with_values
+    )
 
 
 def _auto_split_bytes(spark: SparkSession, total_bytes: int) -> int:
@@ -2206,21 +2300,16 @@ def data_cells(
     schema = DATA_CELLS_VALUES_SCHEMA if with_values else DATA_CELLS_SCHEMA
 
     def scan(batches) -> Iterator:
-        pa_schema = _pa_cells_schema(with_values)
         for rb in batches:
             names = rb.schema.names
-            rows: list[tuple] = []
             for path, shard, ns in zip(
                 rb.column(names.index("path")).to_pylist(),
                 rb.column(names.index("shard")).to_pylist(),
                 rb.column(names.index("n_shards")).to_pylist(),
             ):
-                rows.extend(
-                    scan_sstable_cell_rows(
-                        path, int(shard), int(ns), with_values=with_values
-                    )
+                yield from scan_sstable_cell_batches(
+                    path, int(shard), int(ns), with_values=with_values
                 )
-            yield from _cell_batches(rows, pa_schema)
 
     return files.mapInArrow(scan, schema)
 

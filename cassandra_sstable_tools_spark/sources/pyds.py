@@ -489,8 +489,21 @@ class SSTableCellReader(DataSourceReader):
         from cassandra_sstable_tools_spark.sources.data_cells import (
             _cell_batches,
             _pa_cells_schema,
+            scan_sstable_cell_batches,
         )
 
+        if (
+            partition.path
+            and partition.keys is None
+            and partition.spans is None
+        ):
+            # full scans take the C columnar kernel straight to batches
+            # (point/span reads stay on the tuple path: per-key record
+            # volume is small and their decode goes through the lookup
+            # window readers, not the scan)
+            return scan_sstable_cell_batches(
+                partition.path, partition.shard, partition.n_shards
+            )
         return _cell_batches(
             self._read_rows(partition), _pa_cells_schema(False)
         )
@@ -871,15 +884,11 @@ class SSTableStreamReader(DataSourceStreamReader):
         if not partition.path:
             return iter(())
         from cassandra_sstable_tools_spark.sources.data_cells import (
-            _cell_batches,
-            _pa_cells_schema,
-            scan_sstable_cell_rows,
+            scan_sstable_cell_batches,
         )
 
         # pyarrow RecordBatches, same fast path as the batch reader
-        return _cell_batches(
-            scan_sstable_cell_rows(partition.path), _pa_cells_schema(False)
-        )
+        return scan_sstable_cell_batches(partition.path)
 
     def commit(self, end: dict) -> None:
         pass
