@@ -46,10 +46,19 @@ def _run_bench(checkout: str, queries: str, runs: int, sf: str) -> dict:
         cwd=checkout, env=env, capture_output=True, text=True,
         check=False,
     )
+    best = None
     for line in reversed(proc.stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            out = json.loads(line)
+            # bench.py prints the full record (with per-row spread) first
+            # and a compact contract line (no spread) LAST -- prefer the
+            # record that carries the spread this tool compares on
+            if out.get("spread"):
+                return out
+            best = best or out
+    if best is not None:
+        return best
     raise SystemExit(
         f"bench in {checkout} produced no JSON line; stderr tail:\n"
         + "\n".join(proc.stderr.splitlines()[-15:])
