@@ -1553,10 +1553,63 @@ def _clustering_blob_cached(
     return _enc_clustering_values(list(vals), list(types))
 
 
+class _EncPrep:
+    """Per-header encode tables: column name -> (idx, type, is_complex,
+    fixed value length, CellPath component type) for each side, plus the
+    bound delta codec. Built once per distinct header CONTENTS (the memo
+    key -- mutation-safe where an identity key would go stale, the
+    _header_prep lesson) instead of once per partition: the writer calls
+    ``encode_unfiltereds`` once per partition, and rebuilding the codec
+    plus both index dicts per call was measurable (guide §1.2 per-task
+    work)."""
+
+    __slots__ = ("codec", "reg", "sta", "n_reg", "cl_types_t")
+
+    def __init__(self, h: SerializationHeaderInfo):
+        self.codec = _Codec(h)
+        self.n_reg = len(h.regular_columns)
+        # the cached clustering helpers key on a TUPLE of types; doing the
+        # list->tuple conversion per record was a measurable slice of the
+        # encode loop
+        self.cl_types_t = tuple(h.clustering_types)
+
+        def table(columns):
+            out = {}
+            for i, (name, t) in enumerate(columns):
+                cplx = is_complex_type(t)
+                out[name] = (
+                    i, t, cplx, FIXED_VALUE_LENGTHS.get(t),
+                    _path_type_of(t) if cplx else None,
+                )
+            return out
+
+        self.reg = table(h.regular_columns)
+        self.sta = table(h.static_columns)
+
+
+_ENC_PREPS: dict[tuple, _EncPrep] = {}
+
+
+def _encode_prep(h: SerializationHeaderInfo) -> _EncPrep:
+    key = (
+        h.min_timestamp, h.min_local_deletion_time, h.min_ttl,
+        tuple(h.clustering_types),
+        tuple(map(tuple, h.static_columns)),
+        tuple(map(tuple, h.regular_columns)),
+    )
+    prep = _ENC_PREPS.get(key)
+    if prep is None:
+        if len(_ENC_PREPS) >= 128:  # writers see few distinct headers
+            _ENC_PREPS.clear()
+        prep = _ENC_PREPS[key] = _EncPrep(h)
+    return prep
+
+
 def encode_unfiltereds(
     records: list[dict],
     h: SerializationHeaderInfo,
     strict_spans: bool = True,
+    prep: _EncPrep | None = None,
 ) -> bytes:
     """Serialize already-filtered encodable records of ONE partition, in
     stream order (statics first, then by (clustering, writetime)), END
@@ -1568,9 +1621,8 @@ def encode_unfiltereds(
     with. The SINK passes False: real payloads are arbitrary-length, the
     format's vints handle any size, and written trees are never
     span-oracle-priced (the round-trip certificate drops phys_size)."""
-    codec = _Codec(h)
-    reg_idx = {name: i for i, (name, _) in enumerate(h.regular_columns)}
-    sta_idx = {name: i for i, (name, _) in enumerate(h.static_columns)}
+    if prep is None:
+        prep = _encode_prep(h)
 
     def sort_key(rec: dict):
         # comparator-aware (r10 ADVICE): rows serialize in the DECLARED
@@ -1588,8 +1640,8 @@ def encode_unfiltereds(
         if static or ckey is None:
             ct: tuple[bytes, ...] = ()
         else:
-            ct = clustering_comparator_tuple(
-                ckey, h.clustering_types, full_arity=not marker
+            ct = _comparator_tuple_cached(
+                ckey, prep.cl_types_t, not marker
             )
         return (0 if static else 1, ct, 0 if marker else 1,
                 rec["writetime"] or 0)
@@ -1598,7 +1650,7 @@ def encode_unfiltereds(
     prev_size = 0
     for rec in sorted(records, key=sort_key):
         blob = _encode_one(
-            rec, h, codec, reg_idx, sta_idx, prev_size,
+            rec, h, prep, prev_size,
             strict_spans=strict_spans,
         )
         if strict_spans:
@@ -1642,9 +1694,10 @@ def _row_blob(
 
 
 def _encode_one(
-    rec, h, codec, reg_idx, sta_idx, prev_size: int,
+    rec, h, prep: _EncPrep, prev_size: int,
     strict_spans: bool = True,
 ) -> bytes:
+    codec = prep.codec
     kind = rec["kind"]
     if kind == "RANGE_TOMBSTONE_MARKER":
         # open INCL_START + close INCL_END pair, deletion on both sides
@@ -1683,17 +1736,17 @@ def _encode_one(
     ext = IS_STATIC if static else 0
     if not static:
         clustering_blob = _clustering_blob_cached(
-            rec["clustering"], tuple(h.clustering_types)
+            rec["clustering"], prep.cl_types_t
         )
     if kind == "ROW_DELETE":
         body = codec.enc_ts(rec["writetime"]) + codec.enc_ldt(
             rec["local_deletion_time"]
-        ) + _enc_subset_cached((), len(h.regular_columns))
+        ) + _enc_subset_cached((), prep.n_reg)
         return _row_blob(HAS_DELETION, ext, clustering_blob, body, prev_size,
                          strict_spans=strict_spans)
     if kind == "ROW_MARKER":
         body = codec.enc_ts(rec["writetime"]) + _enc_subset_cached(
-            (), len(h.regular_columns)
+            (), prep.n_reg
         )
         return _row_blob(HAS_TIMESTAMP, ext, clustering_blob, body, prev_size,
                          strict_spans=strict_spans)
@@ -1703,10 +1756,11 @@ def _encode_one(
         # DeletionTime and a zero cell count (differential/test path; the
         # certified fixture plants complex CELLS, not deletions)
         name = rec["cell_name"]
-        if name not in reg_idx:
+        info = prep.reg.get(name)
+        if info is None:
             raise ValueError(f"column {name!r} missing from the header schema")
         body = (
-            _enc_subset_cached((reg_idx[name],), len(h.regular_columns))
+            _enc_subset_cached((info[0],), prep.n_reg)
             + codec.enc_ts(rec["writetime"])
             + codec.enc_ldt(rec["local_deletion_time"])
             + write_unsigned_vint(0)
@@ -1725,13 +1779,13 @@ def _encode_one(
     counter = bool(rec["is_counter"])
     path = rec.get("cell_path") if not static and not counter else None
     name = rec["cell_name"] + ("_ctr" if counter else "")
-    idx_map, columns = (
-        (sta_idx, h.static_columns) if static else (reg_idx, h.regular_columns)
-    )
-    if name not in idx_map:
+    idx_map = prep.sta if static else prep.reg
+    info = idx_map.get(name)
+    if info is None:
         raise ValueError(f"column {name!r} missing from the header schema")
-    idx = idx_map[name]
-    ctype = columns[idx][1]
+    # per-column tables precomputed once per header (_EncPrep): index,
+    # marshal type, complex flag, fixed value length, CellPath type
+    idx, ctype, cplx, fixed, ptype = info
     cflags = 0
     cell = bytearray()
     if tomb:
@@ -1756,7 +1810,7 @@ def _encode_one(
     if expiring:
         cell += codec.enc_ttl(rec["ttl"])
     if path is not None:
-        if not is_complex_type(ctype):
+        if not cplx:
             raise ValueError(
                 f"record carries a cell_path but column {name!r} has "
                 f"simple type {ctype}"
@@ -1767,21 +1821,22 @@ def _encode_one(
         # Int32 path display would write 2 bytes under a header that
         # declares 4 and silently corrupt the rewrite (review finding);
         # clustering_value_bytes refuses loudly for non-invertible types
-        pb = clustering_value_bytes(path, _path_type_of(ctype))
+        pb = clustering_value_bytes(path, ptype)
         cell += write_unsigned_vint(len(pb)) + pb
-    elif is_complex_type(ctype):
+    elif cplx:
         raise ValueError(
             f"complex column {name!r} needs a cell_path on every cell"
         )
     if value is not None:
-        fixed = FIXED_VALUE_LENGTHS.get(ctype)
         if fixed is not None:
             if len(value) != fixed:
                 raise ValueError(f"fixed type {ctype} needs {fixed} bytes")
             cell += value
         else:
             cell += write_unsigned_vint(len(value)) + value
-    body = _enc_subset_cached((idx,), len(columns))
+    body = _enc_subset_cached(
+        (idx,), len(prep.sta) if static else prep.n_reg
+    )
     if path is not None:
         # complex column block: no complex deletion (row flag unset),
         # one-cell count, then the CellPath-addressed cell

@@ -271,40 +271,50 @@ def _infer_header(records: list[dict], key_marshal: str,
     min_ts = min_ldt = min_ttl = None
     for rec in records:
         kind = rec["kind"]
-        marshal = rec.get("value_marshal")
-        if kind == "STATIC_CELL":
+        is_cellish = kind == "CELL" or kind == "STATIC_CELL"
+        # fast path (guide §1.2): the column tables saturate after a few
+        # records -- when this (name, type) pair is already recorded with
+        # the same type, `put` is a no-op; skip its call (and the marshal
+        # lookups feeding it) with one dict probe
+        if is_cellish or kind == "COMPLEX_DELETE":
+            table = regulars if kind != "STATIC_CELL" else statics
+            marshal = rec.get("value_marshal")
             if rec["is_counter"]:
-                put(statics, rec["cell_name"] + "_ctr", COUNTER_TYPE, True)
+                name, t, declared = rec["cell_name"] + "_ctr", COUNTER_TYPE, True
             elif marshal:
-                put(statics, rec["cell_name"], marshal, True)
+                name, t, declared = rec["cell_name"], marshal, True
+            elif kind != "STATIC_CELL" and (
+                rec.get("cell_path") is not None or kind == "COMPLEX_DELETE"
+            ):
+                name, t, declared = rec["cell_name"], MAP_UTF8_LONG_TYPE, False
             else:
-                put(statics, rec["cell_name"], LONG_TYPE, False)
-        elif kind in ("CELL", "COMPLEX_DELETE"):
-            if rec["is_counter"]:
-                put(regulars, rec["cell_name"] + "_ctr", COUNTER_TYPE, True)
-            elif marshal:
-                put(regulars, rec["cell_name"], marshal, True)
-            elif rec.get("cell_path") is not None or kind == "COMPLEX_DELETE":
-                put(regulars, rec["cell_name"], MAP_UTF8_LONG_TYPE, False)
-            else:
-                put(regulars, rec["cell_name"], LONG_TYPE, False)
-        if kind == "PARTITION_DELETE":
+                name, t, declared = rec["cell_name"], LONG_TYPE, False
+            prev = table.get(name)
+            if prev is None or prev[0] != t:
+                put(table, name, t, declared)
+        elif kind == "PARTITION_DELETE":
             continue  # header-carried; not part of EncodingStats
         wt = rec["writetime"]
-        if wt is not None:
-            min_ts = wt if min_ts is None else min(min_ts, wt)
-        serializes_ldt = kind in (
-            "ROW_DELETE", "RANGE_TOMBSTONE_MARKER", "COMPLEX_DELETE"
-        ) or (
-            kind in ("CELL", "STATIC_CELL")
-            and (bool(rec["is_tombstone"]) or rec["ttl"] is not None)
+        if wt is not None and (min_ts is None or wt < min_ts):
+            min_ts = wt
+        ttl = rec["ttl"]
+        serializes_ldt = (
+            (bool(rec["is_tombstone"]) or ttl is not None)
+            if is_cellish
+            else kind in (
+                "ROW_DELETE", "RANGE_TOMBSTONE_MARKER", "COMPLEX_DELETE"
+            )
         )
-        ldt = rec["local_deletion_time"]
-        if serializes_ldt and ldt is not None:
-            min_ldt = int(ldt) if min_ldt is None else min(min_ldt, int(ldt))
-        if rec["ttl"] is not None:
-            ttl = int(rec["ttl"])
-            min_ttl = ttl if min_ttl is None else min(min_ttl, ttl)
+        if serializes_ldt:
+            ldt = rec["local_deletion_time"]
+            if ldt is not None:
+                ldt = int(ldt)
+                if min_ldt is None or ldt < min_ldt:
+                    min_ldt = ldt
+        if ttl is not None:
+            ttl = int(ttl)
+            if min_ttl is None or ttl < min_ttl:
+                min_ttl = ttl
     return SerializationHeaderInfo(
         min_timestamp=min_ts if min_ts is not None else ENC_TIMESTAMP_EPOCH,
         min_local_deletion_time=(
@@ -409,8 +419,14 @@ def _row_to_record(row) -> dict:
     # with_values decode) carries the bytes themselves. A record whose
     # payload was dropped by the long-only frame REFUSES here by name --
     # the writer must never silently write an EMPTY value for it.
-    value_bytes = _field(row, "value_bytes")
-    value_len = _field(row, "value_len")
+    # (dict rows: .get IS _field's semantics -- absent key -> None --
+    # without the per-row try/except; Row objects keep the probing helper)
+    if type(row) is dict:
+        value_bytes = row.get("value_bytes")
+        value_len = row.get("value_len")
+    else:
+        value_bytes = _field(row, "value_bytes")
+        value_len = _field(row, "value_len")
     if value_bytes is None and kind in ("CELL", "STATIC_CELL"):
         cv = row["cell_value"]
         if value_len is not None and (value_len != 8 or cv is None):
@@ -421,6 +437,12 @@ def _row_to_record(row) -> dict:
                 "-- re-read with data_cells(..., with_values=True) so "
                 "value_bytes carries it, or drop the record explicitly"
             )
+    if type(row) is dict:
+        value_marshal = row.get("value_marshal")
+        clustering_marshal = row.get("clustering_marshal")
+    else:
+        value_marshal = _field(row, "value_marshal")
+        clustering_marshal = _field(row, "clustering_marshal")
     return {
         "partition_key": row["partition_key"],
         "clustering": row["clustering"],
@@ -428,8 +450,8 @@ def _row_to_record(row) -> dict:
         "cell_name": name,
         "cell_size": row["cell_value"],
         "value_bytes": value_bytes,
-        "value_marshal": _field(row, "value_marshal"),
-        "clustering_marshal": _field(row, "clustering_marshal"),
+        "value_marshal": value_marshal,
+        "clustering_marshal": clustering_marshal,
         "writetime": row["writetime"],
         "ttl": row["ttl"],
         "is_tombstone": row["is_tombstone"],
@@ -546,6 +568,9 @@ def write_sstable(
     clustering_marshals = _clustering_marshals_for(all_recs, clustering_type)
     header = _infer_header(all_recs, key_marshal, clustering_marshals)
     cl_types = header.clustering_types
+    from cassandra_sstable_tools_spark.sources.data_cells import _encode_prep
+
+    enc_prep = _encode_prep(header)
 
     entries: list[tuple[bytes, int]] = []
     blob = bytearray()
@@ -555,33 +580,50 @@ def write_sstable(
     total_cells = 0
     min_cl = max_cl = None
     ts_lo = ts_hi = None
+    # distinct clustering displays already folded into the min/max bounds:
+    # records repeat displays heavily (per column, per partition), and the
+    # bound update is a pure function of the display, so each display pays
+    # the comparator-tuple/components derivation ONCE per write (guide
+    # §1.2 per-task work: the per-record loop previously re-looked-up the
+    # lru caches 2x per record for an answer that cannot change)
+    cl_seen: set = set()
+    rowkeys: set = set()
     for kb in sorted(by_key):  # ByteOrdered: file order = key-byte order
         slot = by_key[kb]
         ldt, mfda = slot["deletion"] or (LIVE_LDT, LIVE_MFDA)
+        recs = slot["recs"]
         body = encode_partition_header(kb, ldt, mfda)
         # strict_spans=False: the sink writes arbitrary-length payloads
         # with format-correct multi-byte vints; the 1-byte-vint cost
         # bounds are the FIXTURE span oracle's contract, not the format's
-        body += encode_unfiltereds(slot["recs"], header, strict_spans=False)
+        body += encode_unfiltereds(
+            recs, header, strict_spans=False, prep=enc_prep
+        )
         entries.append((kb, len(blob)))
         blob += body
         psize_hist[len(body)] = psize_hist.get(len(body), 0) + 1
-        ncells = sum(
-            1 for r in slot["recs"] if r["kind"] in ("CELL", "STATIC_CELL")
-        )
-        ccount_hist[ncells] = ccount_hist.get(ncells, 0) + 1
-        total_cells += ncells
-        total_rows += len(
-            {(r["kind"] != "STATIC_CELL", r["clustering"])
-             for r in slot["recs"]}
-        )
-        for r in slot["recs"]:
+        # ONE pass per record: cell count, distinct row keys, timestamp
+        # extremes and (per distinct display) clustering bounds -- the
+        # previous 3 extra per-slot passes fused (guide §1.2)
+        ncells = 0
+        rowkeys.clear()
+        for r in recs:
+            kind = r["kind"]
+            static = kind == "STATIC_CELL"
+            if static or kind == "CELL":
+                ncells += 1
+            rowkeys.add((not static, r["clustering"]))
             wt = r["writetime"]
             if wt is not None:
-                ts_lo = wt if ts_lo is None else min(ts_lo, wt)
-                ts_hi = wt if ts_hi is None else max(ts_hi, wt)
+                if ts_lo is None:
+                    ts_lo = ts_hi = wt
+                elif wt < ts_lo:
+                    ts_lo = wt
+                elif wt > ts_hi:
+                    ts_hi = wt
             cl = r["clustering"]
-            if cl is not None:
+            if cl is not None and cl not in cl_seen:
+                cl_seen.add(cl)
                 # min/max clustering in Statistics.db store the ENCODED
                 # component bytes (what the decoder's typed display
                 # re-renders). Bounds are selected by the DECLARED
@@ -595,6 +637,9 @@ def write_sstable(
                     min_cl = (ck, vals)
                 if max_cl is None or ck > max_cl[0]:
                     max_cl = (ck, vals)
+        ccount_hist[ncells] = ccount_hist.get(ncells, 0) + 1
+        total_cells += ncells
+        total_rows += len(rowkeys)
 
     if compression not in ("none", "lz4", "deflate", "snappy"):
         raise ValueError(

@@ -197,11 +197,7 @@ def test_corruption_is_loud():
     )
     blob = dc.encode_unfiltereds([only_open], h)
     # strip the close marker: find second IS_MARKER byte offset by re-encoding
-    open_only = dc._encode_one(
-        only_open, h, dc._Codec(h),
-        {n: i for i, (n, _) in enumerate(h.regular_columns)},
-        {n: i for i, (n, _) in enumerate(h.static_columns)}, 0,
-    )
+    open_only = dc._encode_one(only_open, h, dc._encode_prep(h), 0)
     half = len(open_only) // 2
     block = encode_partition_header(b"k4") + open_only[:half] + b"\x01"
     with pytest.raises(ValueError, match="corrupt Data.db"):

@@ -852,3 +852,38 @@ def test_complex_delete_keeps_declared_column_type(registered, tmp_path):
     )
     assert [r[_COLS_VALUES.index("kind")] for r in got] == ["COMPLEX_DELETE"]
     assert got[0][_COLS_VALUES.index("value_marshal")] == _MAP_INT_LONG
+
+
+def test_encode_prep_memo_is_contents_keyed():
+    """The per-header encode tables (_EncPrep) memoize on header CONTENTS,
+    not object identity: two equal-content headers share one prep, and a
+    MUTATED header (statistics_db mutates fields after construction in
+    some paths) gets a fresh prep instead of stale tables."""
+    from cassandra_sstable_tools_spark.sources.data_cells import (
+        LONG_TYPE,
+        _encode_prep,
+    )
+    from cassandra_sstable_tools_spark.sources.statistics_db import (
+        SerializationHeaderInfo,
+    )
+
+    def header():
+        return SerializationHeaderInfo(
+            min_timestamp=5,
+            min_local_deletion_time=7,
+            min_ttl=0,
+            key_type="org.apache.cassandra.db.marshal.UTF8Type",
+            clustering_types=["org.apache.cassandra.db.marshal.UTF8Type"],
+            static_columns=[("s0", LONG_TYPE)],
+            regular_columns=[("v0", LONG_TYPE)],
+        )
+
+    h1, h2 = header(), header()
+    assert _encode_prep(h1) is _encode_prep(h2)
+    h2.min_timestamp = 6  # content change -> new tables
+    assert _encode_prep(h2) is not _encode_prep(h1)
+    prep = _encode_prep(h1)
+    assert prep.reg["v0"][0] == 0 and prep.reg["v0"][1] == LONG_TYPE
+    assert prep.reg["v0"][3] == 8  # LongType: fixed 8-byte value
+    assert prep.sta["s0"][0] == 0
+    assert prep.cl_types_t == ("org.apache.cassandra.db.marshal.UTF8Type",)
