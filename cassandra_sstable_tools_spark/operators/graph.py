@@ -59,30 +59,34 @@ def connected_components(
     # round just to read the sum; optimization guide S1.2 -- remove
     # passes). Blocks persist whole rows at the RDD layer, so the
     # column-pruned aggregate above them changes nothing.
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iters):
+    # try/finally (r12 ADVICE): the non-convergence raise must not leak the
+    # persisted (self-loop-grown, repartitioned) edges frame
+    try:
         labels = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("lbl").alias("lbl"))
-            .select(F.col("src").alias("node"), "lbl")
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"connected components did not converge in {max_iters} rounds"
-        )
-    edges.unpersist()
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        for _ in range(max_iters):
+            labels = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("lbl").alias("lbl"))
+                .select(F.col("src").alias("node"), "lbl")
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = labels.agg(F.sum("lbl")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in {max_iters} rounds"
+            )
+    finally:
+        edges.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 
 

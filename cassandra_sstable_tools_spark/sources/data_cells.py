@@ -596,12 +596,19 @@ _UNPACK_IQ = struct.Struct(">iq").unpack_from
 _REC_FIELDS = tuple(
     f.name for f in __import__("dataclasses").fields(_Rec)
 )
-assert _REC_FIELDS == (
+# explicit raise, not a bare assert: `python -O` strips asserts, and this
+# pin is what turns a field reorder into an import error instead of silent
+# column swaps in every decoded row (r12 ADVICE)
+if _REC_FIELDS != (
     "kind", "clustering", "column_name", "cell_path", "writetime", "ttl",
     "ldt", "is_tombstone", "is_expiring", "is_counter", "cell_value",
     "range_start", "range_end", "phys_size", "value_len", "value_bytes",
     "value_marshal", "clustering_vals",
-), _REC_FIELDS
+):
+    raise AssertionError(
+        f"_Rec field order changed: {_REC_FIELDS} -- the positional "
+        "construction sites in the decode hot path assume the pinned order"
+    )
 
 
 class _HeaderPrep:
@@ -637,6 +644,12 @@ class _HeaderPrep:
 
 
 def _header_prep(h: SerializationHeaderInfo) -> _HeaderPrep:
+    """FREEZE CONTRACT (r12 ADVICE): the prep caches on the header OBJECT,
+    so the first decode freezes the header's column/min tables -- callers
+    must not mutate a SerializationHeaderInfo after any block of its
+    sstable has decoded (statistics_db only mutates between parse and
+    first use; the writer-side twin, ``_encode_prep``, is contents-keyed
+    instead because writers legitimately rebuild headers)."""
     prep = getattr(h, "_decode_prep", None)
     if prep is None:
         prep = _HeaderPrep(h)

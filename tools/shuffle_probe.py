@@ -31,6 +31,11 @@ def main() -> None:
     import urllib.request
 
     ui = sc.uiWebUrl
+    if ui is None:  # r12 ADVICE: 'None/api/...' raises an opaque URLError
+        raise SystemExit(
+            "shuffle_probe needs the Spark UI REST API; this session has "
+            "spark.ui.enabled=false -- rerun without disabling the UI"
+        )
     app_id = sc.applicationId
 
     def rest(path: str):
